@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-level runtime configuration applied idempotently at the head
+  * of every engine entry point. The driver owns SparkSession creation
+  * (Verify/Bench), so anything the engine needs beyond defaults is set
+  * here at runtime rather than at builder time.
+  */
+object Engine {
+  def configure(spark: SparkSession): SparkSession = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark refuses
+    // by default; read as Long (ns since epoch) and convert explicitly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  /** Wrap a query builder so Engine configuration always precedes it. */
+  def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => f(configure(s), d)
+}

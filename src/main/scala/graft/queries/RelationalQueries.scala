@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, TimestampType}
+
+import graft.Engine.q
+import graft.sources.Tables.table
+
+/** §2a relational core. Every query has a DuckDB oracle; parity rules:
+  *  - identical aliases both sides;
+  *  - deterministic ORDER BY closing every query;
+  *  - double aggregation goes through DECIMAL(18,4) (associative-exact)
+  *    and is cast back to double only at the end;
+  *  - event timestamps: parquet carries ns; Spark reads Long ns (see
+  *    Engine.configure) and truncates to µs exactly like DuckDB's read.
+  */
+object RelationalQueries {
+
+  private def d4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private val one4 = lit(1).cast(DecimalType(18, 4))
+  /** events.ts (Long, ns) → timestamp at µs precision (matches DuckDB). */
+  // integral `div` keeps ns→µs truncation exact (double `/` could misround)
+  private def evTs(c: Column): Column = timestamp_micros(expr("ts div 1000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(d4(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(d4(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q2_topk_orders" -> q { (s, d) =>
+      table(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    "q3_join_revenue" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer")
+      val n = table(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "q4_semi_join" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+      val li = table(s, d, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "q5_anti_join" -> q { (s, d) =>
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q6_filter_project" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(d4(col("l_extendedprice")) * d4(col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q7_window_rank" -> q { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      table(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("l_suppkey")
+    },
+
+    "q8_running_sum" -> q { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(d4(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    "q9_distinct_agg" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+    },
+
+    "q10_case_agg" -> q { (s, d) =>
+      table(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_priority"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_priority"))
+        .orderBy("o_orderstatus")
+    },
+
+    "q11_rollup" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+          count(lit(1)).as("n_lines"),
+          sum(d4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "q12_union_all" -> q { (s, d) =>
+      val c = table(s, d, "customer").select(col("c_custkey").as("id"),
+        lit("customer").as("kind"), col("c_acctbal").as("acctbal"))
+      val sup = table(s, d, "supplier").select(col("s_suppkey").as("id"),
+        lit("supplier").as("kind"), col("s_acctbal").as("acctbal"))
+      c.unionAll(sup).orderBy("kind", "id")
+    },
+
+    "q13_events_tumbling" -> q { (s, d) =>
+      table(s, d, "events")
+        .select(evTs(col("ts")).as("tts"), col("event_type"), col("value"))
+        .groupBy(date_format(date_trunc("hour", col("tts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d4(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    "q14_sessionize" -> q { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+      ev.withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > 1800L * 1000000L, 1L)
+            .when(lag(col("ts_us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    "q15_json_extract" -> q { (s, d) =>
+      table(s, d, "events")
+        .select(regexp_extract(col("props"), ":\\s*([0-9]+)", 1)
+          .cast(IntegerType).as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast(LongType)).as("sum_k"))
+        .orderBy("k_mod")
+    },
+
+    "q16_pivot" -> q { (s, d) =>
+      table(s, d, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"))
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("cohort")
+    },
+
+    "q17_nested_subquery" -> q { (s, d) =>
+      val c = table(s, d, "customer")
+      val mx = c.agg(max(col("c_acctbal")).as("mx"))
+      c.crossJoin(broadcast(mx))
+        .filter(col("c_acctbal") > col("mx") * lit(0.9))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }
+  )
+
+  private val sumDisc =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST($sumDisc AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_join_revenue" ->
+      s"""SELECT n_name,
+         |  CAST($sumDisc AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_filter_project" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.09
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q8_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q9_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q10_case_agg" ->
+      """SELECT o_orderstatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_priority
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q12_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS acctbal FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+
+    "q13_events_tumbling" ->
+      """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_sessionize" ->
+      """SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM (
+        |  SELECT user_id, event_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
+        |           WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1
+        |           ELSE 0 END AS new_sess
+        |    FROM events) a) b
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(regexp_extract(props, ':\s*([0-9]+)', 1) AS INTEGER) AS k FROM events) t
+        |GROUP BY k % 10 ORDER BY k_mod""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id % 10 ORDER BY cohort""".stripMargin,
+
+    "q17_nested_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * CAST(0.9 AS DOUBLE)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table access layer.
+  *
+  * All engine queries read through here so that scan-level concerns
+  * (format, schema, future bucketing/partition layout) live in one
+  * place. Filters/projections are applied by callers through the
+  * Column DSL and reach the parquet reader via Catalyst pushdown —
+  * verified in `PlanSpec`.
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one driver-generated parquet table from an sf directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV source with optional explicit schema (inference otherwise). */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+          header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** JSON-lines source with optional explicit schema. */
+  def json(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+}
