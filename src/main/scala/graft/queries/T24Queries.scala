@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Engine.q
+import graft.functions.T24
+import graft.operators.{FieldSpec, SchemaConverter}
+import graft.sources.Tables.table
+
+/** §2b — the reference's own surface. T24-encoded inputs are synthesized
+  * deterministically from TPC-H columns *inside each query* (both the
+  * Spark side and the DuckDB oracle build the same encoded string, then
+  * decode it), so the oracle checks the decode semantics end-to-end.
+  * Columns used inside multivalue strings must not contain '#'
+  * (p_type/p_name/priorities are safe; c_name/p_brand are not).
+  */
+object T24Queries {
+
+  /** duckdb-side versions of the multivalue split patterns. */
+  private val marker = T24.MvMarker
+  private val lead = T24.MvLead
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_mv_index" -> q { (s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          concat(lit("1:"), col("p_type"), lit("#2:"), col("p_name"),
+            lit("#3:"), col("p_size").cast("string")).as("mv"))
+        .select(col("p_partkey"), T24.mvIndex(col("mv"), 2).as("item2"))
+        .orderBy("p_partkey")
+    },
+
+    "t24_mv_join" -> q { (s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          concat(lit("1:"), col("p_type"), lit("#2:"), col("p_name"),
+            lit("#s3:"), col("p_size").cast("string")).as("mv"))
+        .select(col("p_partkey"), T24.mvJoin(col("mv"), "|").as("joined"))
+        .orderBy("p_partkey")
+    },
+
+    "t24_seab_field" -> q { (s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          T24.seabField(col("c_name"), "#", 2).as("cust_num"))
+        .orderBy("c_custkey")
+    },
+
+    "t24_hextotext" -> q { (s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"), T24.hexToText(hex(col("c_name"))).as("decoded"))
+        .orderBy("c_custkey")
+    },
+
+    "t24_parse_date" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .select(T24.parseDate(date_format(col("l_shipdate"), "yyyyMMdd")).as("ship_day"))
+        .groupBy("ship_day").agg(count(lit(1)).as("n_lines"))
+        .orderBy("ship_day")
+    },
+
+    "t24_parse_timestamp" -> q { (s, d) =>
+      table(s, d, "events")
+        .select(T24.parseTimestamp(
+          date_format(timestamp_micros(expr("ts div 1000")), "yyMMddHHmm")).as("minute"))
+        .groupBy("minute").agg(count(lit(1)).as("n_events"))
+        .orderBy("minute")
+    },
+
+    // MULTIVALUE stage through the SchemaConverter (explode via Generate)
+    "t24_mv_explode" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("FLAGS"), concat(lit("1:"), col("o_orderstatus"),
+            lit("#2:"), col("o_orderpriority"),
+            lit("#3:"), col("o_orderkey").cast("string"))
+        ).as(SchemaConverter.Record))
+      val schema = Seq(FieldSpec("FLAGS", parseSv = false, parseVm = true))
+      SchemaConverter.pipeline(raw, schema)
+        .select(col(SchemaConverter.RecId),
+          col(SchemaConverter.MvPos).cast(LongType).as("mv_pos"), col("FLAGS").as("flag"))
+        .orderBy("RECID", "mv_pos")
+    },
+
+    "t24_localref_strip" -> q { (s, d) =>
+      val raw = table(s, d, "customer").select(
+        col("c_custkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("LOCALREF_BAL"),
+          col("c_acctbal").cast(DecimalType(18, 2)).cast("string")
+        ).as(SchemaConverter.Record))
+      val schema = Seq(FieldSpec("LOCALREF_BAL", dataType = "double"))
+      SchemaConverter.pipeline(raw, schema).orderBy("RECID")
+    },
+
+    // End-to-end schema→pipeline compile: passthrough + parse_date +
+    // LOCALREF cast + multivalue string-join, like a real proc schema.
+    "t24_schema_pipeline" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("STATUS"), col("o_orderstatus"),
+          lit("ORDER_DATE"), date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("LOCALREF_PRICE"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          lit("PRIORITY_MV"), concat(lit("1:"), col("o_orderpriority"),
+            lit("#2:"), col("o_orderstatus"))
+        ).as(SchemaConverter.Record))
+      val schema = Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
+        FieldSpec("LOCALREF_PRICE", dataType = "double"),
+        FieldSpec("PRIORITY_MV", transformation = "string-join('|')"))
+      SchemaConverter.pipeline(raw, schema).orderBy("RECID")
+    },
+
+    "t24_inputter_his" -> q { (s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(lit("1:SYS_AGENT"), col("c_custkey").cast("string"),
+            lit("#2:SYS_TELLER"), col("c_custkey").cast("string")).as("inputter"))
+        .select(col("c_custkey"), T24.inputterHis(col("inputter")).as("inputter_his"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t24_mv_index" ->
+      s"""SELECT p_partkey,
+         |  list_filter(regexp_split_to_array(
+         |    concat('1:', p_type, '#2:', p_name, '#3:', CAST(p_size AS VARCHAR)),
+         |    '$marker'), x -> x <> '')[2] AS item2
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "t24_mv_join" ->
+      s"""SELECT p_partkey,
+         |  array_to_string(list_filter(regexp_split_to_array(
+         |    regexp_replace(concat('1:', p_type, '#2:', p_name, '#s3:', CAST(p_size AS VARCHAR)), '$lead', ''),
+         |    '#(s?[0-9]+:)?'), x -> x <> ''), '|') AS joined
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "t24_seab_field" ->
+      """SELECT c_custkey, split_part(c_name, '#', 2) AS cust_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t24_hextotext" ->
+      """SELECT c_custkey, decode(unhex(hex(c_name))) AS decoded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t24_parse_date" ->
+      """SELECT CAST(strptime(strftime(l_shipdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS ship_day,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY ship_day""".stripMargin,
+
+    "t24_parse_timestamp" ->
+      """SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%y%m%d%H%M'), '%y%m%d%H%M') AS minute,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
+
+    "t24_mv_explode" ->
+      s"""SELECT RECID, CAST(p.pos AS BIGINT) AS mv_pos, l[p.pos] AS flag
+         |FROM (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+         |    list_filter(regexp_split_to_array(
+         |      concat('1:', o_orderstatus, '#2:', o_orderpriority, '#3:', CAST(o_orderkey AS VARCHAR)),
+         |      '$marker'), x -> x <> '') AS l
+         |  FROM orders) t
+         |CROSS JOIN (VALUES (1), (2), (3)) p(pos)
+         |ORDER BY RECID, mv_pos""".stripMargin,
+
+    "t24_localref_strip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS RECID,
+        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS BAL
+        |FROM customer ORDER BY RECID""".stripMargin,
+
+    "t24_schema_pipeline" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  o_orderstatus AS STATUS,
+        |  CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS ORDER_DATE,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS PRICE,
+        |  concat(o_orderpriority, '|', o_orderstatus) AS PRIORITY_MV
+        |FROM orders ORDER BY RECID""".stripMargin,
+
+    "t24_inputter_his" ->
+      s"""SELECT c_custkey,
+         |  array_to_string(list_transform(regexp_split_to_array(
+         |    regexp_replace(concat('1:SYS_AGENT', CAST(c_custkey AS VARCHAR), '#2:SYS_TELLER', CAST(c_custkey AS VARCHAR)), '$lead', ''),
+         |    '#(s?[0-9]*:)?'), x -> split_part(x, '_', 2)), ' ') AS inputter_his
+         |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

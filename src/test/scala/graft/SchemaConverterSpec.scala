@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{FieldSpec, SchemaConverter}
+
+class SchemaConverterSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def raw = {
+    import spark.implicits._
+    Seq(
+      ("1", Map("NAME" -> "ALPHA", "D" -> "20240131", "LOCALREF_N" -> "7",
+        "MV" -> "1:a#2:b#3:c", "IN" -> "1:SYS_AGENT1#2:SYS_TELLER1")),
+      ("2", Map("NAME" -> "BETA", "D" -> "19991231", "LOCALREF_N" -> "42",
+        "MV" -> "1:x#2:y", "IN" -> "1:SYS_AGENT2"))
+    ).toDF(SchemaConverter.RecId, SchemaConverter.Record)
+  }
+
+  private val schema = Seq(
+    FieldSpec("NAME"),
+    FieldSpec("D", dataType = "date", transformation = "parse_date"),
+    FieldSpec("LOCALREF_N", dataType = "int"),
+    FieldSpec("MV", transformation = "string-join('|')"),
+    FieldSpec("IN", transformation = "inputter_his"))
+
+  test("mapped stage compiles every transformation") {
+    val out = SchemaConverter.mapped(raw, schema).orderBy("RECID").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("ALPHA", "BETA"))
+    assert(out.head.getDate(2).toString == "2024-01-31")
+    assert(out.map(_.getInt(3)).toSeq == Seq(7, 42))
+    assert(out.map(_.getString(4)).toSeq == Seq("a|b|c", "x|y"))
+    assert(out.map(_.getString(5)).toSeq == Seq("AGENT1 TELLER1", "AGENT2"))
+  }
+
+  test("LOCALREF_ prefix is stripped from output names") {
+    val names = SchemaConverter.mapped(raw, schema).columns.toSeq
+    assert(names == Seq("RECID", "NAME", "D", "N", "MV", "IN"))
+  }
+
+  test("multivalue stage explodes VM positions and keeps SV fields") {
+    val sch = Seq(FieldSpec("NAME"), FieldSpec("MV", parseSv = false, parseVm = true))
+    val out = SchemaConverter.multivalue(raw, sch)
+      .orderBy("RECID", SchemaConverter.MvPos).collect()
+    assert(out.map(r => (r.getString(0), r.getInt(2), r.getString(3))).toSeq ==
+      Seq(("1", 1, "a"), ("1", 2, "b"), ("1", 3, "c"), ("2", 1, "x"), ("2", 2, "y")))
+    assert(out.forall(r => Set("ALPHA", "BETA")(r.getString(1))))
+  }
+
+  test("unequal VM arrays pad with null (T24 missing-value semantics)") {
+    import spark.implicits._
+    val r2 = Seq(("1", Map("A" -> "1:a#2:b#3:c", "B" -> "1:x")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("A", parseSv = false, parseVm = true),
+      FieldSpec("B", parseSv = false, parseVm = true))
+    val out = SchemaConverter.multivalue(r2, sch).orderBy(SchemaConverter.MvPos).collect()
+    assert(out.length == 3)
+    assert(out.map(r => Option(r.getString(3))).toSeq == Seq(Some("x"), None, None))
+  }
+
+  test("emitted SQL text equals the Column-DSL pipeline") {
+    raw.createOrReplaceTempView("t24_raw_test")
+    val sql = SchemaConverter.mappedSql(schema, "t24_raw_test")
+    val viaSql = spark.sql(sql).orderBy("RECID").collect().map(_.toString).toSeq
+    val viaDsl = SchemaConverter.mapped(raw, schema).orderBy("RECID")
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaDsl)
+  }
+}
