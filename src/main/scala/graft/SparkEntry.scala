@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ T24Queries.queries
+    RelationalQueries.queries ++ T24Queries.queries ++
+      DocQueries.queries ++ VectorQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same
     * aliases, deterministic ORDER BY). */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ T24Queries.oracles
+    RelationalQueries.oracles ++ T24Queries.oracles ++
+      DocQueries.oracles ++ VectorQueries.oracles
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-training-data operators
+  * (SURVEY §2c): tokenization, quality scoring, language ID,
+  * fingerprinting. Pure `functions._` compositions — codegen-friendly,
+  * no UDFs — and every expression has a DuckDB-SQL equivalent used by
+  * the oracles (identical operation order, so doubles match bit-exact).
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Count of stopword tokens (lowercased). */
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(lower(c)), w => w.isin(Stopwords: _*)))
+
+  /** Characters that are neither lowercase letters, digits nor spaces. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^a-z0-9 ]", ""))
+
+  /** Composite quality score in [0,1]: stopword density, punctuation
+    * cleanliness, length saturation. Expression shape is mirrored
+    * exactly in the oracle SQL. */
+  def qualityScore(nTokens: Column, stopRatio: Column, punctRatio: Column): Column =
+    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0))
+
+  /** Marker-word counts for deterministic language ID. */
+  private def markers(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  val EnMarkers = "\\b(?:the|and|of|to)\\b"
+  val EsMarkers = "\\b(?:el|la|de|que)\\b"
+  val DeMarkers = "\\b(?:der|die|das|und)\\b"
+
+  /** Deterministic n-gram/marker-word language ID (first rule that
+    * clears the threshold wins; 'und' otherwise). Not a statistical
+    * model — a scale-friendly heuristic with an exact oracle. */
+  def langId(c: Column): Column = {
+    val en = markers(c, EnMarkers)
+    val es = markers(c, EsMarkers)
+    val de = markers(c, DeMarkers)
+    when(en >= 3 && en >= es && en >= de, "en")
+      .when(es >= 3 && es >= de, "es")
+      .when(de >= 3, "de")
+      .otherwise("und")
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first 64 chars
+    * (base 31, modulus 1e15 keeps Long exact in both engines). */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      split(substring(lower(c), 1, 64), ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L)
+}

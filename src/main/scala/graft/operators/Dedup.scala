@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication family for 100 TB document corpora (SURVEY §2c).
+  *
+  * Shuffle posture: signatures (MinHash/SimHash/fingerprints) are
+  * narrow per-row maps computed at the scan; the only shuffles are
+  * keyed groupBys/joins on hash keys. No operator materializes an
+  * O(n²) cross product — candidate generation is always an equi-join
+  * on a bucket key (LSH bands, hamming prefixes, or text prefixes),
+  * and exact verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text hash, keep the smallest id. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(lower(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** k-word shingles of a text column (1-based `slice`). */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = Text.tokens(lower(c))
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  private val P = 2038074743L // prime > 2^30: keeps a*h+b products exact-ish in Long
+
+  /** MinHash signature columns: k permutations h_i(x) = (a_i·x + b_i) mod P
+    * over xxhash64 shingle hashes. Computed via explode → groupBy(min),
+    * so partial (map-side) aggregation keeps the shuffle narrow.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 64,
+                        shingleLen: Int = 3): DataFrame = {
+    val rnd = new scala.util.Random(7L)
+    val perms = Array.fill(k)((math.abs(rnd.nextLong() % P) + 1, math.abs(rnd.nextLong() % P)))
+    val h = pmod(xxhash64(col("shingle")), lit(P))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * a + b, lit(P))).as(s"mh_$i")
+    }
+    docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: one row per (doc, band) with the band's bucket hash.
+    * Docs sharing any (band, bucket) are near-dup candidates. */
+  def minhashBands(sigs: DataFrame, idCol: String = "doc_id",
+                   bands: Int = 16, rows: Int = 4): DataFrame =
+    sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("signature"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+
+  /** Candidate pairs from LSH buckets, verified with exact Jaccard over
+    * distinct shingle sets; `minJaccard` filters the final answer. */
+  def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 64, bands: Int = 16,
+                      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleLen)
+    val b = minhashBands(sigs, idCol, bands, k / bands)
+    val cands = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val sh = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleLen)).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash: per-token xxhash64; each output bit is the sign of
+    * the ±1 vote sum across tokens. One explode + one groupBy. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col(idCol), explode(Text.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup candidates by identical 16-bit SimHash prefix (cheap
+    * hamming-bucket; a multi-probe over rotated prefixes is the scale
+    * path for higher recall). */
+  def simhashBuckets(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    simhash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        shiftrightunsigned(col("simhash"), 48).as("bucket"))
+}

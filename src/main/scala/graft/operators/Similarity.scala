@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2c). Baseline: brute-force cosine top-k — a broadcast of
+  * the (small) query set against a single pass over the corpus; the
+  * rank-k filter after row_number() is planned as WindowGroupLimit,
+  * so each task keeps only k rows before the shuffle. Scale path:
+  * sign-LSH bucketing turns the scan into an equi-join on bucket.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every query against the full corpus.
+    * `queries` must be small (it is broadcast). Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table sign-LSH ANN: `nTables` independent hash tables of
+    * `planesPerTable` hyperplanes each; a candidate is scored if it
+    * shares a bucket with the query in ANY table (union-of-tables is
+    * what makes sign-LSH recall workable on high-dim data). Each corpus
+    * row expands to `nTables` (table, bucket) keys — a narrow map —
+    * and the only wide operation is the equi-join on that key against
+    * the broadcast query side, so the corpus shuffles at most once. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = Vectors.randomPlanes(nTables * planesPerTable, dim)
+    def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
+      Vectors.lshBucket(v, planes.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    }: _*)
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("cand_id"), col("ce"))
+      .dropDuplicates("q_id", "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

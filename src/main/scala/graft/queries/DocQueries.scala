@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.q
+import graft.functions.Text
+import graft.operators.Dedup
+import graft.sources.Tables.table
+
+/** §2c text/dedup operators over the `documents` table. Oracle parity
+  * notes: DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  * replace-all; int/int division is double in both engines; every
+  * double expression is written with identical operation order.
+  */
+object DocQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_token_count" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")
+    },
+
+    "d2_quality_score" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordCount(col("text")).as("n_stop"),
+          Text.punctCount(col("text")).as("n_punct"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+          (col("n_punct").cast("double") / col("n_chars").cast("double")).as("punct_ratio"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("punct_ratio"),
+          Text.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("score"))
+        .orderBy("doc_id")
+    },
+
+    "d3_langid" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "d4_dedup_exact" -> q { (s, d) =>
+      Dedup.exact(table(s, d, "documents")).orderBy("text_hash")
+    },
+
+    "d5_ngram_jaccard" -> q { (s, d) =>
+      val t = table(s, d, "documents").select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 30).as("pfx"),
+        array_distinct(Text.tokens(col("text"))).as("toks"))
+      t.as("a").join(t.as("b"),
+          col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+            size(array_union(col("a.toks"), col("b.toks"))).cast("double")).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // rows-only (exact-Jaccard verification of the LSH path is in DedupSpec)
+    "d6_minhash_lsh" -> q { (s, d) =>
+      Dedup.minhashBands(Dedup.minhashSignatures(table(s, d, "documents")))
+        .orderBy("doc_id", "band")
+    },
+
+    // rows-only (hamming-distance behavior verified in DedupSpec)
+    "d7_simhash" -> q { (s, d) =>
+      Dedup.simhashBuckets(table(s, d, "documents")).orderBy("doc_id")
+    },
+
+    "d8_fingerprint" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    "m1_binary_meta" -> q { (s, d) =>
+      // multimodal plumbing: opaque binary payload + typed metadata.
+      // Real decode is environment-dependent (no image/audio libs here);
+      // the deterministic metadata path is the tested contract.
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), octet_length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("sha"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val toksSql = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+
+  val oracles: Map[String, String] = Map(
+    "d1_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d2_quality_score" ->
+      """SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+        |  0.4*stop_ratio + 0.3*(1.0 - punct_ratio) + 0.3*least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS score
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |    CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','a','and','of','to','in'))) AS n_stop,
+        |      length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |      length(text) AS n_chars
+        |    FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin,
+
+    "d3_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN c_en >= 3 AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |    WHEN c_es >= 3 AND c_es >= c_de THEN 'es'
+        |    WHEN c_de >= 3 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(?:the|and|of|to)\b')) AS c_en,
+        |    len(regexp_extract_all(text, '\b(?:el|la|de|que)\b')) AS c_es,
+        |    len(regexp_extract_all(text, '\b(?:der|die|das|und)\b')) AS c_de
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "d4_dedup_exact" ->
+      """SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "d5_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, substring(text, 1, 30) AS pfx, $toksSql AS toks
+         |  FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d8_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_split_to_array(substring(lower(text), 1, 64), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a*31 + b) % 1000000000000000) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer rules and codegen stages"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "yet another unrelated document mentioning parquet pushdown and shuffle partitions")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.exists(_.getLong(1) == 1L), "keeper should be the min doc_id")
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash signature estimates jaccard for identical docs as 1") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L), "identical texts must have identical signatures")
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree12 > 32, s"near-dups should agree on most components, got $agree12/64")
+  }
+
+  test("simhash of near-dups is hamming-close, unrelated docs far") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L))
+    assert(hamming(sh(1L), sh(2L)) <= 12,
+      s"near-dup hamming ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(3L)) > 12,
+      s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
+  }
+
+  test("rows-only queries return rows at sf0.001") {
+    Seq("d6_minhash_lsh", "d7_simhash").foreach { name =>
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
+    }
+  }
+}

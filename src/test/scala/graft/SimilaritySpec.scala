@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTest._
+
+  private lazy val emb = Tables.table(spark, sf, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      // cos must be non-increasing with rank
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val lsh = Similarity.lshTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    assert(lsh.nonEmpty, "LSH returned nothing")
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = lsh.getOrElse(q, Set.empty)
+      if (hit.isEmpty) 0.0 else brute(q).intersect(hit).size.toDouble / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg recall $avg too low: $recalls")
+  }
+
+  test("e2_ann_lsh query returns rows at sf0.001") {
+    assert(SparkEntry.queries("e2_ann_lsh")(spark, sf).count() > 0)
+  }
+}
