@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FieldSpec
+import graft.streaming.Pipelines
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("t24 pipeline runs RAW→MAPPED over a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Map[String, String])]
+    val raw = in.toDF().toDF("RECID", "XMLRECORD")
+    val schema = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("MV", transformation = "string-join('|')"))
+    val q = Pipelines.t24Pipeline(raw, schema)
+      .writeStream.format("memory").queryName("t24_out")
+      .outputMode("append").start()
+    in.addData(
+      ("1", Map("NAME" -> "A", "D" -> "20240131", "MV" -> "1:x#2:y")),
+      ("2", Map("NAME" -> "B", "D" -> "20230601", "MV" -> "1:z")))
+    q.processAllAvailable()
+    val out = spark.table("t24_out").orderBy("RECID").collect()
+    q.stop()
+    assert(out.map(_.getString(1)).toSeq == Seq("A", "B"))
+    assert(out.map(_.getString(3)).toSeq == Seq("x|y", "z"))
+  }
+
+  test("watermarked tumbling window aggregates a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val ev = in.toDF().toDF("ts", "event_type", "value")
+    val q = Pipelines.windowedCounts(ev, "ts", "event_type", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:07:00"), "view", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    assert(out.length == 2)
+    val click = out.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2L && click.getDouble(3) == 3.0)
+  }
+
+  test("stateful dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "id", "payload")
+    val q = Pipelines.statefulDedup(df, "ts", Seq("id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    in.addData((t, 1L, "a"), (t, 1L, "a-dup"), (t, 2L, "b"))
+    q.processAllAvailable()
+    in.addData((t, 2L, "b-dup"), (t, 3L, "c"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("parquet sink writes a streaming t24 pipeline end-to-end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = MemoryStream[(String, Map[String, String])]
+    val raw = in.toDF().toDF("RECID", "XMLRECORD")
+    in.addData(("1", Map("F" -> "v1")), ("2", Map("F" -> "v2")))
+    val q = Pipelines.parquetSink(
+      Pipelines.t24Pipeline(raw, Seq(FieldSpec("F"))),
+      s"$dir/out", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out").orderBy("RECID").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("v1", "v2"))
+  }
+}
