@@ -14,8 +14,16 @@ object Engine {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    registerFunctions(spark)
     spark
   }
+
+  /** Expose native expressions to the SQL surface (the reference's
+    * users write SQL against `/api/execute`; `spark.sql` is the analog). */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", exprs => graft.plans.SimHash64(exprs.head), "built-in")
 
   /** Wrap a query builder so Engine configuration always precedes it. */
   def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

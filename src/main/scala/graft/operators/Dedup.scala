@@ -81,10 +81,19 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash: per-token xxhash64; each output bit is the sign of
-    * the ±1 vote sum across tokens. One explode + one groupBy. */
+  /** 64-bit SimHash via the native `SimHash64` expression — a narrow
+    * one-pass projection (no explode, no shuffle); see
+    * `graft.plans.SimHash64`. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.Native.simhash64(Text.tokens(lower(col(textCol)))).as("simhash"))
+
+  /** Reference formulation of SimHash as composed built-ins (explode +
+    * groupBy of 64 vote sums). Kept for equivalence testing of the
+    * native expression; the shuffle makes it the slow path. */
+  private[graft] def simhashViaExplode(docs: DataFrame, idCol: String = "doc_id",
+                                       textCol: String = "text"): DataFrame = {
     val h = xxhash64(col("tok"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v_$b")

@@ -53,6 +53,25 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
   }
 
+  test("native SimHash64 expression equals the explode formulation") {
+    val native = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashViaExplode(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+  }
+
+  test("simhash64 is registered as a SQL function") {
+    Engine.configure(spark)
+    docs.createOrReplaceTempView("simhash_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(split(trim(lower(text)), '\\\\s+')) AS s FROM simhash_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("rows-only queries return rows at sf0.001") {
     Seq("d6_minhash_lsh", "d7_simhash").foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
