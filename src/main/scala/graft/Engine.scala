@@ -20,10 +20,15 @@ object Engine {
 
   /** Expose native expressions to the SQL surface (the reference's
     * users write SQL against `/api/execute`; `spark.sql` is the analog). */
-  def registerFunctions(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
+    if (!registry.functionExists(name)) {
+      registry.createOrReplaceTempFunction(
         "simhash64", exprs => graft.plans.SimHash64(exprs.head), "built-in")
+    }
+  }
 
   /** Wrap a query builder so Engine configuration always precedes it. */
   def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

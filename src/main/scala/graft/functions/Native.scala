@@ -2,10 +2,19 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 
-import graft.plans.SimHash64
+import graft.plans.{CosineSim, LshBuckets, SimHash64, WordShingles}
 
 /** Column API over the engine's native Catalyst expressions. */
 object Native {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  def wordShingles(tokens: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(tokens), k))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def lshBuckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
+    GraftBridge.column(LshBuckets(GraftBridge.expression(v), planes, planesPerTable))
 }

@@ -22,7 +22,13 @@ object Vectors {
   def norm2(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity — native expression (same sequential double fold
+    * as the composed form below; bit-identical, no lambda overhead). */
+  def cosine(a: Column, b: Column): Column = Native.cosineSim(a, b)
+
+  /** Composed-builtins cosine, kept to equivalence-test the native path. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
 
   /** Sign-bit LSH bucket for a vector: one bit per pseudo-random
     * hyperplane. Planes are deterministic (seeded) and tiny — they live

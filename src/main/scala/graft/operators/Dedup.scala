@@ -21,8 +21,13 @@ object Dedup {
     docs.groupBy(md5(lower(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** k-word shingles of a text column (1-based `slice`). */
-  def shingles(c: Column, k: Int): Column = {
+  /** k-word shingles of a text column (native one-pass expression). */
+  def shingles(c: Column, k: Int): Column =
+    graft.functions.Native.wordShingles(Text.tokens(lower(c)), k)
+
+  /** Composed-builtins shingler (interpreted lambda + a slice copy per
+    * shingle) — kept only to equivalence-test the native expression. */
+  private[graft] def shinglesComposed(c: Column, k: Int): Column = {
     val toks = Text.tokens(lower(c))
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
@@ -40,11 +45,13 @@ object Dedup {
                         shingleLen: Int = 3): DataFrame = {
     val rnd = new scala.util.Random(7L)
     val perms = Array.fill(k)((math.abs(rnd.nextLong() % P) + 1, math.abs(rnd.nextLong() % P)))
-    val h = pmod(xxhash64(col("shingle")), lit(P))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(h * a + b, lit(P))).as(s"mh_$i")
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
     }
+    // hash once per shingle BEFORE the aggregate: the 64 permutations are
+    // then pure Long arithmetic over one column (k× fewer xxhash64 calls)
     docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
       .groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))

@@ -39,9 +39,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val planes = Vectors.randomPlanes(nTables * planesPerTable, dim)
-    def buckets(v: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
-      Vectors.lshBucket(v, planes.slice(t * planesPerTable, (t + 1) * planesPerTable))
-    }: _*)
+    def buckets(v: org.apache.spark.sql.Column) =
+      graft.functions.Native.lshBuckets(v, planes, planesPerTable)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
