@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gate: the properties that make these queries scale are
+  * asserted mechanically so a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("q6: filters and projection reach the parquet scan") {
+    val p = plan("q6_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "range filter not pushed to scan")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan reads more columns than the query needs")
+  }
+
+  test("q3: dimension joins broadcast, no sort-merge for nation") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e1: rank<=k is planned as WindowGroupLimit (partial top-k per task)") {
+    val p = plan("e1_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side should broadcast")
+  }
+
+  test("d5: candidate pairing is an equi-join, never a cartesian product") {
+    val p = plan("d5_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), "jaccard must not cross-join the corpus")
+  }
+
+  test("d6: LSH banding plan contains no cartesian product") {
+    val p = plan("d6_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation is two-phase (partial before the exchange)") {
+    val p = plan("q1_pricing_agg")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+}
