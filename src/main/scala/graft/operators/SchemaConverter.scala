@@ -82,6 +82,17 @@ object SchemaConverter {
     raw.select(cols: _*)
   }
 
+  /** BLOB-mode MAPPED stage (reference `controllers/index.js:293-403`,
+    * `BLOB_SPLIT`): field values arrive hex-encoded
+    * (`SEAB_HEXTOTEXT(FROM_BYTES(…,'hex'))`); decode precedes every
+    * per-field transformation. */
+  def blobMapped(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
+    val cols = col(RecId) +: schema.filter(_.parseSv).map { sp =>
+      compileValue(T24.hexToText(col(Record)(sp.name)), sp).as(outputName(sp))
+    }
+    raw.select(cols: _*)
+  }
+
   /** MULTIVALUE stage: decode every VM field to its element array, zip
     * the arrays (T24 multivalues are positionally aligned), and explode
     * one row per position — Spark's Generate operator instead of the

@@ -204,6 +204,124 @@ object RelationalQueries {
         .filter(col("c_acctbal") > col("mx") * lit(0.9))
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // merge-based as-of join (one shuffle + one window sort; see
+    // operators/AsOfJoin): each error event picks up the user's most
+    // recent click at-or-before it
+    "q18_asof_join" -> q { (s, d) =>
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.asOf(errors, clicks, Seq("user_id"),
+          "ts_us", "ts_us", Map("click_id" -> "click_id", "ts_us" -> "click_ts_us"))
+        .orderBy("event_id")
+    },
+
+    "q19_window_suite" -> q { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("l_suppkey", "rnk", "l_orderkey", "l_linenumber")
+    },
+
+    // stddev via decimal-exact sums + an explicit double formula: the
+    // built-in stddev's merge order is partitioning-dependent; this is
+    // deterministic AND matches the oracle bit-for-bit
+    "q20_stats_formula" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(d4(col("l_quantity"))).cast(DoubleType).as("s1"),
+          sum(d4(col("l_quantity")) * d4(col("l_quantity"))).cast(DoubleType).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n").cast(DoubleType)).as("mean_qty"),
+          ((col("s2") - col("s1") * col("s1") / col("n").cast(DoubleType)) /
+            (col("n") - 1).cast(DoubleType)).as("var_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    "q21_setops" -> q { (s, d) =>
+      val c = table(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = table(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).select(col("nationkey"), lit("both").as("src"))
+        .unionAll(c.except(sup).select(col("nationkey"), lit("customer_only").as("src")))
+        .orderBy("src", "nationkey")
+    },
+
+    "q22_argminmax" -> q { (s, d) =>
+      table(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(max_by(col("c_name"), col("c_custkey")).as("latest_cust"),
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    "q23_string_fns" -> q { (s, d) =>
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_type"), "AEO", "aeo").as("xlated"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), "widget").cast(LongType).as("pos"),
+          repeat(col("p_brand"), 2).as("twice"))
+        .orderBy("p_partkey")
+    },
+
+    "q24_date_fns" -> q { (s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy("o_orderkey")
+    },
+
+    "q25_null_fns" -> q { (s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_c"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(400000.0)).as("cap_price"),
+          when(col("o_totalprice").isNull, 0.0).otherwise(col("o_totalprice")).as("nz_price"))
+        .orderBy("o_orderkey")
+    },
+
+    "q26_percentiles" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+          expr("percentile(l_extendedprice, 0.5D)").as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // rows-only: HLL sketch values are engine-specific; relative-error
+    // bound asserted in RelationalSpec
+    "q27_approx_distinct" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -339,6 +457,98 @@ object RelationalQueries {
     "q17_nested_subquery" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * CAST(0.9 AS DOUBLE)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_asof_join" ->
+      """WITH errors AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, e.ts_us,
+        |  c.click_id, c.ts_us AS click_ts_us
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q19_window_suite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  LAG(l_quantity, 1) OVER w AS prev_qty,
+        |  LEAD(l_quantity, 1) OVER w AS next_qty,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""".stripMargin,
+
+    "q20_stats_formula" ->
+      """SELECT l_returnflag, n,
+        |  s1 / CAST(n AS DOUBLE) AS mean_qty,
+        |  (s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q21_setops" ->
+      """SELECT nationkey, 'both' AS src FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS src FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY src, nationkey""".stripMargin,
+
+    "q22_argminmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, c_custkey) AS latest_cust,
+        |  arg_min(c_name, c_custkey) AS first_cust,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q23_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_type, 'AEO', 'aeo') AS xlated,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  reverse(p_name) AS rev,
+        |  CAST(strpos(p_name, 'widget') AS BIGINT) AS pos,
+        |  repeat(p_brand, 2) AS twice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q24_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(last_day(o_orderdate) AS DATE) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q25_null_fns" ->
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_c,
+        |  GREATEST(o_totalprice, CAST(100000.0 AS DOUBLE)) AS floor_price,
+        |  LEAST(o_totalprice, CAST(400000.0 AS DOUBLE)) AS cap_price,
+        |  CASE WHEN o_totalprice IS NULL THEN 0.0 ELSE o_totalprice END AS nz_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q26_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -117,6 +117,24 @@ object T24Queries {
       SchemaConverter.pipeline(raw, schema).orderBy("RECID")
     },
 
+    // BLOB procType (reference BLOB_SPLIT): field values arrive
+    // hex-encoded; converter decodes then applies transformations
+    "t24_blob_pipeline" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("STATUS"), hex(col("o_orderstatus")),
+          lit("ORDER_DATE"), hex(date_format(col("o_orderdate"), "yyyyMMdd")),
+          lit("LOCALREF_PRICE"),
+          hex(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"))
+        ).as(SchemaConverter.Record))
+      val schema = Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
+        FieldSpec("LOCALREF_PRICE", dataType = "double"))
+      SchemaConverter.blobMapped(raw, schema).orderBy("RECID")
+    },
+
     "t24_inputter_his" -> q { (s, d) =>
       table(s, d, "customer")
         .select(col("c_custkey"),
@@ -182,6 +200,13 @@ object T24Queries {
         |  CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS ORDER_DATE,
         |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS PRICE,
         |  concat(o_orderpriority, '|', o_orderstatus) AS PRIORITY_MV
+        |FROM orders ORDER BY RECID""".stripMargin,
+
+    "t24_blob_pipeline" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  decode(unhex(hex(o_orderstatus))) AS STATUS,
+        |  CAST(strptime(decode(unhex(hex(strftime(o_orderdate, '%Y%m%d')))), '%Y%m%d') AS DATE) AS ORDER_DATE,
+        |  CAST(decode(unhex(hex(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)))) AS DOUBLE) AS PRICE
         |FROM orders ORDER BY RECID""".stripMargin,
 
     "t24_inputter_his" ->

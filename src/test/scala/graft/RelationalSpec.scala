@@ -24,9 +24,25 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is documented rows-only") {
-    val rowsOnly = Set("d6_minhash_lsh", "d7_simhash", "e2_ann_lsh")
+    val rowsOnly = Set("d6_minhash_lsh", "d7_simhash", "e2_ann_lsh",
+      "q27_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracle: $missing")
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q27_approx_distinct")(spark, sf)
+      .join(graft.sources.Tables.table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact")), "l_returnflag")
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getAs[String]("l_returnflag")}: approx $approx vs exact $exact")
+    }
   }
 
   test("q1 aggregates are stable across partitionings") {
