@@ -1,11 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{FieldSpec, SchemaConverter}
+
+/** One user event for session-window tracking. */
+case class SessionEvent(userId: Long, ts: Timestamp, value: Double)
+/** An emitted (closed) session window. */
+case class SessionWindow(userId: Long, startTs: Timestamp, endTs: Timestamp,
+                         nEvents: Long, total: Double)
+/** Per-user in-flight session state (epoch-ms bounds). */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
 /** Structured Streaming re-expression of the reference's streaming
   * pipelines (SURVEY §2d). The reference's RAW stage is a KSQL stream
@@ -44,6 +54,56 @@ object Pipelines {
                     watermarkDelay: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Gap-based session windows via flatMapGroupsWithState with
+    * EVENT-TIME timeouts: a session closes (and is emitted) when the
+    * watermark passes its end + gap — deterministic in the data, no
+    * wall-clock dependence. The KSQL SESSION window analog and the
+    * streaming twin of the batch `q14_sessionize` query. State is one
+    * small record per active key, reclaimed by the watermark, so it
+    * scales with concurrently-active keys, not with history.
+    */
+  def sessionWindows(events: Dataset[SessionEvent],
+                     gapMs: Long = 30L * 60 * 1000,
+                     watermarkDelay: String = "10 seconds"): Dataset[SessionWindow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            SessionWindow(userId, new Timestamp(s.start), new Timestamp(s.end),
+              s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionWindow]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** SINK stage: continuous parquet append with checkpointing — the
     * analog of the reference's SINK/DDL statement pair (target schema =

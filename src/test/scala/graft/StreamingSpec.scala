@@ -72,6 +72,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("session windows close on gap and carry counts/totals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[graft.streaming.SessionEvent]
+    val q = Pipelines.sessionWindows(in.toDS(), gapMs = 60_000, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def ev(u: Long, t: String, v: Double) =
+      graft.streaming.SessionEvent(u, Timestamp.valueOf(t), v)
+    // session 1: two events 30s apart; then a 5-minute gap starts session 2
+    in.addData(
+      ev(1, "2024-01-01 00:00:00", 1.0), ev(1, "2024-01-01 00:00:30", 2.0),
+      ev(1, "2024-01-01 00:05:30", 5.0),
+      ev(2, "2024-01-01 00:00:00", 9.0))
+    q.processAllAvailable()
+    // advance the watermark far past every open session's end + gap
+    in.addData(ev(3, "2024-01-01 01:00:00", 0.0))
+    q.processAllAvailable()
+    in.addData(ev(3, "2024-01-01 02:00:00", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_out").as[graft.streaming.SessionWindow].collect()
+    q.stop()
+    val u1 = out.filter(_.userId == 1L).sortBy(_.startTs.getTime)
+    // in-batch gap closed session 1; the watermark closed session 2
+    assert(u1.length == 2, s"expected both user-1 sessions closed, got ${out.toSeq}")
+    assert(u1.head.nEvents == 2 && u1.head.total == 3.0)
+    assert(u1.head.endTs == Timestamp.valueOf("2024-01-01 00:00:30"))
+    assert(u1(1).nEvents == 1 && u1(1).total == 5.0)
+    val u2 = out.filter(_.userId == 2L)
+    assert(u2.length == 1 && u2.head.total == 9.0)
+  }
+
   test("parquet sink writes a streaming t24 pipeline end-to-end") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
