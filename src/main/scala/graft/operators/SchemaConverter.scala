@@ -164,4 +164,22 @@ object SchemaConverter {
     (s"SELECT\n  $RecId," +: fields.mkString(",\n") +: Nil).mkString("\n") +
       s"\nFROM $source"
   }
+
+  /** CREATE TABLE DDL for the sink — the analog of the reference's
+    * `stmtDdl` template output (`controllers/index.js:408,567`). The
+    * target schema IS the compiled pipeline's schema. */
+  def sinkDdl(schema: Seq[FieldSpec], tableName: String,
+              multivalue: Boolean = false): String = {
+    val fieldCols = schema.filter(_.parseSv).map { sp =>
+      s"  ${outputName(sp)} ${sp.dataType.toUpperCase}"
+    }
+    val mvCols =
+      if (multivalue)
+        s"  $MvPos INT" +:
+          schema.filter(_.parseVm).map(sp => s"  ${outputName(sp)} STRING") ++:
+          schema.filter(_.parseVs).map(sp => s"  ${outputName(sp)}_VS ARRAY<STRING>")
+      else Seq.empty
+    (s"CREATE TABLE $tableName (" +: (s"  $RecId STRING" +: (fieldCols ++ mvCols))
+      .mkString(",\n") +: Seq(") USING parquet")).mkString("\n")
+  }
 }

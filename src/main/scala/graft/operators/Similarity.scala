@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{Native, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY §2c). Baseline: brute-force cosine top-k — a broadcast of
@@ -49,6 +49,46 @@ object Similarity {
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("qe"), col("cand_id"), col("ce"))
       .dropDuplicates("q_id", "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    * cells by nearest coarse centroid — a narrow map over the scan, the
+    * centroid table rides inside the expressions — and each query scores
+    * only its `nprobe` nearest cells. Centroids are a deterministic
+    * corpus sample (first `nlist` by id); at scale you'd refine them
+    * with a couple of Lloyd iterations, which keeps the same shape:
+    * tiny centroid broadcast + narrow assignment + one keyed join.
+    * The `.collect()` gathers `nlist` vectors (bounded, small) — this
+    * is the centroid bootstrap, not data movement.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def centScores(v: Column): Column = array(cents.map { c =>
+      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
+    }: _*)
+    // cell id = argmax centroid similarity (first on ties, 1-based)
+    def cell(v: Column): Column = array_position(centScores(v), array_max(centScores(v)))
+
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      cell(col("embedding")).as("cell"))
+    // query probes: top-nprobe cells by centroid similarity
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        slice(transform(
+          sort_array(arrays_zip(
+            transform(centScores(col("embedding")), s => -s).as("neg"),
+            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
+          s => s.getField("cid")), 1, nprobe).as("probes"))
+      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"),
         Vectors.cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))

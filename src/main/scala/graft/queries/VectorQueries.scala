@@ -28,6 +28,14 @@ object VectorQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select("q_id", "rank", "cand_id", "cos")
         .orderBy("q_id", "rank")
+    },
+
+    // rows-only (recall vs brute force is asserted in SimilaritySpec)
+    "e3_ann_ivf" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
     }
   )
 

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{FieldSpec, SchemaConverter}
+import graft.sources.Tables
+
+class SourcesSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("csv source round-trips with schema inference and explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val orig = Tables.table(spark, sf, "nation")
+    orig.write.option("header", "true").csv(s"$dir/nation")
+    val inferred = Tables.csv(spark, s"$dir/nation")
+    assert(inferred.count() == orig.count())
+    assert(inferred.schema("n_nationkey").dataType == IntegerType)
+    val explicit = Tables.csv(spark, s"$dir/nation", Some(StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))))
+    assert(explicit.schema("n_nationkey").dataType == LongType)
+    assert(explicit.agg(sum("n_nationkey")).head.getLong(0) ==
+      orig.agg(sum(col("n_nationkey").cast("long"))).head.getLong(0))
+  }
+
+  test("json source round-trips with schema inference") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val orig = Tables.table(spark, sf, "region")
+    orig.write.json(s"$dir/region")
+    val back = Tables.json(spark, s"$dir/region")
+    assert(back.count() == orig.count())
+    assert(back.select("r_name").collect().map(_.getString(0)).sorted.toSeq ==
+      orig.select("r_name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("sink DDL emission mirrors the compiled schema") {
+    val schema = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("LOCALREF_N", dataType = "int"))
+    val ddl = SchemaConverter.sinkDdl(schema, "t24_sink")
+    assert(ddl.contains("CREATE TABLE t24_sink"))
+    assert(ddl.contains("RECID STRING"))
+    assert(ddl.contains("NAME STRING") && ddl.contains("D DATE") && ddl.contains("N INT"))
+    // the DDL must be valid Spark SQL
+    spark.sql(ddl.replace("t24_sink", s"t24_sink_${System.nanoTime()}"))
+  }
+
+  test("multivalue sink DDL includes the position column") {
+    val schema = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("MV", parseSv = false, parseVm = true))
+    val ddl = SchemaConverter.sinkDdl(schema, "t24_mv_sink", multivalue = true)
+    assert(ddl.contains(s"${SchemaConverter.MvPos} INT"))
+    assert(ddl.contains("MV STRING"))
+  }
+}
