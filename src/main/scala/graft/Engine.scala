@@ -23,10 +23,19 @@ object Engine {
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
-    if (!registry.functionExists(name)) {
-      registry.createOrReplaceTempFunction(
-        "simhash64", exprs => graft.plans.SimHash64(exprs.head), "built-in")
+    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    ensure("simhash64")(exprs => graft.plans.SimHash64(exprs.head))
+    ensure("cosine_sim")(exprs => graft.plans.CosineSim(exprs(0), exprs(1)))
+    ensure("word_shingles") { exprs =>
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+        case other => sys.error(s"word_shingles(arr, k): k must be a literal, got $other")
+      }
+      graft.plans.WordShingles(exprs.head, k)
     }
   }
 

@@ -314,6 +314,26 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "q28_having" -> q { (s, d) =>
+      table(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d4(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    "q29_cube" -> q { (s, d) =>
+      table(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_st"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_pr"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_st"), col("g_pr"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
     // rows-only: HLL sketch values are engine-specific; relative-error
     // bound asserted in RelationalSpec
     "q27_approx_distinct" -> q { (s, d) =>
@@ -549,6 +569,20 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }
