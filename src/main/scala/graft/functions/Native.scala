@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 
-import graft.plans.{CosineSim, LshBuckets, SimHash64, WordShingles}
+import graft.plans.{CosineSim, LshBuckets, MinHashSketch, SimHash64, WordShingles}
 
 /** Column API over the engine's native Catalyst expressions. */
 object Native {
@@ -17,4 +17,11 @@ object Native {
 
   def lshBuckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
     GraftBridge.column(LshBuckets(GraftBridge.expression(v), planes, planesPerTable))
+
+  /** MinHash signature aggregate over a pre-reduced Long hash column. */
+  def minhashSketch(h: Column, permsA: Array[Long], permsB: Array[Long],
+                    prime: Long): Column =
+    GraftBridge.column(
+      MinHashSketch(GraftBridge.expression(h), permsA, permsB, prime)
+        .toAggregateExpression())
 }

@@ -36,20 +36,35 @@ object Dedup {
 
   private val P = 2038074743L // prime > 2^30: keeps a*h+b products exact-ish in Long
 
-  /** MinHash signature columns: k permutations h_i(x) = (a_i·x + b_i) mod P
-    * over xxhash64 shingle hashes. Computed via explode → groupBy(min),
-    * so partial (map-side) aggregation keeps the shuffle narrow.
-    */
+  private def permutations(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(7L)
+    val pairs = Array.fill(k)((math.abs(rnd.nextLong() % P) + 1, math.abs(rnd.nextLong() % P)))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod P over
+    * xxhash64 shingle hashes, aggregated by the single-buffer
+    * `MinHashSketch` imperative aggregate (one k-wide buffer instead of
+    * k aggregate columns; map-side combine still applies). */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 64,
                         shingleLen: Int = 3): DataFrame = {
-    val rnd = new scala.util.Random(7L)
-    val perms = Array.fill(k)((math.abs(rnd.nextLong() % P) + 1, math.abs(rnd.nextLong() % P)))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
+    val (pa, pb) = permutations(k)
+    docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      .groupBy(idCol)
+      .agg(graft.functions.Native.minhashSketch(col("h"), pa, pb, P).as("signature"))
+  }
+
+  /** Compose-built-ins formulation (k independent min aggregates) —
+    * kept to equivalence-test the imperative sketch. */
+  private[graft] def minhashSignaturesComposed(docs: DataFrame, idCol: String = "doc_id",
+                                               textCol: String = "text", k: Int = 64,
+                                               shingleLen: Int = 3): DataFrame = {
+    val (pa, pb) = permutations(k)
+    val mins = (0 until k).map { i =>
+      min(pmod(col("h") * pa(i) + pb(i), lit(P))).as(s"mh_$i")
     }
-    // hash once per shingle BEFORE the aggregate: the 64 permutations are
-    // then pure Long arithmetic over one column (k× fewer xxhash64 calls)
     docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
       .select(col(idCol), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
       .groupBy(idCol)

@@ -53,6 +53,14 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
   }
 
+  test("MinHashSketch aggregate equals the composed k-min formulation") {
+    val viaSketch = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaComposed = Dedup.minhashSignaturesComposed(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSketch == viaComposed)
+  }
+
   test("native SimHash64 expression equals the explode formulation") {
     val native = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
