@@ -54,6 +54,14 @@ object Text {
       .otherwise("und")
   }
 
+  /** GPT-2-style pretokenizer approximation: contractions, space-glued
+    * word/number runs, punctuation runs, whitespace runs. A BPE-ish
+    * token count without a merges table (the corpus is lowercase). */
+  val BpePattern = "'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
   /** Polynomial rolling-hash fingerprint of the first 64 chars
     * (base 31, modulus 1e15 keeps Long exact in both engines). */
   def fingerprint(c: Column): Column =

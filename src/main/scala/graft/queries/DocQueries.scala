@@ -78,6 +78,14 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    "d9_bpe_tokens" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.bpeTokenCount(col("text")).as("n_bpe"),
+          Text.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")
+    },
+
     "m1_binary_meta" -> q { (s, d) =>
       // multimodal plumbing: opaque binary payload + typed metadata.
       // Real decode is environment-dependent (no image/audio libs here);
@@ -150,6 +158,12 @@ object DocQueries {
         |    list_transform(regexp_split_to_array(substring(lower(text), 1, 64), ''),
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 1000000000000000) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d9_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')) AS n_bpe,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_binary_meta" ->

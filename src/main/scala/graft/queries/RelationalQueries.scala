@@ -314,6 +314,14 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "q30_from_json" -> q { (s, d) =>
+      table(s, d, "events")
+        .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+        .orderBy("k_mod")
+    },
+
     "q28_having" -> q { (s, d) =>
       table(s, d, "orders")
         .groupBy("o_custkey")
@@ -570,6 +578,11 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q30_from_json" ->
+      """SELECT k % 7 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
+        |GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
 
     "q28_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

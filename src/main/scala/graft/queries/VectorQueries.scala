@@ -36,6 +36,20 @@ object VectorQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select("q_id", "rank", "cand_id", "cos")
         .orderBy("q_id", "rank")
+    },
+
+    // embedding-cosine near-dup pairs; candidates blocked on `label`
+    // here (at corpus scale the block key would be an LSH bucket — same
+    // join shape, see Similarity.lshTopK)
+    "e4_cosine_neardup" -> q { (s, d) =>
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          graft.functions.Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -56,6 +70,16 @@ object VectorQueries {
          |  SELECT q_id, cand_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |  FROM scored) t
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "e4_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE cos >= 0.2 ORDER BY a_id, b_id""".stripMargin
   )
 }
