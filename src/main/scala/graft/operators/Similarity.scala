@@ -74,11 +74,13 @@ object Similarity {
     def centScores(v: Column): Column = array(cents.map { c =>
       Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
     }: _*)
-    // cell id = argmax centroid similarity (first on ties, 1-based)
-    def cell(v: Column): Column = array_position(centScores(v), array_max(centScores(v)))
-
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      cell(col("embedding")).as("cell"))
+    // cell id = argmax centroid similarity (first on ties, 1-based);
+    // score the centroids ONCE per row, then index into the array
+    val c = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        centScores(col("embedding")).as("scores"))
+      .select(col("cand_id"), col("ce"),
+        array_position(col("scores"), array_max(col("scores"))).as("cell"))
     // query probes: top-nprobe cells by centroid similarity
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         slice(transform(
