@@ -33,4 +33,15 @@ object Tables {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(path)
   }
+
+  /** Bucketed managed table: rows hash-partitioned into `buckets` files
+    * by `key` and sorted within each. Two tables bucketed the same way
+    * join WITHOUT a shuffle (the scan already satisfies the join's
+    * required distribution) — the co-location strategy for repeated
+    * fact⋈fact joins at 100 TB, proven shuffle-free in SourcesSpec. */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(tableName)
 }

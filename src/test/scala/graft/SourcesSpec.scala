@@ -50,6 +50,28 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql(ddl.replace("t24_sink", s"t24_sink_${System.nanoTime()}"))
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      Tables.writeBucketed(Tables.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 4)
+      Tables.writeBucketed(Tables.table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 4)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("multivalue sink DDL includes the position column") {
     val schema = Seq(
       FieldSpec("NAME"),
