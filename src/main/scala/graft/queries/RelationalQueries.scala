@@ -322,6 +322,19 @@ object RelationalQueries {
         .orderBy("k_mod")
     },
 
+    // array aggregation: collect_list/collect_set are order-unstable
+    // across partitionings, so sort_array makes the result (and the
+    // oracle) deterministic
+    "q31_collect" -> q { (s, d) =>
+      table(s, d, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          sort_array(collect_list(col("s_name"))).as("names"),
+          sort_array(collect_set(col("s_suppkey"))).as("keys"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    },
+
     "q28_having" -> q { (s, d) =>
       table(s, d, "orders")
         .groupBy("o_custkey")
@@ -583,6 +596,13 @@ object RelationalQueries {
       """SELECT k % 7 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
         |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
+
+    "q31_collect" ->
+      """SELECT s_nationkey,
+        |  list_sort(list(s_name)) AS names,
+        |  list_sort(list(DISTINCT s_suppkey)) AS keys,
+        |  COUNT(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q28_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
