@@ -322,6 +322,19 @@ object RelationalQueries {
         .orderBy("k_mod")
     },
 
+    // hopping (sliding) time window: 1h windows every 30min — each event
+    // lands in two windows via Spark's window() generate
+    "q32_hopping" -> q { (s, d) =>
+      table(s, d, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tts"), col("value"))
+        .groupBy(window(col("tts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d4(col("value"))).cast(DoubleType).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("w_start")
+    },
+
     // array aggregation: collect_list/collect_set are order-unstable
     // across partitionings, so sort_array makes the result (and the
     // oracle) deterministic
@@ -596,6 +609,16 @@ object RelationalQueries {
       """SELECT k % 7 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
         |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
+
+    "q32_hopping" ->
+      """SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |           - k.k * INTERVAL '30 minutes' AS w_start, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
+        |GROUP BY 1 ORDER BY w_start""".stripMargin,
 
     "q31_collect" ->
       """SELECT s_nationkey,

@@ -48,6 +48,24 @@ object Pipelines {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Stream-stream equi-join WITHIN a time interval — the KSQL
+    * `JOIN … WITHIN n` surface. Both sides are watermarked; the
+    * time-band condition bounds the join state Spark must keep (rows
+    * age out once the watermark passes their band), so state is
+    * O(key-rate × interval), not unbounded.
+    */
+  def streamStreamJoinWithin(left: DataFrame, right: DataFrame,
+                             leftKey: String, rightKey: String,
+                             leftTs: String, rightTs: String,
+                             within: String = "1 hour",
+                             watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs BETWEEN $leftTs - INTERVAL $within " +
+        s"AND $leftTs + INTERVAL $within"))
+  }
+
   /** Streaming exact dedup on key columns, state bounded by the
     * watermark (late duplicates beyond the delay age out of state). */
   def statefulDedup(df: DataFrame, tsCol: String, keyCols: Seq[String],

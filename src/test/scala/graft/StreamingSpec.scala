@@ -104,6 +104,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2.head.total == 9.0)
   }
 
+  test("stream-stream join WITHIN pairs events inside the interval only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.streamStreamJoinWithin(
+      clicks.toDF().toDF("c_user", "c_ts"), buys.toDF().toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts", within = "10 minutes",
+      watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00")))
+    buys.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00")),  // within 10 min -> match
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00")))  // outside -> no match
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").collect()
+    q.stop()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), s"got ${out.toSeq}")
+  }
+
+  test("sliding (hopping) window aggregates count events in overlapping windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    in.addData((Timestamp.valueOf("2024-01-01 00:07:00"), 1.0))
+    q.processAllAvailable()
+    val out = spark.table("hop_out").collect()
+    q.stop()
+    // one event at :07 falls in windows [:00,:10) and [:05,:15)
+    assert(out.length == 2 && out.forall(_.getLong(1) == 1L))
+  }
+
   test("parquet sink writes a streaming t24 pipeline end-to-end") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
