@@ -103,6 +103,23 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Winnowing fingerprints: polynomial hash per k-word shingle, then
+    * the minimum of every w-wide sliding window of hashes, deduped and
+    * sorted. Guarantees any sufficiently-long match between two
+    * documents shares a fingerprint — the robust local dedup sketch.
+    * Narrow per-row computation (no shuffle); fingerprints typically
+    * feed an explode + equi-join like the MinHash bands. */
+  def winnow(c: Column, k: Int = 3, w: Int = 4): Column = {
+    val sh = shingles(c, k)
+    val hashes = transform(sh, s =>
+      aggregate(split(s, ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L))
+    val cnt = size(hashes)
+    sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(cnt - w + 1, lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))))
+  }
+
   /** 64-bit SimHash via the native `SimHash64` expression — a narrow
     * one-pass projection (no explode, no shuffle); see
     * `graft.plans.SimHash64`. */

@@ -78,6 +78,12 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    "d10_winnow" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), Dedup.winnow(col("text")).as("fingerprints"))
+        .orderBy("doc_id")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -159,6 +165,24 @@ object DocQueries {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 1000000000000000) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d10_winnow" ->
+      """SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
+        |    i -> list_min(hashes[i:i+3])))) AS fingerprints
+        |FROM (
+        |  SELECT doc_id, list_transform(sh, s -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(s, ''), c2 -> CAST(ascii(c2) AS BIGINT))),
+        |      (a, b) -> (a*31 + b) % 1000000000000000)) AS hashes
+        |  FROM (
+        |    SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |          FROM documents) a) b) c
+        |ORDER BY doc_id""".stripMargin,
 
     "d9_bpe_tokens" ->
       """SELECT doc_id,
