@@ -78,6 +78,30 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // apply exact dedup: keep only each duplicate-group's keeper row —
+    // the anti-join shape that materializes a deduplicated corpus
+    "d11_dedup_apply" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val keepers = Dedup.exact(docs).select(col("keeper"))
+      docs.join(keepers, col("doc_id") === col("keeper"), "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // curation pipeline: language + quality + length gates composed —
+    // the end-to-end "training-data filter" over the text operators
+    "d12_curate" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.langId(col("text")).as("lang_pred"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordCount(col("text")).as("n_stop"))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")) >= 0.1)
+        .select("doc_id", "lang_pred", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     "d10_winnow" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"), Dedup.winnow(col("text")).as("fingerprints"))
@@ -165,6 +189,34 @@ object DocQueries {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 1000000000000000) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d11_dedup_apply" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM documents GROUP BY md5(lower(text)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "d12_curate" ->
+      """SELECT doc_id, lang_pred, n_tokens FROM (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN c_en >= 3 AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |      WHEN c_es >= 3 AND c_es >= c_de THEN 'es'
+        |      WHEN c_de >= 3 THEN 'de'
+        |      ELSE 'und' END AS lang_pred,
+        |    n_tokens, n_stop
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(text, '\b(?:the|and|of|to)\b')) AS c_en,
+        |      len(regexp_extract_all(text, '\b(?:el|la|de|que)\b')) AS c_es,
+        |      len(regexp_extract_all(text, '\b(?:der|die|das|und)\b')) AS c_de,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','a','and','of','to','in'))) AS n_stop
+        |    FROM documents) x) y
+        |WHERE lang_pred = 'en' AND n_tokens >= 30
+        |  AND CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 0.1
+        |ORDER BY doc_id""".stripMargin,
 
     "d10_winnow" ->
       """SELECT doc_id,

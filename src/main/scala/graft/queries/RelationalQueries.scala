@@ -322,6 +322,29 @@ object RelationalQueries {
         .orderBy("k_mod")
     },
 
+    // 6-table star join with a region filter and the same-nation
+    // condition (TPC-H Q5 shape): Catalyst reorders, dims broadcast
+    "q33_star_join" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer")
+      val sup = table(s, d, "supplier")
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+
     // hopping (sliding) time window: 1h windows every 30min — each event
     // lands in two windows via Spark's window() generate
     "q32_hopping" -> q { (s, d) =>
@@ -609,6 +632,20 @@ object RelationalQueries {
       """SELECT k % 7 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
         |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
+
+    "q33_star_join" ->
+      s"""SELECT r_name, n_name,
+         |  CAST($sumDisc AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
 
     "q32_hopping" ->
       """SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -34,6 +34,14 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCol`. Queries filtering on the partition column scan
+    * only the matching directories (partition pruning — asserted in
+    * SourcesSpec) — the layout for time/tenant-partitioned 100 TB
+    * corpora. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files
     * by `key` and sorted within each. Two tables bucketed the same way
     * join WITHOUT a shuffle (the scan already satisfies the join's

@@ -72,6 +72,20 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.writePartitioned(
+      Tables.table(spark, sf, "documents").select("doc_id", "n_chars", "lang"),
+      s"$dir/docs", "lang")
+    val q = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("lang"), "partition filter on lang expected")
+    val expected = Tables.table(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
   test("multivalue sink DDL includes the position column") {
     val schema = Seq(
       FieldSpec("NAME"),
