@@ -34,6 +34,23 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Compact a parquet directory produced by a streaming sink: many
+    * small files → ~`targetFileBytes` files, preserving the data. The
+    * operational companion to `streaming.Pipelines.parquetSink` — a
+    * continuous sink at 100 TB produces a file per trigger per
+    * partition, and scans degrade until compaction. Coalesce (no
+    * shuffle) is used since file boundaries, not row order, matter. */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partitionCol`. Queries filtering on the partition column scan
     * only the matching directories (partition pruning — asserted in

@@ -86,6 +86,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("compaction collapses a small-files directory, preserving rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.table(spark, sf, "documents").select("doc_id", "n_chars")
+    docs.repartition(40).write.parquet(s"$dir/small")   // 40 tiny files
+    val before = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 20, s"expected many small files, got $before")
+    Tables.compact(spark, s"$dir/small", s"$dir/compacted")
+    val after = new java.io.File(s"$dir/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before / 4, s"compaction left $after files (was $before)")
+    assert(spark.read.parquet(s"$dir/compacted").count() == docs.count())
+  }
+
+  test("schema evolution: mergeSchema unions parquet schemas across batches") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val docs = Tables.table(spark, sf, "documents")
+    docs.select("doc_id", "lang").write.parquet(s"$dir/t/batch=1")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "batch"))
+    // rows from the old schema surface the new column as null
+    assert(merged.filter(col("batch") === 1 && col("n_chars").isNull).count() ==
+      docs.count())
+  }
+
   test("multivalue sink DDL includes the position column") {
     val schema = Seq(
       FieldSpec("NAME"),
