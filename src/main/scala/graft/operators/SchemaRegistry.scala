@@ -1,0 +1,51 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Schema/template store — the reference keeps proc schemas and
+  * statement templates in Couchbase collections with CRUD endpoints
+  * (`/api/proc-data`, `/api/template*`; `src/services/index.js:31-79`).
+  * The lake-native analog: an in-memory registry with parquet
+  * persistence, so a deployment stores its schema documents next to
+  * its data and every executor can read them.
+  */
+object SchemaRegistry {
+
+  private val store = TrieMap.empty[String, Seq[FieldSpec]]
+
+  def put(name: String, schema: Seq[FieldSpec]): Unit = store.put(name, schema)
+  def get(name: String): Option[Seq[FieldSpec]] = store.get(name)
+  def remove(name: String): Unit = store.remove(name)
+  def list(): Seq[String] = store.keys.toSeq.sorted
+
+  /** Persist every registered schema to one parquet dataset. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    store.toSeq
+      .flatMap { case (n, fs) => fs.map(f => (n, f.name, f.dataType,
+        f.transformation, f.parseSv, f.parseVm, f.parseVs)) }
+      .toDF("schema_name", "name", "dataType", "transformation",
+        "parseSv", "parseVm", "parseVs")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load schemas persisted by [[save]] into the registry. */
+  def load(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .as[(String, String, String, String, Boolean, Boolean, Boolean)]
+      .collect()
+      .groupBy(_._1)
+      .foreach { case (n, rows) =>
+        put(n, rows.toSeq.map(r => FieldSpec(r._2, r._3, r._4, r._5, r._6, r._7)))
+      }
+  }
+
+  /** Compile-and-run a registered schema over a raw frame — the
+    * `/api/etl-pipeline` + `/api/execute` composition. */
+  def run(raw: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
+    SchemaConverter.pipeline(raw,
+      get(name).getOrElse(sys.error(s"schema not registered: $name")))
+}
