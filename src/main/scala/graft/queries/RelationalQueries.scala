@@ -222,9 +222,14 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
+    // l_quantity joins the window order so tied rows carry equal lead/
+    // lag values, and the final sort covers every output column so any
+    // residual tie permutation is canonical
     "q19_window_suite" -> q { (s, d) =>
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       table(s, d, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           rank().over(w).as("rnk"),
@@ -234,7 +239,9 @@ object RelationalQueries {
           ntile(4).over(w).as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cdist"))
-        .orderBy("l_suppkey", "rnk", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_suppkey"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("quartile"),
+          col("prev_qty").asc_nulls_first, col("next_qty").asc_nulls_first)
     },
 
     // stddev via decimal-exact sums + an explicit double formula: the
@@ -408,9 +415,9 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         |  CAST($sumDisc AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS sum_disc_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -423,7 +430,7 @@ object RelationalQueries {
 
     "q3_join_revenue" ->
       s"""SELECT n_name,
-         |  CAST($sumDisc AS DOUBLE) AS revenue,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
          |  COUNT(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -444,7 +451,7 @@ object RelationalQueries {
 
     "q6_filter_project" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -462,9 +469,9 @@ object RelationalQueries {
 
     "q8_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
@@ -486,7 +493,7 @@ object RelationalQueries {
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
         |  COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -499,7 +506,7 @@ object RelationalQueries {
     "q13_events_tumbling" ->
       """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_sessionize" ->
@@ -559,8 +566,9 @@ object RelationalQueries {
         |  PERCENT_RANK() OVER w AS pct_rank,
         |  CUME_DIST() OVER w AS cdist
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+        |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber, quartile,
+        |  prev_qty NULLS FIRST, next_qty NULLS FIRST""".stripMargin,
 
     "q20_stats_formula" ->
       """SELECT l_returnflag, n,
@@ -568,8 +576,8 @@ object RelationalQueries {
         |  (s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag) t
         |ORDER BY l_returnflag""".stripMargin,
 
@@ -635,7 +643,7 @@ object RelationalQueries {
 
     "q33_star_join" ->
       s"""SELECT r_name, n_name,
-         |  CAST($sumDisc AS DOUBLE) AS revenue,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_lines
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -650,7 +658,7 @@ object RelationalQueries {
     "q32_hopping" ->
       """SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM (
         |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
         |           - k.k * INTERVAL '30 minutes' AS w_start, value
@@ -666,7 +674,7 @@ object RelationalQueries {
 
     "q28_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
 
