@@ -27,8 +27,9 @@ object T24 {
     filter(split(c, MvMarker), x => x =!= lit(""))
 
   /** 1-based positional element of a multivalue string (KSQL arrays are
-    * 1-based) — reference `controllers/index.js:92-95` (`[n]` transform). */
-  def mvIndex(c: Column, n: Int): Column = element_at(mvSplit(c), n)
+    * 1-based; out-of-range is null, so `try_element_at` — ANSI
+    * `element_at` would throw) — reference `controllers/index.js:92-95`. */
+  def mvIndex(c: Column, n: Int): Column = try_element_at(mvSplit(c), lit(n))
 
   /** string-join over a multivalue with a delimiter — reference
     * `controllers/index.js:75-83` (ARRAY_JOIN∘FILTER∘REGEXP_SPLIT with
@@ -41,7 +42,7 @@ object T24 {
     * component — reference `controllers/index.js:90-91`. Returns null when
     * the component is absent (KSQL out-of-range array access). */
   def seabField(c: Column, delim: String, n: Int): Column =
-    element_at(split(c, java.util.regex.Pattern.quote(delim)), n)
+    try_element_at(split(c, java.util.regex.Pattern.quote(delim)), lit(n))
 
   /** SEAB_HEXTOTEXT(FROM_BYTES(x,'hex')): hex string → UTF-8 text —
     * reference `controllers/index.js:307`. */

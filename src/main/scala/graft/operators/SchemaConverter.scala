@@ -141,7 +141,7 @@ object SchemaConverter {
       case "parse_date"      => s"TO_DATE($input, 'yyyyMMdd')"
       case "parse_timestamp" => s"TO_TIMESTAMP($input, 'yyMMddHHmm')"
       case "substring"       => s"SUBSTRING($input, 1, 35)"
-      case "seab_field"      => s"SPLIT($input, '_')[1]"
+      case "seab_field"      => s"TRY_ELEMENT_AT(SPLIT($input, '_'), 2)"
       case "inputter_his" =>
         s"SUBSTRING(REGEXP_REPLACE(ARRAY_JOIN(TRANSFORM(SPLIT(REGEXP_REPLACE($input, '${T24.MvLead}', ''), '#(s?[0-9]*:)?'), x -> SPLIT(x, '_')[1]), ' ', 'null'), 'null ', ''), 1, 4000)"
       case JoinArgT(delim) =>
@@ -149,7 +149,7 @@ object SchemaConverter {
       case "string-join" =>
         s"ARRAY_JOIN(FILTER(SPLIT(REGEXP_REPLACE($input, '${T24.MvLead}', ''), '#(s?[0-9]+:)?'), x -> x <> ''), ' ')"
       case IndexT(n) =>
-        s"FILTER(SPLIT($input, '${T24.MvMarker}'), x -> x <> '')[${n.toInt - 1}]"
+        s"TRY_ELEMENT_AT(FILTER(SPLIT($input, '${T24.MvMarker}'), x -> x <> ''), ${n.toInt})"
       case other => sys.error(s"unsupported transformation: $other")
     }
     if (spec.dataType == "string") v else s"CAST($v AS ${spec.dataType})"
