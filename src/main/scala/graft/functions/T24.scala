@@ -48,11 +48,14 @@ object T24 {
     * reference `controllers/index.js:307`. */
   def hexToText(c: Column): Column = decode(unhex(c), "UTF-8")
 
-  /** PARSE_DATE(x, 'yyyyMMdd') — reference `controllers/index.js:84-85`. */
-  def parseDate(c: Column): Column = to_date(c, "yyyyMMdd")
+  /** PARSE_DATE(x, 'yyyyMMdd') — reference `controllers/index.js:84-85`.
+    * Malformed input → null (KSQL never fails the stream on a bad
+    * record; ANSI `to_date` would throw). */
+  def parseDate(c: Column): Column =
+    try_to_timestamp(c, lit("yyyyMMdd")).cast("date")
 
   /** PARSE_TIMESTAMP(x, 'yyMMddHHmm') — reference `controllers/index.js:86-87`. */
-  def parseTimestamp(c: Column): Column = to_timestamp(c, "yyMMddHHmm")
+  def parseTimestamp(c: Column): Column = try_to_timestamp(c, lit("yyMMddHHmm"))
 
   /** The reference's fixed SUBSTRING(x,1,35) truncation transform
     * (`controllers/index.js:88-89`). */

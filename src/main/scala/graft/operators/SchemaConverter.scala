@@ -71,7 +71,9 @@ object SchemaConverter {
       case IndexT(n)         => T24.mvIndex(value, n.toInt)
       case other => sys.error(s"unsupported transformation: $other")
     }
-    if (spec.dataType == "string") base else base.cast(spec.dataType)
+    // try_cast: a malformed value nulls the field, never the pipeline
+    // (KSQL semantics; ANSI cast would fail the job on one bad record)
+    if (spec.dataType == "string") base else base.try_cast(spec.dataType)
   }
 
   /** MAPPED stage: RECID + one compiled column per single-value field. */
@@ -138,8 +140,8 @@ object SchemaConverter {
   private def sqlValue(input: String, spec: FieldSpec): String = {
     val v = spec.transformation match {
       case ""                => input
-      case "parse_date"      => s"TO_DATE($input, 'yyyyMMdd')"
-      case "parse_timestamp" => s"TO_TIMESTAMP($input, 'yyMMddHHmm')"
+      case "parse_date"      => s"CAST(TRY_TO_TIMESTAMP($input, 'yyyyMMdd') AS DATE)"
+      case "parse_timestamp" => s"TRY_TO_TIMESTAMP($input, 'yyMMddHHmm')"
       case "substring"       => s"SUBSTRING($input, 1, 35)"
       case "seab_field"      => s"TRY_ELEMENT_AT(SPLIT($input, '_'), 2)"
       case "inputter_his" =>
@@ -152,7 +154,7 @@ object SchemaConverter {
         s"TRY_ELEMENT_AT(FILTER(SPLIT($input, '${T24.MvMarker}'), x -> x <> ''), ${n.toInt})"
       case other => sys.error(s"unsupported transformation: $other")
     }
-    if (spec.dataType == "string") v else s"CAST($v AS ${spec.dataType})"
+    if (spec.dataType == "string") v else s"TRY_CAST($v AS ${spec.dataType})"
   }
 
   /** Spark SQL text of the MAPPED statement over a source table/view —

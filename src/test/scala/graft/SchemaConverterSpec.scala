@@ -60,6 +60,18 @@ class SchemaConverterSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(3))).toSeq == Seq(Some("x"), None, None))
   }
 
+  test("malformed values null the field, not the pipeline (KSQL semantics)") {
+    import spark.implicits._
+    val bad = Seq(
+      ("1", Map("NAME" -> "OK", "D" -> "not-a-date", "LOCALREF_N" -> "NaNope",
+        "MV" -> "1:x", "IN" -> "1:A_B")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val out = SchemaConverter.mapped(bad, schema).collect().head
+    assert(out.getString(1) == "OK")
+    assert(out.isNullAt(2), "bad date must be null")
+    assert(out.isNullAt(3), "bad int must be null")
+  }
+
   test("emitted SQL text equals the Column-DSL pipeline") {
     raw.createOrReplaceTempView("t24_raw_test")
     val sql = SchemaConverter.mappedSql(schema, "t24_raw_test")
