@@ -48,14 +48,19 @@ object T24 {
     * reference `controllers/index.js:307`. */
   def hexToText(c: Column): Column = decode(unhex(c), "UTF-8")
 
+  private def tryParse(c: Column, fmt: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.TryParseTimestamp(
+        org.apache.spark.sql.GraftBridge.expression(c), fmt))
+
   /** PARSE_DATE(x, 'yyyyMMdd') — reference `controllers/index.js:84-85`.
     * Malformed input → null (KSQL never fails the stream on a bad
-    * record; ANSI `to_date` would throw). */
-  def parseDate(c: Column): Column =
-    try_to_timestamp(c, lit("yyyyMMdd")).cast("date")
+    * record; ANSI `to_date` would throw). Native try-parse keeps the
+    * path inside codegen — see `plans/TryParseTimestamp`. */
+  def parseDate(c: Column): Column = tryParse(c, "yyyyMMdd").cast("date")
 
   /** PARSE_TIMESTAMP(x, 'yyMMddHHmm') — reference `controllers/index.js:86-87`. */
-  def parseTimestamp(c: Column): Column = try_to_timestamp(c, lit("yyMMddHHmm"))
+  def parseTimestamp(c: Column): Column = tryParse(c, "yyMMddHHmm")
 
   /** The reference's fixed SUBSTRING(x,1,35) truncation transform
     * (`controllers/index.js:88-89`). */
