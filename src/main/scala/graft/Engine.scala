@@ -30,6 +30,13 @@ object Engine {
       }
     ensure("simhash64")(exprs => graft.plans.SimHash64(exprs.head))
     ensure("cosine_sim")(exprs => graft.plans.CosineSim(exprs(0), exprs(1)))
+    ensure("try_parse_timestamp") { exprs =>
+      val fmt = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+        case other => sys.error(s"try_parse_timestamp(s, fmt): fmt must be a literal, got $other")
+      }
+      graft.plans.TryParseTimestamp(exprs.head, fmt)
+    }
     ensure("word_shingles") { exprs =>
       val k = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt

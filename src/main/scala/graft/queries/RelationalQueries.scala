@@ -329,6 +329,20 @@ object RelationalQueries {
         .orderBy("k_mod")
     },
 
+    // correlated-aggregate filter: orders above their own customer's
+    // mean price (mean from decimal-exact sums; the grouped side
+    // re-joins the fact — one shuffle each, AQE-broadcast when small)
+    "q34_above_avg" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+      val means = o.groupBy(col("o_custkey").as("mk"))
+        .agg((sum(d4(col("o_totalprice"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_price"))
+      o.join(means, col("o_custkey") === col("mk"))
+        .filter(col("o_totalprice") > col("mean_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // 6-table star join with a region filter and the same-nation
     // condition (TPC-H Q5 shape): Catalyst reorders, dims broadcast
     "q33_star_join" -> q { (s, d) =>
@@ -640,6 +654,16 @@ object RelationalQueries {
       """SELECT k % 7 AS k_mod, COUNT(*) AS n, MAX(k) AS max_k
         |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
+
+    "q34_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN (
+        |  SELECT o_custkey AS mk,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_price
+        |  FROM orders GROUP BY o_custkey) m ON o_custkey = mk
+        |WHERE o_totalprice > mean_price
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q33_star_join" ->
       s"""SELECT r_name, n_name,
