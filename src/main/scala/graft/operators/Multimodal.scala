@@ -45,6 +45,24 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-domain downsample standing in for
+    * an image resize — keeps every (len/target)-th byte so output size
+    * and content are pure functions of the input. Swap the body for a
+    * real scaler; the per-partition batching contract is the point. */
+  def resize(media: Dataset[(Long, Array[Byte])], targetBytes: Int): Dataset[(Long, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: scaler initialized once per partition
+      it.map { case (id, payload) =>
+        if (payload.length <= targetBytes) (id, payload)
+        else {
+          val step = payload.length.toDouble / targetBytes
+          (id, Array.tabulate(targetBytes)(i => payload((i * step).toInt)))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for a chunked payload: every `stride`-th fixed-size
     * block becomes a "frame" row (stub for video frame extraction).
     * Narrow generate — no shuffle. */

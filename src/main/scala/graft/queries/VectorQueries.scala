@@ -22,7 +22,8 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
-    // rows-only (recall vs brute force is asserted in SimilaritySpec)
+    // full oracle: the deterministic plane constants are embedded in the
+    // generated SQL (recall vs brute force additionally in SimilaritySpec)
     "e2_ann_lsh" -> q { (s, d) =>
       val emb = table(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -30,7 +31,7 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
-    // rows-only (recall vs brute force is asserted in SimilaritySpec)
+    // full oracle: centroids are the first nlist vectors, expressible in SQL
     "e3_ann_ivf" -> q { (s, d) =>
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -56,6 +57,24 @@ object VectorQueries {
   private def sumSq(l: String) =
     s"list_aggregate(list_transform($l, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')"
 
+  /** DuckDB SQL for the multi-table sign-LSH bucket array: the same
+    * deterministic plane constants the Spark expression carries are
+    * embedded as double literals (Double.toString round-trips exactly
+    * through strtod), and the projections fold sequentially in double —
+    * bit-identical bucketing, so the LSH query gets a FULL oracle. */
+  private def lshBucketsSql(vec: String, nTables: Int, planesPerTable: Int): String = {
+    val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, 64)
+    def proj(p: Array[Double]) =
+      s"list_aggregate(list_transform(list_zip($vec, [${p.mkString(", ")}]), " +
+        "s -> CAST(s[1] AS DOUBLE) * s[2]), 'sum')"
+    val buckets = (0 until nTables).map { t =>
+      (0 until planesPerTable).map { p =>
+        s"(CASE WHEN ${proj(planes(t * planesPerTable + p))} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    buckets.map(b => s"($b)").mkString("[", ", ", "]")
+  }
+
   val oracles: Map[String, String] = Map(
     "e1_cosine_topk" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -71,6 +90,63 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "e2_ann_lsh" -> {
+      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q_id, qe, cand_id, ce
+         |         FROM c JOIN qs USING (tbl, bucket) WHERE cand_id <> q_id),
+         |scored AS (
+         |  SELECT q_id, cand_id,
+         |    list_aggregate(list_transform(list_zip(qe, ce),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("qe")}) * sqrt(${sumSq("ce")})) AS cos
+         |  FROM cand)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "e3_ann_ivf" -> {
+      val cosInSql =
+        """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
+          |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+          |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+          |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cscore AS (
+         |  SELECT e.vec_id, cc.cid, $cosInSql AS cs
+         |  FROM embeddings e CROSS JOIN cents cc),
+         |cell AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.q_id
+         |  JOIN embeddings b ON b.vec_id = cand.cand_id)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     "e4_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)

@@ -34,6 +34,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 1024))
   }
 
+  test("resize stub is deterministic and bounds output size") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array.tabulate[Byte](5000)(i => (i % 120).toByte)),
+      (2L, Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resize(media, 256).collect().sortBy(_._1).toMap
+    assert(out(1L).length == 256)
+    assert(out(2L).toSeq == Seq[Byte](1, 2, 3), "small payloads pass through")
+    val again = Multimodal.resize(media, 256).collect().sortBy(_._1).toMap
+    assert(out(1L).toSeq == again(1L).toSeq)
+  }
+
   test("extraction runs on the documents table payloads") {
     import spark.implicits._
     val media = graft.sources.Tables.table(spark, sf, "documents")
