@@ -18,6 +18,9 @@ object Native {
   def lshBuckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
     GraftBridge.column(LshBuckets(GraftBridge.expression(v), planes, planesPerTable))
 
+  def polyHash(s: Column, modulus: Long): Column =
+    GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
+
   /** MinHash signature aggregate over a pre-reduced Long hash column. */
   def minhashSketch(h: Column, permsA: Array[Long], permsB: Array[Long],
                     prime: Long): Column =

@@ -34,7 +34,19 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  private val P = 2038074743L // prime > 2^30: keeps a*h+b products exact-ish in Long
+  /** Prime modulus: h,a,b < P (~2^31) keeps every a·h+b product exact in
+    * a Long, and the whole hash family is plain arithmetic — portable
+    * to the DuckDB oracle. */
+  val P = 2038074743L
+
+  /** Engine-portable shingle hash (see plans/PolyHash): the identical
+    * fold runs in the DuckDB oracle, which is what makes the MinHash
+    * pipeline fully oracle-verifiable. */
+  def shingleHash(c: Column): Column = graft.functions.Native.polyHash(c, P)
+
+  /** The k permutation constants, deterministic; also embedded in the
+    * generated oracle SQL. */
+  def minhashPerms(k: Int): (Array[Long], Array[Long]) = permutations(k)
 
   private def permutations(k: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(7L)
@@ -51,7 +63,7 @@ object Dedup {
                         shingleLen: Int = 3): DataFrame = {
     val (pa, pb) = permutations(k)
     docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      .select(col(idCol), shingleHash(col("shingle")).as("h"))
       .groupBy(idCol)
       .agg(graft.functions.Native.minhashSketch(col("h"), pa, pb, P).as("signature"))
   }
@@ -66,19 +78,25 @@ object Dedup {
       min(pmod(col("h") * pa(i) + pb(i), lit(P))).as(s"mh_$i")
     }
     docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleLen))).as("shingle"))
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      .select(col(idCol), shingleHash(col("shingle")).as("h"))
       .groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
   }
 
-  /** LSH banding: one row per (doc, band) with the band's bucket hash.
-    * Docs sharing any (band, bucket) are near-dup candidates. */
+  /** LSH banding: one row per (doc, band) with the band's bucket hash —
+    * a polynomial combine of the band's signature components (plain
+    * arithmetic, mirrored exactly in the oracle SQL). Docs sharing any
+    * (band, bucket) are near-dup candidates. */
   def minhashBands(sigs: DataFrame, idCol: String = "doc_id",
-                   bands: Int = 16, rows: Int = 4): DataFrame =
+                   bands: Int = 16, rows: Int = 4): DataFrame = {
+    def bucket(b: Column): Column =
+      (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
+        (acc * 31 + element_at(col("signature"), (b * rows + r + 1).cast("int"))) % P
+      }
     sigs.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("signature"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+      transform(sequence(lit(0), lit(bands - 1)), b => bucket(b))).as(Seq("band", "bucket")))
+  }
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over
     * distinct shingle sets; `minJaccard` filters the final answer. */

@@ -61,7 +61,8 @@ object DocQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // rows-only (exact-Jaccard verification of the LSH path is in DedupSpec)
+    // full oracle: portable polynomial shingle hash + embedded
+    // permutation constants (exact-Jaccard pair checks in DedupSpec)
     "d6_minhash_lsh" -> q { (s, d) =>
       Dedup.minhashBands(Dedup.minhashSignatures(table(s, d, "documents")))
         .orderBy("doc_id", "band")
@@ -130,6 +131,34 @@ object DocQueries {
 
   private val toksSql = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
+  /** d6's oracle: the full MinHash+banding pipeline in SQL — the
+    * polynomial shingle hash and the 64 embedded permutation constants
+    * reproduce the Spark signatures exactly (see Dedup.shingleHash). */
+  private def minhashOracle: String = {
+    val (pa, pb) = Dedup.minhashPerms(64)
+    val p = Dedup.P
+    val mins = (0 until 64)
+      .map(i => s"list_min(list_transform(hl, h -> (h*${pa(i)} + ${pb(i)}) % $p))")
+      .mkString(",\n    ")
+    val bandVals = (0 until 16).map(b => s"($b)").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
+       |      i -> array_to_string(toks[i:i+2], ' ')) END) AS shs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents) a),
+       |hs AS (SELECT doc_id, list_transform(shs, s -> list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |    (a, b) -> (a*31 + b) % $p)) AS hl FROM sh),
+       |sig AS (SELECT doc_id, [
+       |    $mins] AS sig FROM hs)
+       |SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+       |  ((((sig[b.band*4+1]*31 + sig[b.band*4+2]) % $p)*31 + sig[b.band*4+3]) % $p * 31 + sig[b.band*4+4]) % $p AS bucket
+       |FROM sig CROSS JOIN (VALUES $bandVals) b(band)
+       |ORDER BY doc_id, band""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -189,6 +218,8 @@ object DocQueries {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 1000000000000000) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d6_minhash_lsh" -> minhashOracle,
 
     "d11_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
