@@ -21,6 +21,11 @@ object Native {
   def polyHash(s: Column, modulus: Long): Column =
     GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
 
+  def simhashPortable(tokens: Column, permsA: Array[Long], permsB: Array[Long],
+                      modulus: Long): Column =
+    GraftBridge.column(graft.plans.SimHashPortable(
+      GraftBridge.expression(tokens), permsA, permsB, modulus))
+
   /** MinHash signature aggregate over a pre-reduced Long hash column. */
   def minhashSketch(h: Column, permsA: Array[Long], permsB: Array[Long],
                     prime: Long): Column =

@@ -138,22 +138,33 @@ object Dedup {
       i => array_min(slice(hashes, i, lit(w))))))
   }
 
-  /** 64-bit SimHash via the native `SimHash64` expression — a narrow
-    * one-pass projection (no explode, no shuffle); see
-    * `graft.plans.SimHash64`. */
+  /** SimHash permutation constants (distinct seed from MinHash); also
+    * embedded in the generated oracle SQL. */
+  lazy val simhashPerms: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(11L)
+    val pairs = Array.fill(64)((math.abs(rnd.nextLong() % P) + 1, math.abs(rnd.nextLong() % P)))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** 64-bit SimHash via the native portable expression — a narrow
+    * one-pass projection (no explode, no shuffle), over the
+    * engine-portable hash family so the query carries a full oracle;
+    * see `graft.plans.SimHashPortable`. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      graft.functions.Native.simhash64(Text.tokens(lower(col(textCol)))).as("simhash"))
+      graft.functions.Native.simhashPortable(Text.tokens(lower(col(textCol))),
+        simhashPerms._1, simhashPerms._2, P).as("simhash"))
 
-  /** Reference formulation of SimHash as composed built-ins (explode +
-    * groupBy of 64 vote sums). Kept for equivalence testing of the
-    * native expression; the shuffle makes it the slow path. */
+  /** Composed-builtins formulation of the same portable SimHash
+    * (explode + groupBy of 64 vote sums). Kept for equivalence testing
+    * of the native expression; the shuffle makes it the slow path. */
   private[graft] def simhashViaExplode(docs: DataFrame, idCol: String = "doc_id",
                                        textCol: String = "text"): DataFrame = {
-    val h = xxhash64(col("tok"))
+    val (pa, pb) = simhashPerms
+    val h = graft.functions.Native.polyHash(col("tok"), P)
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v_$b")
+      sum(when(pmod(h * pa(b) + pb(b), lit(P)) > lit(P / 2), 1).otherwise(-1)).as(s"v_$b")
     }
     val bits = (0 until 64).map { b =>
       when(col(s"v_$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))

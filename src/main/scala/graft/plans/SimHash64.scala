@@ -38,6 +38,67 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash over an engine-portable hash family: per-token polynomial
+  * hash h, then bit b votes by the sign of ((h·a_b + b_b) mod P) − P/2.
+  * Same sketch semantics as [[SimHash64]], but every operation is plain
+  * arithmetic reproducible in SQL — which gives the SimHash query a
+  * full DuckDB oracle (constants embedded in the generated statement).
+  */
+case class SimHashPortable(child: Expression, permsA: Array[Long],
+                           permsB: Array[Long], modulus: Long)
+    extends UnaryExpression {
+  require(permsA.length == 64 && permsB.length == 64)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_portable expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPortable.compute(input.asInstanceOf[ArrayData], permsA, permsB, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pa = ctx.addReferenceObj("shPa", permsA, "long[]")
+    val pb = ctx.addReferenceObj("shPb", permsB, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHashPortable.compute($c, $pa, $pb, ${modulus}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
+    copy(child = newChild)
+}
+
+object SimHashPortable {
+  def compute(arr: ArrayData, pa: Array[Long], pb: Array[Long], p: Long): Long = {
+    val votes = new Array[Int](64)
+    val half = p / 2
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = PolyHash.compute(arr.getUTF8String(i), p)
+        var b = 0
+        while (b < 64) {
+          val v = (h * pa(b) + pb(b)) % p
+          if (v > half) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object SimHash64 {
   /** Shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {

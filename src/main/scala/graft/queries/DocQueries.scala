@@ -159,6 +159,28 @@ object DocQueries {
        |ORDER BY doc_id, band""".stripMargin
   }
 
+  /** d7's oracle: portable SimHash — per-token polynomial hash, 64
+    * sign-vote bits from the embedded permutation constants; bit 63
+    * uses Long.MinValue wrap semantics on both engines. */
+  private def simhashOracle: String = {
+    val (pa, pb) = Dedup.simhashPerms
+    val p = Dedup.P
+    val half = p / 2
+    val terms = (0 until 64).map { b =>
+      val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+      s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h*${pa(b)} + ${pb(b)}) % $p > $half THEN 1 ELSE -1 END)) > 0 THEN $w ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH hs AS (SELECT doc_id, list_transform(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % $p)) AS hl
+       |  FROM documents)
+       |SELECT doc_id, simhash, (simhash >> 48) & 65535 AS bucket FROM (
+       |  SELECT doc_id, $terms AS simhash FROM hs) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -220,6 +242,8 @@ object DocQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d6_minhash_lsh" -> minhashOracle,
+
+    "d7_simhash" -> simhashOracle,
 
     "d11_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

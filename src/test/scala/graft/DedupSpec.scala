@@ -75,8 +75,10 @@ class DedupSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT doc_id, simhash64(split(trim(lower(text)), '\\\\s+')) AS s FROM simhash_docs")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaCol = Dedup.simhash(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.Native.simhash64(
+          split(trim(lower(col("text"))), "\\s+")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == viaCol)
   }
 

@@ -24,7 +24,7 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is documented rows-only") {
-    val rowsOnly = Set("d7_simhash", "q27_approx_distinct")
+    val rowsOnly = Set("q27_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing oracle: $missing")
   }
