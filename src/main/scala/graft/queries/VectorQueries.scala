@@ -39,6 +39,15 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF with one Lloyd refinement (deterministic sorted-fold means →
+    // still a full oracle)
+    "e5_ann_ivf_lloyd" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfLloydTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
+    },
+
     // embedding-cosine near-dup pairs; candidates blocked on `label`
     // here (at corpus scale the block key would be an LSH bucket — same
     // join shape, see Similarity.lshTopK)
@@ -138,6 +147,49 @@ object VectorQueries {
          |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
          |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
          |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.q_id
+         |  JOIN embeddings b ON b.vec_id = cand.cand_id)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "e5_ann_ivf_lloyd" -> {
+      def cosM(a: String, b: String) =
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))""".stripMargin
+      s"""WITH cents0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cs0 AS (SELECT e.vec_id, e.embedding, cc.cid, ${cosM("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cents0 cc),
+         |cell0 AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT vec_id, embedding, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cs0) t WHERE rn = 1),
+         |means AS (
+         |  SELECT cell, g.pos,
+         |    list_aggregate(list_sort(list(CAST(embedding[g.pos] AS DOUBLE))), 'sum')
+         |      / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM cell0 CROSS JOIN range(1, 65) g(pos)
+         |  GROUP BY cell, g.pos),
+         |rcents AS (SELECT cell, list(m ORDER BY pos) AS rc FROM means GROUP BY cell),
+         |cs1 AS (SELECT e.vec_id, e.embedding, r.cell, ${cosM("e.embedding", "r.rc")} AS cs
+         |  FROM embeddings e CROSS JOIN rcents r),
+         |cell1 AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |  FROM cs1) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |  FROM cs1 WHERE vec_id < 5) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell1 c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id, ${cosM("a.embedding", "b.embedding")} AS cos
          |  FROM cand
          |  JOIN embeddings a ON a.vec_id = cand.q_id
          |  JOIN embeddings b ON b.vec_id = cand.cand_id)

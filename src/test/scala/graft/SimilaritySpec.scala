@@ -55,6 +55,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.2, s"avg IVF recall $avg too low: $recalls")
   }
 
+  test("Lloyd-refined IVF keeps reasonable recall") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val ivf = Similarity.ivfLloydTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val recalls = brute.keys.toSeq.map { q =>
+      brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg Lloyd-IVF recall $avg too low: $recalls")
+  }
+
   test("e2_ann_lsh query returns rows at sf0.001") {
     assert(SparkEntry.queries("e2_ann_lsh")(spark, sf).count() > 0)
   }
