@@ -49,6 +49,22 @@ object SchemaConverter {
 
   private val IndexT = """^\[(\d+)\]$""".r
   private val JoinArgT = """string-join\('([^']*)'\)""".r
+  /** `FUNC(… $ …) [ALIAS]` template transformations — the reference's
+    * `$`-substitution (`controllers/index.js:96-144`): `$` stands for
+    * the raw field value, the optional trailing token renames the
+    * output. Compiled by substituting the field's SQL into the template
+    * and parsing with `expr` — exactly the reference's string
+    * substitution, but the result is a Catalyst tree, not text. */
+  private val TemplateT = """^([^\s(]+)\((.*\$.*)\)\s*(\S*)$""".r
+
+  /** Output column + name for a template-transformed field. */
+  private def compileTemplate(valueSql: String, spec: FieldSpec,
+                              fn: String, args: String, alias: String): (Column, String) = {
+    val c = org.apache.spark.sql.functions.expr(
+      s"${fn.toUpperCase}(${args.replace("$", valueSql)})")
+    val cast = if (spec.dataType == "string") c else c.try_cast(spec.dataType)
+    (cast, if (alias.nonEmpty) alias.toUpperCase else outputName(spec))
+  }
 
   def outputName(spec: FieldSpec): String = {
     val base =
@@ -76,10 +92,16 @@ object SchemaConverter {
     if (spec.dataType == "string") base else base.try_cast(spec.dataType)
   }
 
-  /** MAPPED stage: RECID + one compiled column per single-value field. */
+  /** MAPPED stage: RECID + one compiled column per single-value field.
+    * `FUNC($)` templates substitute the map access directly. */
   def mapped(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val cols = col(RecId) +: schema.filter(_.parseSv).map { sp =>
-      compileValue(col(Record)(sp.name), sp).as(outputName(sp))
+      sp.transformation match {
+        case TemplateT(fn, args, alias) =>
+          val (c, name) = compileTemplate(s"$Record['${sp.name}']", sp, fn, args, alias)
+          c.as(name)
+        case _ => compileValue(col(Record)(sp.name), sp).as(outputName(sp))
+      }
     }
     raw.select(cols: _*)
   }
@@ -161,7 +183,16 @@ object SchemaConverter {
     * the analog of the reference's `stmtMapped` template output. */
   def mappedSql(schema: Seq[FieldSpec], source: String): String = {
     val fields = schema.filter(_.parseSv).map { sp =>
-      s"  ${sqlValue(s"$Record['${sp.name}']", sp)} AS ${outputName(sp)}"
+      sp.transformation match {
+        case TemplateT(fn, args, alias) =>
+          val body = s"${fn.toUpperCase}(${args.replace("$", s"$Record['${sp.name}']")})"
+          val cast = if (sp.dataType == "string") body
+            else s"TRY_CAST($body AS ${sp.dataType})"
+          val name = if (alias.nonEmpty) alias.toUpperCase else outputName(sp)
+          s"  $cast AS $name"
+        case _ =>
+          s"  ${sqlValue(s"$Record['${sp.name}']", sp)} AS ${outputName(sp)}"
+      }
     }
     (s"SELECT\n  $RecId," +: fields.mkString(",\n") +: Nil).mkString("\n") +
       s"\nFROM $source"

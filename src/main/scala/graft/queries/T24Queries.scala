@@ -117,6 +117,21 @@ object T24Queries {
       SchemaConverter.pipeline(raw, schema).orderBy("RECID")
     },
 
+    // FUNC($) template transformations with output aliasing (the
+    // reference's $-substitution parser)
+    "t24_template_fn" -> q { (s, d) =>
+      val raw = table(s, d, "customer").select(
+        col("c_custkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("NAME"), col("c_name"),
+          lit("SEG"), col("c_mktsegment")
+        ).as(SchemaConverter.Record))
+      val schema = Seq(
+        FieldSpec("NAME", transformation = "UPPER($) UNAME"),
+        FieldSpec("SEG", transformation = "SUBSTRING($, 1, 4) SEG4"))
+      SchemaConverter.mapped(raw, schema).orderBy("RECID")
+    },
+
     // BLOB procType (reference BLOB_SPLIT): field values arrive
     // hex-encoded; converter decodes then applies transformations
     "t24_blob_pipeline" -> q { (s, d) =>
@@ -201,6 +216,12 @@ object T24Queries {
         |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS PRICE,
         |  concat(o_orderpriority, '|', o_orderstatus) AS PRIORITY_MV
         |FROM orders ORDER BY RECID""".stripMargin,
+
+    "t24_template_fn" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS RECID,
+        |  upper(c_name) AS UNAME,
+        |  substring(c_mktsegment, 1, 4) AS SEG4
+        |FROM customer ORDER BY RECID""".stripMargin,
 
     "t24_blob_pipeline" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,

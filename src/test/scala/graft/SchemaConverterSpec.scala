@@ -72,6 +72,24 @@ class SchemaConverterSpec extends AnyFunSuite {
     assert(out.isNullAt(3), "bad int must be null")
   }
 
+  test("FUNC($) templates substitute the field and honor the alias") {
+    import spark.implicits._
+    val raw2 = Seq(("1", Map("N" -> "hello", "V" -> "42")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("N", transformation = "UPPER($) LOUD"),
+      FieldSpec("V", dataType = "int", transformation = "CONCAT($, '0')"))
+    val out = SchemaConverter.mapped(raw2, sch)
+    assert(out.columns.toSeq == Seq("RECID", "LOUD", "V"))
+    val r = out.head()
+    assert(r.getString(1) == "HELLO")
+    assert(r.getInt(2) == 420)
+    // SQL emission path agrees
+    raw2.createOrReplaceTempView("tmpl_raw_test")
+    val viaSql = spark.sql(SchemaConverter.mappedSql(sch, "tmpl_raw_test")).head()
+    assert(viaSql.getString(1) == "HELLO" && viaSql.getInt(2) == 420)
+  }
+
   test("emitted SQL text equals the Column-DSL pipeline") {
     raw.createOrReplaceTempView("t24_raw_test")
     val sql = SchemaConverter.mappedSql(schema, "t24_raw_test")
