@@ -313,10 +313,14 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // scalar quartile columns (not an array) — the driver harness
+    // sorts results in pandas and cannot hash array cells
     "q26_percentiles" -> q { (s, d) =>
       table(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+        .agg(expr("percentile(l_quantity, 0.25D)").as("qty_p25"),
+          expr("percentile(l_quantity, 0.5D)").as("qty_p50"),
+          expr("percentile(l_quantity, 0.75D)").as("qty_p75"),
           expr("percentile(l_extendedprice, 0.5D)").as("median_price"))
         .orderBy("l_returnflag")
     },
@@ -496,10 +500,12 @@ object RelationalQueries {
         |  COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // CAST ... AS BIGINT: DuckDB SUM(integer) yields HUGEINT (Decimal in
+    // arrow) which hash-mismatches Spark's BIGINT even at equal values
     "q10_case_agg" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_priority
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q11_rollup" ->
@@ -528,8 +534,8 @@ object RelationalQueries {
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM (
         |  SELECT user_id, event_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM (
         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
@@ -646,7 +652,9 @@ object RelationalQueries {
 
     "q26_percentiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
