@@ -103,10 +103,13 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // exploded to (doc_id, fingerprint) rows: the fingerprint set is the
+    // deliverable, and scalar rows are what the driver harness (and any
+    // downstream equi-join on fingerprint) consumes
     "d10_winnow" -> q { (s, d) =>
       table(s, d, "documents")
-        .select(col("doc_id"), Dedup.winnow(col("text")).as("fingerprints"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), explode(Dedup.winnow(col("text"))).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
     },
 
     "d9_bpe_tokens" -> q { (s, d) =>
@@ -274,10 +277,9 @@ object DocQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "d10_winnow" ->
-      """SELECT doc_id,
-        |  list_sort(list_distinct(list_transform(
+      """SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
         |    generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
-        |    i -> list_min(hashes[i:i+3])))) AS fingerprints
+        |    i -> list_min(hashes[i:i+3]))))) AS fingerprint
         |FROM (
         |  SELECT doc_id, list_transform(sh, s -> list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
@@ -289,7 +291,7 @@ object DocQueries {
         |        i -> array_to_string(toks[i:i+2], ' ')) END AS sh
         |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |          FROM documents) a) b) c
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id, fingerprint""".stripMargin,
 
     "d9_bpe_tokens" ->
       """SELECT doc_id,

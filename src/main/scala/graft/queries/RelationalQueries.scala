@@ -385,13 +385,15 @@ object RelationalQueries {
 
     // array aggregation: collect_list/collect_set are order-unstable
     // across partitionings, so sort_array makes the result (and the
-    // oracle) deterministic
+    // oracle) deterministic; arrays are delimiter-joined to scalars so
+    // the driver harness can hash the cells (same trade as q26)
     "q31_collect" -> q { (s, d) =>
       table(s, d, "supplier")
         .groupBy("s_nationkey")
         .agg(
-          sort_array(collect_list(col("s_name"))).as("names"),
-          sort_array(collect_set(col("s_suppkey"))).as("keys"),
+          array_join(sort_array(collect_list(col("s_name"))), "|").as("names"),
+          array_join(transform(sort_array(collect_set(col("s_suppkey"))),
+            x => x.cast("string")), "|").as("keys"),
           count(lit(1)).as("n"))
         .orderBy("s_nationkey")
     },
@@ -699,8 +701,9 @@ object RelationalQueries {
 
     "q31_collect" ->
       """SELECT s_nationkey,
-        |  list_sort(list(s_name)) AS names,
-        |  list_sort(list(DISTINCT s_suppkey)) AS keys,
+        |  array_to_string(list_sort(list(s_name)), '|') AS names,
+        |  array_to_string(list_transform(list_sort(list(DISTINCT s_suppkey)),
+        |    x -> CAST(x AS VARCHAR)), '|') AS keys,
         |  COUNT(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
