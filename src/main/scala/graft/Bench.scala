@@ -16,10 +16,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // min of two runs per query: the host shows multi-second noise
     // bursts, and min-of-N is the standard estimator for the true cost
+    // a failing query must abort the bench loudly — swallowing it would
+    // report a crash as the fastest "time" in the suite
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name failed")
+            throw e
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

@@ -39,19 +39,24 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")) ++
         carried.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
 
-    // right rows sort before left at equal ts (side 0 < 1) => `<=` match
+    // right rows sort before left at equal ts (side 0 < 1) => `<=` match.
+    // Carried columns travel as ONE struct per right row: per-column
+    // last(_, ignoreNulls) would pull each column from its most recent
+    // NON-NULL row independently, resurrecting stale values (and mixing
+    // rows) whenever the matched right row holds a null — the struct is
+    // non-null exactly for right rows, so every carried field comes from
+    // the same (latest) right row, nulls included.
+    val rowStruct = "__asof_row"
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = carried.map { case (_, out) =>
-      last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out)
-    }
 
     l.unionByName(r)
-      .select((keys.map(col) :+ col(ts) :+ col(side)) ++
-        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c")) ++ matched: _*)
+      .withColumn(rowStruct, when(col(side) === 0,
+        struct(carried.map { case (_, out) => col(s"__r_$out").as(out) }: _*)))
+      .withColumn(rowStruct, last(col(rowStruct), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        carried.map { case (_, out) => col(out) }: _*)
+        carried.map { case (_, out) => col(rowStruct).getField(out).as(out) }: _*)
   }
 }

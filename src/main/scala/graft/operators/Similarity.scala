@@ -56,13 +56,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Fixed-point scale for deterministic centroid means: values are
+    * floored to µ-units (1e-6), summed exactly as longs (associative —
+    * any partitioning gives the same sum), and divided back out. A
+    * cell of ~9e12 members fits the long sum, so the aggregation state
+    * is ONE long per (cell, dim) — no per-member buffering. */
+  private val MeanScale = 1000000.0
+
   /** One Lloyd iteration over the IVF coarse quantizer: assign every
     * vector to its nearest seed centroid, then take the per-cell
-    * elementwise mean. The mean is computed as a SORTED sequential
-    * double fold (sort_array ∘ collect_list ∘ aggregate), which makes
-    * the refinement bit-deterministic under any partitioning — and
-    * therefore oracle-verifiable. Per-cell member lists stay bounded by
-    * the cell size; the collect is nlist×dim means (tiny, bootstrap).
+    * elementwise mean. Means use exact fixed-point long sums (above),
+    * which makes the refinement bit-deterministic under any
+    * partitioning — and therefore oracle-verifiable — with O(1)
+    * aggregation state per (cell, dim) group (a collect_list of cell
+    * members would OOM on a popular cell at corpus scale). A cell that
+    * captures no vectors keeps its seed centroid (float→double), so
+    * skewed or tiny corpora can't fault the refinement.
     */
   private[graft] def lloydRefine(corpus: DataFrame,
                                  cents0: Array[Array[Float]]): Array[Array[Double]] = {
@@ -76,16 +85,17 @@ object Similarity {
         array_position(col("scores"), array_max(col("scores"))).as("cell"))
     val means = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "val")))
-      .select(col("cell"), col("pos"), col("val").cast("double").as("v"))
+      .select(col("cell"), col("pos"),
+        floor(col("val").cast("double") * lit(MeanScale)).as("fx"))
       .groupBy("cell", "pos")
-      .agg((aggregate(sort_array(collect_list(col("v"))), lit(0.0), (a, x) => a + x) /
+      .agg((sum(col("fx")).cast("double") / lit(MeanScale) /
         count(lit(1)).cast("double")).as("m"))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (cell, rows) =>
         cell.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
-    Array.tabulate(nlist)(i => means(i + 1))
+    Array.tabulate(nlist)(i => means.getOrElse(i + 1, cents0(i).map(_.toDouble)))
   }
 
   /** IVF ANN with one Lloyd refinement of the seed centroids — better

@@ -171,11 +171,14 @@ object VectorQueries {
          |  FROM cs0) t WHERE rn = 1),
          |means AS (
          |  SELECT cell, g.pos,
-         |    list_aggregate(list_sort(list(CAST(embedding[g.pos] AS DOUBLE))), 'sum')
-         |      / CAST(COUNT(*) AS DOUBLE) AS m
+         |    CAST(SUM(CAST(floor(CAST(embedding[g.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
          |  FROM cell0 CROSS JOIN range(1, 65) g(pos)
          |  GROUP BY cell, g.pos),
-         |rcents AS (SELECT cell, list(m ORDER BY pos) AS rc FROM means GROUP BY cell),
+         |rcents0 AS (SELECT cell, list(m ORDER BY pos) AS rc FROM means GROUP BY cell),
+         |rcents AS (SELECT cc.cid AS cell,
+         |    COALESCE(r.rc, list_transform(cc.ce, x -> CAST(x AS DOUBLE))) AS rc
+         |  FROM cents0 cc LEFT JOIN rcents0 r ON r.cell = cc.cid),
          |cs1 AS (SELECT e.vec_id, e.embedding, r.cell, ${cosM("e.embedding", "r.rc")} AS cs
          |  FROM embeddings e CROSS JOIN rcents r),
          |cell1 AS (SELECT vec_id, cell FROM (

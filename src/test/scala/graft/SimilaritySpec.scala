@@ -72,4 +72,28 @@ class SimilaritySpec extends AnyFunSuite {
   test("e2_ann_lsh query returns rows at sf0.001") {
     assert(SparkEntry.queries("e2_ann_lsh")(spark, sf).count() > 0)
   }
+
+  test("Lloyd refinement survives a cell that captures no vectors") {
+    import spark.implicits._
+    // every vector is nearest centroid 1; centroid 2's cell stays empty
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, 0.2f)), (3L, Array(0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents0 = Array(Array(1.0f, 0.0f), Array(-1.0f, 0.0f))
+    val refined = Similarity.lloydRefine(corpus, cents0)
+    assert(refined.length == 2)
+    // the empty cell keeps its seed (float→double), not a crash
+    assert(refined(1).toSeq == Seq(-1.0, 0.0))
+    // the populated cell moved toward the members' mean
+    assert(refined(0)(1) > 0.0)
+  }
+
+  test("Lloyd means are exact fixed-point sums: stable across partitionings") {
+    val cents0: Array[Array[Float]] = emb.orderBy("vec_id").limit(4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val a = Similarity.lloydRefine(emb, cents0)
+    val b = Similarity.lloydRefine(emb.repartition(7), cents0)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
