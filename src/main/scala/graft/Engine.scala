@@ -18,32 +18,91 @@ object Engine {
     spark
   }
 
-  /** Expose native expressions to the SQL surface (the reference's
-    * users write SQL against `/api/execute`; `spark.sql` is the analog). */
+  /** Expose native expressions AND the full T24/KSQL scalar surface to
+    * the SQL side (the reference's users write KSQL-shaped SQL against
+    * `/api/execute`; `spark.sql` is the analog — after registration the
+    * reference's generated statements parse and run as-is). */
   def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import graft.functions.T24
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
       if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
+    def litOf(e: Expression, what: String): Any = e match {
+      case Literal(v, _) if v != null => v
+      case other => sys.error(s"$what must be a literal, got $other")
+    }
+    def litStr(e: Expression, what: String): String = litOf(e, what).toString
+    def litInt(e: Expression, what: String): Int = litStr(e, what).trim.toInt
+    // Registry builders must return real catalyst trees (a lazy Column
+    // wrapper would reach codegen unresolved): parse a SQL template
+    // eagerly and splice the argument expressions at __ARGn__. The
+    // still-unresolved built-in functions inside resolve on the
+    // analyzer's next fixed-point iteration.
+    val ArgRef = """__ARG(\d+)__""".r
+    def sqlFn(template: String, args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(template).transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.lengthCompare(1) == 0 =>
+            a.name match {
+              case ArgRef(i) => args(i.toInt)
+              case _ => a
+            }
+        }
+
     ensure("simhash64")(exprs => graft.plans.SimHash64(exprs.head))
     ensure("cosine_sim")(exprs => graft.plans.CosineSim(exprs(0), exprs(1)))
     ensure("try_parse_timestamp") { exprs =>
-      val fmt = exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
-        case other => sys.error(s"try_parse_timestamp(s, fmt): fmt must be a literal, got $other")
-      }
-      graft.plans.TryParseTimestamp(exprs.head, fmt)
+      graft.plans.TryParseTimestamp(exprs.head, litStr(exprs(1), "try_parse_timestamp fmt"))
     }
     ensure("word_shingles") { exprs =>
-      val k = exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-        case other => sys.error(s"word_shingles(arr, k): k must be a literal, got $other")
-      }
-      graft.plans.WordShingles(exprs.head, k)
+      graft.plans.WordShingles(exprs.head, litInt(exprs(1), "word_shingles k"))
     }
+    // T24 surface (reference controllers/index.js:57-170, 293-403):
+    // KSQL-shaped statements using these names run through spark.sql,
+    // resolving to the same native/codegen expressions as the Column API.
+    ensure("parse_date") { exprs =>
+      val fmt = if (exprs.length > 1) litStr(exprs(1), "parse_date fmt") else "yyyyMMdd"
+      Cast(graft.plans.TryParseTimestamp(exprs.head, fmt),
+        org.apache.spark.sql.types.DateType)
+    }
+    ensure("parse_timestamp") { exprs =>
+      val fmt = if (exprs.length > 1) litStr(exprs(1), "parse_timestamp fmt") else "yyMMddHHmm"
+      graft.plans.TryParseTimestamp(exprs.head, fmt)
+    }
+    ensure("seab_field") { exprs =>
+      // delimiter is a literal split-by string, not a regex — quote it
+      val delim = java.util.regex.Pattern.quote(litStr(exprs(1), "seab_field delim"))
+      sqlFn("TRY_ELEMENT_AT(SPLIT(__ARG0__, __ARG1__), __ARG2__)",
+        exprs(0), Literal(delim), exprs(2))
+    }
+    // SEAB_HEXTOTEXT(FROM_BYTES(x,'hex')) — the reference's hex-decode
+    // pair (controllers/index.js:307)
+    ensure("seab_hextotext")(exprs => sqlFn("DECODE(__ARG0__, 'UTF-8')", exprs.head))
+    ensure("from_bytes") { exprs =>
+      val enc = if (exprs.length > 1) litStr(exprs(1), "from_bytes encoding") else "hex"
+      require(enc.equalsIgnoreCase("hex"), s"from_bytes: only 'hex' is supported, got $enc")
+      sqlFn("UNHEX(__ARG0__)", exprs.head)
+    }
+    ensure("mv_split")(exprs =>
+      sqlFn(s"FILTER(SPLIT(__ARG0__, '${T24.MvMarker}'), x -> x <> '')", exprs.head))
+    ensure("mv_index")(exprs =>
+      sqlFn(s"TRY_ELEMENT_AT(FILTER(SPLIT(__ARG0__, '${T24.MvMarker}'), x -> x <> ''), __ARG1__)",
+        exprs(0), exprs(1)))
+    ensure("mv_join") { exprs =>
+      val d: Expression = if (exprs.length > 1) exprs(1) else Literal(" ")
+      sqlFn(s"ARRAY_JOIN(FILTER(SPLIT(REGEXP_REPLACE(__ARG0__, '${T24.MvLead}', ''), " +
+        s"'#(s?[0-9]+:)?'), x -> x <> ''), __ARG1__)", exprs(0), d)
+    }
+    ensure("inputter_his")(exprs =>
+      sqlFn(s"SUBSTRING(REGEXP_REPLACE(ARRAY_JOIN(TRANSFORM(" +
+        s"SPLIT(REGEXP_REPLACE(__ARG0__, '${T24.MvLead}', ''), '#(s?[0-9]*:)?'), " +
+        s"x -> TRY_ELEMENT_AT(SPLIT(x, '_'), 2)), ' ', 'null'), 'null ', ''), 1, 4000)",
+        exprs.head))
   }
 
   /** Wrap a query builder so Engine configuration always precedes it. */

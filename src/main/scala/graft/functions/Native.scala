@@ -16,7 +16,8 @@ object Native {
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def lshBuckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
-    GraftBridge.column(LshBuckets(GraftBridge.expression(v), planes, planesPerTable))
+    GraftBridge.column(LshBuckets(GraftBridge.expression(v),
+      planes.map(_.toSeq).toSeq, planesPerTable))
 
   def polyHash(s: Column, modulus: Long): Column =
     GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
@@ -24,12 +25,12 @@ object Native {
   def simhashPortable(tokens: Column, permsA: Array[Long], permsB: Array[Long],
                       modulus: Long): Column =
     GraftBridge.column(graft.plans.SimHashPortable(
-      GraftBridge.expression(tokens), permsA, permsB, modulus))
+      GraftBridge.expression(tokens), permsA.toSeq, permsB.toSeq, modulus))
 
   /** MinHash signature aggregate over a pre-reduced Long hash column. */
   def minhashSketch(h: Column, permsA: Array[Long], permsB: Array[Long],
                     prime: Long): Column =
     GraftBridge.column(
-      MinHashSketch(GraftBridge.expression(h), permsA, permsB, prime)
+      MinHashSketch(GraftBridge.expression(h), permsA.toSeq, permsB.toSeq, prime)
         .toAggregateExpression())
 }

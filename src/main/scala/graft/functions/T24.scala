@@ -57,10 +57,16 @@ object T24 {
     * Malformed input → null (KSQL never fails the stream on a bad
     * record; ANSI `to_date` would throw). Native try-parse keeps the
     * path inside codegen — see `plans/TryParseTimestamp`. */
-  def parseDate(c: Column): Column = tryParse(c, "yyyyMMdd").cast("date")
+  def parseDate(c: Column): Column = parseDate(c, "yyyyMMdd")
+
+  /** PARSE_DATE with an explicit format (the KSQL two-arg form). */
+  def parseDate(c: Column, fmt: String): Column = tryParse(c, fmt).cast("date")
 
   /** PARSE_TIMESTAMP(x, 'yyMMddHHmm') — reference `controllers/index.js:86-87`. */
-  def parseTimestamp(c: Column): Column = tryParse(c, "yyMMddHHmm")
+  def parseTimestamp(c: Column): Column = parseTimestamp(c, "yyMMddHHmm")
+
+  /** PARSE_TIMESTAMP with an explicit format (the KSQL two-arg form). */
+  def parseTimestamp(c: Column, fmt: String): Column = tryParse(c, fmt)
 
   /** The reference's fixed SUBSTRING(x,1,35) truncation transform
     * (`controllers/index.js:88-89`). */

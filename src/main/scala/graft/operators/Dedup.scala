@@ -176,11 +176,43 @@ object Dedup {
   }
 
   /** Near-dup candidates by identical 16-bit SimHash prefix (cheap
-    * hamming-bucket; a multi-probe over rotated prefixes is the scale
-    * path for higher recall). */
+    * hamming-bucket; [[simhashBands]] is the full-recall scale path). */
   def simhashBuckets(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
     simhash(docs, idCol, textCol)
       .select(col(idCol), col("simhash"),
         shiftrightunsigned(col("simhash"), 48).as("bucket"))
+
+  /** SimHash banding for hamming near-dup candidates: the 64-bit
+    * fingerprint splits into 4 disjoint 16-bit chunks; by pigeonhole,
+    * two fingerprints within hamming distance 3 share at least one
+    * chunk EXACTLY, so candidate generation is a (band, chunk)
+    * equi-join with GUARANTEED recall at distance ≤ 3 — the multi-probe
+    * upgrade over the single-prefix bucket, with no bit-flip probe
+    * explosion (4 keys per doc, narrow map). The `& 65535` mask makes
+    * the chunk identical under arithmetic or logical shift, which keeps
+    * the oracle portable. */
+  def simhashBands(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    simhash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map { b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L))
+        }: _*)).as(Seq("band", "chunk")))
+
+  /** Near-dup pairs within `maxHamming` (≤ 3 for complete recall with
+    * 4 bands): banded candidates verified by exact XOR popcount. */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val b = simhashBands(docs, idCol, textCol)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -7,8 +7,9 @@ import graft.functions.T24
 
 /** One field of a T24 schema document — the reference's `procData` items
   * (`/root/reference/src/controllers/index.js:10-26`): `name`,
-  * `transformation`, target `type`, and the three parse flags
-  * (`should_parse_sv` / `_vm` / `_vs`).
+  * `transformation`, target `type`, the three parse flags
+  * (`should_parse_sv` / `_vm` / `_vs`), and the optional second-level
+  * `nested` template.
   */
 case class FieldSpec(
     name: String,
@@ -16,19 +17,20 @@ case class FieldSpec(
     transformation: String = "",
     parseSv: Boolean = true,
     parseVm: Boolean = false,
-    parseVs: Boolean = false)
+    parseVs: Boolean = false,
+    nested: String = "")
 
 /** The reference's core capability re-expressed Spark-first.
   *
   * The reference compiles a schema document into KSQL *text* (RAW →
   * MAPPED → MULTIVALUE → SINK statements, `controllers/index.js:406-623`).
   * Here the same schema compiles directly into Catalyst `Column` trees
-  * over a raw DataFrame (`RECID` string + `XMLRECORD map<string,string>`),
-  * so pushdown/pruning/codegen apply to the generated pipeline. A SQL
-  * text emitter (`mappedSql`) keeps parity with the reference's
-  * statement-generating API surface.
+  * over a raw DataFrame (`RECID` string + `XMLRECORD map<string,string>`,
+  * or a packed hex `BLOB`), so pushdown/pruning/codegen apply to the
+  * generated pipeline. A SQL text emitter (`mappedSql`) keeps parity with
+  * the reference's statement-generating API surface.
   *
-  * Transformations supported (reference `controllers/index.js:57-170`):
+  * Transformation grammar (reference `controllers/index.js:57-170`):
   *  - `""`              field passthrough `XMLRECORD['NAME']`
   *  - `"parse_date"`    PARSE_DATE yyyyMMdd
   *  - `"parse_timestamp"` PARSE_TIMESTAMP yyMMddHHmm
@@ -37,33 +39,61 @@ case class FieldSpec(
   *  - `"string-join"` / `"string-join('<d>')"`  multivalue join
   *  - `"[n]"`           multivalue positional index (1-based)
   *  - `"inputter_his"`  the INPUTTER_HIS audit transform
-  * Field names with a `LOCALREF_` prefix surface under the stripped,
-  * upper-cased name (reference `:67-69`); non-string `dataType` adds a
-  * final CAST (reference `:155-157`).
+  *  - `"FUNC(… $ …) [ALIAS]"` template: `$` = the field value (`DATA
+  *    .RECID` when the field is named RECID, `:104-105`), `$$` = the
+  *    field NAME spliced as text (`:110-111`; exclusive with `$`)
+  *  - `"FUNC([n] [params]) [ALIAS]"` — FUNC over the n-th multivalue
+  *    element, params inferred from the function (parse_date →
+  *    `'yyyyMMdd'`, substring → `1,35`, seab_field → `'_',2`) or given
+  *    explicitly (`:115-143`)
+  *  - anything else     raw-expression passthrough, emitted verbatim
+  *    (`:145-146`)
+  * After the transformation, an optional `nested` template (`FUNC($)
+  * [ALIAS]`) wraps the result (`:149-153`), then a CAST to the target
+  * type (`:155-157`). `LOCALREF_` name prefixes are stripped (`:67-69`).
+  * VM/VS fields receive the SAME dispatch per exploded element — the
+  * reference's `multiParser` (`:172-290`).
   */
 object SchemaConverter {
   val RecId = "RECID"
   val Record = "XMLRECORD"
+  /** Packed-record input column for the BLOB FE/FEFD modes. */
+  val Blob = "BLOB"
   /** Position column added by the multivalue explode stage. */
   val MvPos = "MV_POS"
 
+  /** T24 packed-record delimiters after a latin-1 decode of the blob
+    * (every byte maps to one char, so 0xFE/0xFD/0xFC survive). */
+  val FeSep = "þ" // 0xFE: field marker
+  val FdSep = "ý" // 0xFD: value (multivalue) marker
+  val FcSep = "ü" // 0xFC: subvalue marker
+
   private val IndexT = """^\[(\d+)\]$""".r
   private val JoinArgT = """string-join\('([^']*)'\)""".r
-  /** `FUNC(… $ …) [ALIAS]` template transformations — the reference's
-    * `$`-substitution (`controllers/index.js:96-144`): `$` stands for
-    * the raw field value, the optional trailing token renames the
-    * output. Compiled by substituting the field's SQL into the template
-    * and parsing with `expr` — exactly the reference's string
-    * substitution, but the result is a Catalyst tree, not text. */
-  private val TemplateT = """^([^\s(]+)\((.*\$.*)\)\s*(\S*)$""".r
+  /** `FUNC(args) [ALIAS]` template transformations — the reference's
+    * `$`-substitution parser (`controllers/index.js:96-144`). */
+  private val TemplateT = """^([^\s(]+)\((.*)\)\s*(\S*)$""".r
+  /** Template args of the `[n] params` element form (`:115-143`). */
+  private val MvElemT = """^\[(\d+)\](.*)$""".r
+  /** `nested` second-level template: `FUNC($) [ALIAS]` (`:149-153`). */
+  private val NestedT = """(?s)^(.*\))\s*(\S*)\s*$""".r
 
-  /** Output column + name for a template-transformed field. */
-  private def compileTemplate(valueSql: String, spec: FieldSpec,
-                              fn: String, args: String, alias: String): (Column, String) = {
-    val c = org.apache.spark.sql.functions.expr(
-      s"${fn.toUpperCase}(${args.replace("$", valueSql)})")
-    val cast = if (spec.dataType == "string") c else c.try_cast(spec.dataType)
-    (cast, if (alias.nonEmpty) alias.toUpperCase else outputName(spec))
+  /** Attribute name spliced into template SQL where `$` appeared; the
+    * parsed tree has the input column's expression substituted at every
+    * such reference — the reference's string substitution, but the
+    * result is a Catalyst tree, not text. */
+  private val Placeholder = "__GRAFT_IN__"
+
+  private def spliceSql(sqlTemplate: String, input: Column): Column = {
+    val inExpr = org.apache.spark.sql.GraftBridge.expression(input)
+    // parse eagerly (Column's expr() defers parsing to analysis, which
+    // would hide the placeholder from the transform below)
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlTemplate)
+    org.apache.spark.sql.GraftBridge.column(parsed.transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts == Seq(Placeholder) => inExpr
+    })
   }
 
   def outputName(spec: FieldSpec): String = {
@@ -73,35 +103,91 @@ object SchemaConverter {
     base.toUpperCase
   }
 
-  /** Compile one field's transformation over an input value column. */
-  def compileValue(value: Column, spec: FieldSpec): Column = {
-    val base = spec.transformation match {
-      case ""                => value
-      case "parse_date"      => T24.parseDate(value)
-      case "parse_timestamp" => T24.parseTimestamp(value)
-      case "substring"       => T24.substr35(value)
-      case "seab_field"      => T24.seabField(value, "_", 2)
-      case "inputter_his"    => T24.inputterHis(value)
-      case JoinArgT(delim)   => T24.mvJoin(value, delim)
-      case "string-join"     => T24.mvJoin(value, " ")
-      case IndexT(n)         => T24.mvIndex(value, n.toInt)
-      case other => sys.error(s"unsupported transformation: $other")
-    }
-    // try_cast: a malformed value nulls the field, never the pipeline
-    // (KSQL semantics; ANSI cast would fail the job on one bad record)
-    if (spec.dataType == "string") base else base.try_cast(spec.dataType)
+  /** Params for the `FUNC([n])` element form when none are given —
+    * inferred from the function mentioned in the transformation
+    * (reference `controllers/index.js:121-129`). */
+  private def inferredParams(transformation: String): String = {
+    val t = transformation.toLowerCase
+    if (t.contains("parse_date")) ", 'yyyyMMdd'"
+    else if (t.contains("parse_timestamp")) ", 'yyMMddHHmm'"
+    else if (t.contains("substring")) ",1,35"
+    else if (t.contains("seab_field")) ",'_',2"
+    else ""
   }
 
-  /** MAPPED stage: RECID + one compiled column per single-value field.
-    * `FUNC($)` templates substitute the map access directly. */
+  /** SQL of the n-th (1-based) element of a multivalue-encoded string
+    * (reference `:93`: FILTER(REGEXP_SPLIT_TO_ARRAY(…))[n]). */
+  private def elemSql(input: String, n: String): String =
+    s"TRY_ELEMENT_AT(FILTER(SPLIT($input, '${T24.MvMarker}'), x -> x <> ''), $n)"
+
+  /** Compile one field's full transform chain over its input value
+    * column: transformation dispatch → optional `nested` wrap → CAST.
+    * Returns the output column and its (possibly template-aliased)
+    * name. Template `FUNC` names resolve through the session registry —
+    * `Engine.registerFunctions` provides the KSQL surface (PARSE_DATE,
+    * SEAB_FIELD, …) as native expressions.
+    */
+  def compileField(value: Column, spec: FieldSpec,
+                   recId: Column = col(RecId)): (Column, String) = {
+    val defaultName = outputName(spec)
+    val (base, name) = spec.transformation match {
+      case ""                => (value, defaultName)
+      case "parse_date"      => (T24.parseDate(value), defaultName)
+      case "parse_timestamp" => (T24.parseTimestamp(value), defaultName)
+      case "substring"       => (T24.substr35(value), defaultName)
+      case "seab_field"      => (T24.seabField(value, "_", 2), defaultName)
+      case "inputter_his"    => (T24.inputterHis(value), defaultName)
+      case JoinArgT(delim)   => (T24.mvJoin(value, delim), defaultName)
+      case "string-join"     => (T24.mvJoin(value, " "), defaultName)
+      case IndexT(n)         => (T24.mvIndex(value, n.toInt), defaultName)
+      case TemplateT(fn, args, alias) =>
+        val outName = if (alias.nonEmpty) alias.toUpperCase else defaultName
+        // RECID as template input maps to the record key, not the map
+        // (reference :104-105)
+        val input = if (spec.name == RecId) recId else value
+        if (args.contains("$$")) {
+          // `$$` splices the field NAME into the template text
+          // (reference :110-111; exclusive with `$`)
+          (expr(s"${fn.toUpperCase}(${args.replace("$$", spec.name)})"), outName)
+        } else if (args.contains("$")) {
+          (spliceSql(s"${fn.toUpperCase}(${args.replace("$", Placeholder)})", input), outName)
+        } else args match {
+          case MvElemT(n, extra) =>
+            val params =
+              if (extra.exists(c => c != ',' && !c.isWhitespace)) extra
+              else inferredParams(spec.transformation)
+            (spliceSql(s"${fn.toUpperCase}(${elemSql(Placeholder, n)}$params)", input), outName)
+          case _ =>
+            // template body without `$` or `[n]`: raw passthrough
+            (expr(spec.transformation), outName)
+        }
+      // unrecognized transformation: raw-expression passthrough,
+      // emitted verbatim (reference :145-146)
+      case other => (expr(other), defaultName)
+    }
+    val (wrapped, name2) =
+      if (spec.nested.contains("$")) spec.nested match {
+        case NestedT(tpl, alias2) =>
+          (spliceSql(tpl.replace("$", Placeholder), base),
+            if (alias2.nonEmpty) alias2.toUpperCase else name)
+        case _ => (base, name)
+      } else (base, name)
+    // try_cast: a malformed value nulls the field, never the pipeline
+    // (KSQL semantics; ANSI cast would fail the job on one bad record)
+    val cast = if (spec.dataType == "string") wrapped else wrapped.try_cast(spec.dataType)
+    (cast, name2)
+  }
+
+  /** Compile one field's transformation over an input value column
+    * (name-less convenience over [[compileField]]). */
+  def compileValue(value: Column, spec: FieldSpec): Column =
+    compileField(value, spec)._1
+
+  /** MAPPED stage: RECID + one compiled column per single-value field. */
   def mapped(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val cols = col(RecId) +: schema.filter(_.parseSv).map { sp =>
-      sp.transformation match {
-        case TemplateT(fn, args, alias) =>
-          val (c, name) = compileTemplate(s"$Record['${sp.name}']", sp, fn, args, alias)
-          c.as(name)
-        case _ => compileValue(col(Record)(sp.name), sp).as(outputName(sp))
-      }
+      val (c, name) = compileField(col(Record)(sp.name), sp)
+      c.as(name)
     }
     raw.select(cols: _*)
   }
@@ -112,16 +198,65 @@ object SchemaConverter {
     * per-field transformation. */
   def blobMapped(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val cols = col(RecId) +: schema.filter(_.parseSv).map { sp =>
-      compileValue(T24.hexToText(col(Record)(sp.name)), sp).as(outputName(sp))
+      val (c, name) = compileField(T24.hexToText(col(Record)(sp.name)), sp)
+      c.as(name)
     }
     raw.select(cols: _*)
+  }
+
+  /** BLOB FE / FEFD packed-record modes (reference handler dispatch
+    * `controllers/index.js:582-601`): the whole record arrives as ONE
+    * hex blob; 0xFE bytes delimit fields POSITIONALLY (schema order),
+    * and in FEFD mode 0xFD bytes delimit multivalue elements within a
+    * field (0xFC for subvalues). The blob is decoded once via latin-1
+    * (delimiter bytes survive as chars), split, and each positional
+    * field runs the same compileField dispatch as the XML path; VM/VS
+    * fields explode exactly like [[multivalue]].
+    */
+  def blobFe(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
+    val fields = split(decode(unhex(col(Blob)), "ISO-8859-1"),
+      java.util.regex.Pattern.quote(FeSep))
+    def fieldAt(i: Int) = try_element_at(fields, lit(i + 1))
+    val posed = schema.zipWithIndex
+    val svs = posed.filter(_._1.parseSv)
+    val vms = posed.filter(_._1.parseVm)
+    val vss = posed.filter(_._1.parseVs)
+    if (vms.isEmpty && vss.isEmpty) {
+      raw.select(col(RecId) +: svs.map { case (sp, i) =>
+        val (c, n) = compileField(fieldAt(i), sp); c.as(n)
+      }: _*)
+    } else {
+      val arrays = (vms ++ vss).map { case (sp, i) =>
+        split(fieldAt(i), java.util.regex.Pattern.quote(FdSep)).as(outputName(sp))
+      }
+      val svPairs = svs.map { case (sp, i) => compileField(fieldAt(i), sp) }
+      val zipped = raw.select((col(RecId) +: svPairs.map { case (c, n) => c.as(n) }) :+
+        posexplode_outer(arrays_zip(arrays: _*)).as(Seq("pos", "mv")): _*)
+      val vmCols = vms.map { case (sp, _) =>
+        val (c, n) = compileField(col("mv").getField(outputName(sp)), sp)
+        c.as(n)
+      }
+      val vsCols = vss.map { case (sp, _) =>
+        transform(
+          split(col("mv").getField(outputName(sp)), java.util.regex.Pattern.quote(FcSep)),
+          e => compileField(e, sp)._1
+        ).as(outputName(sp) + "_VS")
+      }
+      zipped.select(
+        (col(RecId) +: svPairs.map(p => col(p._2))) ++
+          Seq((col("pos") + 1).as(MvPos)) ++ vmCols ++ vsCols: _*)
+    }
   }
 
   /** MULTIVALUE stage: decode every VM field to its element array, zip
     * the arrays (T24 multivalues are positionally aligned), and explode
     * one row per position — Spark's Generate operator instead of the
-    * reference's self-join template. Single-value fields ride along;
-    * VS (subvalue) fields decode a second level within each element.
+    * reference's self-join template. Single-value fields ride along.
+    * Each exploded element then receives the FULL per-field transform
+    * dispatch (the reference's `multiParser`, `controllers/index.js:
+    * 172-290`) — a multivalued date field parses per element. VS
+    * (subvalue) fields decode a second level within each element and
+    * transform per subvalue.
     */
   def multivalue(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val svs = schema.filter(_.parseSv)
@@ -132,20 +267,23 @@ object SchemaConverter {
     val arrays = (vms ++ vss).map { sp =>
       T24.mvSplit(col(Record)(sp.name)).as(outputName(sp))
     }
-    val svCols = svs.map(sp => compileValue(col(Record)(sp.name), sp).as(outputName(sp)))
+    val svPairs = svs.map(sp => compileField(col(Record)(sp.name), sp))
     val zipped = raw.select(
-      (col(RecId) +: svCols) :+ posexplode_outer(arrays_zip(arrays: _*)).as(Seq("pos", "mv")): _*)
+      (col(RecId) +: svPairs.map { case (c, n) => c.as(n) }) :+
+        posexplode_outer(arrays_zip(arrays: _*)).as(Seq("pos", "mv")): _*)
 
+    // per-element transformations (reference multiParser :172-290)
     val vmCols = vms.map { sp =>
-      compileValue(col("mv").getField(outputName(sp)), sp.copy(transformation = ""))
-        .as(outputName(sp))
+      val (c, n) = compileField(col("mv").getField(outputName(sp)), sp)
+      c.as(n)
     }
-    // VS fields: second-level decode of the positional element
+    // VS fields: second-level decode, then per-subvalue transforms
     val vsCols = vss.map { sp =>
-      T24.mvSplit(col("mv").getField(outputName(sp))).as(outputName(sp) + "_VS")
+      transform(T24.mvSplit(col("mv").getField(outputName(sp))),
+        e => compileField(e, sp)._1).as(outputName(sp) + "_VS")
     }
     zipped.select(
-      (col(RecId) +: svs.map(sp => col(outputName(sp)))) ++
+      (col(RecId) +: svPairs.map(p => col(p._2))) ++
         Seq((col("pos") + 1).as(MvPos)) ++ vmCols ++ vsCols: _*)
   }
 
@@ -158,41 +296,62 @@ object SchemaConverter {
     else mapped(raw, schema)
 
   // ---- SQL text emission (parity with the reference's generated stmts) ----
+  // Emits the KSQL-shaped function names (PARSE_DATE, SEAB_FIELD, …);
+  // Engine.registerFunctions makes them resolvable by spark.sql, so the
+  // emitted statements run with the same native expressions as the
+  // Column path.
 
-  private def sqlValue(input: String, spec: FieldSpec): String = {
-    val v = spec.transformation match {
-      case ""                => input
-      case "parse_date"      => s"CAST(TRY_TO_TIMESTAMP($input, 'yyyyMMdd') AS DATE)"
-      case "parse_timestamp" => s"TRY_TO_TIMESTAMP($input, 'yyMMddHHmm')"
-      case "substring"       => s"SUBSTRING($input, 1, 35)"
-      case "seab_field"      => s"TRY_ELEMENT_AT(SPLIT($input, '_'), 2)"
-      case "inputter_his" =>
-        s"SUBSTRING(REGEXP_REPLACE(ARRAY_JOIN(TRANSFORM(SPLIT(REGEXP_REPLACE($input, '${T24.MvLead}', ''), '#(s?[0-9]*:)?'), x -> SPLIT(x, '_')[1]), ' ', 'null'), 'null ', ''), 1, 4000)"
-      case JoinArgT(delim) =>
-        s"ARRAY_JOIN(FILTER(SPLIT(REGEXP_REPLACE($input, '${T24.MvLead}', ''), '#(s?[0-9]+:)?'), x -> x <> ''), '$delim')"
-      case "string-join" =>
-        s"ARRAY_JOIN(FILTER(SPLIT(REGEXP_REPLACE($input, '${T24.MvLead}', ''), '#(s?[0-9]+:)?'), x -> x <> ''), ' ')"
-      case IndexT(n) =>
-        s"TRY_ELEMENT_AT(FILTER(SPLIT($input, '${T24.MvMarker}'), x -> x <> ''), ${n.toInt})"
-      case other => sys.error(s"unsupported transformation: $other")
+  /** SQL text + output name of one field's full transform chain —
+    * mirror of [[compileField]]. */
+  def sqlField(input: String, spec: FieldSpec,
+               recIdSql: String = RecId): (String, String) = {
+    val defaultName = outputName(spec)
+    val (body, name) = spec.transformation match {
+      case ""                => (input, defaultName)
+      case "parse_date"      => (s"PARSE_DATE($input, 'yyyyMMdd')", defaultName)
+      case "parse_timestamp" => (s"PARSE_TIMESTAMP($input, 'yyMMddHHmm')", defaultName)
+      case "substring"       => (s"SUBSTRING($input, 1, 35)", defaultName)
+      case "seab_field"      => (s"SEAB_FIELD($input, '_', 2)", defaultName)
+      case "inputter_his"    => (s"INPUTTER_HIS($input)", defaultName)
+      case JoinArgT(delim)   => (s"MV_JOIN($input, '$delim')", defaultName)
+      case "string-join"     => (s"MV_JOIN($input, ' ')", defaultName)
+      case IndexT(n)         => (s"MV_INDEX($input, ${n.toInt})", defaultName)
+      case TemplateT(fn, args, alias) =>
+        val outName = if (alias.nonEmpty) alias.toUpperCase else defaultName
+        val in = if (spec.name == RecId) recIdSql else input
+        if (args.contains("$$"))
+          (s"${fn.toUpperCase}(${args.replace("$$", spec.name)})", outName)
+        else if (args.contains("$"))
+          (s"${fn.toUpperCase}(${args.replace("$", in)})", outName)
+        else args match {
+          case MvElemT(n, extra) =>
+            val params =
+              if (extra.exists(c => c != ',' && !c.isWhitespace)) extra
+              else inferredParams(spec.transformation)
+            (s"${fn.toUpperCase}(${elemSql(in, n)}$params)", outName)
+          case _ => (spec.transformation, outName)
+        }
+      case other => (other, defaultName)
     }
-    if (spec.dataType == "string") v else s"TRY_CAST($v AS ${spec.dataType})"
+    val (wrapped, name2) =
+      if (spec.nested.contains("$")) spec.nested match {
+        case NestedT(tpl, alias2) =>
+          (tpl.replace("$", s"($body)"),
+            if (alias2.nonEmpty) alias2.toUpperCase else name)
+        case _ => (body, name)
+      } else (body, name)
+    val cast =
+      if (spec.dataType == "string") wrapped
+      else s"TRY_CAST($wrapped AS ${spec.dataType})"
+    (cast, name2)
   }
 
   /** Spark SQL text of the MAPPED statement over a source table/view —
     * the analog of the reference's `stmtMapped` template output. */
   def mappedSql(schema: Seq[FieldSpec], source: String): String = {
     val fields = schema.filter(_.parseSv).map { sp =>
-      sp.transformation match {
-        case TemplateT(fn, args, alias) =>
-          val body = s"${fn.toUpperCase}(${args.replace("$", s"$Record['${sp.name}']")})"
-          val cast = if (sp.dataType == "string") body
-            else s"TRY_CAST($body AS ${sp.dataType})"
-          val name = if (alias.nonEmpty) alias.toUpperCase else outputName(sp)
-          s"  $cast AS $name"
-        case _ =>
-          s"  ${sqlValue(s"$Record['${sp.name}']", sp)} AS ${outputName(sp)}"
-      }
+      val (sql, name) = sqlField(s"$Record['${sp.name}']", sp)
+      s"  $sql AS $name"
     }
     (s"SELECT\n  $RecId," +: fields.mkString(",\n") +: Nil).mkString("\n") +
       s"\nFROM $source"

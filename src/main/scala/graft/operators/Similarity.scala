@@ -56,6 +56,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs with sign-LSH blocking: each
+    * vector expands to `nTables` (table, bucket) keys — a narrow map —
+    * and candidate pairs come from the self-equi-join on that key, with
+    * exact cosine verifying only candidates. The corpus shuffles once
+    * on the bucket key; there is no label- or corpus-wide self-join, so
+    * the shape holds at any corpus size (recall is the union-of-tables
+    * LSH recall, tunable via nTables/planesPerTable). */
+  def lshNearDupPairs(corpus: DataFrame, minCos: Double,
+                      nTables: Int = 8, planesPerTable: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, dim)
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, planesPerTable))
+        .as(Seq("tbl", "bucket")))
+    b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ae"), col("b.embedding").as("be"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), Vectors.cosine(col("ae"), col("be")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Fixed-point scale for deterministic centroid means: values are
     * floored to µ-units (1e-6), summed exactly as longs (associative —
     * any partitioning gives the same sum), and divided back out. A

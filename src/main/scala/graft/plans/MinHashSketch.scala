@@ -22,12 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSketch(
     child: Expression,
-    permsA: Array[Long],
-    permsB: Array[Long],
+    permsA: Seq[Long],
+    permsB: Seq[Long],
     prime: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
+  // Seq params (not Array): case-class equality stays value-based, so
+  // two identically-constructed sketches are semanticEquals — CSE and
+  // exchange reuse apply. Hot loops index the materialized arrays.
+
+  @transient private lazy val pa: Array[Long] = permsA.toArray
+  @transient private lazy val pb: Array[Long] = permsB.toArray
 
   private def k = permsA.length
 
@@ -52,7 +58,7 @@ case class MinHashSketch(
       while (i < k) {
         // (h*a+b) mod p — Long wrap-around is fine: it is a fixed
         // deterministic permutation family, identical across engines
-        var x = (h * permsA(i) + permsB(i)) % prime
+        var x = (h * pa(i) + pb(i)) % prime
         if (x < 0) x += prime
         if (x < buf(i)) buf(i) = x
         i += 1

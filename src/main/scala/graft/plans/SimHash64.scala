@@ -44,10 +44,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * arithmetic reproducible in SQL — which gives the SimHash query a
   * full DuckDB oracle (constants embedded in the generated statement).
   */
-case class SimHashPortable(child: Expression, permsA: Array[Long],
-                           permsB: Array[Long], modulus: Long)
+case class SimHashPortable(child: Expression, permsA: Seq[Long],
+                           permsB: Seq[Long], modulus: Long)
     extends UnaryExpression {
+  // Seq params keep case-class equality value-based (semanticEquals/CSE)
   require(permsA.length == 64 && permsB.length == 64)
+
+  @transient private lazy val pa: Array[Long] = permsA.toArray
+  @transient private lazy val pb: Array[Long] = permsB.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -58,13 +62,13 @@ case class SimHashPortable(child: Expression, permsA: Array[Long],
   override def prettyName: String = "simhash_portable"
 
   override def nullSafeEval(input: Any): Any =
-    SimHashPortable.compute(input.asInstanceOf[ArrayData], permsA, permsB, modulus)
+    SimHashPortable.compute(input.asInstanceOf[ArrayData], pa, pb, modulus)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pa = ctx.addReferenceObj("shPa", permsA, "long[]")
-    val pb = ctx.addReferenceObj("shPb", permsB, "long[]")
+    val paRef = ctx.addReferenceObj("shPa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("shPb", pb, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SimHashPortable.compute($c, $pa, $pb, ${modulus}L);")
+      s"${ev.value} = graft.plans.SimHashPortable.compute($c, $paRef, $pbRef, ${modulus}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashPortable =

@@ -68,8 +68,9 @@ object CosineSim {
   * a broadcast-free literal). Sign rule: projection >= 0 sets bit i,
   * matching the composed `when(proj >= 0, 1<<i)` formulation.
   */
-case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+case class LshBuckets(child: Expression, planes: Seq[Seq[Double]],
                       planesPerTable: Int) extends UnaryExpression {
+  // Seq params keep case-class equality value-based (semanticEquals/CSE)
   require(planes.nonEmpty && planes.length % planesPerTable == 0)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -82,7 +83,7 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]],
 
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  @transient private lazy val flat: Array[Double] = planes.flatten
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
   @transient private lazy val dim: Int = planes.head.length
 
   override def nullSafeEval(input: Any): Any =

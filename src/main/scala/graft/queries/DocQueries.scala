@@ -73,6 +73,13 @@ object DocQueries {
       Dedup.simhashBuckets(table(s, d, "documents")).orderBy("doc_id")
     },
 
+    // chunked-band near-dup pairs: complete recall at hamming <= 3 by
+    // pigeonhole over 4 disjoint 16-bit chunks (spec-asserted vs brute
+    // force); full oracle over the portable hash family
+    "d7b_simhash_bands" -> q { (s, d) =>
+      Dedup.simhashNearDups(table(s, d, "documents")).orderBy("a_id", "b_id")
+    },
+
     "d8_fingerprint" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -184,7 +191,37 @@ object DocQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** d7b's oracle: the portable SimHash (same embedded constants as
+    * d7), 4×16-bit chunk banding, exact XOR-popcount verification. */
+  private def simhashBandsOracle: String = {
+    val (pa, pb) = Dedup.simhashPerms
+    val p = Dedup.P
+    val half = p / 2
+    val terms = (0 until 64).map { b =>
+      val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+      s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h*${pa(b)} + ${pb(b)}) % $p > $half THEN 1 ELSE -1 END)) > 0 THEN $w ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH hs AS (SELECT doc_id, list_transform(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % $p)) AS hl
+       |  FROM documents),
+       |sims AS (SELECT doc_id, $terms AS simhash FROM hs),
+       |b AS (SELECT doc_id, simhash, t.band AS band,
+       |      (simhash >> (t.band * 16)) & 65535 AS chunk
+       |      FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    x.simhash AS ha, y.simhash AS hb
+       |  FROM b x JOIN b y ON x.band = y.band AND x.chunk = y.chunk
+       |    AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand) t
+       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d7b_simhash_bands" -> simhashBandsOracle,
     "d1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  length(text) AS n_chars_actual

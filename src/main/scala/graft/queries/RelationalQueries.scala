@@ -152,13 +152,16 @@ object RelationalQueries {
       c.unionAll(sup).orderBy("kind", "id")
     },
 
+    // group by the truncated TIMESTAMP (8-byte key) and format after
+    // the agg — shuffling pre-formatted string keys wastes the exchange
     "q13_events_tumbling" -> q { (s, d) =>
       table(s, d, "events")
         .select(evTs(col("ts")).as("tts"), col("event_type"), col("value"))
-        .groupBy(date_format(date_trunc("hour", col("tts")),
-          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .groupBy(date_trunc("hour", col("tts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(d4(col("value"))).cast(DoubleType).as("total_value"))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("total_value"))
         .orderBy("hour", "event_type")
     },
 

@@ -157,6 +157,88 @@ object T24Queries {
             lit("#2:SYS_TELLER"), col("c_custkey").cast("string")).as("inputter"))
         .select(col("c_custkey"), T24.inputterHis(col("inputter")).as("inputter_his"))
         .orderBy("c_custkey")
+    },
+
+    // per-element transformations on exploded VM fields (the reference's
+    // multiParser): a multivalued yyyyMMdd field parses per element
+    "t24_mv_transform" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("STATUS"), col("o_orderstatus"),
+          lit("DATES"), concat(lit("1:"), date_format(col("o_orderdate"), "yyyyMMdd"),
+            lit("#2:"), date_format(date_add(col("o_orderdate"), 30), "yyyyMMdd"))
+        ).as(SchemaConverter.Record))
+      val schema = Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("DATES", dataType = "date", transformation = "parse_date",
+          parseSv = false, parseVm = true))
+      SchemaConverter.pipeline(raw, schema)
+        .select(col(SchemaConverter.RecId), col("STATUS"),
+          col(SchemaConverter.MvPos).cast(LongType).as("mv_pos"), col("DATES").as("d"))
+        .orderBy("RECID", "mv_pos")
+    },
+
+    // the full template grammar in one schema: $-substitution with a
+    // RECID input, $$ name-splice, FUNC([n]) with inferred and explicit
+    // params, nested second-level template, raw-expression passthrough
+    "t24_template_grammar" -> q { (s, d) =>
+      val raw = table(s, d, "customer").select(
+        col("c_custkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("NAME"), col("c_mktsegment"),
+          lit("SEG"), col("c_mktsegment"),
+          lit("PRIO_MV"), concat(lit("1:A_"), col("c_nationkey").cast("string"),
+            lit("#2:B_"), col("c_custkey").cast("string")),
+          lit("DT_MV"), concat(lit("1:2024"),
+            lpad((col("c_nationkey") % 12 + 1).cast("string"), 2, "0"), lit("15"))
+        ).as(SchemaConverter.Record))
+      val schema = Seq(
+        FieldSpec("RECID", transformation = "CONCAT($, '_R') RTAG"),
+        FieldSpec("SEG", transformation = "CONCAT('$$', '_X') SEGTAG"),
+        FieldSpec("PRIO_MV", transformation = "seab_field([2]) P2"),
+        FieldSpec("PRIO_MV", transformation = "SUBSTRING([1],1,3) S3"),
+        FieldSpec("DT_MV", dataType = "date", transformation = "parse_date([1]) D1"),
+        FieldSpec("NAME", nested = "UPPER($) BIGNAME"),
+        FieldSpec("FIXED", transformation = "SUBSTRING(RECID, 1, 2)"))
+      SchemaConverter.mapped(raw, schema).orderBy("RECID")
+    },
+
+    // BLOB FE mode: ONE packed hex blob per record, 0xFE field markers,
+    // positional schema mapping (reference controllers/index.js:585-590)
+    "t24_blob_fe" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        concat(
+          hex(col("o_orderstatus")), lit("FE"),
+          hex(date_format(col("o_orderdate"), "yyyyMMdd")), lit("FE"),
+          hex(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"))
+        ).as(SchemaConverter.Blob))
+      val schema = Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
+        FieldSpec("LOCALREF_PRICE", dataType = "double"))
+      SchemaConverter.blobFe(raw, schema).orderBy("RECID")
+    },
+
+    // BLOB FEFD mode: 0xFD value markers inside a field explode to rows
+    // with per-element transforms (reference controllers/index.js:591-600)
+    "t24_blob_fefd" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        concat(
+          hex(col("o_orderstatus")), lit("FE"),
+          hex(date_format(col("o_orderdate"), "yyyyMMdd")), lit("FD"),
+          hex(date_format(date_add(col("o_orderdate"), 30), "yyyyMMdd"))
+        ).as(SchemaConverter.Blob))
+      val schema = Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("DATES", dataType = "date", transformation = "parse_date",
+          parseSv = false, parseVm = true))
+      SchemaConverter.blobFe(raw, schema)
+        .select(col(SchemaConverter.RecId), col("STATUS"),
+          col(SchemaConverter.MvPos).cast(LongType).as("mv_pos"), col("DATES").as("d"))
+        .orderBy("RECID", "mv_pos")
     }
   )
 
@@ -235,6 +317,38 @@ object T24Queries {
          |  array_to_string(list_transform(regexp_split_to_array(
          |    regexp_replace(concat('1:SYS_AGENT', CAST(c_custkey AS VARCHAR), '#2:SYS_TELLER', CAST(c_custkey AS VARCHAR)), '$lead', ''),
          |    '#(s?[0-9]*:)?'), x -> split_part(x, '_', 2)), ' ') AS inputter_his
-         |FROM customer ORDER BY c_custkey""".stripMargin
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t24_mv_transform" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID, o_orderstatus AS STATUS,
+        |  CAST(p.pos AS BIGINT) AS mv_pos,
+        |  CASE WHEN p.pos = 1 THEN CAST(o_orderdate AS DATE) ELSE CAST(o_orderdate AS DATE) + 30 END AS d
+        |FROM orders CROSS JOIN (VALUES (1), (2)) p(pos)
+        |ORDER BY RECID, mv_pos""".stripMargin,
+
+    "t24_template_grammar" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS RECID,
+        |  CAST(c_custkey AS VARCHAR) || '_R' AS RTAG,
+        |  'SEG_X' AS SEGTAG,
+        |  CAST(c_custkey AS VARCHAR) AS P2,
+        |  substring('A_' || CAST(c_nationkey AS VARCHAR), 1, 3) AS S3,
+        |  CAST(strptime('2024' || lpad(CAST(c_nationkey % 12 + 1 AS VARCHAR), 2, '0') || '15', '%Y%m%d') AS DATE) AS D1,
+        |  upper(c_mktsegment) AS BIGNAME,
+        |  substring(CAST(c_custkey AS VARCHAR), 1, 2) AS FIXED
+        |FROM customer ORDER BY RECID""".stripMargin,
+
+    "t24_blob_fe" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  o_orderstatus AS STATUS,
+        |  CAST(o_orderdate AS DATE) AS ORDER_DATE,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS PRICE
+        |FROM orders ORDER BY RECID""".stripMargin,
+
+    "t24_blob_fefd" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID, o_orderstatus AS STATUS,
+        |  CAST(p.pos AS BIGINT) AS mv_pos,
+        |  CASE WHEN p.pos = 1 THEN CAST(o_orderdate AS DATE) ELSE CAST(o_orderdate AS DATE) + 30 END AS d
+        |FROM orders CROSS JOIN (VALUES (1), (2)) p(pos)
+        |ORDER BY RECID, mv_pos""".stripMargin
   )
 }

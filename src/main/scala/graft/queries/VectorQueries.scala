@@ -48,17 +48,12 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
-    // embedding-cosine near-dup pairs; candidates blocked on `label`
-    // here (at corpus scale the block key would be an LSH bucket — same
-    // join shape, see Similarity.lshTopK)
+    // embedding-cosine near-dup pairs: sign-LSH bucket blocking (the
+    // 100 TB shape — one keyed self-equi-join, no label/corpus-wide
+    // self-join), exact cosine on candidates only; full oracle with the
+    // same embedded plane constants as e2
     "e4_cosine_neardup" -> q { (s, d) =>
-      val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          graft.functions.Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-        .filter(col("cos") >= 0.2)
+      Similarity.lshNearDupPairs(table(s, d, "embeddings"), minCos = 0.2)
         .orderBy("a_id", "b_id")
     }
   )
@@ -203,14 +198,22 @@ object VectorQueries {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
 
-    "e4_cosine_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    "e4_cosine_neardup" -> {
+      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
+         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    x.embedding AS ae, y.embedding AS be
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id)
          |SELECT a_id, b_id, cos FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |  SELECT a_id, b_id,
+         |    list_aggregate(list_transform(list_zip(ae, be),
          |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
+         |  FROM cand) t
          |WHERE cos >= 0.2 ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

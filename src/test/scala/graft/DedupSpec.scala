@@ -87,4 +87,18 @@ class DedupSpec extends AnyFunSuite {
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
   }
+
+  test("simhash banding recall is COMPLETE at hamming <= 3 (pigeonhole)") {
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+    val banded = Dedup.simhashNearDups(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, ha) <- sims; (idb, hb) <- sims
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    assert(brute.nonEmpty, "test data should contain hamming<=3 near-dups")
+    assert(banded == brute,
+      s"banding must find EXACTLY the hamming<=3 pairs: missed ${brute -- banded}, extra ${banded -- brute}")
+  }
 }

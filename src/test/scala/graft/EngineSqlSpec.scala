@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's `/api/execute` surface: users submit KSQL-shaped SQL
+  * text. After `Engine.registerFunctions`, those statements parse and
+  * run through `spark.sql`, resolving to the same native expressions as
+  * the Column API. */
+class EngineSqlSpec extends AnyFunSuite {
+  import SparkTest._
+  Engine.registerFunctions(spark)
+
+  private def one(sql: String) = spark.sql(sql).head().get(0)
+
+  test("KSQL scalar surface resolves through spark.sql") {
+    assert(one("SELECT PARSE_DATE('20240131', 'yyyyMMdd')").toString == "2024-01-31")
+    assert(one("SELECT PARSE_DATE('20240131')").toString == "2024-01-31")
+    assert(one("SELECT PARSE_TIMESTAMP('2401311230', 'yyMMddHHmm')").toString
+      == "2024-01-31 12:30:00.0")
+    assert(one("SELECT SEAB_FIELD('a_b_c', '_', 2)") == "b")
+    assert(one("SELECT SEAB_FIELD('a.b.c', '.', 3)") == "c", "delimiter must not act as regex")
+    assert(one("SELECT SEAB_HEXTOTEXT(FROM_BYTES('414243', 'hex'))") == "ABC")
+    assert(one("SELECT MV_INDEX('1:a#2:b#3:c', 2)") == "b")
+    assert(one("SELECT MV_JOIN('1:a#s2:b', '|')") == "a|b")
+    assert(one("SELECT INPUTTER_HIS('1:SYS_AGENT1#2:SYS_TELLER2')") == "AGENT1 TELLER2")
+  }
+
+  test("malformed input nulls the value, not the query (KSQL semantics)") {
+    assert(one("SELECT PARSE_DATE('not-a-date')") == null)
+    assert(one("SELECT SEAB_FIELD('nodash', '_', 2)") == null)
+    assert(one("SELECT MV_INDEX('1:a', 9)") == null)
+  }
+
+  test("a reference-shaped MAPPED statement runs end-to-end") {
+    import spark.implicits._
+    Seq(("1", Map("D" -> "20240131", "AMT" -> "12.5", "MV" -> "1:x#2:y")))
+      .toDF("RECID", "XMLRECORD").createOrReplaceTempView("engine_sql_raw")
+    val row = spark.sql(
+      """SELECT RECID,
+        |  PARSE_DATE(XMLRECORD['D'], 'yyyyMMdd') AS D,
+        |  TRY_CAST(XMLRECORD['AMT'] AS double) AS AMT,
+        |  MV_JOIN(XMLRECORD['MV'], ' ') AS MV
+        |FROM engine_sql_raw""".stripMargin).head()
+    assert(row.getString(0) == "1")
+    assert(row.getDate(1).toString == "2024-01-31")
+    assert(row.getDouble(2) == 12.5)
+    assert(row.getString(3) == "x y")
+  }
+}

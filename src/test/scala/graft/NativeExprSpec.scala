@@ -42,6 +42,30 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("param-table expressions are value-equal (CSE / exchange reuse)") {
+    import org.apache.spark.sql.GraftBridge.expression
+    // two independently-constructed instances with equal constants must
+    // be semanticEquals — reference-equality Array params would defeat
+    // common-subexpression elimination and exchange reuse
+    val (pa1, pb1) = Dedup.minhashPerms(16)
+    val (pa2, pb2) = Dedup.minhashPerms(16)
+    val h = col("h")
+    val m1 = graft.plans.MinHashSketch(expression(h), pa1.toSeq, pb1.toSeq, Dedup.P)
+    val m2 = graft.plans.MinHashSketch(expression(h), pa2.toSeq, pb2.toSeq, Dedup.P)
+    assert(m1 == m2 && m1.semanticEquals(m2))
+
+    val (sa1, sb1) = Dedup.simhashPerms
+    val s1 = graft.plans.SimHashPortable(expression(h), sa1.toSeq, sb1.toSeq, Dedup.P)
+    val s2 = graft.plans.SimHashPortable(expression(h), sa1.toSeq.map(identity), sb1.toSeq, Dedup.P)
+    assert(s1 == s2 && s1.semanticEquals(s2))
+
+    val planes1 = Vectors.randomPlanes(8, 8).map(_.toSeq).toSeq
+    val planes2 = Vectors.randomPlanes(8, 8).map(_.toSeq).toSeq
+    val l1 = graft.plans.LshBuckets(expression(h), planes1, 4)
+    val l2 = graft.plans.LshBuckets(expression(h), planes2, 4)
+    assert(l1 == l2 && l1.semanticEquals(l2))
+  }
+
   test("native LshBuckets matches per-table composed buckets") {
     val planes = Vectors.randomPlanes(8, 64)
     val emb = Tables.table(spark, sf, "embeddings").limit(50)

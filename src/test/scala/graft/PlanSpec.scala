@@ -48,4 +48,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q1_pricing_agg")
     assert(p.contains("partial_sum"), "map-side partial aggregation missing")
   }
+
+  test("e4: near-dup candidates come from the LSH bucket key, not a label block") {
+    val p = plan("e4_cosine_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("label"), "e4 must not self-join on the label column")
+    assert(p.contains("bucket"), "expected the (tbl, bucket) equi-join")
+  }
 }

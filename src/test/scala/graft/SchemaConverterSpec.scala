@@ -7,6 +7,9 @@ import graft.operators.{FieldSpec, SchemaConverter}
 
 class SchemaConverterSpec extends AnyFunSuite {
   import SparkTest._
+  // templates and the SQL emission path resolve the KSQL function
+  // surface (PARSE_DATE, SEAB_FIELD, …) from the session registry
+  graft.Engine.registerFunctions(spark)
 
   private def raw = {
     import spark.implicits._
@@ -97,5 +100,100 @@ class SchemaConverterSpec extends AnyFunSuite {
     val viaDsl = SchemaConverter.mapped(raw, schema).orderBy("RECID")
       .collect().map(_.toString).toSeq
     assert(viaSql == viaDsl)
+  }
+
+  test("VM fields apply their transformation per exploded element") {
+    import spark.implicits._
+    val r = Seq(("1", Map("DTS" -> "1:20240131#2:20240301", "BAD" -> "1:x")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("DTS", dataType = "date", transformation = "parse_date",
+        parseSv = false, parseVm = true))
+    val out = SchemaConverter.multivalue(r, sch).orderBy(SchemaConverter.MvPos).collect()
+    assert(out.map(_.getDate(2).toString).toSeq == Seq("2024-01-31", "2024-03-01"))
+  }
+
+  test("$$ templates splice the field NAME, not the value") {
+    import spark.implicits._
+    val r = Seq(("1", Map("SEG" -> "AUTOMOBILE")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(FieldSpec("SEG", transformation = "CONCAT('$$', '_X') TAGGED"))
+    val out = SchemaConverter.mapped(r, sch)
+    assert(out.columns.toSeq == Seq("RECID", "TAGGED"))
+    // `$$` → the name SEG (spliced as text), NOT the value AUTOMOBILE
+    assert(out.head.getString(1) == "SEG_X")
+  }
+
+  test("RECID as template input maps to the record key") {
+    import spark.implicits._
+    val r = Seq(("77", Map("A" -> "v"))).toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(FieldSpec("RECID", transformation = "CONCAT($, '_R') RTAG"))
+    val out = SchemaConverter.mapped(r, sch)
+    assert(out.head.getString(1) == "77_R")
+  }
+
+  test("FUNC([n]) templates take the n-th element with inferred params") {
+    import spark.implicits._
+    val r = Seq(("1", Map(
+      "MV" -> "1:A_10#2:B_20",
+      "DMV" -> "1:20240131#2:20240301")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("MV", transformation = "seab_field([2]) P2"),
+      FieldSpec("DMV", dataType = "date", transformation = "parse_date([1]) D1"),
+      FieldSpec("MV", transformation = "SUBSTRING([1],1,3) S3"))
+    val out = SchemaConverter.mapped(r, sch)
+    assert(out.columns.toSeq == Seq("RECID", "P2", "D1", "S3"))
+    val row = out.head()
+    assert(row.getString(1) == "20")          // seab_field elem2 '_' part 2
+    assert(row.getDate(2).toString == "2024-01-31")
+    assert(row.getString(3) == "A_1")         // explicit params override
+  }
+
+  test("nested second-level templates wrap the transformed output") {
+    import spark.implicits._
+    val r = Seq(("1", Map("N" -> "abc"))).toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(FieldSpec("N", nested = "UPPER($) BIG"))
+    val out = SchemaConverter.mapped(r, sch)
+    assert(out.columns.toSeq == Seq("RECID", "BIG"))
+    assert(out.head.getString(1) == "ABC")
+  }
+
+  test("unrecognized transformations pass through as raw expressions") {
+    import spark.implicits._
+    val r = Seq(("42", Map("A" -> "v"))).toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(FieldSpec("K", transformation = "SUBSTRING(RECID, 1, 1)"))
+    val out = SchemaConverter.mapped(r, sch)
+    assert(out.head.getString(1) == "4")
+  }
+
+  test("blobFe splits a packed FE-delimited hex record positionally") {
+    import spark.implicits._
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val blob = hexOf("ALPHA") + "FE" + hexOf("20240131") + "FE" + hexOf("12.50")
+    val r = Seq(("1", blob)).toDF(SchemaConverter.RecId, SchemaConverter.Blob)
+    val sch = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("AMT", dataType = "double"))
+    val out = SchemaConverter.blobFe(r, sch).head()
+    assert(out.getString(1) == "ALPHA")
+    assert(out.getDate(2).toString == "2024-01-31")
+    assert(out.getDouble(3) == 12.50)
+  }
+
+  test("blobFe FEFD mode explodes FD-delimited multivalues with transforms") {
+    import spark.implicits._
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val blob = hexOf("S1") + "FE" + hexOf("20240131") + "FD" + hexOf("20240301")
+    val r = Seq(("1", blob)).toDF(SchemaConverter.RecId, SchemaConverter.Blob)
+    val sch = Seq(
+      FieldSpec("STATUS"),
+      FieldSpec("DTS", dataType = "date", transformation = "parse_date",
+        parseSv = false, parseVm = true))
+    val out = SchemaConverter.blobFe(r, sch).orderBy(SchemaConverter.MvPos).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(1)).toSeq == Seq("S1", "S1"))
+    assert(out.map(_.getDate(3).toString).toSeq == Seq("2024-01-31", "2024-03-01"))
   }
 }
