@@ -22,6 +22,11 @@ object Native {
   def polyHash(s: Column, modulus: Long): Column =
     GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
 
+  /** One-pass winnowing fingerprints of a token array. */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int, modulus: Long): Column =
+    GraftBridge.column(graft.plans.WinnowFingerprints(
+      GraftBridge.expression(tokens), k, w, modulus))
+
   def simhashPortable(tokens: Column, permsA: Array[Long], permsB: Array[Long],
                       modulus: Long): Column =
     GraftBridge.column(graft.plans.SimHashPortable(

@@ -127,7 +127,14 @@ object Dedup {
     * documents shares a fingerprint — the robust local dedup sketch.
     * Narrow per-row computation (no shuffle); fingerprints typically
     * feed an explode + equi-join like the MinHash bands. */
-  def winnow(c: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnow(c: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.Native.winnowFingerprints(Text.tokens(lower(c)), k, w,
+      1000000000000000L)
+
+  /** Composed-builtins winnowing (shingle strings + per-window slice
+    * copies + interpreted lambdas — ~50× the native cost at sf0.1);
+    * kept to equivalence-test the native expression. */
+  private[graft] def winnowComposed(c: Column, k: Int = 3, w: Int = 4): Column = {
     val sh = shingles(c, k)
     val hashes = transform(sh, s =>
       aggregate(split(s, ""), lit(0L),

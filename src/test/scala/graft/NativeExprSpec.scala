@@ -42,6 +42,24 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native WinnowFingerprints equals the composed formulation") {
+    val docs = Tables.table(spark, sf, "documents").limit(300)
+    val native = docs.select(col("doc_id"), Dedup.winnow(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = docs.select(col("doc_id"), Dedup.winnowComposed(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == composed)
+  }
+
+  test("WinnowFingerprints handles short token arrays") {
+    import spark.implicits._
+    val out = Seq("one two", "single", "a b c d e f").toDF("text")
+      .select(Dedup.winnow(col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(out.forall(_.nonEmpty))
+    assert(out(1).length == 1, "a single-token doc has exactly one fingerprint")
+  }
+
   test("param-table expressions are value-equal (CSE / exchange reuse)") {
     import org.apache.spark.sql.GraftBridge.expression
     // two independently-constructed instances with equal constants must
