@@ -129,13 +129,32 @@ object DocQueries {
 
     "m1_binary_meta" -> q { (s, d) =>
       // multimodal plumbing: opaque binary payload + typed metadata.
-      // Real decode is environment-dependent (no image/audio libs here);
-      // the deterministic metadata path is the tested contract.
       table(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(col("doc_id"), octet_length(col("payload")).as("byte_len"),
           sha2(col("payload"), 256).as("sha"))
         .orderBy("doc_id")
+    },
+
+    // REAL image decode: deterministic PPM payloads (pixel bytes derive
+    // from the supplier key) ride a binary column; the pure-JVM codec
+    // extracts dimensions + per-channel means per partition. The oracle
+    // computes the expected features from the generation formula — the
+    // encode→binary→decode loop is what's being checked.
+    "m2_image_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (16, 8)
+          val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+          (id, graft.operators.PpmCodec.encode(w, h, rgb))
+        }
+      graft.operators.Multimodal.decodeImages(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
     }
   )
 
@@ -338,6 +357,21 @@ object DocQueries {
 
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // expected features from the pixel-generation formula: byte i of the
+    // 16x8 RGB payload is (id*31 + i) % 256, so channel c's mean is the
+    // average of (id*31 + p*3 + c) % 256 over the 128 pixels
+    "m2_image_decode" -> {
+      def mean(c: Int) =
+        s"list_aggregate(list_transform(generate_series(0, 127), " +
+          s"p -> CAST((s_suppkey*31 + p*3 + $c) % 256 AS DOUBLE)), 'avg')"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         |  ${mean(0)} AS mean_r,
+         |  ${mean(1)} AS mean_g,
+         |  ${mean(2)} AS mean_b
+         |FROM supplier ORDER BY id""".stripMargin
+    }
   )
 }

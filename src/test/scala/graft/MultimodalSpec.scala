@@ -3,10 +3,56 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, PpmCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTest._
+
+  test("PPM codec round-trips pixels exactly") {
+    val rgb = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val img = PpmCodec.decode(PpmCodec.encode(4, 2, rgb)).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("PPM decode tolerates comments and rejects malformed input") {
+    val rgb = Array.fill[Byte](3)(5)
+    val withComment = "P6\n# a comment\n1 1\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(PpmCodec.decode(withComment).exists(i => i.width == 1 && i.height == 1))
+    assert(PpmCodec.decode("P5\n1 1\n255\n ".getBytes ++ rgb).isEmpty, "wrong magic")
+    assert(PpmCodec.decode("P6\n2 2\n255\n".getBytes ++ rgb).isEmpty, "truncated pixels")
+    assert(PpmCodec.decode(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("box resize averages source cells per channel") {
+    // 2x2 all-channel values 10,20,30,40 -> 1x1 pixel = floor(mean) = 25
+    val rgb = Array[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40)
+    val out = PpmCodec.resizeBox(PpmCodec.Image(2, 2, rgb), 1, 1)
+    assert(out.rgb.toSeq == Seq[Byte](25, 25, 25))
+  }
+
+  test("decodeImages extracts real dimensions and channel means") {
+    import spark.implicits._
+    val rgb = Array.tabulate[Byte](2 * 1 * 3)(i => (i * 10).toByte) // pixels (0,10,20),(30,40,50)
+    val media = Seq(
+      (1L, PpmCodec.encode(2, 1, rgb)),
+      (2L, Array[Byte](9, 9, 9))).toDS() // malformed
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.id)
+    assert(out(0).width.contains(2) && out(0).height.contains(1))
+    assert(out(0).mean_r.contains(15.0) && out(0).mean_g.contains(25.0) &&
+      out(0).mean_b.contains(35.0))
+    assert(out(1).width.isEmpty && out(1).mean_r.isEmpty,
+      "malformed payload nulls features, never fails the pipeline")
+  }
+
+  test("resizeImages produces decodable resized payloads") {
+    import spark.implicits._
+    val rgb = Array.tabulate[Byte](8 * 4 * 3)(i => (i % 256).toByte)
+    val media = Seq((1L, PpmCodec.encode(8, 4, rgb))).toDS()
+    val out = Multimodal.resizeImages(media, 2, 2).collect().head
+    val img = PpmCodec.decode(out._2).get
+    assert(img.width == 2 && img.height == 2 && img.rgb.length == 12)
+  }
 
   test("feature extraction is deterministic over binary payloads") {
     import spark.implicits._
