@@ -25,21 +25,29 @@ object SchemaRegistry {
     import spark.implicits._
     store.toSeq
       .flatMap { case (n, fs) => fs.map(f => (n, f.name, f.dataType,
-        f.transformation, f.parseSv, f.parseVm, f.parseVs)) }
+        f.transformation, f.parseSv, f.parseVm, f.parseVs, f.nested)) }
       .toDF("schema_name", "name", "dataType", "transformation",
-        "parseSv", "parseVm", "parseVs")
+        "parseSv", "parseVm", "parseVs", "nested")
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load schemas persisted by [[save]] into the registry. */
+  /** Load schemas persisted by [[save]] into the registry. Reads
+    * pre-`nested` datasets too (mergeSchema-style default of ""). */
   def load(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.read.parquet(path)
+    val withNested =
+      if (df.columns.contains("nested")) df
+      else df.withColumn("nested", lit(""))
     import spark.implicits._
-    spark.read.parquet(path)
-      .as[(String, String, String, String, Boolean, Boolean, Boolean)]
+    withNested
+      .select(col("schema_name"), col("name"), col("dataType"), col("transformation"),
+        col("parseSv"), col("parseVm"), col("parseVs"), col("nested"))
+      .as[(String, String, String, String, Boolean, Boolean, Boolean, String)]
       .collect()
       .groupBy(_._1)
       .foreach { case (n, rows) =>
-        put(n, rows.toSeq.map(r => FieldSpec(r._2, r._3, r._4, r._5, r._6, r._7)))
+        put(n, rows.toSeq.map(r => FieldSpec(r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
       }
   }
 

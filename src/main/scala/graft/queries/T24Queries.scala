@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Engine.q
 import graft.functions.T24
-import graft.operators.{FieldSpec, SchemaConverter}
+import graft.operators.{FieldSpec, SchemaConverter, SchemaRegistry}
 import graft.sources.Tables.table
 
 /** §2b — the reference's own surface. T24-encoded inputs are synthesized
@@ -204,6 +204,28 @@ object T24Queries {
       SchemaConverter.mapped(raw, schema).orderBy("RECID")
     },
 
+    // the /api/etl-pipeline + /api/execute composition: the schema goes
+    // through the registry (put → run), then the compiled pipeline
+    // executes — same oracle as the directly-compiled t24_schema_pipeline
+    "t24_registry_pipeline" -> q { (s, d) =>
+      val raw = table(s, d, "orders").select(
+        col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        map(
+          lit("STATUS"), col("o_orderstatus"),
+          lit("ORDER_DATE"), date_format(col("o_orderdate"), "yyyyMMdd"),
+          lit("LOCALREF_PRICE"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          lit("PRIORITY_MV"), concat(lit("1:"), col("o_orderpriority"),
+            lit("#2:"), col("o_orderstatus"))
+        ).as(SchemaConverter.Record))
+      SchemaRegistry.put("REGISTRY_Q", Seq(
+        FieldSpec("STATUS"),
+        FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
+        FieldSpec("LOCALREF_PRICE", dataType = "double"),
+        FieldSpec("PRIORITY_MV", transformation = "string-join('|')")))
+      SchemaRegistry.run(raw, "REGISTRY_Q").orderBy("RECID")
+    },
+
     // BLOB FE mode: ONE packed hex blob per record, 0xFE field markers,
     // positional schema mapping (reference controllers/index.js:585-590)
     "t24_blob_fe" -> q { (s, d) =>
@@ -336,6 +358,14 @@ object T24Queries {
         |  upper(c_mktsegment) AS BIGNAME,
         |  substring(CAST(c_custkey AS VARCHAR), 1, 2) AS FIXED
         |FROM customer ORDER BY RECID""".stripMargin,
+
+    "t24_registry_pipeline" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  o_orderstatus AS STATUS,
+        |  CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS ORDER_DATE,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS PRICE,
+        |  concat(o_orderpriority, '|', o_orderstatus) AS PRIORITY_MV
+        |FROM orders ORDER BY RECID""".stripMargin,
 
     "t24_blob_fe" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,

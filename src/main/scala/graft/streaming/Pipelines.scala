@@ -35,6 +35,13 @@ object Pipelines {
   def t24Pipeline(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame =
     SchemaConverter.pipeline(raw, schema)
 
+  /** BLOB_RAW streaming mode (the reference's `procType === 'BLOB'`
+    * dispatch, `controllers/index.js:582-601`): packed FE/FEFD hex
+    * records stream through the same positional decode — projections +
+    * Generate only, streaming-safe, no state. */
+  def t24BlobPipeline(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame =
+    SchemaConverter.blobFe(raw, schema)
+
   /** File-based RAW source (the Kafka seam: swap for format("kafka") +
     * a value-deserialization select with the same output schema). */
   def fileSource(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -34,6 +34,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getString(3)).toSeq == Seq("x|y", "z"))
   }
 
+  test("t24 BLOB pipeline decodes packed FE/FD records over a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val in = MemoryStream[(String, String)]
+    val raw = in.toDF().toDF("RECID", "BLOB")
+    val schema = Seq(
+      FieldSpec("STATUS"),
+      FieldSpec("DTS", dataType = "date", transformation = "parse_date",
+        parseSv = false, parseVm = true))
+    val q = Pipelines.t24BlobPipeline(raw, schema)
+      .writeStream.format("memory").queryName("blob_out")
+      .outputMode("append").start()
+    in.addData(
+      ("1", hexOf("OK") + "FE" + hexOf("20240131") + "FD" + hexOf("20240301")))
+    q.processAllAvailable()
+    val out = spark.table("blob_out").orderBy("MV_POS").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out.map(_.getString(1)).toSeq == Seq("OK", "OK"))
+    assert(out.map(_.getDate(3).toString).toSeq == Seq("2024-01-31", "2024-03-01"))
+  }
+
   test("watermarked tumbling window aggregates a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
