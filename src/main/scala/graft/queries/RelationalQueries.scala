@@ -316,15 +316,20 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
-    // scalar quartile columns (not an array) — the driver harness
-    // sorts results in pandas and cannot hash array cells
+    // ONE array-form percentile buffers the per-group values once (three
+    // scalar quartile aggs would triple the buffered list); quartiles
+    // project to scalar columns post-agg — the driver harness sorts
+    // results in pandas and cannot hash array cells
     "q26_percentiles" -> q { (s, d) =>
       table(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.25D)").as("qty_p25"),
-          expr("percentile(l_quantity, 0.5D)").as("qty_p50"),
-          expr("percentile(l_quantity, 0.75D)").as("qty_p75"),
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
           expr("percentile(l_extendedprice, 0.5D)").as("median_price"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("qty_p25"),
+          element_at(col("qs"), 2).as("qty_p50"),
+          element_at(col("qs"), 3).as("qty_p75"),
+          col("median_price"))
         .orderBy("l_returnflag")
     },
 
