@@ -103,6 +103,41 @@ object SchemaConverter {
     base.toUpperCase
   }
 
+  /** Whether the transformation consumes the multivalue-encoded input —
+    * the reference then reads the `NAME_multivalue` record key instead
+    * of `NAME` (`controllers/index.js:78,93,107,118`). */
+  private[operators] def readsMultivalue(transformation: String): Boolean =
+    transformation match {
+      case JoinArgT(_)   => true
+      case "string-join" => true
+      case IndexT(_)     => true
+      case TemplateT(_, args, _) =>
+        if (args.contains("$"))
+          !args.contains("$$") && transformation.contains("string-join")
+        else MvElemT.pattern.matcher(args).matches()
+      case _ => false
+    }
+
+  /** The XML-record input column for a field: the T24 layout stores
+    * multivalued fields under `NAME_multivalue` (and the INPUTTER_HIS
+    * audit field reads `INPUTTER_multivalue`, reference `:70-72`); the
+    * coalesce accepts either layout, so schemas written for the
+    * reference and this engine's plain-key tests both resolve. */
+  private def recordInput(spec: FieldSpec): Column =
+    if (spec.name == "INPUTTER_HIS")
+      coalesce(col(Record)("INPUTTER_multivalue"), col(Record)("INPUTTER"))
+    else if (readsMultivalue(spec.transformation))
+      coalesce(col(Record)(spec.name + "_multivalue"), col(Record)(spec.name))
+    else col(Record)(spec.name)
+
+  /** SQL mirror of [[recordInput]]. */
+  private def recordInputSql(spec: FieldSpec): String =
+    if (spec.name == "INPUTTER_HIS")
+      s"COALESCE($Record['INPUTTER_multivalue'], $Record['INPUTTER'])"
+    else if (readsMultivalue(spec.transformation))
+      s"COALESCE($Record['${spec.name}_multivalue'], $Record['${spec.name}'])"
+    else s"$Record['${spec.name}']"
+
   /** Params for the `FUNC([n])` element form when none are given —
     * inferred from the function mentioned in the transformation
     * (reference `controllers/index.js:121-129`). */
@@ -130,7 +165,11 @@ object SchemaConverter {
   def compileField(value: Column, spec: FieldSpec,
                    recId: Column = col(RecId)): (Column, String) = {
     val defaultName = outputName(spec)
-    val (base, name) = spec.transformation match {
+    // the INPUTTER_HIS field NAME forces the audit transform regardless
+    // of its transformation (reference :70-72)
+    val (base, name) = if (spec.name == "INPUTTER_HIS")
+      (T24.inputterHis(value), "INPUTTER_HIS")
+    else spec.transformation match {
       case ""                => (value, defaultName)
       case "parse_date"      => (T24.parseDate(value), defaultName)
       case "parse_timestamp" => (T24.parseTimestamp(value), defaultName)
@@ -186,7 +225,7 @@ object SchemaConverter {
   /** MAPPED stage: RECID + one compiled column per single-value field. */
   def mapped(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val cols = col(RecId) +: schema.filter(_.parseSv).map { sp =>
-      val (c, name) = compileField(col(Record)(sp.name), sp)
+      val (c, name) = compileField(recordInput(sp), sp)
       c.as(name)
     }
     raw.select(cols: _*)
@@ -265,9 +304,10 @@ object SchemaConverter {
     require(vms.nonEmpty || vss.nonEmpty, "multivalue stage needs a VM/VS field")
 
     val arrays = (vms ++ vss).map { sp =>
-      T24.mvSplit(col(Record)(sp.name)).as(outputName(sp))
+      T24.mvSplit(coalesce(col(Record)(sp.name + "_multivalue"), col(Record)(sp.name)))
+        .as(outputName(sp))
     }
-    val svPairs = svs.map(sp => compileField(col(Record)(sp.name), sp))
+    val svPairs = svs.map(sp => compileField(recordInput(sp), sp))
     val zipped = raw.select(
       (col(RecId) +: svPairs.map { case (c, n) => c.as(n) }) :+
         posexplode_outer(arrays_zip(arrays: _*)).as(Seq("pos", "mv")): _*)
@@ -306,7 +346,9 @@ object SchemaConverter {
   def sqlField(input: String, spec: FieldSpec,
                recIdSql: String = RecId): (String, String) = {
     val defaultName = outputName(spec)
-    val (body, name) = spec.transformation match {
+    val (body, name) = if (spec.name == "INPUTTER_HIS")
+      (s"INPUTTER_HIS($input)", "INPUTTER_HIS")
+    else spec.transformation match {
       case ""                => (input, defaultName)
       case "parse_date"      => (s"PARSE_DATE($input, 'yyyyMMdd')", defaultName)
       case "parse_timestamp" => (s"PARSE_TIMESTAMP($input, 'yyMMddHHmm')", defaultName)
@@ -350,7 +392,7 @@ object SchemaConverter {
     * the analog of the reference's `stmtMapped` template output. */
   def mappedSql(schema: Seq[FieldSpec], source: String): String = {
     val fields = schema.filter(_.parseSv).map { sp =>
-      val (sql, name) = sqlField(s"$Record['${sp.name}']", sp)
+      val (sql, name) = sqlField(recordInputSql(sp), sp)
       s"  $sql AS $name"
     }
     (s"SELECT\n  $RecId," +: fields.mkString(",\n") +: Nil).mkString("\n") +

@@ -167,6 +167,28 @@ class SchemaConverterSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "4")
   }
 
+  test("multivalue-consuming transforms read the NAME_multivalue key (T24 layout)") {
+    import spark.implicits._
+    // the reference layout stores multivalued fields under
+    // NAME_multivalue; plain-key data must keep resolving too
+    val r = Seq(
+      ("1", Map("MV_multivalue" -> "1:a#2:b")),
+      ("2", Map("MV" -> "1:c#2:d")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(FieldSpec("MV", transformation = "string-join('|')"))
+    val out = SchemaConverter.mapped(r, sch).orderBy("RECID").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a|b", "c|d"))
+  }
+
+  test("the INPUTTER_HIS field name forces the audit transform") {
+    import spark.implicits._
+    val r = Seq(("1", Map("INPUTTER_multivalue" -> "1:SYS_AGENT9#2:SYS_TELLER9")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val out = SchemaConverter.mapped(r, Seq(FieldSpec("INPUTTER_HIS")))
+    assert(out.columns.toSeq == Seq("RECID", "INPUTTER_HIS"))
+    assert(out.head.getString(1) == "AGENT9 TELLER9")
+  }
+
   test("blobFe splits a packed FE-delimited hex record positionally") {
     import spark.implicits._
     def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
