@@ -67,15 +67,22 @@ object Similarity {
                       nTables: Int = 8, planesPerTable: Int = 4,
                       dim: Int = 64): DataFrame = {
     val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, dim)
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    // banded rows carry ONLY (vec_id, tbl, bucket): candidate pairs and
+    // their dedup exchange move 16-byte keys, not embedding payloads
+    // (shipping vectors through an 8-way band explosion is the
+    // 100 TB shuffle sin); vectors join back by id for the verify pass
+    val b = corpus.select(col("vec_id"),
       posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, planesPerTable))
         .as(Seq("tbl", "bucket")))
-    b.as("a").join(b.as("b"),
+    val pairs = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ae"), col("b.embedding").as("be"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be")), "b_id")
       .select(col("a_id"), col("b_id"), Vectors.cosine(col("ae"), col("be")).as("cos"))
       .filter(col("cos") >= minCos)
   }
