@@ -434,6 +434,48 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("n_lines"))
         .orderBy("l_returnflag")
+    },
+
+    // explicit GROUPING SETS (distinct from rollup/cube shapes)
+    "q35_grouping_sets" -> q { (s, d) =>
+      table(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_st"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_pr"),
+          count(lit(1)).as("n"),
+          sum(d4(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .orderBy(col("g_st"), col("g_pr"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // VALUE-range window frame (RANGE x PRECEDING, not ROWS): each
+    // order sums its customer's spend over the trailing 30 days —
+    // peers at the same day aggregate together regardless of row order
+    "q36_range_window" -> q { (s, d) =>
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(d4(col("o_totalprice"))).over(w).cast(DoubleType).as("spend_30d"))
+        .orderBy("o_orderkey")
+    },
+
+    // first/last/nth over an explicit full frame per key
+    "q37_frame_navigation" -> q { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -727,6 +769,34 @@ object RelationalQueries {
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pr,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS spend
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q36_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q37_frame_navigation" ->
+      """SELECT o_orderkey, o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
