@@ -436,6 +436,20 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // the salted-join utility under the correctness gate: salting must
+    // be bit-identical to the plain join (the oracle IS the plain join)
+    "q38_skew_salted" -> q { (s, d) =>
+      val li = table(s, d, "lineitem").select(
+        col("l_partkey").as("pk"), col("l_orderkey"),
+        (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("rev"))
+      val p = table(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.SkewJoin.saltedJoin(li, p, Seq("pk"),
+          scatterOn = col("l_orderkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
     // explicit GROUPING SETS (distinct from rollup/cube shapes)
     "q35_grouping_sets" -> q { (s, d) =>
       table(s, d, "orders")
@@ -770,6 +784,13 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q38_skew_salted" ->
+      s"""SELECT p_brand,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q35_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
