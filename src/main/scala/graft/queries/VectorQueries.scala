@@ -55,6 +55,18 @@ object VectorQueries {
     "e4_cosine_neardup" -> q { (s, d) =>
       Similarity.lshNearDupPairs(table(s, d, "embeddings"), minCos = 0.2)
         .orderBy("a_id", "b_id")
+    },
+
+    // materialize the near-dup-pruned corpus (the embedding analog of
+    // d11): drop the later vector of every near-dup pair via one
+    // anti-join — keepers never chain-delete
+    "e6_neardup_apply" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val dropped = Similarity.lshNearDupPairs(emb, minCos = 0.35)
+        .select(col("b_id").as("vec_id")).distinct()
+      emb.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }
   )
 
@@ -198,22 +210,34 @@ object VectorQueries {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
 
-    "e4_cosine_neardup" -> {
-      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
-      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
-         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
-         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
-         |    x.embedding AS ae, y.embedding AS be
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.vec_id < y.vec_id)
-         |SELECT a_id, b_id, cos FROM (
-         |  SELECT a_id, b_id,
-         |    list_aggregate(list_transform(list_zip(ae, be),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-         |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
-         |  FROM cand) t
-         |WHERE cos >= 0.2 ORDER BY a_id, b_id""".stripMargin
-    }
+    "e4_cosine_neardup" ->
+      s"""WITH $lshPairsSql
+         |SELECT a_id, b_id, cos FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "e6_neardup_apply" ->
+      s"""WITH $lshPairsSql
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT b_id FROM pairs WHERE cos >= 0.35)
+         |ORDER BY vec_id""".stripMargin
   )
+
+  /** Shared CTE chain producing the LSH-blocked near-dup `pairs`
+    * (mirrors Similarity.lshNearDupPairs with the e2 plane constants). */
+  private def lshPairsSql: String = {
+    val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+    s"""base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
+       |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+       |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+       |    x.embedding AS ae, y.embedding AS be
+       |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id,
+       |    list_aggregate(list_transform(list_zip(ae, be),
+       |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+       |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
+       |  FROM cand) t
+       |WHERE cos >= 0.2)""".stripMargin
+  }
 }
