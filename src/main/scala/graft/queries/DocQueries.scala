@@ -136,6 +136,29 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // corpus n-gram statistics: explode word bigrams (narrow generate),
+    // count (map-side partial agg), deterministic top-20
+    "d14_top_ngrams" -> q { (s, d) =>
+      val toks = Text.tokens(lower(col("text")))
+      table(s, d, "documents")
+        .select(explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // deterministic hash sampling: the training-data "take x%" that is
+    // reproducible across runs/engines (portable multiplicative hash on
+    // the key, not rand()); output = per-language sample counts
+    "d15_hash_sample" -> q { (s, d) =>
+      table(s, d, "documents")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % 100 < 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
     // REAL image decode: deterministic PPM payloads (pixel bytes derive
     // from the supplier key) ride a binary column; the pure-JVM codec
     // extracts dimensions + per-channel means per partition. The oracle
@@ -358,6 +381,20 @@ object DocQueries {
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d14_top_ngrams" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(generate_series(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) a) b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "d15_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+        |WHERE ((doc_id * 2654435761) % 2147483647) % 100 < 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // expected features from the pixel-generation formula: byte i of the
     // 16x8 RGB payload is (id*31 + i) % 256, so channel c's mean is the

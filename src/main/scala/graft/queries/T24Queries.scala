@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -204,6 +205,24 @@ object T24Queries {
       SchemaConverter.mapped(raw, schema).orderBy("RECID")
     },
 
+    // the KSQL TABLE semantic over a CDC stream: latest record per key
+    // wins — synthesized here as two versions per odd key (update ts=2)
+    // and one per even key; the window keeps version with max cdc_ts
+    "t24_cdc_latest" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+      val v1 = o.select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        lit(1L).as("cdc_ts"), col("o_orderstatus").as("STATUS"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+          lit(2L).as("cdc_ts"), lit("X").as("STATUS"))
+      val w = Window.partitionBy(SchemaConverter.RecId).orderBy(col("cdc_ts").desc)
+      v1.unionByName(v2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(SchemaConverter.RecId, "STATUS", "cdc_ts")
+        .orderBy(SchemaConverter.RecId)
+    },
+
     // the /api/etl-pipeline + /api/execute composition: the schema goes
     // through the registry (put → run), then the compiled pipeline
     // executes — same oracle as the directly-compiled t24_schema_pipeline
@@ -358,6 +377,12 @@ object T24Queries {
         |  upper(c_mktsegment) AS BIGNAME,
         |  substring(CAST(c_custkey AS VARCHAR), 1, 2) AS FIXED
         |FROM customer ORDER BY RECID""".stripMargin,
+
+    "t24_cdc_latest" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END AS STATUS,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS cdc_ts
+        |FROM orders ORDER BY RECID""".stripMargin,
 
     "t24_registry_pipeline" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
