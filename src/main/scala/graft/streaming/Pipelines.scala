@@ -130,6 +130,17 @@ object Pipelines {
       }
   }
 
+  /** The KSQL TABLE materialization over a CDC stream: latest record
+    * per key, continuously updated (use OutputMode.Update). State is
+    * ONE small row per key (max_by keeps the argmax struct), so it
+    * scales with live keys, not history — the streaming twin of the
+    * batch `t24_cdc_latest` query. */
+  def latestPerKey(cdc: DataFrame, keyCol: String, tsCol: String,
+                   valueCols: Seq[String]): DataFrame =
+    cdc.groupBy(col(keyCol))
+      .agg(max_by(struct((tsCol +: valueCols).map(col): _*), col(tsCol)).as("latest"))
+      .select(col(keyCol) +: (tsCol +: valueCols).map(c => col(s"latest.$c").as(c)): _*)
+
   /** SINK stage: continuous parquet append with checkpointing — the
     * analog of the reference's SINK/DDL statement pair (target schema =
     * the DataFrame schema). */

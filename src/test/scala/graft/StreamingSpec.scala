@@ -167,6 +167,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(_.getLong(1) == 1L))
   }
 
+  test("latest-per-key table materialization updates across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val cdc = in.toDF().toDF("RECID", "cdc_ts", "STATUS")
+    val q = Pipelines.latestPerKey(cdc, "RECID", "cdc_ts", Seq("STATUS"))
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    in.addData(("1", 1L, "NEW"), ("2", 1L, "NEW"))
+    q.processAllAvailable()
+    in.addData(("1", 2L, "AUTH")) // second batch updates key 1 only
+    q.processAllAvailable()
+    // update-mode memory sink appends updated rows: take last per key
+    val out = spark.table("latest_out").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+    q.stop()
+    assert(out("1").getString(2) == "AUTH" && out("1").getLong(1) == 2L)
+    assert(out("2").getString(2) == "NEW")
+  }
+
   test("parquet sink writes a streaming t24 pipeline end-to-end") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
