@@ -208,10 +208,14 @@ object Dedup {
         }: _*)).as(Seq("band", "chunk")))
 
   /** Near-dup pairs within `maxHamming` (≤ 3 for complete recall with
-    * 4 bands): banded candidates verified by exact XOR popcount. */
+    * 4 bands): banded candidates verified by exact XOR popcount. The
+    * explicit repartition on the band key makes both self-join sides
+    * the same canonical exchange, so the corpus-wide SimHash pass runs
+    * ONCE and the shuffled output feeds both sides (without it each
+    * join side recomputes the scan + signatures). */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val b = simhashBands(docs, idCol, textCol)
+    val b = simhashBands(docs, idCol, textCol).repartition(col("band"), col("chunk"))
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
