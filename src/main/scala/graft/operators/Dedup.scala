@@ -104,7 +104,10 @@ object Dedup {
                       textCol: String = "text", k: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleLen)
+    // same canonical exchange on both self-join sides → the signature
+    // pass runs once (see simhashNearDups)
     val b = minhashBands(sigs, idCol, bands, k / bands)
+      .repartition(col("band"), col("bucket"))
     val cands = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
