@@ -18,19 +18,17 @@ object Engine {
     spark
   }
 
-  /** Expose native expressions AND the full T24/KSQL scalar surface to
-    * the SQL side (the reference's users write KSQL-shaped SQL against
-    * `/api/execute`; `spark.sql` is the analog — after registration the
-    * reference's generated statements parse and run as-is). */
-  def registerFunctions(spark: SparkSession): Unit = {
+  /** The engine's SQL function surface as (name, builder) pairs —
+    * shared by session-level registration ([[registerFunctions]]) and
+    * the `spark.sql.extensions` deployment path ([[GraftExtensions]]). */
+  lazy val functionBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
     import graft.functions.T24
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
-      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
-      }
+      out += name -> builder
     def litOf(e: Expression, what: String): Any = e match {
       case Literal(v, _) if v != null => v
       case other => sys.error(s"$what must be a literal, got $other")
@@ -103,6 +101,21 @@ object Engine {
         s"SPLIT(REGEXP_REPLACE(__ARG0__, '${T24.MvLead}', ''), '#(s?[0-9]*:)?'), " +
         s"x -> TRY_ELEMENT_AT(SPLIT(x, '_'), 2)), ' ', 'null'), 'null ', ''), 1, 4000)",
         exprs.head))
+    out.result()
+  }
+
+  /** Expose native expressions AND the full T24/KSQL scalar surface to
+    * the SQL side (the reference's users write KSQL-shaped SQL against
+    * `/api/execute`; `spark.sql` is the analog — after registration the
+    * reference's generated statements parse and run as-is). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functionBuilders.foreach { case (name, builder) =>
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    }
   }
 
   /** Wrap a query builder so Engine configuration always precedes it. */

@@ -31,6 +31,16 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(one("SELECT MV_INDEX('1:a', 9)") == null)
   }
 
+  test("GraftExtensions injects the full function surface") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register every builder cleanly
+    // the injected surface is the same builder list the session path uses
+    val names = Engine.functionBuilders.map(_._1).toSet
+    assert(Set("parse_date", "parse_timestamp", "seab_field", "seab_hextotext",
+      "from_bytes", "mv_split", "mv_index", "mv_join", "inputter_his",
+      "simhash64", "cosine_sim").subsetOf(names))
+  }
+
   test("a reference-shaped MAPPED statement runs end-to-end") {
     import spark.implicits._
     Seq(("1", Map("D" -> "20240131", "AMT" -> "12.5", "MV" -> "1:x#2:y")))
