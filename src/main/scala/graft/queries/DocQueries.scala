@@ -119,6 +119,23 @@ object DocQueries {
         .orderBy("doc_id", "fingerprint")
     },
 
+    // train/eval contamination check: the winnowing guarantee (any
+    // sufficiently-long shared passage shares a fingerprint) turns
+    // overlap detection into a fingerprint equi-join + count — no
+    // text-vs-text comparison ever happens
+    "d16_contamination" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      def fps(side: DataFrame, idAs: String) =
+        side.select(col("doc_id").as(idAs),
+          explode(Dedup.winnow(col("text"))).as("fingerprint"))
+      fps(docs.filter(col("doc_id") % 10 =!= 0), "train_id")
+        .join(fps(docs.filter(col("doc_id") % 10 === 0), "eval_id"), "fingerprint")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("train_id", "eval_id")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -262,8 +279,35 @@ object DocQueries {
        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** (doc_id, fingerprint) rows via the same winnowing fold as
+    * Dedup.winnow — shared by the d10 and d16 oracles. */
+  private val winnowFpSql: String =
+    """SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
+      |    i -> list_min(hashes[i:i+3]))))) AS fingerprint
+      |FROM (
+      |  SELECT doc_id, list_transform(sh, s -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_split_to_array(s, ''), c2 -> CAST(ascii(c2) AS BIGINT))),
+      |      (a, b) -> (a*31 + b) % 1000000000000000)) AS hashes
+      |  FROM (
+      |    SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
+      |        i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |          FROM documents) a) b) c""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d7b_simhash_bands" -> simhashBandsOracle,
+
+    "d16_contamination" ->
+      s"""WITH fp AS ($winnowFpSql),
+         |tr AS (SELECT doc_id AS train_id, fingerprint FROM fp WHERE doc_id % 10 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, fingerprint FROM fp WHERE doc_id % 10 = 0)
+         |SELECT train_id, eval_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (fingerprint)
+         |GROUP BY train_id, eval_id HAVING COUNT(*) >= 3
+         |ORDER BY train_id, eval_id""".stripMargin,
     "d1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  length(text) AS n_chars_actual
@@ -356,21 +400,8 @@ object DocQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "d10_winnow" ->
-      """SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
-        |    i -> list_min(hashes[i:i+3]))))) AS fingerprint
-        |FROM (
-        |  SELECT doc_id, list_transform(sh, s -> list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_split_to_array(s, ''), c2 -> CAST(ascii(c2) AS BIGINT))),
-        |      (a, b) -> (a*31 + b) % 1000000000000000)) AS hashes
-        |  FROM (
-        |    SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
-        |        i -> array_to_string(toks[i:i+2], ' ')) END AS sh
-        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |          FROM documents) a) b) c
-        |ORDER BY doc_id, fingerprint""".stripMargin,
+      s"""SELECT doc_id, fingerprint FROM ($winnowFpSql) t
+         |ORDER BY doc_id, fingerprint""".stripMargin,
 
     "d9_bpe_tokens" ->
       """SELECT doc_id,
