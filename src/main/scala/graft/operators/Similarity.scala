@@ -71,12 +71,14 @@ object Similarity {
     // their dedup exchange move 16-byte keys, not embedding payloads
     // (shipping vectors through an 8-way band explosion is the
     // 100 TB shuffle sin); vectors join back by id for the verify pass
-    // repartition on the bucket key: both self-join sides share one
-    // canonical exchange, so the corpus scans (and buckets) ONCE
+    // bucketing is a cheap narrow map, so the self-join recomputing it
+    // per side beats forcing an exchange at bench scale; on a corpus
+    // where the double SCAN dominates, add
+    // `.repartition(col("tbl"), col("bucket"))` here and both sides
+    // share one canonical exchange (the simhashNearDups shape)
     val b = corpus.select(col("vec_id"),
       posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, planesPerTable))
         .as(Seq("tbl", "bucket")))
-      .repartition(col("tbl"), col("bucket"))
     val pairs = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
