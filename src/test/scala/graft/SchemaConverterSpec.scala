@@ -204,6 +204,34 @@ class SchemaConverterSpec extends AnyFunSuite {
     assert(out.getDouble(3) == 12.50)
   }
 
+  test("blobFe tolerates short and malformed blobs (null fields, no failure)") {
+    import spark.implicits._
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val r = Seq(
+      ("1", hexOf("ONLYONE")),        // fewer fields than the schema
+      ("2", "zz-not-hex"),            // unhex -> null payload
+      ("3", null.asInstanceOf[String])) // null blob
+      .toDF(SchemaConverter.RecId, SchemaConverter.Blob)
+    val sch = Seq(
+      FieldSpec("A"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"))
+    val out = SchemaConverter.blobFe(r, sch).orderBy("RECID").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "ONLYONE" && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("an SV-only schema through mapped keeps just RECID + fields") {
+    import spark.implicits._
+    val r = Seq(("1", Map("A" -> "x"))).toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    // a field missing from the record resolves to null, not an error
+    val out = SchemaConverter.mapped(r, Seq(FieldSpec("A"), FieldSpec("MISSING")))
+    assert(out.columns.toSeq == Seq("RECID", "A", "MISSING"))
+    val row = out.head()
+    assert(row.getString(1) == "x" && row.isNullAt(2))
+  }
+
   test("blobFe FEFD mode explodes FD-delimited multivalues with transforms") {
     import spark.implicits._
     def hexOf(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
