@@ -55,4 +55,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label"), "e4 must not self-join on the label column")
     assert(p.contains("bucket"), "expected the (tbl, bucket) equi-join")
   }
+
+  test("d16: contamination is a fingerprint equi-join, no text comparison") {
+    val p = plan("d16_contamination")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("fingerprint"), "expected the fingerprint join key")
+  }
+
+  test("d7b: the banded self-join shuffles on the band key (single SimHash pass)") {
+    val p = plan("d7b_simhash_bands")
+    assert(!p.contains("CartesianProduct"))
+    // both sides repartition on (band, chunk): canonically identical
+    // exchanges that AQE's stage reuse executes ONCE at runtime
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit band-key repartition enabling exchange reuse")
+  }
+
+  test("q13/q32: window aggregations group by timestamp keys, not strings") {
+    Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
+      val p = plan(name)
+      val agg = p.linesIterator.filter(_.contains("HashAggregate")).mkString
+      assert(!agg.contains("date_format"),
+        s"$name must format AFTER the aggregation, not shuffle string keys")
+    }
+  }
 }
