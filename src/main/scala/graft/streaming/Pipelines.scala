@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -128,6 +128,36 @@ object Pipelines {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Incremental near-dup screening: arriving documents check against
+    * a STATIC reference corpus via the SimHash chunk-band equi-join — a
+    * stream-static join, so it is STATELESS (no watermark, no growing
+    * state; the corpus side is a bounded build side re-broadcast per
+    * batch or bucket-joined at scale). Emits (doc_id, match_id,
+    * hamming) for stream docs within `maxHamming` of a corpus doc —
+    * the ingest-time filter of a 100 TB training-data pipeline. */
+  def streamNearDupScreen(stream: DataFrame, corpus: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val s = Dedup.simhashBands(stream)
+      .withColumnRenamed("doc_id", "in_id").withColumnRenamed("simhash", "in_hash")
+    val c = Dedup.simhashBands(corpus)
+      .withColumnRenamed("doc_id", "match_id").withColumnRenamed("simhash", "match_hash")
+    // pairs sharing several bands would duplicate; a stateful
+    // dropDuplicates would grow forever on a stream, so dedup is
+    // PER-ROW: both hashes travel with the row, so "is this the FIRST
+    // band where the chunks agree?" is a pure expression
+    def chunk(h: Column, b: Int) =
+      shiftrightunsigned(h, b * 16).bitwiseAND(lit(65535L))
+    val firstMatchingBand = (0 until 4).reverse.foldLeft(lit(-1): Column) { (acc, b) =>
+      when(chunk(col("in_hash"), b) === chunk(col("match_hash"), b), lit(b)).otherwise(acc)
+    }
+    s.join(c, Seq("band", "chunk"))
+      .filter(col("band") === firstMatchingBand)
+      .select(col("in_id"), col("match_id"),
+        bit_count(col("in_hash").bitwiseXOR(col("match_hash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** The KSQL TABLE materialization over a CDC stream: latest record

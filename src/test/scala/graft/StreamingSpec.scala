@@ -167,6 +167,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(_.getLong(1) == 1L))
   }
 
+  test("stream near-dup screen flags arrivals matching the static corpus once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (200L, "completely different content about catalyst optimizer rules and codegen"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Pipelines.streamNearDupScreen(stream, corpus)
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "entirely unrelated text mentioning parquet pushdown and shuffle partitions"))
+    q.processAllAvailable()
+    val out = spark.table("screen_out").collect()
+    q.stop()
+    // doc 1 is an exact dup of corpus 100 → exactly ONE (1,100) row
+    // (per-row band dedup, no stateful dropDuplicates); doc 2 clean
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)))
+    assert(out.head.getLong(2) == 0L)
+  }
+
   test("latest-per-key table materialization updates across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
