@@ -202,13 +202,19 @@ object Dedup {
     * explosion (4 keys per doc, narrow map). The `& 65535` mask makes
     * the chunk identical under arithmetic or logical shift, which keeps
     * the oracle portable. */
+  /** Number of disjoint SimHash chunks and the b-th 16-bit chunk — ONE
+    * definition of the band layout, shared with the streaming screen's
+    * per-row band dedup. */
+  val SimhashBandCount = 4
+  def simhashChunk(h: Column, b: Int): Column =
+    shiftrightunsigned(h, b * 16).bitwiseAND(lit(65535L))
+
   def simhashBands(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     simhash(docs, idCol, textCol)
       .select(col(idCol), col("simhash"),
-        posexplode(array((0 until 4).map { b =>
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L))
-        }: _*)).as(Seq("band", "chunk")))
+        posexplode(array((0 until SimhashBandCount).map(b =>
+          simhashChunk(col("simhash"), b)): _*)).as(Seq("band", "chunk")))
 
   /** Near-dup pairs within `maxHamming` (≤ 3 for complete recall with
     * 4 bands): banded candidates verified by exact XOR popcount. The

@@ -44,14 +44,17 @@ object PpmCodec {
       }
       if (!any) -1 else v
     }
-    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    if (payload == null || payload.length < 2 ||
+      payload(0) != 'P' || payload(1) != '6') return None
     pos = 2
     val w = int(); val h = int(); val maxval = int()
     if (w <= 0 || h <= 0 || maxval != 255 || pos >= payload.length) return None
     pos += 1 // single whitespace after maxval
-    val need = w * h * 3
-    if (payload.length - pos < need) return None
-    Some(Image(w, h, java.util.Arrays.copyOfRange(payload, pos, pos + need)))
+    // Long arithmetic: a corrupt header like 65536x65536 would overflow
+    // an Int `w*h*3` to 0/negative and defeat the length guard below
+    val need = w.toLong * h * 3
+    if (need > payload.length - pos) return None
+    Some(Image(w, h, java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt)))
   }
 
   /** Box-average resize to (tw, th): each target pixel is the floor of
@@ -120,6 +123,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, payload) =>
+        val len = if (payload == null) 0 else payload.length
         PpmCodec.decode(payload) match {
           case Some(img) =>
             val n = img.width * img.height
@@ -130,11 +134,11 @@ object Multimodal {
               while (c < 3) { sums(c) += img.rgb(i * 3 + c) & 0xff; c += 1 }
               i += 1
             }
-            ImageFeatures(id, payload.length, Some(img.width), Some(img.height),
+            ImageFeatures(id, len, Some(img.width), Some(img.height),
               Some(sums(0).toDouble / n), Some(sums(1).toDouble / n),
               Some(sums(2).toDouble / n))
           case None =>
-            ImageFeatures(id, payload.length, None, None, None, None, None)
+            ImageFeatures(id, len, None, None, None, None, None)
         }
       }
     }

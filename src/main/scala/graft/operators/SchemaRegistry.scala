@@ -20,34 +20,37 @@ object SchemaRegistry {
   def remove(name: String): Unit = store.remove(name)
   def list(): Seq[String] = store.keys.toSeq.sorted
 
-  /** Persist every registered schema to one parquet dataset. */
+  /** Persist every registered schema to one parquet dataset. Field
+    * order is PERSISTED (`pos`): it is semantically positional for the
+    * BLOB FE/FEFD modes, and parquet read order is not write order. */
   def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     store.toSeq
-      .flatMap { case (n, fs) => fs.map(f => (n, f.name, f.dataType,
-        f.transformation, f.parseSv, f.parseVm, f.parseVs, f.nested)) }
-      .toDF("schema_name", "name", "dataType", "transformation",
+      .flatMap { case (n, fs) => fs.zipWithIndex.map { case (f, i) =>
+        (n, i, f.name, f.dataType, f.transformation, f.parseSv, f.parseVm,
+          f.parseVs, f.nested) } }
+      .toDF("schema_name", "pos", "name", "dataType", "transformation",
         "parseSv", "parseVm", "parseVs", "nested")
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load schemas persisted by [[save]] into the registry. Reads
-    * pre-`nested` datasets too (mergeSchema-style default of ""). */
+    * pre-`nested`/pre-`pos` datasets too (defaults "", file order). */
   def load(spark: SparkSession, path: String): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val df = spark.read.parquet(path)
-    val withNested =
-      if (df.columns.contains("nested")) df
-      else df.withColumn("nested", lit(""))
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+    val df0 = spark.read.parquet(path)
+    val df1 = if (df0.columns.contains("nested")) df0 else df0.withColumn("nested", lit(""))
+    val df = if (df1.columns.contains("pos")) df1
+      else df1.withColumn("pos", monotonically_increasing_id())
     import spark.implicits._
-    withNested
-      .select(col("schema_name"), col("name"), col("dataType"), col("transformation"),
-        col("parseSv"), col("parseVm"), col("parseVs"), col("nested"))
-      .as[(String, String, String, String, Boolean, Boolean, Boolean, String)]
+    df.select(col("schema_name"), col("pos").cast("long"), col("name"), col("dataType"),
+        col("transformation"), col("parseSv"), col("parseVm"), col("parseVs"), col("nested"))
+      .as[(String, Long, String, String, String, Boolean, Boolean, Boolean, String)]
       .collect()
       .groupBy(_._1)
       .foreach { case (n, rows) =>
-        put(n, rows.toSeq.map(r => FieldSpec(r._2, r._3, r._4, r._5, r._6, r._7, r._8)))
+        put(n, rows.toSeq.sortBy(_._2)
+          .map(r => FieldSpec(r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
       }
   }
 

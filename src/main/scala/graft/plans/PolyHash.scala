@@ -6,12 +6,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Polynomial string hash: fold (acc·31 + byte) mod `modulus` over the
-  * UTF-8 bytes. Unlike xxhash64/murmur it is engine-portable — the
-  * identical fold is expressible in plain SQL (`list_reduce` over
-  * `ascii` codes), which is what lets the MinHash pipeline carry a full
-  * DuckDB oracle. For ASCII text (this corpus) bytes == `ascii()`
-  * codepoints. `modulus` must keep acc·31+255 inside a Long.
+/** Polynomial string hash: fold (acc·31 + codepoint) mod `modulus`
+  * over the characters. Unlike xxhash64/murmur it is engine-portable —
+  * the identical fold is expressible in plain SQL (`list_reduce` over
+  * per-character `ascii()` codes, which return Unicode codepoints),
+  * which is what lets the MinHash pipeline carry a full DuckDB oracle.
+  * ASCII text folds over the raw UTF-8 bytes (identical values, no
+  * String allocation); non-ASCII falls back to codepoint iteration so
+  * the oracle convention holds beyond ASCII too. `modulus` must keep
+  * acc·31+cp inside a Long.
   */
 case class PolyHash(child: Expression, modulus: Long) extends UnaryExpression {
   require(modulus > 0 && modulus < Long.MaxValue / 32)
@@ -40,9 +43,25 @@ object PolyHash {
     val bytes = s.getBytes
     var acc = 0L
     var i = 0
-    while (i < bytes.length) {
-      acc = (acc * 31 + (bytes(i) & 0xff)) % modulus
-      i += 1
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      else {
+        acc = (acc * 31 + bytes(i)) % modulus
+        i += 1
+      }
+    }
+    if (!ascii) {
+      // per-CODEPOINT fold (the oracle's per-character ascii() terms);
+      // restart — mixing byte and codepoint terms would match neither
+      acc = 0L
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % modulus
+        j += Character.charCount(cp)
+      }
     }
     acc
   }

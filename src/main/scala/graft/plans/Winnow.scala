@@ -44,10 +44,39 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, modulus: Long)
 }
 
 object WinnowFingerprints {
+
+  /** Fold one token's characters into the running hash: raw bytes for
+    * ASCII (identical values, no allocation), per-codepoint otherwise —
+    * the same convention as [[PolyHash]], matching the oracle's
+    * per-character `ascii()` terms on any input. */
+  private def foldToken(acc0: Long, tok: org.apache.spark.unsafe.types.UTF8String,
+                        modulus: Long): Long = {
+    val bytes = tok.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false else i += 1
+    }
+    var acc = acc0
+    if (ascii) {
+      i = 0
+      while (i < bytes.length) { acc = (acc * 31 + bytes(i)) % modulus; i += 1 }
+    } else {
+      val str = tok.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % modulus
+        j += Character.charCount(cp)
+      }
+    }
+    acc
+  }
+
   def compute(toks: ArrayData, k: Int, w: Int, modulus: Long): ArrayData = {
     val n = toks.numElements()
-    // shingle hash = poly fold over the bytes of tokens i..i+k-1 joined
-    // by ' ' (0x20); < k tokens -> one whole-array shingle
+    // shingle hash = poly fold over tokens i..i+k-1 joined by ' '
+    // (0x20); < k tokens -> one whole-array shingle
     val nSh = if (n < k) 1 else n - k + 1
     val span = if (n < k) math.max(n, 0) else k
     val hashes = new Array[Long](nSh)
@@ -58,12 +87,7 @@ object WinnowFingerprints {
       while (j < span) {
         if (j > 0) acc = (acc * 31 + 0x20L) % modulus
         if (!toks.isNullAt(i + j)) {
-          val bytes = toks.getUTF8String(i + j).getBytes
-          var b = 0
-          while (b < bytes.length) {
-            acc = (acc * 31 + (bytes(b) & 0xff)) % modulus
-            b += 1
-          }
+          acc = foldToken(acc, toks.getUTF8String(i + j), modulus)
         }
         j += 1
       }

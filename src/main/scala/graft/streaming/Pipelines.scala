@@ -147,12 +147,13 @@ object Pipelines {
     // pairs sharing several bands would duplicate; a stateful
     // dropDuplicates would grow forever on a stream, so dedup is
     // PER-ROW: both hashes travel with the row, so "is this the FIRST
-    // band where the chunks agree?" is a pure expression
-    def chunk(h: Column, b: Int) =
-      shiftrightunsigned(h, b * 16).bitwiseAND(lit(65535L))
-    val firstMatchingBand = (0 until 4).reverse.foldLeft(lit(-1): Column) { (acc, b) =>
-      when(chunk(col("in_hash"), b) === chunk(col("match_hash"), b), lit(b)).otherwise(acc)
-    }
+    // band where the chunks agree?" is a pure expression (band layout
+    // shared with Dedup.simhashBands via Dedup.simhashChunk)
+    val firstMatchingBand = (0 until Dedup.SimhashBandCount).reverse
+      .foldLeft(lit(-1): Column) { (acc, b) =>
+        when(Dedup.simhashChunk(col("in_hash"), b) ===
+          Dedup.simhashChunk(col("match_hash"), b), lit(b)).otherwise(acc)
+      }
     s.join(c, Seq("band", "chunk"))
       .filter(col("band") === firstMatchingBand)
       .select(col("in_id"), col("match_id"),

@@ -22,6 +22,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PpmCodec.decode("P5\n1 1\n255\n ".getBytes ++ rgb).isEmpty, "wrong magic")
     assert(PpmCodec.decode("P6\n2 2\n255\n".getBytes ++ rgb).isEmpty, "truncated pixels")
     assert(PpmCodec.decode(Array[Byte](1, 2)).isEmpty)
+    // corrupt headers whose w*h*3 overflows an Int must not defeat the
+    // length guard (65536*65536*3 wraps to 0; 50000^2*3 goes negative)
+    assert(PpmCodec.decode("P6\n65536 65536\n255\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode("P6\n50000 50000\n255\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode(null).isEmpty)
+  }
+
+  test("null payloads null the features, never the pipeline") {
+    import spark.implicits._
+    val media = Seq((1L, null.asInstanceOf[Array[Byte]])).toDS()
+    val out = Multimodal.decodeImages(media).collect().head
+    assert(out.byte_len == 0 && out.width.isEmpty && out.mean_r.isEmpty)
+    val resized = Multimodal.resizeImages(media, 2, 2).collect().head
+    assert(resized._2 == null, "malformed/null payloads pass through")
   }
 
   test("box resize averages source cells per channel") {

@@ -51,6 +51,24 @@ class NativeExprSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("native hashes match the composed per-character folds on non-ASCII text") {
+    import spark.implicits._
+    val docs = Seq((1L, "café au lait très tôt près du quai übers Straße"),
+      (2L, "plain ascii text for the fast path check here")).toDF("doc_id", "text")
+    val nw = docs.select(col("doc_id"), Dedup.winnow(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cw = docs.select(col("doc_id"), Dedup.winnowComposed(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nw == cw, "winnow must fold codepoints like the oracle's ascii() terms")
+    val nh = docs.select(col("doc_id"), Dedup.shingleHash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ch = docs.select(col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => pmod(acc * 31 + ascii(c), lit(Dedup.P))).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nh == ch, "polyHash must fold codepoints like the oracle's ascii() terms")
+  }
+
   test("WinnowFingerprints handles short token arrays") {
     import spark.implicits._
     val out = Seq("one two", "single", "a b c d e f").toDF("text")
