@@ -193,22 +193,21 @@ object Dedup {
       .select(col(idCol), col("simhash"),
         shiftrightunsigned(col("simhash"), 48).as("bucket"))
 
+  /** Number of disjoint SimHash chunks and the b-th 16-bit chunk — ONE
+    * definition of the band layout, shared with the streaming screen's
+    * per-row band dedup. The `& 65535` mask makes the chunk identical
+    * under arithmetic or logical shift, which keeps the oracle portable. */
+  val SimhashBandCount = 4
+  def simhashChunk(h: Column, b: Int): Column =
+    shiftrightunsigned(h, b * 16).bitwiseAND(lit(65535L))
+
   /** SimHash banding for hamming near-dup candidates: the 64-bit
     * fingerprint splits into 4 disjoint 16-bit chunks; by pigeonhole,
     * two fingerprints within hamming distance 3 share at least one
     * chunk EXACTLY, so candidate generation is a (band, chunk)
     * equi-join with GUARANTEED recall at distance ≤ 3 — the multi-probe
     * upgrade over the single-prefix bucket, with no bit-flip probe
-    * explosion (4 keys per doc, narrow map). The `& 65535` mask makes
-    * the chunk identical under arithmetic or logical shift, which keeps
-    * the oracle portable. */
-  /** Number of disjoint SimHash chunks and the b-th 16-bit chunk — ONE
-    * definition of the band layout, shared with the streaming screen's
-    * per-row band dedup. */
-  val SimhashBandCount = 4
-  def simhashChunk(h: Column, b: Int): Column =
-    shiftrightunsigned(h, b * 16).bitwiseAND(lit(65535L))
-
+    * explosion (4 keys per doc, narrow map). */
   def simhashBands(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     simhash(docs, idCol, textCol)

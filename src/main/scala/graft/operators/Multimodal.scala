@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object PpmCodec {
 
+  /** Per-axis dimension cap: keeps w·h·3 (and every (y·w+x)·3 pixel
+    * index) inside exact Int/Long arithmetic for any accepted header. */
+  val MaxDim = 32767
+
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
   /** Encode raw interleaved RGB as binary PPM. */
@@ -37,12 +41,15 @@ object PpmCodec {
     }
     def int(): Int = {
       skipWs()
-      var v = 0
+      // accumulate in Long and cap: a corrupt 4294967297 would wrap an
+      // Int to a bogus small dimension and decode the wrong pixels
+      var v = 0L
       var any = false
       while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
-        v = v * 10 + (payload(pos) - '0'); pos += 1; any = true
+        if (v <= MaxDim) v = v * 10 + (payload(pos) - '0')
+        pos += 1; any = true
       }
-      if (!any) -1 else v
+      if (!any || v > MaxDim) -1 else v.toInt
     }
     if (payload == null || payload.length < 2 ||
       payload(0) != 'P' || payload(1) != '6') return None
@@ -50,8 +57,8 @@ object PpmCodec {
     val w = int(); val h = int(); val maxval = int()
     if (w <= 0 || h <= 0 || maxval != 255 || pos >= payload.length) return None
     pos += 1 // single whitespace after maxval
-    // Long arithmetic: a corrupt header like 65536x65536 would overflow
-    // an Int `w*h*3` to 0/negative and defeat the length guard below
+    // both dims are <= MaxDim here, so w*h*3 fits a Long exactly and
+    // need.toInt is safe whenever the payload-length guard passes
     val need = w.toLong * h * 3
     if (need > payload.length - pos) return None
     Some(Image(w, h, java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt)))

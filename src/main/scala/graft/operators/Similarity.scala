@@ -59,10 +59,12 @@ object Similarity {
   /** Embedding-cosine near-dup pairs with sign-LSH blocking: each
     * vector expands to `nTables` (table, bucket) keys — a narrow map —
     * and candidate pairs come from the self-equi-join on that key, with
-    * exact cosine verifying only candidates. The corpus shuffles once
-    * on the bucket key; there is no label- or corpus-wide self-join, so
-    * the shape holds at any corpus size (recall is the union-of-tables
-    * LSH recall, tunable via nTables/planesPerTable). */
+    * exact cosine verifying only candidates. There is no label- or
+    * corpus-wide self-join, so the shape holds at any corpus size
+    * (recall is the union-of-tables LSH recall, tunable via
+    * nTables/planesPerTable). Each self-join side recomputes the cheap
+    * bucketing map over its own scan — see the inline note for the
+    * single-scan switch when the double scan dominates. */
   def lshNearDupPairs(corpus: DataFrame, minCos: Double,
                       nTables: Int = 8, planesPerTable: Int = 4,
                       dim: Int = 64): DataFrame = {

@@ -133,16 +133,21 @@ object Pipelines {
   /** Incremental near-dup screening: arriving documents check against
     * a STATIC reference corpus via the SimHash chunk-band equi-join — a
     * stream-static join, so it is STATELESS (no watermark, no growing
-    * state; the corpus side is a bounded build side re-broadcast per
-    * batch or bucket-joined at scale). Emits (doc_id, match_id,
-    * hamming) for stream docs within `maxHamming` of a corpus doc —
-    * the ingest-time filter of a 100 TB training-data pipeline. */
-  def streamNearDupScreen(stream: DataFrame, corpus: DataFrame,
+    * state). Emits (in_id, match_id, hamming) for stream docs within
+    * `maxHamming` of a corpus doc — the ingest-time filter of a 100 TB
+    * training-data pipeline.
+    *
+    * @param corpusBands the static side, pre-banded via
+    *   `Dedup.simhashBands(corpus)` and MATERIALIZED by the caller
+    *   (`.cache()`, or a written bands table). Spark re-executes the
+    *   static plan on every micro-batch, so handing an unmaterialized
+    *   corpus here would recompute its full SimHash pass per batch. */
+  def streamNearDupScreen(stream: DataFrame, corpusBands: DataFrame,
                           maxHamming: Int = 3): DataFrame = {
     import graft.operators.Dedup
     val s = Dedup.simhashBands(stream)
       .withColumnRenamed("doc_id", "in_id").withColumnRenamed("simhash", "in_hash")
-    val c = Dedup.simhashBands(corpus)
+    val c = corpusBands
       .withColumnRenamed("doc_id", "match_id").withColumnRenamed("simhash", "match_hash")
     // pairs sharing several bands would duplicate; a stateful
     // dropDuplicates would grow forever on a stream, so dedup is

@@ -26,6 +26,10 @@ class MultimodalSpec extends AnyFunSuite {
     // length guard (65536*65536*3 wraps to 0; 50000^2*3 goes negative)
     assert(PpmCodec.decode("P6\n65536 65536\n255\n".getBytes ++ rgb).isEmpty)
     assert(PpmCodec.decode("P6\n50000 50000\n255\n".getBytes ++ rgb).isEmpty)
+    // ... nor a Long (Int.Max² * 3 wraps a Long; low 32 bits == 3)
+    assert(PpmCodec.decode("P6\n2147483647 2147483647\n255\n".getBytes ++ rgb).isEmpty)
+    // digit runs that wrap an Int (4294967297 -> 1) must not parse as 1x1
+    assert(PpmCodec.decode("P6\n4294967297 4294967297\n255\n".getBytes ++ rgb).isEmpty)
     assert(PpmCodec.decode(null).isEmpty)
   }
 

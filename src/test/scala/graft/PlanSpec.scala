@@ -74,8 +74,10 @@ class PlanSpec extends AnyFunSuite {
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)
-      val agg = p.linesIterator.filter(_.contains("HashAggregate")).mkString
-      assert(!agg.contains("date_format"),
+      // FormattedMode prints aggregate keys on their own "Keys [n]:" lines
+      val keyLines = p.linesIterator.filter(_.trim.startsWith("Keys")).mkString
+      assert(keyLines.nonEmpty, s"$name: expected aggregate Keys lines in the plan")
+      assert(!keyLines.contains("date_format"),
         s"$name must format AFTER the aggregation, not shuffle string keys")
     }
   }

@@ -176,7 +176,10 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val in = MemoryStream[(Long, String)]
     val stream = in.toDF().toDF("doc_id", "text")
-    val q = Pipelines.streamNearDupScreen(stream, corpus)
+    // the static side is pre-banded + cached by the caller (the
+    // contract: Spark re-runs the static plan every micro-batch)
+    val bands = graft.operators.Dedup.simhashBands(corpus).cache()
+    val q = Pipelines.streamNearDupScreen(stream, bands)
       .writeStream.format("memory").queryName("screen_out")
       .outputMode("append").start()
     in.addData(
