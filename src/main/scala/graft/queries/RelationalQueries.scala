@@ -436,6 +436,25 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // TPC-H Q3 shape: date-filtered fact⋈fact join, grouped revenue,
+    // top-10 by revenue — filters push to both scans before the join
+    "q39_ship_priority" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+        .select(col("l_orderkey"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("rev"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // the salted-join utility under the correctness gate: salting must
     // be bit-identical to the plain join (the oracle IS the plain join)
     "q38_skew_salted" -> q { (s, d) =>
@@ -784,6 +803,14 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q39_ship_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_date, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q38_skew_salted" ->
       s"""SELECT p_brand,
