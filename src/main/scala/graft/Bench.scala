@@ -1,6 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Each query is consumed through a `noop`-format write:
+  * unlike `count()`, a write materializes EVERY output column (so
+  * ColumnPruning cannot strip computed projections — the trap SURVEY §6d
+  * documents) and, unlike an aggregate root, it keeps the final ORDER BY
+  * in the executed plan, so sort cost is measured too.
+  *
+  * The suite runs at a second, smaller scale factor first: a query whose
+  * time barely moves between SFs is dominated by fixed session overhead,
+  * which separates overhead from scaling behavior in the report. The
+  * JSON line goes to stdout (driver contract) AND `bench_out.json`,
+  * because the driver's captured stdout tail truncated round 3's line.
+  */
 object Bench {
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  // min of two runs per query: the host shows multi-second noise bursts,
+  // and min-of-N is the standard estimator for the true cost.
+  // a failing query must abort the bench loudly — swallowing it would
+  // report a crash as the fastest "time" in the suite
+  private def timeSuite(spark: SparkSession, sfDir: String): Map[String, Double] =
+    SparkEntry.queries.map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try consume(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name failed at $sfDir")
+            throw e
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
+    }
+
+  private def js(m: Map[String, Double]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,26 +55,24 @@ object Bench {
     // absorb JVM start (no query results are precomputed)
     spark.range(1000000).selectExpr("sum(id * 2) AS s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    // min of two runs per query: the host shows multi-second noise
-    // bursts, and min-of-N is the standard estimator for the true cost
-    // a failing query must abort the bench loudly — swallowing it would
-    // report a crash as the fastest "time" in the suite
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] query $name failed")
-            throw e
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val smallDir =
+      if (sfDir.endsWith("sf0.01")) "/root/testdata/sf0.001"
+      else "/root/testdata/sf0.01"
+    val small =
+      if (Files.isDirectory(Paths.get(smallDir))) timeSuite(spark, smallDir)
+      else Map.empty[String, Double]
+
+    val results = timeSuite(spark, sfDir)
+    val total = results.values.sum
+    val extra =
+      if (small.isEmpty) ""
+      else s""","sf_small":"$smallDir","total_small":${small.values.sum},"queries_small":${js(small)}"""
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
+    println(line)
+    Files.write(Paths.get("bench_out.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

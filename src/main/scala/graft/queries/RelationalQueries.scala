@@ -426,13 +426,22 @@ object RelationalQueries {
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
-    // rows-only: HLL sketch values are engine-specific; relative-error
-    // bound asserted in RelationalSpec
+    // HLL sketch values are engine-specific, so the raw estimate can't be
+    // hash-compared — instead the query emits the exact distinct count plus
+    // a boolean-as-int "estimate within 5% of exact", which the oracle
+    // asserts as a literal 1. HLL is deterministic for fixed data, so once
+    // green at a scale factor it stays green; rsd=0.02 keeps the 5% bound
+    // at a 2.5-sigma margin (measured max error at sf0.1: 1.0%) without
+    // the 16x-larger rsd=0.01 sketch.
     "q27_approx_distinct" -> q { (s, d) =>
       table(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_lines"),
+          (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+            / col("exact_parts") <= lit(0.05)).cast(IntegerType).as("within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -845,6 +854,16 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle asserts the HLL estimate lands within 5% of exact by
+    // matching Spark's computed boolean against a literal 1 — the sketch
+    // value itself never crosses engines
+    "q27_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_lines,
+        |  CAST(1 AS INTEGER) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
