@@ -71,6 +71,37 @@ class PlanSpec extends AnyFunSuite {
       "expected the explicit band-key repartition enabling exchange reuse")
   }
 
+  test("q39: both date filters are pushed to their parquet scans") {
+    val p = plan("q39_ship_priority")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "lineitem shipdate filter not pushed to the lineitem scan")
+    assert(p.contains("LessThan(o_orderdate"),
+      "orders orderdate filter not pushed to the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q38: salted join is a keyed hash join on (key, salt), no cartesian") {
+    val p = plan("q38_skew_salted")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin"), "expected a hash join on the salted key")
+    // the salt column must be part of the join key, not a post-filter
+    assert("Left keys \\[2\\]".r.findFirstIn(p).isDefined &&
+      p.contains("__salt"),
+      "expected a two-column join key including __salt")
+  }
+
+  test("t24_blob_fefd: one Generate, no shuffle before the final sort") {
+    val p = plan("t24_blob_fefd")
+    // the packed-record explosion is a single Generate; the only
+    // exchange allowed is the range partitioning for the deterministic
+    // final ORDER BY (an oracle requirement, not part of the operator)
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 1, s"expected exactly one Generate, found $generates")
+    assert(!p.contains("hashpartitioning"),
+      "FE/FD decode must not shuffle — it is a pure per-row expansion")
+  }
+
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)
