@@ -63,24 +63,26 @@ object Similarity {
     * corpus-wide self-join, so the shape holds at any corpus size
     * (recall is the union-of-tables LSH recall, tunable via
     * nTables/planesPerTable). Each self-join side recomputes the cheap
-    * bucketing map over its own scan — see the inline note for the
-    * single-scan switch when the double scan dominates. */
+    * bucketing map over its own scan by default; `singleScan = true`
+    * repartitions the banded rows on (tbl, bucket) so both sides share
+    * one canonical exchange and the corpus is scanned once — use it
+    * when the scan (wide rows, remote storage) dominates the cheap
+    * bucketing map; at bench scale the forced exchange costs more. */
   def lshNearDupPairs(corpus: DataFrame, minCos: Double,
                       nTables: Int = 8, planesPerTable: Int = 4,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, singleScan: Boolean = false): DataFrame = {
     val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, dim)
     // banded rows carry ONLY (vec_id, tbl, bucket): candidate pairs and
     // their dedup exchange move 16-byte keys, not embedding payloads
     // (shipping vectors through an 8-way band explosion is the
     // 100 TB shuffle sin); vectors join back by id for the verify pass
-    // bucketing is a cheap narrow map, so the self-join recomputing it
-    // per side beats forcing an exchange at bench scale; on a corpus
-    // where the double SCAN dominates, add
-    // `.repartition(col("tbl"), col("bucket"))` here and both sides
-    // share one canonical exchange (the simhashNearDups shape)
-    val b = corpus.select(col("vec_id"),
+    val banded = corpus.select(col("vec_id"),
       posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, planesPerTable))
         .as(Seq("tbl", "bucket")))
+    // with singleScan, both self-join sides become canonically identical
+    // exchanges that AQE stage reuse executes ONCE (the simhashNearDups
+    // shape, gated in PlanSpec)
+    val b = if (singleScan) banded.repartition(col("tbl"), col("bucket")) else banded
     val pairs = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

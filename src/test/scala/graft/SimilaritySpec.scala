@@ -96,4 +96,31 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.lloydRefine(emb.repartition(7), cents0)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("near-dup pairs: singleScan mode is result-identical to the default") {
+    def pairs(singleScan: Boolean) =
+      Similarity.lshNearDupPairs(emb, minCos = 0.2, singleScan = singleScan)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("cos"))).toSet
+    val dual = pairs(singleScan = false)
+    val single = pairs(singleScan = true)
+    assert(dual.nonEmpty)
+    assert(single == dual)
+  }
+
+  test("near-dup pairs: singleScan plans one shared band-key exchange") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val single = Similarity.lshNearDupPairs(emb, minCos = 0.2, singleScan = true)
+      .queryExecution.explainString(FormattedMode)
+    // both self-join sides repartition on (tbl, bucket): canonically
+    // identical exchanges that AQE stage reuse executes once (the d7b
+    // shape) — the corpus band map is computed from a single scan
+    assert(single.contains("REPARTITION_BY_COL"),
+      "singleScan must repartition the banded rows on the bucket key")
+    assert(!single.contains("CartesianProduct"))
+    val default = Similarity.lshNearDupPairs(emb, minCos = 0.2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!default.contains("REPARTITION_BY_COL"),
+      "default mode must not force the exchange (cheap-map recompute wins at bench scale)")
+  }
 }
