@@ -388,22 +388,49 @@ object SchemaConverter {
     (cast, name2)
   }
 
+  /** Built-in emission templates — overridable per name through
+    * [[SchemaRegistry.putTemplate]], mirroring the reference's
+    * user-editable template collection (`services/index.js:43-79`;
+    * template names follow the reference's: XML for the mapped
+    * statement, DDL_SINGLE / DDL_MULTIVALUE for the sink DDL). */
+  val MappedTemplateName = "XML"
+  val DdlSingleTemplateName = "DDL_SINGLE"
+  val DdlMultiTemplateName = "DDL_MULTIVALUE"
+  val DefaultMappedTemplate: String =
+    "SELECT\n  ${recId},\n${selectedFields}\nFROM ${source}"
+  val DefaultDdlTemplate: String =
+    "CREATE TABLE ${tableName} (\n${columns}\n) USING parquet${optionsClause}"
+
   /** Spark SQL text of the MAPPED statement over a source table/view —
-    * the analog of the reference's `stmtMapped` template output. */
+    * the analog of the reference's `stmtMapped` template output,
+    * rendered through the registered `XML` template when one exists
+    * (interpolation variables: `${recId}`, `${selectedFields}`,
+    * `${source}` — also bound as `${sourceStream}` and
+    * `${schemaName}`, the reference's names for it). */
   def mappedSql(schema: Seq[FieldSpec], source: String): String = {
     val fields = schema.filter(_.parseSv).map { sp =>
       val (sql, name) = sqlField(recordInputSql(sp), sp)
       s"  $sql AS $name"
     }
-    (s"SELECT\n  $RecId," +: fields.mkString(",\n") +: Nil).mkString("\n") +
-      s"\nFROM $source"
+    SchemaRegistry.render(MappedTemplateName, DefaultMappedTemplate, Map(
+      "recId" -> RecId,
+      "selectedFields" -> fields.mkString(",\n"),
+      "source" -> source,
+      "sourceStream" -> source,
+      "schemaName" -> source))
   }
 
   /** CREATE TABLE DDL for the sink — the analog of the reference's
-    * `stmtDdl` template output (`controllers/index.js:408,567`). The
-    * target schema IS the compiled pipeline's schema. */
+    * `stmtDdl` template output (`controllers/index.js:408,567`),
+    * rendered through the registered `DDL_SINGLE` / `DDL_MULTIVALUE`
+    * template when one exists (variables: `${tableName}`, `${columns}`,
+    * `${options}`, `${optionsClause}`). The target schema IS the
+    * compiled pipeline's schema. `options` carries WITH-style sink
+    * options (the reference's DDL templates embed topic/format options)
+    * emitted as an `OPTIONS ('k' = 'v', …)` clause. */
   def sinkDdl(schema: Seq[FieldSpec], tableName: String,
-              multivalue: Boolean = false): String = {
+              multivalue: Boolean = false,
+              options: Seq[(String, String)] = Seq.empty): String = {
     val fieldCols = schema.filter(_.parseSv).map { sp =>
       s"  ${outputName(sp)} ${sp.dataType.toUpperCase}"
     }
@@ -413,7 +440,14 @@ object SchemaConverter {
           schema.filter(_.parseVm).map(sp => s"  ${outputName(sp)} STRING") ++:
           schema.filter(_.parseVs).map(sp => s"  ${outputName(sp)}_VS ARRAY<STRING>")
       else Seq.empty
-    (s"CREATE TABLE $tableName (" +: (s"  $RecId STRING" +: (fieldCols ++ mvCols))
-      .mkString(",\n") +: Seq(") USING parquet")).mkString("\n")
+    val optionsSql = options
+      .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+      .mkString(", ")
+    val templateName = if (multivalue) DdlMultiTemplateName else DdlSingleTemplateName
+    SchemaRegistry.render(templateName, DefaultDdlTemplate, Map(
+      "tableName" -> tableName,
+      "columns" -> (s"  $RecId STRING" +: (fieldCols ++ mvCols)).mkString(",\n"),
+      "options" -> optionsSql,
+      "optionsClause" -> (if (options.isEmpty) "" else s"\nOPTIONS ($optionsSql)")))
   }
 }

@@ -59,4 +59,58 @@ object SchemaRegistry {
   def run(raw: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
     SchemaConverter.pipeline(raw,
       get(name).getOrElse(sys.error(s"schema not registered: $name")))
+
+  // ---- statement templates ------------------------------------------------
+  // The reference keeps the emission statement TEMPLATES themselves
+  // user-editable in a Couchbase collection (names like RAW, XML, SINK,
+  // DDL_SINGLE, DDL_MULTIVALUE; `src/services/index.js:43-79`, routes
+  // `GET|PUT /api/template*`) and interpolates them at compile time
+  // (`src/controllers/index.js:573-615`). Analog: a named template store
+  // with the same CRUD surface; interpolation is pure `${var}`
+  // substitution (the reference eval's a JS template literal — running
+  // arbitrary code from a data store is exactly what an engine must NOT
+  // do, so substitution is the deliberate Spark-first semantics).
+  // `SchemaConverter.mappedSql`/`sinkDdl` render through a registered
+  // template when present and fall back to the built-in default.
+
+  private val templates = TrieMap.empty[String, String]
+
+  def putTemplate(name: String, template: String): Unit =
+    templates.put(name, template)
+  def getTemplate(name: String): Option[String] = templates.get(name)
+  def removeTemplate(name: String): Unit = templates.remove(name)
+  def listTemplates(): Seq[String] = templates.keys.toSeq.sorted
+
+  /** `PUT /api/template/all` semantics (`services/index.js:53-68`): a
+    * present template upserts, an absent one removes its entry. */
+  def updateAllTemplates(entries: Seq[(String, Option[String])]): Unit =
+    entries.foreach {
+      case (n, Some(t)) => putTemplate(n, t)
+      case (n, None)    => removeTemplate(n)
+    }
+
+  /** Interpolate `${var}` references in the named template, or in
+    * `default` when no template with that name is registered. Unknown
+    * `${var}` references are left verbatim (visible in the output,
+    * never silently dropped). */
+  def render(name: String, default: String, vars: Map[String, String]): String =
+    vars.foldLeft(templates.getOrElse(name, default)) { case (acc, (k, v)) =>
+      acc.replace("${" + k + "}", v)
+    }
+
+  /** Persist the template store next to the schemas ([[save]]). */
+  def saveTemplates(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    templates.toSeq.toDF("template_name", "template")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load templates persisted by [[saveTemplates]]. */
+  def loadTemplates(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select("template_name", "template")
+      .as[(String, String)].collect()
+      .foreach { case (n, t) => putTemplate(n, t) }
+  }
 }

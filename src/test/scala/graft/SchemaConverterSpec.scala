@@ -246,4 +246,48 @@ class SchemaConverterSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("S1", "S1"))
     assert(out.map(_.getDate(3).toString).toSeq == Seq("2024-01-31", "2024-03-01"))
   }
+
+  test("a registered statement template overrides the emission; default returns on removal") {
+    import graft.operators.SchemaRegistry
+    val sch = Seq(FieldSpec("NAME"))
+    val before = SchemaConverter.sinkDdl(sch, "ACCT_SINK")
+    try {
+      // a KSQL-dialect user template, the reference's DDL_SINGLE shape
+      SchemaRegistry.putTemplate(SchemaConverter.DdlSingleTemplateName,
+        "CREATE STREAM ${tableName} (\n${columns}\n) WITH (KAFKA_TOPIC='${tableName}', ${options});")
+      val custom = SchemaConverter.sinkDdl(sch, "ACCT_SINK",
+        options = Seq("VALUE_FORMAT" -> "AVRO"))
+      assert(custom ==
+        "CREATE STREAM ACCT_SINK (\n  RECID STRING,\n  NAME STRING\n) " +
+          "WITH (KAFKA_TOPIC='ACCT_SINK', 'VALUE_FORMAT' = 'AVRO');")
+      // the mapped statement renders through its own template name
+      SchemaRegistry.putTemplate(SchemaConverter.MappedTemplateName,
+        "/* ${schemaName} */ SELECT ${recId} FROM ${source}")
+      assert(SchemaConverter.mappedSql(sch, "SRC") ==
+        "/* SRC */ SELECT RECID FROM SRC")
+    } finally {
+      SchemaRegistry.removeTemplate(SchemaConverter.DdlSingleTemplateName)
+      SchemaRegistry.removeTemplate(SchemaConverter.MappedTemplateName)
+    }
+    // with the store empty again, the built-in emission is byte-identical
+    assert(SchemaConverter.sinkDdl(sch, "ACCT_SINK") == before)
+    assert(before ==
+      "CREATE TABLE ACCT_SINK (\n  RECID STRING,\n  NAME STRING\n) USING parquet")
+  }
+
+  test("sinkDdl options emit a runnable OPTIONS clause") {
+    val sch = Seq(FieldSpec("NAME"), FieldSpec("V", dataType = "int"))
+    val ddl = SchemaConverter.sinkDdl(sch, "graft_ddl_opts_test",
+      options = Seq("compression" -> "snappy", "path.note" -> "it''s quoted"))
+    assert(ddl.contains(
+      "OPTIONS ('compression' = 'snappy', 'path.note' = 'it''''s quoted')"))
+    // the emitted DDL must be valid Spark SQL, not just text
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_opts_test")
+    spark.sql(ddl)
+    try {
+      val cat = spark.sql("DESCRIBE TABLE graft_ddl_opts_test").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(cat("RECID") == "string" && cat("V") == "int")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_opts_test")
+  }
 }

@@ -39,4 +39,39 @@ class SchemaRegistrySpec extends AnyFunSuite {
     SchemaRegistry.remove("PROC_A")
     SchemaRegistry.remove("PROC_B")
   }
+
+  test("template CRUD + PUT /api/template/all semantics") {
+    try {
+      SchemaRegistry.putTemplate("T_A", "select ${x}")
+      SchemaRegistry.putTemplate("T_B", "drop me")
+      assert(SchemaRegistry.listTemplates().count(_.startsWith("T_")) == 2)
+      // updateAllTemplates: present upserts, absent removes (reference
+      // services/index.js:53-68)
+      SchemaRegistry.updateAllTemplates(Seq(
+        "T_A" -> Some("select ${x} from ${y}"),
+        "T_B" -> None))
+      assert(SchemaRegistry.getTemplate("T_A") == Some("select ${x} from ${y}"))
+      assert(SchemaRegistry.getTemplate("T_B").isEmpty)
+      // interpolation substitutes known vars, leaves unknown refs visible
+      val out = SchemaRegistry.render("T_A", "unused", Map("x" -> "1"))
+      assert(out == "select 1 from ${y}")
+      // an unregistered name renders the caller's default
+      assert(SchemaRegistry.render("T_NONE", "d ${x}", Map("x" -> "2")) == "d 2")
+    } finally {
+      SchemaRegistry.removeTemplate("T_A")
+      SchemaRegistry.removeTemplate("T_B")
+    }
+  }
+
+  test("templates persist to parquet and load back identically") {
+    val dir = Files.createTempDirectory("graft_tpl").toString
+    try {
+      SchemaRegistry.putTemplate("T_P", "CREATE ${tableName} WITH (${options})")
+      SchemaRegistry.saveTemplates(spark, s"$dir/templates")
+      SchemaRegistry.removeTemplate("T_P")
+      SchemaRegistry.loadTemplates(spark, s"$dir/templates")
+      assert(SchemaRegistry.getTemplate("T_P") ==
+        Some("CREATE ${tableName} WITH (${options})"))
+    } finally SchemaRegistry.removeTemplate("T_P")
+  }
 }
