@@ -23,6 +23,16 @@ object T24Queries {
   private val marker = T24.MvMarker
   private val lead = T24.MvLead
 
+  /** The reference's RAW stage is a partitioned Kafka topic: records
+    * arrive spread across the topic's partitions, so the decode pipeline
+    * is parallel from its first operator. The synthetic sf tables are
+    * single-row-group parquet — one scan task — which would serialize
+    * the whole decode into that task, the opposite of the reference's
+    * execution shape. Spreading the source rows across the session's
+    * parallelism before synthesis restores it (SURVEY §6e). */
+  private def topicShaped(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_mv_index" -> q { (s, d) =>
       table(s, d, "part")
@@ -72,7 +82,7 @@ object T24Queries {
 
     // MULTIVALUE stage through the SchemaConverter (explode via Generate)
     "t24_mv_explode" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("FLAGS"), concat(lit("1:"), col("o_orderstatus"),
@@ -87,7 +97,7 @@ object T24Queries {
     },
 
     "t24_localref_strip" -> q { (s, d) =>
-      val raw = table(s, d, "customer").select(
+      val raw = topicShaped(table(s, d, "customer")).select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("LOCALREF_BAL"),
@@ -100,7 +110,7 @@ object T24Queries {
     // End-to-end schema→pipeline compile: passthrough + parse_date +
     // LOCALREF cast + multivalue string-join, like a real proc schema.
     "t24_schema_pipeline" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
@@ -121,7 +131,7 @@ object T24Queries {
     // FUNC($) template transformations with output aliasing (the
     // reference's $-substitution parser)
     "t24_template_fn" -> q { (s, d) =>
-      val raw = table(s, d, "customer").select(
+      val raw = topicShaped(table(s, d, "customer")).select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("NAME"), col("c_name"),
@@ -136,7 +146,7 @@ object T24Queries {
     // BLOB procType (reference BLOB_SPLIT): field values arrive
     // hex-encoded; converter decodes then applies transformations
     "t24_blob_pipeline" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), hex(col("o_orderstatus")),
@@ -163,7 +173,7 @@ object T24Queries {
     // per-element transformations on exploded VM fields (the reference's
     // multiParser): a multivalued yyyyMMdd field parses per element
     "t24_mv_transform" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
@@ -184,7 +194,7 @@ object T24Queries {
     // RECID input, $$ name-splice, FUNC([n]) with inferred and explicit
     // params, nested second-level template, raw-expression passthrough
     "t24_template_grammar" -> q { (s, d) =>
-      val raw = table(s, d, "customer").select(
+      val raw = topicShaped(table(s, d, "customer")).select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("NAME"), col("c_mktsegment"),
@@ -227,7 +237,7 @@ object T24Queries {
     // through the registry (put → run), then the compiled pipeline
     // executes — same oracle as the directly-compiled t24_schema_pipeline
     "t24_registry_pipeline" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
@@ -248,7 +258,7 @@ object T24Queries {
     // BLOB FE mode: ONE packed hex blob per record, 0xFE field markers,
     // positional schema mapping (reference controllers/index.js:585-590)
     "t24_blob_fe" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         concat(
           hex(col("o_orderstatus")), lit("FE"),
@@ -265,7 +275,7 @@ object T24Queries {
     // BLOB FEFD mode: 0xFD value markers inside a field explode to rows
     // with per-element transforms (reference controllers/index.js:591-600)
     "t24_blob_fefd" -> q { (s, d) =>
-      val raw = table(s, d, "orders").select(
+      val raw = topicShaped(table(s, d, "orders")).select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         concat(
           hex(col("o_orderstatus")), lit("FE"),

@@ -91,15 +91,18 @@ class PlanSpec extends AnyFunSuite {
       "expected a two-column join key including __salt")
   }
 
-  test("t24_blob_fefd: one Generate, no shuffle before the final sort") {
+  test("t24_blob_fefd: one Generate, decode never key-shuffles") {
     val p = plan("t24_blob_fefd")
-    // the packed-record explosion is a single Generate; the only
-    // exchange allowed is the range partitioning for the deterministic
-    // final ORDER BY (an oracle requirement, not part of the operator)
+    // the packed-record explosion is a single Generate. Allowed
+    // exchanges: the round-robin RAW distribution (the topic-shaped
+    // input — reference RAW is a partitioned Kafka topic) and the range
+    // partitioning for the deterministic final ORDER BY (an oracle
+    // requirement). The decode itself must stay a pure per-row
+    // expansion: no hash exchange anywhere.
     val generates = "\\(\\d+\\) Generate".r.findAllIn(p).size
     assert(generates == 1, s"expected exactly one Generate, found $generates")
     assert(!p.contains("hashpartitioning"),
-      "FE/FD decode must not shuffle — it is a pure per-row expansion")
+      "FE/FD decode must not key-shuffle — it is a pure per-row expansion")
   }
 
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
