@@ -102,8 +102,96 @@ object PpmCodec {
     img.rgb((y * img.width + x) * 3 + c) & 0xff
 }
 
+/** RIFF/WAVE PCM audio codec — pure JVM, no external libraries. WAV is
+  * a real, ubiquitous container (RIFF header + `fmt ` and `data`
+  * chunks, little-endian); 16-bit mono PCM decode makes the audio
+  * modality path REAL here, like [[PpmCodec]] for images. Compressed
+  * audio (MP3/AAC) would need an external codec — that seam stays in
+  * [[Multimodal.extractFeatures]]'s documented stub.
+  */
+object WavCodec {
+
+  /** Sample-count cap (~16 min at 8 kHz): keeps every byte offset and
+    * the abs-sum (n · 32768 max) inside exact Int/Long arithmetic. */
+  val MaxSamples = 1 << 23
+
+  final case class Audio(sampleRate: Int, samples: Array[Short])
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Encode 16-bit mono PCM as a canonical WAV file. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.length <= MaxSamples, "too many samples")
+    val dataLen = samples.length * 2
+    val pcm = new Array[Byte](dataLen)
+    var i = 0
+    while (i < samples.length) {
+      pcm(i * 2) = (samples(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate * 2) ++
+      le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++ pcm
+  }
+
+  /** Decode a WAV payload; None on anything malformed or unsupported
+    * (null-not-fail, the engine's KSQL-style semantics). Walks the
+    * chunk list properly — extra chunks (LIST/INFO/cue) are skipped,
+    * `fmt ` must declare 16-bit mono PCM before `data` is accepted. */
+  def decode(payload: Array[Byte]): Option[Audio] = {
+    if (payload == null || payload.length < 44) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    def u16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var pos = 12
+    var rate = -1
+    var fmtOk = false
+    while (pos + 8 <= payload.length) {
+      val size = u32(pos + 4)
+      if (size > payload.length - pos - 8) return None
+      val body = pos + 8
+      if (ascii(pos, "fmt ")) {
+        if (size < 16) return None
+        // PCM (1), mono, 16-bit — anything else is unsupported, not data
+        if (u16(body) != 1 || u16(body + 2) != 1 || u16(body + 14) != 16) return None
+        val r = u32(body + 4)
+        if (r <= 0 || r > Int.MaxValue) return None
+        rate = r.toInt
+        fmtOk = true
+      } else if (ascii(pos, "data")) {
+        if (!fmtOk || size % 2 != 0 || size / 2 > MaxSamples) return None
+        val n = (size / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((payload(body + i * 2) & 0xff) |
+            (payload(body + i * 2 + 1) << 8)).toShort
+          i += 1
+        }
+        return Some(Audio(rate, out))
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      pos = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+}
+
 /** Multimodal-column plumbing (SURVEY §2c `m1_binary_meta`,
-  * `m2_image_decode`).
+  * `m2_image_decode`, `m3_audio_decode`).
   *
   * Contract: media rides as an opaque `binary` column plus typed
   * metadata; decode/feature-extraction runs per-partition so a real
@@ -163,6 +251,52 @@ object Multimodal {
             val r = PpmCodec.resizeBox(img, tw, th)
             (id, PpmCodec.encode(r.width, r.height, r.rgb))
           case None => (id, payload)
+        }
+      }
+    }
+  }
+
+  /** Typed features of a decoded audio clip; None fields = malformed
+    * payload (decode nulls the row's features, never fails the
+    * pipeline). `mean_abs` is the mean absolute amplitude, `peak_abs`
+    * the peak — the standard loudness/clipping screens a training-data
+    * audio pipeline runs first. */
+  final case class AudioFeatures(
+      id: Long, byte_len: Int, sample_rate: Option[Int],
+      n_samples: Option[Int], duration_ms: Option[Double],
+      mean_abs: Option[Double], peak_abs: Option[Int])
+
+  /** REAL per-partition WAV decode over (id, wavPayload) rows: sample
+    * rate, duration and amplitude stats from actual PCM samples.
+    * mapPartitions is the batch shape — one decoder context per task
+    * at 100 TB. Amplitude sums accumulate in Long (exact — n · 32768
+    * fits far inside Long at [[WavCodec.MaxSamples]]), so the mean is
+    * one exact integer sum divided once: deterministic under any
+    * partitioning and mirrored exactly by the SQL oracle. */
+  def decodeAudio(media: Dataset[(Long, Array[Byte])]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val len = if (payload == null) 0 else payload.length
+        WavCodec.decode(payload) match {
+          case Some(a) if a.samples.nonEmpty =>
+            var sum = 0L
+            var peak = 0
+            var i = 0
+            while (i < a.samples.length) {
+              val v = math.abs(a.samples(i).toInt)
+              sum += v
+              if (v > peak) peak = v
+              i += 1
+            }
+            AudioFeatures(id, len, Some(a.sampleRate), Some(a.samples.length),
+              Some(a.samples.length * 1000.0 / a.sampleRate),
+              Some(sum.toDouble / a.samples.length), Some(peak))
+          case Some(a) =>
+            AudioFeatures(id, len, Some(a.sampleRate), Some(0), Some(0.0),
+              None, None)
+          case None =>
+            AudioFeatures(id, len, None, None, None, None, None)
         }
       }
     }

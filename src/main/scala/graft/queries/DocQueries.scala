@@ -165,6 +165,29 @@ object DocQueries {
         .limit(20)
     },
 
+    // Gopher-style repetition screen, per document: the fraction of
+    // bigram occurrences taken by the most frequent bigram and the
+    // duplicate-bigram fraction. Shape: narrow bigram generate →
+    // two keyed aggregations with map-side combine — handles documents
+    // of ANY length (a per-row O(n^2) lambda would not), so the same
+    // plan holds at 100 TB.
+    "d17_repetition" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      val counts = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          (max(col("n")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+            .as("top_bigram_frac"),
+          (lit(1.0) - count(lit(1)).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // deterministic hash sampling: the training-data "take x%" that is
     // reproducible across runs/engines (portable multiplicative hash on
     // the key, not rand()); output = per-language sample counts
@@ -194,6 +217,31 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    },
+
+    // REAL audio decode: deterministic 16-bit mono PCM WAV payloads
+    // (samples derive from the supplier key) ride a binary column; the
+    // pure-JVM RIFF codec extracts rate/duration/amplitude stats per
+    // partition. The oracle computes the expected features from the
+    // sample-generation formula — the encode→binary→decode loop is
+    // what's being checked (amplitude mean = exact integer sum / n,
+    // identical on both sides).
+    "m3_audio_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val rate = 8000
+          val n = (800 + (id % 5) * 100).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            (((id * 37 + i * 13) % 2003) - 1001).toShort)
+          (id, graft.operators.WavCodec.encode(rate, samples))
+        }
+      graft.operators.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("mean_abs"), col("peak_abs"))
         .orderBy("id")
     }
   )
@@ -439,6 +487,34 @@ object DocQueries {
          |  ${mean(0)} AS mean_r,
          |  ${mean(1)} AS mean_g,
          |  ${mean(2)} AS mean_b
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    "d17_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) a),
+        |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_bigram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "m3_audio_decode" -> {
+      val n = "(800 + (s_suppkey % 5) * 100)"
+      val amp = s"abs((s_suppkey*37 + i*13) % 2003 - 1001)"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST($n AS DOUBLE) * 1000.0 / 8000 AS duration_ms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> $amp), 'sum') AS DOUBLE) / $n AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, $n - 1),
+         |    i -> $amp)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     }
   )

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Multimodal, PpmCodec}
+import graft.operators.{Multimodal, PpmCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTest._
@@ -118,5 +118,47 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(media)
     assert(out.count() > 0)
     assert(out.filter(col("channels") =!= 3).count() == 0)
+  }
+
+  test("WAV codec round-trips 16-bit PCM exactly") {
+    val samples = Array.tabulate[Short](777)(i => ((i * 131) % 65536 - 32768).toShort)
+    val a = WavCodec.decode(WavCodec.encode(44100, samples)).get
+    assert(a.sampleRate == 44100)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode walks chunks and rejects malformed/unsupported input") {
+    val wav = WavCodec.encode(8000, Array[Short](1, -2, 3))
+    // an extra LIST chunk between fmt and data must be skipped
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = wav.take(36) ++ listChunk ++ wav.drop(36)
+    assert(WavCodec.decode(withList).exists(_.samples.toSeq == Seq[Short](1, -2, 3)))
+    assert(WavCodec.decode("RIFX".getBytes ++ wav.drop(4)).isEmpty, "wrong magic")
+    assert(WavCodec.decode(wav.take(40)).isEmpty, "truncated data")
+    // stereo / 8-bit / non-PCM fmt chunks are unsupported, not data
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(WavCodec.decode(stereo).isEmpty)
+    val eightBit = wav.clone(); eightBit(34) = 8
+    assert(WavCodec.decode(eightBit).isEmpty)
+    // a data chunk BEFORE any fmt chunk must not decode
+    val dataFirst = wav.take(12) ++ wav.drop(36) ++ wav.slice(12, 36)
+    assert(WavCodec.decode(dataFirst).isEmpty)
+    assert(WavCodec.decode(null).isEmpty)
+    assert(WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAudio extracts real rate/duration/amplitude stats") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, WavCodec.encode(8000, Array[Short](1000, -1000, 500, -500))),
+      (2L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.decodeAudio(media).collect().sortBy(_.id)
+    val ok = out(0)
+    assert(ok.sample_rate.contains(8000) && ok.n_samples.contains(4))
+    assert(ok.duration_ms.contains(0.5))
+    assert(ok.mean_abs.contains(750.0) && ok.peak_abs.contains(1000))
+    val bad = out(1)
+    assert(bad.byte_len == 3 && bad.sample_rate.isEmpty && bad.mean_abs.isEmpty)
   }
 }
