@@ -22,6 +22,21 @@ object Native {
   def polyHash(s: Column, modulus: Long): Column =
     GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
 
+  /** PQ codes of an embedding (codebook flat layout (s*ks+j)*subDim+d). */
+  def pqEncode(v: Column, codebook: Array[Double], m: Int, ks: Int, subDim: Int): Column =
+    GraftBridge.column(graft.plans.PqEncode(
+      GraftBridge.expression(v), codebook.toSeq, m, ks, subDim))
+
+  /** Per-query PQ lookup table of exact subvector distances. */
+  def pqLut(v: Column, codebook: Array[Double], m: Int, ks: Int, subDim: Int): Column =
+    GraftBridge.column(graft.plans.PqLut(
+      GraftBridge.expression(v), codebook.toSeq, m, ks, subDim))
+
+  /** ADC score: sum of code-selected LUT cells. */
+  def pqAdc(lut: Column, code: Column, ks: Int): Column =
+    GraftBridge.column(graft.plans.PqAdc(
+      GraftBridge.expression(lut), GraftBridge.expression(code), ks))
+
   /** One-pass winnowing fingerprints of a token array. */
   def winnowFingerprints(tokens: Column, k: Int, w: Int, modulus: Long): Column =
     GraftBridge.column(graft.plans.WinnowFingerprints(

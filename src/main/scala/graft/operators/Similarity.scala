@@ -171,6 +171,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory-compression scale path: each vector is encoded once
+    * into `m` sub-codes (one byte each at ks ≤ 256), so the scan side
+    * of a query carries `m` small ints instead of `dim` floats — a
+    * 32× narrower shuffle/broadcast payload at (m=8, dim=64). Queries
+    * precompute a (m × ks) lookup table of exact subvector distances;
+    * scoring a candidate is `m` table lookups, no float math.
+    *
+    * Codebooks are a deterministic corpus bootstrap (the first `ks`
+    * vectors by id, split into `m` subvectors — the same bootstrap
+    * convention as [[ivfTopK]]'s coarse centroids, and like them the
+    * kmeans-refined variant keeps the identical query shape). The
+    * bounded `.collect()` gathers `ks` vectors — centroid bootstrap,
+    * not data movement. All distance folds run d-ascending in double,
+    * so the SQL oracle reproduces every code and ADC score exactly.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val subDim = dim / m
+    // flat codebook, (s*ks + j)*subDim + d — the d-th component of
+    // codeword j in subspace s (codeword j = subvectors of bootstrap
+    // vector j)
+    val boot: Array[Array[Double]] = corpus.orderBy("vec_id").limit(ks)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
+      val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
+      boot(j)(s * subDim + d)
+    }
+    // native one-pass expressions (plans/PqExprs) — the same math
+    // spelled inline exceeded Janino's method limit at 1024 codebook
+    // literals and dropped the stage out of codegen
+    val enc = corpus.select(col("vec_id").as("cand_id"),
+      Native.pqEncode(col("embedding"), cbFlat, m, ks, subDim).as("code"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      Native.pqLut(col("embedding"), cbFlat, m, ks, subDim).as("lut"))
+    val scored = enc.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     * cells by nearest coarse centroid — a narrow map over the scan, the
     * centroid table rides inside the expressions — and each query scores

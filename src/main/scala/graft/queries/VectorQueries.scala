@@ -67,6 +67,18 @@ object VectorQueries {
       emb.join(dropped, Seq("vec_id"), "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // product-quantization ANN with asymmetric-distance scoring: the
+    // memory-compression scale path (8 one-byte codes per vector
+    // instead of 64 floats on the scan side); full oracle — codebooks
+    // are SQL-derived from the same deterministic bootstrap, every
+    // code and ADC score reproduced exactly
+    "e7_pq_adc" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "adc")
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -218,7 +230,47 @@ object VectorQueries {
       s"""WITH $lshPairsSql
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT b_id FROM pairs WHERE cos >= 0.35)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    // PQ/ADC mirror: same deterministic codebooks (first 16 vectors,
+    // 8 subspaces x 8 dims), same d-ascending double folds, so codes
+    // and ADC scores match Spark's bit-for-bit
+    "e7_pq_adc" -> {
+      // squared L2 between subspace s (0-based lambda var) of vector v
+      // and codeword j (1-based lambda var) — d ascending
+      def dist(v: String) =
+        s"""list_aggregate(list_transform(generate_series(1, 8), d ->
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
+      s"""WITH cbv AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY vec_id) AS cbs
+         |  FROM embeddings WHERE vec_id < 16),
+         |enc0 AS (
+         |  SELECT e.vec_id AS cand_id,
+         |    list_transform(generate_series(0, 7), s ->
+         |      list_transform(generate_series(1, 16), j -> ${dist("e.embedding")})) AS dls
+         |  FROM embeddings e CROSS JOIN cbv),
+         |enc AS (SELECT cand_id,
+         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+         |  FROM enc0),
+         |lut AS (
+         |  SELECT qv.vec_id AS q_id,
+         |    list_transform(generate_series(0, 127), i ->
+         |      ${dist("qv.embedding")
+               .replace("s*8", "(i // 16)*8")
+               .replace("cbs[j]", "cbs[(i % 16) + 1]")}) AS lutv
+         |  FROM embeddings qv CROSS JOIN cbv WHERE qv.vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, cand_id,
+         |    list_aggregate(list_transform(generate_series(0, 7), s ->
+         |      lutv[s*16 + code[s+1] + 1]), 'sum') AS adc
+         |  FROM enc CROSS JOIN lut WHERE cand_id <> q_id)
+         |SELECT q_id, rank, cand_id, adc FROM (
+         |  SELECT q_id, cand_id, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    }
   )
 
   /** Shared CTE chain producing the LSH-blocked near-dup `pairs`

@@ -97,6 +97,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("PQ/ADC ANN achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val pq = Similarity.pqTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val recalls = brute.keys.toSeq.map { q =>
+      brute(q).intersect(pq.getOrElse(q, Set.empty)).size.toDouble / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg PQ recall $avg too low: $recalls")
+  }
+
+  test("PQ codes are m small ints and scores are partition-stable") {
+    val a = Similarity.pqTopK(emb, queries, k = 5).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Similarity.pqTopK(emb.repartition(7), queries, k = 5).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "ADC scores must not depend on partitioning")
+    // the scan-side representation really is m=8 codes in [0, ks)
+    val boot = emb.orderBy("vec_id").limit(16).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cbFlat = Array.tabulate(8 * 16 * 8) { i =>
+      boot((i / 8) % 16)((i / (8 * 16)) * 8 + i % 8)
+    }
+    val codes = emb.orderBy("vec_id").select(
+        graft.functions.Native.pqEncode(col("embedding"), cbFlat, 8, 16, 8).as("code"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // a bootstrap vector's nearest codeword in every subspace is itself
+    val self = codes(0)
+    assert(self.forall(_ == 0), s"vector 0 should encode to its own codewords: $self")
+  }
+
   test("near-dup pairs: singleScan mode is result-identical to the default") {
     def pairs(singleScan: Boolean) =
       Similarity.lshNearDupPairs(emb, minCos = 0.2, singleScan = singleScan)
