@@ -166,6 +166,30 @@ object Pipelines {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental ANN screening: arriving query vectors score against a
+    * STATIC PQ-encoded corpus — the streaming twin of the batch
+    * `e7_pq_adc` query. Stream-static and STATELESS: each arriving
+    * vector computes its (m × ks) distance LUT once (narrow map), joins
+    * the corpus CODES (m small ints per vector, not embeddings — the
+    * 32×-narrower side is what makes the per-batch re-join viable), and
+    * keeps candidates under `maxAdc`. The caller MATERIALIZES
+    * `corpusCodes` (cache or a written codes table) — Spark re-executes
+    * the static plan per micro-batch.
+    *
+    * @param corpusCodes static side: (cand_id, code array<int>), e.g.
+    *   built once via `Native.pqEncode` over the corpus.
+    */
+  def streamPqScreen(stream: DataFrame, corpusCodes: DataFrame,
+                     codebook: Array[Double], maxAdc: Double,
+                     m: Int = 8, ks: Int = 16, subDim: Int = 8): DataFrame = {
+    val q = stream.select(col("vec_id").as("q_id"),
+      graft.functions.Native.pqLut(col("embedding"), codebook, m, ks, subDim).as("lut"))
+    q.join(corpusCodes, col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        graft.functions.Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
+      .filter(col("adc") <= maxAdc)
+  }
+
   /** The KSQL TABLE materialization over a CDC stream: latest record
     * per key, continuously updated (use OutputMode.Update). State is
     * ONE small row per key (max_by keeps the argmax struct), so it

@@ -194,6 +194,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 0L)
   }
 
+  test("stream-static PQ/ADC screen scores arriving vectors against corpus codes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // tiny 8-dim space: m=2 subspaces of 4 dims, ks=2 codewords
+    val cb = Array( // (s*ks + j)*subDim + d layout
+      1.0, 0.0, 0.0, 0.0, /* s0 j0 */ 0.0, 1.0, 0.0, 0.0, /* s0 j1 */
+      0.0, 0.0, 1.0, 0.0, /* s1 j0 */ 0.0, 0.0, 0.0, 1.0 /* s1 j1 */)
+    val corpus = Seq(
+      (100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 1.0f, 0f)),
+      (200L, Array(0f, 1.0f, 0f, 0f, 0f, 0f, 0f, 1.0f))
+    ).toDF("cand_id", "embedding")
+    val codes = corpus.select(col("cand_id"),
+      graft.functions.Native.pqEncode(col("embedding"), cb, 2, 2, 4).as("code")).cache()
+    val in = MemoryStream[(Long, Array[Float])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+    val q = Pipelines.streamPqScreen(stream, codes, cb, maxAdc = 1.0,
+        m = 2, ks = 2, subDim = 4)
+      .writeStream.format("memory").queryName("pq_screen_out")
+      .outputMode("append").start()
+    // query 1 sits on corpus 100's codewords (adc 0); query 2 is far
+    in.addData((1L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 1.0f, 0f)),
+      (2L, Array(0f, 0f, 5f, 5f, 5f, 5f, 0f, 0f)))
+    q.processAllAvailable()
+    val out = spark.table("pq_screen_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(out.exists { case (q1, c, adc) => q1 == 1L && c == 100L && adc == 0.0 })
+    assert(!out.exists(_._1 == 2L), s"far vector must not pass the screen: ${out.toSeq}")
+  }
+
   test("latest-per-key table materialization updates across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
