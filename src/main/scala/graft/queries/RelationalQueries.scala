@@ -445,6 +445,22 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // TPC-H Q13 shape: filtered LEFT OUTER join (customers with zero
+    // qualifying orders must survive with count 0) + a second-level
+    // distribution aggregation over the first's result
+    "q40_custdist" -> q { (s, d) =>
+      val c = table(s, d, "customer").select(col("c_custkey"))
+      val o = table(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "3-MEDIUM")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // TPC-H Q3 shape: date-filtered fact⋈fact join, grouped revenue,
     // top-10 by revenue — filters push to both scans before the join
     "q39_ship_priority" -> q { (s, d) =>
@@ -855,6 +871,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q40_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN
+        |    (SELECT o_custkey, o_orderkey FROM orders
+        |     WHERE o_orderpriority <> '3-MEDIUM') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     // the oracle asserts the HLL estimate lands within 5% of exact by
     // matching Spark's computed boolean against a literal 1 — the sketch
