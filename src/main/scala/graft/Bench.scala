@@ -56,18 +56,23 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2) AS s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // the secondary pass must be strictly SMALLER than the primary (the
+    // overhead-floor inference depends on it); an unrecognized custom
+    // sfDir gets no secondary rather than an unrelated hardcoded one
     val smallDir =
-      if (sfDir.endsWith("sf0.01")) "/root/testdata/sf0.001"
-      else "/root/testdata/sf0.01"
-    val small =
-      if (Files.isDirectory(Paths.get(smallDir))) timeSuite(spark, smallDir)
-      else Map.empty[String, Double]
+      if (sfDir.endsWith("sf0.1")) Some(s"${sfDir.stripSuffix("sf0.1")}sf0.01")
+      else if (sfDir.endsWith("sf0.01")) Some(s"${sfDir.stripSuffix("sf0.01")}sf0.001")
+      else None
+    val small = smallDir match {
+      case Some(dir) if Files.isDirectory(Paths.get(dir)) => timeSuite(spark, dir)
+      case _ => Map.empty[String, Double]
+    }
 
     val results = timeSuite(spark, sfDir)
     val total = results.values.sum
     val extra =
       if (small.isEmpty) ""
-      else s""","sf_small":"$smallDir","total_small":${small.values.sum},"queries_small":${js(small)}"""
+      else s""","sf_small":"${smallDir.get}","total_small":${small.values.sum},"queries_small":${js(small)}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: restrict to named queries (dev pre-flights);
-    // the driver's two-arg invocation dumps everything
+    // the driver's two-arg invocation dumps everything. Unknown names
+    // abort LOUDLY — a typo that filtered everything out would silently
+    // zero the round's correctness.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

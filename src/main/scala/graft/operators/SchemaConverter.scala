@@ -440,8 +440,9 @@ object SchemaConverter {
           schema.filter(_.parseVm).map(sp => s"  ${outputName(sp)} STRING") ++:
           schema.filter(_.parseVs).map(sp => s"  ${outputName(sp)}_VS ARRAY<STRING>")
       else Seq.empty
+    def esc(s: String) = s.replace("'", "''")
     val optionsSql = options
-      .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+      .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }
       .mkString(", ")
     val templateName = if (multivalue) DdlMultiTemplateName else DdlSingleTemplateName
     SchemaRegistry.render(templateName, DefaultDdlTemplate, Map(

@@ -92,11 +92,16 @@ object SchemaRegistry {
   /** Interpolate `${var}` references in the named template, or in
     * `default` when no template with that name is registered. Unknown
     * `${var}` references are left verbatim (visible in the output,
-    * never silently dropped). */
+    * never silently dropped). Single-pass: a `${var}` occurring inside
+    * a substituted VALUE is never re-expanded (a sequential
+    * replace-per-key would splice later keys into earlier values, in
+    * Map-iteration order). */
   def render(name: String, default: String, vars: Map[String, String]): String =
-    vars.foldLeft(templates.getOrElse(name, default)) { case (acc, (k, v)) =>
-      acc.replace("${" + k + "}", v)
-    }
+    VarRef.replaceAllIn(templates.getOrElse(name, default), m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1), m.matched)))
+
+  private val VarRef = """\$\{([A-Za-z0-9_]+)\}""".r
 
   /** Persist the template store next to the schemas ([[save]]). */
   def saveTemplates(spark: SparkSession, path: String): Unit = {

@@ -197,6 +197,10 @@ object Similarity {
     val boot: Array[Array[Double]] = corpus.orderBy("vec_id").limit(ks)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(boot.length == ks,
+      s"PQ codebook bootstrap needs $ks corpus vectors, found ${boot.length}")
+    require(boot.forall(_.length >= dim),
+      s"PQ bootstrap vectors must have >= $dim components")
     val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
       val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
       boot(j)(s * subDim + d)

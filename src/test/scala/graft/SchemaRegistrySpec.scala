@@ -55,6 +55,11 @@ class SchemaRegistrySpec extends AnyFunSuite {
       // interpolation substitutes known vars, leaves unknown refs visible
       val out = SchemaRegistry.render("T_A", "unused", Map("x" -> "1"))
       assert(out == "select 1 from ${y}")
+      // single-pass: a ${ref} inside a substituted VALUE is literal
+      // output, never re-expanded against the other vars
+      val nested = SchemaRegistry.render("T_NONE", "v=${x}",
+        Map("x" -> "uses ${y} verbatim", "y" -> "BOOM"))
+      assert(nested == "v=uses ${y} verbatim")
       // an unregistered name renders the caller's default
       assert(SchemaRegistry.render("T_NONE", "d ${x}", Map("x" -> "2")) == "d 2")
     } finally {
