@@ -188,6 +188,35 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // PII redaction: the scrub pass every training-data text pipeline
+    // runs — phones/emails replaced with typed tags, plus per-doc
+    // redaction counts for the audit trail. Synthesized contact text
+    // (TPC-H phone + derived email) makes the oracle end-to-end; the
+    // op itself is a narrow per-row map (regexp_replace + regexp_count
+    // — zero shuffle before the final sort).
+    "d19_pii_redact" -> q { (s, d) =>
+      val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val emailRe = "[a-z0-9.]+@[a-z]+\\.[a-z]+"
+      // the synthetic customer table carries no phone column; build a
+      // TPC-H-format one deterministically from the keys
+      val phone = concat(
+        (col("c_nationkey") % 90 + 10).cast("string"), lit("-"),
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+      val txt = concat(lit("reach "), col("c_name"), lit(" at "), phone,
+        lit(" or "), lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+        lit("@example.com today"))
+      table(s, d, "customer")
+        .select(col("c_custkey"), txt.as("text"))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("text"), phoneRe, "[PHONE]"),
+            emailRe, "[EMAIL]").as("redacted"),
+          regexp_count(col("text"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("text"), lit(emailRe)).as("n_email"))
+        .orderBy("c_custkey")
+    },
+
     // deterministic hash sampling: the training-data "take x%" that is
     // reproducible across runs/engines (portable multiplicative hash on
     // the key, not rand()); output = per-language sample counts
@@ -489,6 +518,25 @@ object DocQueries {
          |  ${mean(2)} AS mean_b
          |FROM supplier ORDER BY id""".stripMargin
     },
+
+    "d19_pii_redact" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat('reach ', c_name, ' at ',
+        |      CAST(c_nationkey % 90 + 10 AS VARCHAR), '-',
+        |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '-',
+        |      lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0'), '-',
+        |      lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0'), ' or ',
+        |      lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')),
+        |      '@example.com today') AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(text,
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS INTEGER) AS n_email
+        |FROM t ORDER BY c_custkey""".stripMargin,
 
     "d17_repetition" ->
       """WITH b AS (
