@@ -445,6 +445,29 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // TPC-H Q22 shape: global scalar subquery (mean positive balance,
+    // 1-row broadcast like q17) gating a filter, then an anti-join
+    // against a filtered fact subset, then grouped totals — the
+    // "high-balance customers with no urgent orders" report
+    "q41_missed_opportunity" -> q { (s, d) =>
+      val c = table(s, d, "customer")
+        .select(col("c_custkey"), (col("c_nationkey") % 7).as("cgrp"),
+          col("c_acctbal"))
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(d4(col("c_acctbal"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_bal"))
+      val urgent = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cgrp")
+        .agg(count(lit(1)).as("numcust"),
+          sum(d4(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+        .orderBy("cgrp")
+    },
+
     // TPC-H Q13 shape: filtered LEFT OUTER join (customers with zero
     // qualifying orders must survive with count 0) + a second-level
     // distribution aggregation over the first's result
@@ -871,6 +894,18 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q41_missed_opportunity" ->
+      """SELECT c_nationkey % 7 AS cgrp, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
 
     "q40_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

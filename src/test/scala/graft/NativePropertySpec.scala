@@ -49,4 +49,44 @@ object NativePropertySpec extends Properties("NativeKernels") {
       // doubling all vote weights cannot flip any bit's sign
       SimHash64.compute(arr(ts)) == SimHash64.compute(arr(ts ++ ts))
     }
+
+  // ---- PQ kernels (plans/PqExprs) vs a naive reference ----
+  private val M = 2; private val Ks = 4; private val SubDim = 3
+  private val dbl = Gen.choose(-8.0, 8.0)
+  private val vec = Gen.listOfN(M * SubDim, dbl).map(_.toArray)
+  private val codebook = Gen.listOfN(M * Ks * SubDim, dbl).map(_.toArray)
+  private def darr(v: Array[Double]): GenericArrayData =
+    new GenericArrayData(v.map(java.lang.Double.valueOf).toArray[Any])
+
+  private def refDist(v: Array[Double], cb: Array[Double], s: Int, j: Int): Double =
+    (0 until SubDim).map { d =>
+      val diff = v(s * SubDim + d) - cb((s * Ks + j) * SubDim + d)
+      diff * diff
+    }.sum
+
+  property("pq encode picks the argmin codeword (first on ties) per subspace") =
+    forAll(vec, codebook) { (v, cb) =>
+      val codes = graft.plans.PqCompute.encode(darr(v), false, cb, M, Ks, SubDim)
+      (0 until M).forall { s =>
+        val dists = (0 until Ks).map(j => refDist(v, cb, s, j))
+        codes.getInt(s) == dists.indexOf(dists.min)
+      }
+    }
+
+  property("adc of a vector's own codes equals the sum of its best subdistances") =
+    forAll(vec, codebook) { (v, cb) =>
+      val codes = graft.plans.PqCompute.encode(darr(v), false, cb, M, Ks, SubDim)
+      val lut = graft.plans.PqCompute.lut(darr(v), false, cb, M, Ks, SubDim)
+      val adc = graft.plans.PqCompute.adc(lut, codes, Ks)
+      val best = (0 until M).map(s => (0 until Ks).map(j => refDist(v, cb, s, j)).min).sum
+      adc == best
+    }
+
+  property("lut cell (s,j) is the exact subvector distance") =
+    forAll(vec, codebook) { (v, cb) =>
+      val lut = graft.plans.PqCompute.lut(darr(v), false, cb, M, Ks, SubDim)
+      (0 until M).forall(s => (0 until Ks).forall { j =>
+        lut.getDouble(s * Ks + j) == refDist(v, cb, s, j)
+      })
+    }
 }
