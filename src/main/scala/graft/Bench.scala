@@ -59,13 +59,16 @@ object Bench {
     // the secondary pass must be strictly SMALLER than the primary (the
     // overhead-floor inference depends on it); an unrecognized custom
     // sfDir gets no secondary rather than an unrelated hardcoded one
+    val sfNorm = sfDir.stripSuffix("/")
     val smallDir =
-      if (sfDir.endsWith("sf0.1")) Some(s"${sfDir.stripSuffix("sf0.1")}sf0.01")
-      else if (sfDir.endsWith("sf0.01")) Some(s"${sfDir.stripSuffix("sf0.01")}sf0.001")
+      if (sfNorm.endsWith("sf0.1")) Some(s"${sfNorm.stripSuffix("sf0.1")}sf0.01")
+      else if (sfNorm.endsWith("sf0.01")) Some(s"${sfNorm.stripSuffix("sf0.01")}sf0.001")
       else None
     val small = smallDir match {
       case Some(dir) if Files.isDirectory(Paths.get(dir)) => timeSuite(spark, dir)
-      case _ => Map.empty[String, Double]
+      case _ =>
+        System.err.println(s"[bench] no smaller secondary SF for $sfDir — single-SF run")
+        Map.empty[String, Double]
     }
 
     val results = timeSuite(spark, sfDir)

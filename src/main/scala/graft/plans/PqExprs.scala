@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
   * codeword j in subspace s.
   */
 object PqCompute {
+  /** A short vector would otherwise surface as a context-free
+    * ArrayIndexOutOfBounds deep in generated code. */
+  private def checkDim(v: ArrayData, m: Int, subDim: Int): Unit =
+    if (v.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"PQ input vector has ${v.numElements()} components, needs >= ${m * subDim}")
+
   def subDist(v: ArrayData, vFloat: Boolean, flat: Array[Double],
               s: Int, j: Int, ks: Int, subDim: Int): Double = {
     val base = (s * ks + j) * subDim
@@ -40,6 +47,7 @@ object PqCompute {
 
   def encode(v: ArrayData, vFloat: Boolean, flat: Array[Double],
              m: Int, ks: Int, subDim: Int): ArrayData = {
+    checkDim(v, m, subDim)
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -59,6 +67,7 @@ object PqCompute {
 
   def lut(v: ArrayData, vFloat: Boolean, flat: Array[Double],
           m: Int, ks: Int, subDim: Int): ArrayData = {
+    checkDim(v, m, subDim)
     val out = new Array[Any](m * ks)
     var s = 0
     while (s < m) {

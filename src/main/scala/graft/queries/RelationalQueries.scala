@@ -459,7 +459,7 @@ object RelationalQueries {
       val urgent = table(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey"))
-      c.join(broadcast(avgBal))
+      c.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("cgrp")
