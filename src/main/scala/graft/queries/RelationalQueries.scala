@@ -484,6 +484,63 @@ object RelationalQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    // multi-supplier order ("kept orders waiting"). Lateness needs the
+    // order date, so the EXISTS / NOT EXISTS correlations become a
+    // left-semi and a left-anti self-join over one shared (orderkey,
+    // suppkey, late) projection — all three join legs shuffle on the
+    // same l_orderkey key, dims broadcast.
+    "q42_supplier_wait" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l1all = table(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 90)).as("late"))
+      val l2 = l1all.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = l1all.filter(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val sup = table(s, d, "supplier")
+      val n = table(s, d, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+      l1all.filter(col("late"))
+        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q18 shape: HAVING-filtered aggregate (orders whose total
+    // quantity exceeds 300) semi-joined back to the fact tables — the
+    // "large-volume customer" report. The pre-aggregation runs on the
+    // lineitem side BEFORE the wide join, so only qualifying orderkeys
+    // reach the three-way join.
+    "q43_large_orders" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(d4(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 300)
+        .select("bk")
+      table(s, d, "orders")
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"))
+        .agg(sum(d4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // TPC-H Q3 shape: date-filtered fact⋈fact join, grouped revenue,
     // top-10 by revenue — filters push to both scans before the join
     "q39_ship_priority" -> q { (s, d) =>
@@ -906,6 +963,38 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
+
+    "q42_supplier_wait" ->
+      """WITH l1all AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l1all l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND EXISTS (SELECT 1 FROM l1all l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1all l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q43_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q40_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
