@@ -136,6 +136,31 @@ object DocQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // sub-document (passage) dedup, C4-style: each doc splits into
+    // consecutive 20-token blocks; a block survives only at its FIRST
+    // corpus-wide occurrence (ordered by doc_id, then position).
+    // Shape: narrow generate (block hashes at the scan) → ONE shuffle
+    // on the block hash (window row_number picks the keeper) → keyed
+    // re-aggregation per doc. No text travels through the shuffle —
+    // only 32-byte hashes — and no self-join exists at any scale.
+    "d18_passage_dedup" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bs = 20
+      val toks = Text.tokens(lower(col("text")))
+      val nBlocks = greatest(ceil(size(toks) / lit(bs.toDouble)).cast("int") - 1, lit(0))
+      val blocks = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), nBlocks),
+          i => md5(concat_ws(" ", slice(toks, i * bs + 1, lit(bs))))))
+          .as(Seq("block_idx", "bh")))
+      blocks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bh").orderBy("doc_id", "block_idx")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -479,6 +504,21 @@ object DocQueries {
     "d10_winnow" ->
       s"""SELECT doc_id, fingerprint FROM ($winnowFpSql) t
          |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "d18_passage_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, u.i AS block_idx,
+        |    md5(array_to_string(toks[(u.i*20+1):(u.i*20+20)], ' ')) AS bh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) t
+        |  CROSS JOIN unnest(generate_series(0,
+        |    greatest(CAST(ceil(len(toks)/20.0) AS INT) - 1, 0))) u(i)),
+        |k AS (SELECT doc_id, bh,
+        |    ROW_NUMBER() OVER (PARTITION BY bh ORDER BY doc_id, block_idx) AS rn
+        |  FROM b)
+        |SELECT doc_id, COUNT(*) AS n_blocks,
+        |  CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d9_bpe_tokens" ->
       """SELECT doc_id,

@@ -88,6 +88,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 passage dedup keeps exactly one copy of every distinct block") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d18_passage_dedup")(spark, sf)
+      .agg(sum("n_blocks"), sum("n_kept")).collect()(0)
+    val (total, kept) = (out.getLong(0), out.getLong(1))
+    // kept = number of DISTINCT blocks in the corpus, computed independently
+    val toks = graft.functions.Text.tokens(lower(col("text")))
+    val distinctBlocks = graft.sources.Tables.table(spark, sf, "documents")
+      .select(explode(transform(
+        sequence(lit(0), greatest(ceil(size(toks) / lit(20.0)).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i * 20 + 1, lit(20))))).as("b"))
+      .select(countDistinct("b")).collect()(0).getLong(0)
+    assert(kept == distinctBlocks)
+    assert(kept < total, "test corpus should contain duplicate passages")
+  }
+
   test("simhash banding recall is COMPLETE at hamming <= 3 (pigeonhole)") {
     val corpus = graft.sources.Tables.table(spark, sf, "documents")
     val banded = Dedup.simhashNearDups(corpus).collect()
