@@ -148,6 +148,53 @@ object Dedup {
       i => array_min(slice(hashes, i, lit(w))))))
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * gets the MINIMUM doc id of its component as cluster id — the
+    * canonical "duplicate cluster" assignment that chains A~B~C into
+    * one group even when A and C never pair directly.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round takes the min over neighbours' labels (one keyed
+    * join + groupBy) and then shortcuts label → label-of-label (one
+    * more keyed join), which collapses chains in O(log diameter)
+    * rounds instead of O(diameter). All joins are equi-joins on node
+    * ids; per-round state is the narrow (id, label) pair set, lineage
+    * is truncated with an eager localCheckpoint, and the loop exits as
+    * soon as a round changes nothing. The driver never sees the data —
+    * only the per-round changed-row COUNT.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+      // pointer jumping: label := min(label, label(label))
+      val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = prop.join(hop, prop("label") === hop("lid"), "left_outer")
+        .select(prop("id"),
+          least(prop("label"), coalesce(col("llabel"), prop("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** SimHash permutation constants (distinct seed from MinHash); also
     * embedded in the generated oracle SQL. */
   lazy val simhashPerms: (Array[Long], Array[Long]) = {

@@ -161,6 +161,18 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // duplicate-cluster assignment: connected components over the
+    // banded SimHash near-dup pairs — A~B~C chains collapse into one
+    // cluster labeled by the minimum member id. Pointer-jumping
+    // min-label propagation (see Dedup.connectedComponents): O(log
+    // diameter) rounds of keyed equi-joins over narrow (id, label)
+    // state; never materializes anything driver-side.
+    "d20_dedup_clusters" -> q { (s, d) =>
+      Dedup.connectedComponents(Dedup.simhashNearDups(table(s, d, "documents")))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -352,9 +364,10 @@ object DocQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** d7b's oracle: the portable SimHash (same embedded constants as
-    * d7), 4×16-bit chunk banding, exact XOR-popcount verification. */
-  private def simhashBandsOracle: String = {
+  /** Shared CTE chain for the SimHash banded near-dup pairs (mirrors
+    * Dedup.simhashNearDups with the embedded d7 constants): ends in
+    * `prs(a_id, b_id, hamming)` — d7b and d20 both build on it. */
+  private def simhashPairsChain: String = {
     val (pa, pb) = Dedup.simhashPerms
     val p = Dedup.P
     val half = p / 2
@@ -362,7 +375,7 @@ object DocQueries {
       val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
       s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h*${pa(b)} + ${pb(b)}) % $p > $half THEN 1 ELSE -1 END)) > 0 THEN $w ELSE 0 END)"
     }.mkString("\n    + ")
-    s"""WITH hs AS (SELECT doc_id, list_transform(
+    s"""hs AS (SELECT doc_id, list_transform(
        |    regexp_split_to_array(trim(lower(text)), '\\s+'),
        |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(regexp_split_to_array(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
@@ -375,11 +388,28 @@ object DocQueries {
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
        |    x.simhash AS ha, y.simhash AS hb
        |  FROM b x JOIN b y ON x.band = y.band AND x.chunk = y.chunk
-       |    AND x.doc_id < y.doc_id)
-       |SELECT a_id, b_id, hamming FROM (
-       |  SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand) t
-       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+       |    AND x.doc_id < y.doc_id),
+       |prs AS (SELECT a_id, b_id,
+       |    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)""".stripMargin
   }
+
+  /** d7b's oracle: the portable SimHash (same embedded constants as
+    * d7), 4×16-bit chunk banding, exact XOR-popcount verification. */
+  private def simhashBandsOracle: String =
+    s"""WITH $simhashPairsChain
+       |SELECT a_id, b_id, hamming FROM prs
+       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+
+  /** d20's oracle: transitive closure over the same edges via a
+    * recursive CTE; cluster id = min reachable doc id. */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $simhashPairsChain,
+       |e AS (SELECT a_id AS s, b_id AS t FROM prs WHERE hamming <= 3
+       |      UNION SELECT b_id, a_id FROM prs WHERE hamming <= 3),
+       |reach AS (SELECT s, t FROM e
+       |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+       |SELECT s AS doc_id, least(s, MIN(t)) AS cluster
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
   /** (doc_id, fingerprint) rows via the same winnowing fold as
     * Dedup.winnow — shared by the d10 and d16 oracles. */
@@ -401,6 +431,8 @@ object DocQueries {
 
   val oracles: Map[String, String] = Map(
     "d7b_simhash_bands" -> simhashBandsOracle,
+
+    "d20_dedup_clusters" -> dedupClustersOracle,
 
     "d16_contamination" ->
       s"""WITH fp AS ($winnowFpSql),

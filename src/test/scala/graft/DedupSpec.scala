@@ -104,6 +104,33 @@ class DedupSpec extends AnyFunSuite {
     assert(kept < total, "test corpus should contain duplicate passages")
   }
 
+  test("connected components collapse chains and label by min member") {
+    import spark.implicits._
+    // 1-2-3-4 chain (1,4 never pair directly), isolated pair, long path
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
+  }
+
+  test("d20 clusters are consistent with the d7b pair list") {
+    val labels = SparkEntry.queries("d20_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("d7b_simhash_bands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"($a,$b)") }
+    // every cluster label is the minimum id among its members
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c")
+    }
+  }
+
   test("simhash banding recall is COMPLETE at hamming <= 3 (pigeonhole)") {
     val corpus = graft.sources.Tables.table(spark, sf, "documents")
     val banded = Dedup.simhashNearDups(corpus).collect()
