@@ -96,6 +96,38 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** k-NN graph over the whole corpus — every node's k nearest
+    * bucket-mates (the structure semantic clustering / graph-based
+    * dedup builds on). Candidates come from the same sign-LSH banding
+    * as [[lshNearDupPairs]] (narrow 16-byte (id, tbl, bucket) rows
+    * through the band self-equi-join, vectors join back by id), and
+    * the per-node top-k is a WindowGroupLimit — each task keeps only
+    * k rows before the final shuffle. No corpus-wide cross join at
+    * any scale; recall is the union-of-tables LSH recall. Unlike the
+    * near-dup pairs the graph is DIRECTED: each node ranks all its
+    * own bucket-mates, so (a → b) can exist without (b → a). */
+  def knnGraph(corpus: DataFrame, k: Int,
+               nTables: Int = 8, planesPerTable: Int = 4,
+               dim: Int = 64): DataFrame = {
+    val planes = Vectors.randomPlanes(nTables * planesPerTable, dim)
+    val banded = corpus.select(col("vec_id"),
+      posexplode(Native.lshBuckets(col("embedding"), planes, planesPerTable))
+        .as(Seq("tbl", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .dropDuplicates("src", "dst")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
+      .select(col("src"), col("dst"), Vectors.cosine(col("se"), col("de")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fixed-point scale for deterministic centroid means: values are
     * floored to µ-units (1e-6), summed exactly as longs (associative —
     * any partitioning gives the same sum), and divided back out. A

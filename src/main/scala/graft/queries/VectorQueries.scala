@@ -69,6 +69,17 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // corpus-wide k-NN graph: every node's 5 nearest LSH bucket-mates
+    // (directed) — the substrate for semantic clustering and
+    // graph-based dedup; same banded candidate shape as e4, per-node
+    // WindowGroupLimit top-k, full oracle with the embedded plane
+    // constants
+    "e8_knn_graph" -> q { (s, d) =>
+      Similarity.knnGraph(table(s, d, "embeddings"), k = 5)
+        .select("src", "rank", "dst", "cos")
+        .orderBy("src", "rank")
+    },
+
     // product-quantization ANN with asymmetric-distance scoring: the
     // memory-compression scale path (8 one-byte codes per vector
     // instead of 64 floats on the scan side); full oracle — codebooks
@@ -220,6 +231,28 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "e8_knn_graph" -> {
+      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
+         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+         |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+         |    x.embedding AS ae, y.embedding AS be
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT src, dst,
+         |    list_aggregate(list_transform(list_zip(ae, be),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
+         |  FROM cand)
+         |SELECT src, rank, dst, cos FROM (
+         |  SELECT src, dst, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY src, rank""".stripMargin
     },
 
     "e4_cosine_neardup" ->

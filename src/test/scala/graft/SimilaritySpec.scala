@@ -132,6 +132,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.forall(_ == 0), s"vector 0 should encode to its own codewords: $self")
   }
 
+  test("knn graph covers every node with ranked edges and real recall") {
+    val k = 5
+    val g = Similarity.knnGraph(emb, k).collect()
+    val byN = g.groupBy(_.getAs[Long]("src"))
+    assert(byN.size == emb.count(), "every node must get neighbors")
+    byN.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.max).toSeq, "ranks must be dense from 1")
+      assert(ranks.size <= k)
+    }
+    // recall vs brute force over the whole corpus (every node a query)
+    val brute = Similarity.bruteForceTopK(emb, emb, k).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val got = byN.map { case (n, rs) => n -> rs.map(_.getAs[Long]("dst")).toSet }
+    val recalls = brute.keys.toSeq.map { n =>
+      brute(n).intersect(got.getOrElse(n, Set.empty)).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg knn-graph recall $avg too low")
+  }
+
   test("near-dup pairs: singleScan mode is result-identical to the default") {
     def pairs(singleScan: Boolean) =
       Similarity.lshNearDupPairs(emb, minCos = 0.2, singleScan = singleScan)
