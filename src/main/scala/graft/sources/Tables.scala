@@ -34,6 +34,16 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** ORC source — Spark's built-in columnar alternative where the lake
+    * standardized on ORC instead of parquet. Same pushdown/pruning
+    * behavior through the DSv2 scan (asserted in SourcesSpec). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (snappy, Spark default). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Compact a parquet directory produced by a streaming sink: many
     * small files → ~`targetFileBytes` files, preserving the data. The
     * operational companion to `streaming.Pipelines.parquetSink` — a
