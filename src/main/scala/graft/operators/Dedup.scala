@@ -165,16 +165,27 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed one propagation ahead: label = min(id, min neighbour id)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("md"))
+      .select(col("src").as("id"), least(col("src"), col("md")).as("label"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE, so the (exact, overflow-free) decimal
+    // label sum is strictly monotone until the fixpoint — one aggregate
+    // action per round instead of a join-and-count against the
+    // previous state
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
       val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
@@ -186,8 +197,9 @@ object Dedup {
         .select(prop("id"),
           least(prop("label"), coalesce(col("llabel"), prop("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

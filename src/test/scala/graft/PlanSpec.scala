@@ -105,6 +105,41 @@ class PlanSpec extends AnyFunSuite {
       "FE/FD decode must not key-shuffle — it is a pure per-row expansion")
   }
 
+  test("q42: the wait report is all keyed joins — no cartesian, nation broadcasts") {
+    val p = plan("q42_supplier_wait")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "semi/anti legs must join on l_orderkey (with the supplier " +
+        "inequality as a post-condition), not as a nested loop")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "expected the EXISTS/NOT EXISTS legs as semi/anti joins")
+    assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+  }
+
+  test("q43: lineitem pre-aggregates to qualifying orderkeys before the wide join") {
+    val p = plan("q43_large_orders")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "qualifying orders should semi-join")
+    assert(p.contains("partial_sum"), "the HAVING aggregate must be two-phase")
+  }
+
+  test("d18: only block hashes shuffle — the text column never reaches an exchange") {
+    val p = plan("d18_passage_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the window keeper-pick shuffles on the md5 block hash; the doc
+    // text must be consumed by the scan-side Generate, not shuffled
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exchanges.contains("bh"), "expected the block-hash exchange")
+    assert(!exchanges.contains("text"), "raw text must not cross a shuffle")
+  }
+
+  test("e8: knn-graph candidates come from the bucket equi-join with top-k pushdown") {
+    val p = plan("e8_knn_graph")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("bucket"), "expected the (tbl, bucket) band equi-join")
+    assert(p.contains("WindowGroupLimit"), "per-node top-k not pushed below the shuffle")
+  }
+
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)
