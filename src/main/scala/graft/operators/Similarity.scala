@@ -252,6 +252,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF+PQ ANN (the FAISS "IVFADC" composition): the corpus is
+    * partitioned into `nlist` coarse cells AND compressed to `m`
+    * one-byte PQ codes — the index layout for billion-vector corpora,
+    * where the scan side of a query touches only `nprobe` cells and
+    * reads `m` bytes per candidate instead of `dim` floats. Queries
+    * probe their `nprobe` nearest cells and score candidates by
+    * asymmetric distance (LUT lookups, no float math per candidate).
+    * Both the cell assignment and the codes are narrow per-row maps
+    * at the scan; the only wide operation is the (cell) equi-join
+    * against the broadcast probe side + the WindowGroupLimit top-k.
+    * Same deterministic bootstrap conventions as [[ivfTopK]] (first
+    * `nlist` vectors as centroids) and [[pqTopK]] (first `ks` vectors
+    * as codebooks), so the whole index is oracle-reproducible. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val subDim = dim / m
+    val boot: Array[Array[Double]] = corpus.orderBy("vec_id")
+      .limit(math.max(nlist, ks))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(boot.length >= math.max(nlist, ks),
+      s"IVF+PQ bootstrap needs ${math.max(nlist, ks)} corpus vectors")
+    val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
+      val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
+      boot(j)(s * subDim + d)
+    }
+    def centScores(v: Column): Column = array(boot.take(nlist).map { c =>
+      Native.cosineSim(v, array(c.map(lit): _*))
+    }: _*)
+    val c = corpus
+      .select(col("vec_id").as("cand_id"),
+        centScores(col("embedding")).as("scores"),
+        Native.pqEncode(col("embedding"), cbFlat, m, ks, subDim).as("code"))
+      .select(col("cand_id"), col("code"),
+        array_position(col("scores"), array_max(col("scores"))).as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"),
+        Native.pqLut(col("embedding"), cbFlat, m, ks, subDim).as("lut"),
+        slice(transform(
+          sort_array(arrays_zip(
+            transform(centScores(col("embedding")), s => -s).as("neg"),
+            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
+          s => s.getField("cid")), 1, nprobe).as("probes"))
+      .select(col("q_id"), col("lut"), explode(col("probes")).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     * cells by nearest coarse centroid — a narrow map over the scan, the
     * centroid table rides inside the expressions — and each query scores

@@ -69,6 +69,17 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // IVF+PQ (FAISS IVFADC shape): coarse cells bound the candidate
+    // set, PQ codes compress the scan side to m bytes/vector, ADC
+    // scores candidates with LUT lookups — the billion-vector index
+    // layout; full oracle (SQL-derived centroids AND codebooks)
+    "e9_ivf_pq" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "adc")
+        .orderBy("q_id", "rank")
+    },
+
     // corpus-wide k-NN graph: every node's 5 nearest LSH bucket-mates
     // (directed) — the substrate for semantic clustering and
     // graph-based dedup; same banded candidate shape as e4, per-node
@@ -229,6 +240,62 @@ object VectorQueries {
          |SELECT q_id, rank, cand_id, cos FROM (
          |  SELECT q_id, cand_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // IVFADC mirror: e3's cell/probe chain + e7's code/LUT chain,
+    // candidates bounded by probed cells, scored by ADC
+    "e9_ivf_pq" -> {
+      def dist(v: String) =
+        s"""list_aggregate(list_transform(generate_series(1, 8), d ->
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
+      def cosM(a: String, b: String) =
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))""".stripMargin
+      s"""WITH cbv AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY vec_id) AS cbs
+         |  FROM embeddings WHERE vec_id < 16),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cscore AS (SELECT e.vec_id, cc.cid, ${cosM("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cents cc),
+         |cell AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |enc0 AS (
+         |  SELECT e.vec_id AS cand_id,
+         |    list_transform(generate_series(0, 7), s ->
+         |      list_transform(generate_series(1, 16), j -> ${dist("e.embedding")})) AS dls
+         |  FROM embeddings e CROSS JOIN cbv),
+         |enc AS (SELECT cand_id,
+         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+         |  FROM enc0),
+         |lut AS (
+         |  SELECT qv.vec_id AS q_id,
+         |    list_transform(generate_series(0, 127), i ->
+         |      ${dist("qv.embedding")
+               .replace("s*8", "(i // 16)*8")
+               .replace("cbs[j]", "cbs[(i % 16) + 1]")}) AS lutv
+         |  FROM embeddings qv CROSS JOIN cbv WHERE qv.vec_id < 5),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(generate_series(0, 7), s ->
+         |      lutv[s*16 + code[s+1] + 1]), 'sum') AS adc
+         |  FROM cand
+         |  JOIN enc ON enc.cand_id = cand.cand_id
+         |  JOIN lut ON lut.q_id = cand.q_id)
+         |SELECT q_id, rank, cand_id, adc FROM (
+         |  SELECT q_id, cand_id, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },

@@ -111,6 +111,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(avg >= 0.2, s"avg PQ recall $avg too low: $recalls")
   }
 
+  test("IVF+PQ ANN returns ranked candidates from probed cells with real recall") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    assert(ivfpq.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      brute(q).intersect(ivfpq.getOrElse(q, Set.empty)).size.toDouble / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.15, s"avg IVF+PQ recall $avg too low: $recalls")
+    // the candidate set must be a subset of plain IVF's (same probes,
+    // only the scoring differs)
+    val ivf = Similarity.ivfTopK(emb, queries, k = Int.MaxValue / 2).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    ivfpq.foreach { case (q, cands) =>
+      assert(cands.subsetOf(ivf(q)), s"q$q scored outside its probed cells")
+    }
+  }
+
   test("PQ codes are m small ints and scores are partition-stable") {
     val a = Similarity.pqTopK(emb, queries, k = 5).collect()
       .map(_.toString).sorted.toSeq
