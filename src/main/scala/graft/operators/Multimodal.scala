@@ -190,6 +190,113 @@ object WavCodec {
   }
 }
 
+/** YUV4MPEG2 (Y4M) video codec — pure JVM, no external libraries. Y4M
+  * is a real, widely-used uncompressed video container (the reference
+  * format ffmpeg/x264 pipe to each other): an ASCII stream header
+  * `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>] …\n` followed by frames, each
+  * `FRAME[params]\n` + raw planar YUV. Supported colorspaces: `mono`
+  * (Y only), `420*` (4:2:0), `422`, `444`; anything else is rejected,
+  * not guessed. Compressed video (H.264/VP9) would need an external
+  * codec — that seam stays in [[Multimodal.extractFeatures]]'s
+  * documented stub.
+  */
+object Y4mCodec {
+
+  /** Per-axis dimension cap (same rationale as [[PpmCodec.MaxDim]]). */
+  val MaxDim = 32767
+  /** Frame-count cap: bounds decode allocations on corrupt headers. */
+  val MaxFrames = 1 << 20
+
+  final case class Video(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                         colorspace: String, frames: Array[Array[Byte]]) {
+    /** The luma plane is the FIRST w·h bytes of every supported planar
+      * layout, so per-frame luma stats read a prefix slice. */
+    def luma(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(frames(i), 0, width * height)
+  }
+
+  /** Bytes per frame for a supported colorspace; -1 if unsupported.
+    * Chroma planes use ceil(w/2)/ceil(h/2) so odd dims stay exact. */
+  def frameSize(w: Int, h: Int, cs: String): Long = {
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    if (cs == "mono") w.toLong * h
+    // only the 8-bit 4:2:0 variants — C420p10/p12 are 2 bytes/sample
+    // and misreading them as 8-bit would decode garbage planes
+    else if (cs == "420" || cs == "420jpeg" || cs == "420mpeg2" ||
+      cs == "420paldv") w.toLong * h + 2L * cw * ch
+    else if (cs == "422") w.toLong * h + 2L * cw * h
+    else if (cs == "444") 3L * w * h
+    else -1L
+  }
+
+  /** Encode frames (each already `frameSize` bytes of planar data). */
+  def encode(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+             colorspace: String, frames: Array[Array[Byte]]): Array[Byte] = {
+    val fs = frameSize(width, height, colorspace)
+    require(fs > 0, s"unsupported colorspace $colorspace")
+    require(frames.forall(_.length == fs), s"every frame must be $fs bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen C$colorspace\n"
+      .getBytes("US-ASCII"))
+    frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+    out.toByteArray
+  }
+
+  /** Decode a Y4M payload; None on malformed/unsupported input
+    * (null-not-fail, the engine's KSQL-style semantics). Unknown
+    * header parameters (I/A/X…) are skipped per spec; a truncated
+    * final frame rejects the whole payload rather than inventing one. */
+  def decode(payload: Array[Byte]): Option[Video] = {
+    if (payload == null || payload.length < 10) return None
+    val magic = "YUV4MPEG2"
+    if (!magic.indices.forall(i => payload(i) == magic.charAt(i).toByte)) return None
+    var pos = magic.length
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+    // header params up to the first '\n'
+    while (pos < payload.length && payload(pos) != '\n') {
+      if (payload(pos) == ' ') pos += 1
+      else {
+        val tag = payload(pos).toChar
+        val start = pos + 1
+        while (pos < payload.length && payload(pos) != ' ' && payload(pos) != '\n') pos += 1
+        val v = new String(payload, start, pos - start, "US-ASCII")
+        tag match {
+          case 'W' => w = v.toIntOption.getOrElse(-1)
+          case 'H' => h = v.toIntOption.getOrElse(-1)
+          case 'F' => v.split(':') match {
+            case Array(a, b) =>
+              fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+            case _ => fn = -1
+          }
+          case 'C' => cs = v
+          case _ => () // I (interlacing), A (aspect), X (extensions): skipped
+        }
+      }
+    }
+    if (pos >= payload.length) return None
+    pos += 1 // the header '\n'
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim || fn <= 0 || fd <= 0) return None
+    val fs = frameSize(w, h, cs)
+    if (fs <= 0) return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (pos < payload.length) {
+      // FRAME marker with optional params up to '\n'
+      val fm = "FRAME"
+      if (pos + fm.length > payload.length ||
+        !fm.indices.forall(i => payload(pos + i) == fm.charAt(i).toByte)) return None
+      pos += fm.length
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      if (pos >= payload.length) return None
+      pos += 1
+      if (fs > payload.length - pos || frames.length >= MaxFrames) return None
+      frames += java.util.Arrays.copyOfRange(payload, pos, pos + fs.toInt)
+      pos += fs.toInt
+    }
+    Some(Video(w, h, fn, fd, cs, frames.toArray))
+  }
+}
+
 /** Multimodal-column plumbing (SURVEY §2c `m1_binary_meta`,
   * `m2_image_decode`, `m3_audio_decode`).
   *
@@ -297,6 +404,49 @@ object Multimodal {
               None, None)
           case None =>
             AudioFeatures(id, len, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Typed features of one SAMPLED video frame; a malformed payload
+    * yields a single row with null frame fields (null-not-fail). */
+  final case class VideoFrameFeatures(
+      id: Long, byte_len: Int, frame_idx: Option[Int],
+      width: Option[Int], height: Option[Int], n_frames: Option[Int],
+      mean_y: Option[Double], peak_y: Option[Int])
+
+  /** REAL per-partition Y4M decode + frame sampling over (id, payload)
+    * rows: every `stride`-th frame becomes a row with luma statistics
+    * from actual plane bytes — the decode/frame-sample step of a video
+    * training-data pipeline. Luma sums accumulate in Long (exact), so
+    * the mean is one integer sum divided once — deterministic under
+    * any partitioning and mirrored exactly by the SQL oracle.
+    * mapPartitions is the batch shape: one decoder context per task. */
+  def sampleVideoFrames(media: Dataset[(Long, Array[Byte])],
+                        stride: Int): Dataset[VideoFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val len = if (payload == null) 0 else payload.length
+        Y4mCodec.decode(payload) match {
+          case Some(v) if v.frames.nonEmpty =>
+            (0 until v.frames.length by stride).map { f =>
+              val y = v.luma(f)
+              var sum = 0L
+              var peak = 0
+              var i = 0
+              while (i < y.length) {
+                val b = y(i) & 0xff
+                sum += b
+                if (b > peak) peak = b
+                i += 1
+              }
+              VideoFrameFeatures(id, len, Some(f), Some(v.width), Some(v.height),
+                Some(v.frames.length), Some(sum.toDouble / y.length), Some(peak))
+            }
+          case _ =>
+            Seq(VideoFrameFeatures(id, len, None, None, None, None, None, None))
         }
       }
     }

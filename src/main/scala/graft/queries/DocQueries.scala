@@ -286,6 +286,31 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL video decode + frame sampling: deterministic Y4M (YUV4MPEG2,
+    // luma-only `Cmono`) payloads ride a binary column; the pure-JVM
+    // codec parses the stream header, walks FRAME markers, and every
+    // 2nd frame becomes a row with luma stats from actual plane bytes
+    // (exact integer sum / n, identical on both sides). The oracle
+    // computes expected features from the frame-generation formula —
+    // the encode→binary→decode→sample loop is what's being checked.
+    "m4_video_frames" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (8, 8)
+          val n = (4 + id % 3).toInt
+          val frames = Array.tabulate(n)(f =>
+            Array.tabulate[Byte](w * h)(i => ((id * 17 + f * 29 + i * 7) % 256).toByte))
+          (id, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames))
+        }
+      graft.operators.Multimodal.sampleVideoFrames(media, stride = 2)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"), col("mean_y"), col("peak_y"))
+        .orderBy("id", "frame_idx")
+    },
+
     // REAL audio decode: deterministic 16-bit mono PCM WAV payloads
     // (samples derive from the supplier key) ride a binary column; the
     // pure-JVM RIFF codec extracts rate/duration/amplitude stats per
@@ -623,6 +648,21 @@ object DocQueries {
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac,
         |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // expected features from the frame-generation formula: luma byte i
+    // of frame f is (id*17 + f*29 + i*7) % 256 over the 8x8 plane
+    "m4_video_frames" -> {
+      val lumas = "list_transform(generate_series(0, 63), " +
+        "i -> (s_suppkey*17 + f.f*29 + i*7) % 256)"
+      s"""SELECT s_suppkey AS id, CAST(f.f AS INTEGER) AS frame_idx,
+         |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         |  CAST(4 + s_suppkey % 3 AS INTEGER) AS n_frames,
+         |  CAST(list_aggregate($lumas, 'sum') AS DOUBLE) / 64.0 AS mean_y,
+         |  CAST(list_max($lumas) AS INTEGER) AS peak_y
+         |FROM supplier
+         |CROSS JOIN unnest(generate_series(0, 4 + s_suppkey % 3 - 1)) f(f)
+         |WHERE f.f % 2 = 0 ORDER BY id, frame_idx""".stripMargin
+    },
 
     "m3_audio_decode" -> {
       val n = "(800 + (s_suppkey % 5) * 100)"

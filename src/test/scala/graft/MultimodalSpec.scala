@@ -161,4 +161,60 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = out(1)
     assert(bad.byte_len == 3 && bad.sample_rate.isEmpty && bad.mean_abs.isEmpty)
   }
+
+  test("Y4M codec round-trips frames exactly across colorspaces") {
+    import graft.operators.Y4mCodec
+    for (cs <- Seq("mono", "420", "422", "444")) {
+      val fs = Y4mCodec.frameSize(4, 2, cs).toInt
+      val frames = Array.tabulate(3)(f =>
+        Array.tabulate[Byte](fs)(i => ((f * 31 + i * 7) % 256).toByte))
+      val v = Y4mCodec.decode(Y4mCodec.encode(4, 2, 30, 1, cs, frames)).get
+      assert(v.width == 4 && v.height == 2 && v.fpsNum == 30 && v.fpsDen == 1)
+      assert(v.colorspace == cs && v.frames.length == 3)
+      v.frames.zip(frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+      // luma plane is the w*h prefix in every layout
+      assert(v.luma(1).toSeq == frames(1).take(8).toSeq)
+    }
+  }
+
+  test("Y4M decode skips unknown header params and rejects malformed input") {
+    import graft.operators.Y4mCodec
+    val y = Array.fill[Byte](4)(7)
+    val withParams = ("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono Xsome\nFRAME\n"
+      .getBytes("US-ASCII")) ++ y
+    val v = Y4mCodec.decode(withParams).get
+    assert(v.width == 2 && v.height == 2 && v.frames.length == 1)
+    assert(Y4mCodec.decode("JUNK".getBytes("US-ASCII")).isEmpty)
+    assert(Y4mCodec.decode(null).isEmpty)
+    // unsupported colorspace rejected, not guessed
+    assert(Y4mCodec.decode(
+      ("YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](6)(0))).isEmpty)
+    // truncated final frame rejects the payload
+    assert(Y4mCodec.decode(
+      ("YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](3)(0))).isEmpty)
+    // zero/absurd dimensions rejected
+    assert(Y4mCodec.decode(
+      "YUV4MPEG2 W0 H2 F25:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+    assert(Y4mCodec.decode(
+      "YUV4MPEG2 W99999999 H2 F25:1 Cmono\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("sampleVideoFrames emits every stride-th frame with real luma stats") {
+    import spark.implicits._
+    import graft.operators.Y4mCodec
+    val frames = Array.tabulate(5)(f => Array.fill[Byte](4)((10 * f).toByte))
+    val media = Seq(
+      (1L, Y4mCodec.encode(2, 2, 25, 1, "mono", frames)),
+      (2L, Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    val ok = out.filter(_.id == 1L).sortBy(_.frame_idx)
+    assert(ok.map(_.frame_idx.get).toSeq == Seq(0, 2, 4))
+    assert(ok.forall(r => r.n_frames.contains(5) && r.width.contains(2)))
+    assert(ok.map(_.mean_y.get).toSeq == Seq(0.0, 20.0, 40.0))
+    assert(ok.map(_.peak_y.get).toSeq == Seq(0, 20, 40))
+    val bad = out.filter(_.id == 2L)
+    assert(bad.length == 1 && bad(0).frame_idx.isEmpty && bad(0).byte_len == 3)
+  }
 }
