@@ -179,12 +179,14 @@ object Dedup {
     // label sum is strictly monotone until the fixpoint — one aggregate
     // action per round instead of a join-and-count against the
     // previous state
-    def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0))
+    def labelSum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d) // null = empty graph
+    }
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no pairs → nothing to propagate
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
@@ -200,6 +202,9 @@ object Dedup {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // the superseded round's checkpointed blocks are dead state —
+      // release them instead of pinning every round in the block manager
+      labels.unpersist()
       labels = next
       iter += 1
     }

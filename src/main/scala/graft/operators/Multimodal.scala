@@ -425,6 +425,7 @@ object Multimodal {
     * mapPartitions is the batch shape: one decoder context per task. */
   def sampleVideoFrames(media: Dataset[(Long, Array[Byte])],
                         stride: Int): Dataset[VideoFrameFeatures] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { case (id, payload) =>

@@ -276,6 +276,8 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(boot.length >= math.max(nlist, ks),
       s"IVF+PQ bootstrap needs ${math.max(nlist, ks)} corpus vectors")
+    require(boot.forall(_.length >= dim),
+      s"IVF+PQ bootstrap vectors must have >= $dim components")
     val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
       val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
       boot(j)(s * subDim + d)

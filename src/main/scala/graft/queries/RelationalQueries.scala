@@ -485,11 +485,14 @@ object RelationalQueries {
     },
 
     // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
-    // multi-supplier order ("kept orders waiting"). Lateness needs the
-    // order date, so the EXISTS / NOT EXISTS correlations become a
-    // left-semi and a left-anti self-join over one shared (orderkey,
-    // suppkey, late) projection — all three join legs shuffle on the
-    // same l_orderkey key, dims broadcast.
+    // multi-supplier order ("kept orders waiting"). The EXISTS / NOT
+    // EXISTS correlations collapse into ONE per-order aggregation
+    // (supplier count + late-supplier count) joined back to the late
+    // lines — both consumers of the late-line projection sit on the
+    // same explicit l_orderkey repartition, so the lineitem⋈orders
+    // join runs ONCE (canonical-exchange reuse, the minhashNearDups
+    // pattern; a literal semi+anti formulation would re-join the fact
+    // tables once per leg — the spec cross-checks against it).
     "q42_supplier_wait" -> q { (s, d) =>
       val o = table(s, d, "orders")
         .filter(col("o_orderstatus") === "F")
@@ -499,17 +502,16 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate").cast("date") >
             date_add(col("o_orderdate").cast("date"), 90)).as("late"))
-      val l2 = l1all.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val l3 = l1all.filter(col("late"))
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        .repartition(col("l_orderkey"))
+      val perOrder = l1all.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
       val sup = table(s, d, "supplier")
       val n = table(s, d, "nation")
         .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
       l1all.filter(col("late"))
-        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-          "left_semi")
-        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-          "left_anti")
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("s_name")

@@ -117,6 +117,12 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
   }
 
+  test("connected components of an empty pair list is empty, not a crash") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(none).collect().isEmpty)
+  }
+
   test("d20 clusters are consistent with the d7b pair list") {
     val labels = SparkEntry.queries("d20_dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

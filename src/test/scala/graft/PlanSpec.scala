@@ -105,14 +105,15 @@ class PlanSpec extends AnyFunSuite {
       "FE/FD decode must not key-shuffle — it is a pure per-row expansion")
   }
 
-  test("q42: the wait report is all keyed joins — no cartesian, nation broadcasts") {
+  test("q42: one shared late-line exchange feeds both consumers, no cartesian") {
     val p = plan("q42_supplier_wait")
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "semi/anti legs must join on l_orderkey (with the supplier " +
-        "inequality as a post-condition), not as a nested loop")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-      "expected the EXISTS/NOT EXISTS legs as semi/anti joins")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the per-order aggregate and the late-line probe both sit on the
+    // explicit l_orderkey repartition: canonically identical exchanges
+    // that AQE stage reuse executes ONCE (the minhashNearDups pattern)
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit l_orderkey repartition enabling exchange reuse")
     assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
   }
 

@@ -46,11 +46,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
 
-  test("q42 semi/anti formulation matches the per-order aggregate rewrite") {
+  test("q42 aggregate rewrite matches the literal semi/anti formulation") {
     import org.apache.spark.sql.functions._
-    // independent formulation: per order, count suppliers and late
-    // suppliers; a waiting supplier is late on a multi-supplier order
-    // where it is the only late one
+    // independent formulation, mirroring the oracle's EXISTS/NOT
+    // EXISTS literally: a late line survives if ANOTHER supplier sits
+    // on the same order (semi) and NO OTHER supplier is late on it
+    // (anti)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderstatus") === "F")
@@ -58,11 +59,12 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
         (col("l_shipdate").cast("date") >
           date_add(col("o_orderdate").cast("date"), 90)).as("late"))
-    val perOrder = l1.groupBy("ok").agg(
-      countDistinct(col("sk")).as("n_supp"),
-      countDistinct(when(col("late"), col("sk"))).as("n_late_supp"))
-    val expected = l1.filter(col("late")).join(perOrder, "ok")
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val l2 = l1.select(col("ok").as("k2"), col("sk").as("s2"))
+    val l3 = l1.filter(col("late"))
+      .select(col("ok").as("k3"), col("sk").as("s3"))
+    val expected = l1.filter(col("late"))
+      .join(l2, col("ok") === col("k2") && col("sk") =!= col("s2"), "left_semi")
+      .join(l3, col("ok") === col("k3") && col("sk") =!= col("s3"), "left_anti")
       .join(spark.read.parquet(s"$sf/supplier.parquet"),
         col("sk") === col("s_suppkey"))
       .join(spark.read.parquet(s"$sf/nation.parquet")
