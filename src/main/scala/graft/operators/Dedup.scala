@@ -148,6 +148,20 @@ object Dedup {
       i => array_min(slice(hashes, i, lit(w))))))
   }
 
+  /** Consecutive `blockSize`-token block hashes per document — the
+    * sub-document passage unit shared by the batch passage dedup
+    * (d18) and the streaming contamination screen. Narrow generate:
+    * only (id, block_idx, 32-byte hash) rows leave the scan. */
+  def passageBlocks(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", blockSize: Int = 20): DataFrame = {
+    val toks = Text.tokens(lower(col(textCol)))
+    val nBlocks =
+      greatest(ceil(size(toks) / lit(blockSize.toDouble)).cast("int") - 1, lit(0))
+    docs.select(col(idCol), posexplode(transform(sequence(lit(0), nBlocks),
+      i => md5(concat_ws(" ", slice(toks, i * blockSize + 1, lit(blockSize))))))
+      .as(Seq("block_idx", "bh")))
+  }
+
   /** Connected components over a near-dup pair list: every document
     * gets the MINIMUM doc id of its component as cluster id — the
     * canonical "duplicate cluster" assignment that chains A~B~C into

@@ -145,14 +145,7 @@ object DocQueries {
     // only 32-byte hashes — and no self-join exists at any scale.
     "d18_passage_dedup" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val bs = 20
-      val toks = Text.tokens(lower(col("text")))
-      val nBlocks = greatest(ceil(size(toks) / lit(bs.toDouble)).cast("int") - 1, lit(0))
-      val blocks = table(s, d, "documents")
-        .select(col("doc_id"), posexplode(transform(sequence(lit(0), nBlocks),
-          i => md5(concat_ws(" ", slice(toks, i * bs + 1, lit(bs))))))
-          .as(Seq("block_idx", "bh")))
-      blocks
+      Dedup.passageBlocks(table(s, d, "documents"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("bh").orderBy("doc_id", "block_idx")))
         .groupBy("doc_id")

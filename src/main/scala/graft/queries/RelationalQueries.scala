@@ -543,6 +543,38 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume — the
+    // two-role dimension pattern (nation joins TWICE under different
+    // roles, both broadcast) with an OR'd pair predicate that only the
+    // joined roles can evaluate, grouped by (supp_nation, cust_nation,
+    // year). The year filter pushes to the lineitem scan.
+    "q44_nation_volume" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") <= lit("1996-12-31").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("vol"))
+      val o = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n1 = table(s, d, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = table(s, d, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter((col("supp_nation") === "NATION_5" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_5"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("vol")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // TPC-H Q3 shape: date-filtered fact⋈fact join, grouped revenue,
     // top-10 by revenue — filters push to both scans before the join
     "q39_ship_priority" -> q { (s, d) =>
@@ -965,6 +997,24 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
+
+    "q44_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+         |  AND ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_8')
+         |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_5'))
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q42_supplier_wait" ->
       """WITH l1all AS (

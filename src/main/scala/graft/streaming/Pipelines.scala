@@ -166,6 +166,25 @@ object Pipelines {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Ingest-time passage-contamination screen: arriving documents'
+    * 20-token blocks check against a STATIC reference block table
+    * (the eval/benchmark set) on the block hash — a stream-static
+    * equi-join, STATELESS (no watermark, no growing state). Emits one
+    * (in_id, block_idx, ref_id) row per contaminated passage — the
+    * streaming twin of the batch d16/d18 family.
+    *
+    * @param refBlocks the static side, built via
+    *   `Dedup.passageBlocks(reference)` and MATERIALIZED by the caller
+    *   (cache or a written blocks table) — Spark re-executes the
+    *   static plan on every micro-batch. */
+  def streamPassageScreen(stream: DataFrame, refBlocks: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.passageBlocks(stream)
+      .withColumnRenamed("doc_id", "in_id")
+      .join(refBlocks.select(col("doc_id").as("ref_id"), col("bh")), "bh")
+      .select("in_id", "block_idx", "ref_id")
+  }
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

@@ -194,6 +194,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 0L)
   }
 
+  test("stream passage screen flags shared 20-token blocks against the reference") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 20+ shared tokens guarantee a shared block at block size 20
+    val passage = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val ref = Seq((900L, s"$passage trailing reference words here"))
+      .toDF("doc_id", "text")
+    val refBlocks = graft.operators.Dedup.passageBlocks(ref).cache()
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Pipelines.streamPassageScreen(stream, refBlocks)
+      .writeStream.format("memory").queryName("passage_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, passage), // leads with the reference's first block → alert
+      (2L, "no overlap with anything in the reference corpus at all"))
+    q.processAllAvailable()
+    val out = spark.table("passage_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    q.stop()
+    assert(out.toSeq == Seq((1L, 0, 900L)), s"got ${out.toSeq}")
+  }
+
   test("stream-static PQ/ADC screen scores arriving vectors against corpus codes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
