@@ -166,6 +166,24 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // the data-mixture report every pretraining run starts from:
+    // per-(source, lang) document/token counts and each cell's share
+    // of corpus tokens. One keyed aggregation; the 1-row global total
+    // broadcasts back (no second shuffle).
+    "d21_source_mix" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val per = table(s, d, "documents")
+        .select(col("source"), col("lang"), Text.tokenCount(col("text")).as("nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("token_share"))
+        .orderBy("source", "lang")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -569,6 +587,16 @@ object DocQueries {
         |SELECT doc_id, COUNT(*) AS n_blocks,
         |  CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d21_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share
+        |FROM per CROSS JOIN tot ORDER BY source, lang""".stripMargin,
 
     "d9_bpe_tokens" ->
       """SELECT doc_id,

@@ -117,6 +117,13 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
   }
 
+  test("d21 token shares cover the whole corpus") {
+    val shares = SparkEntry.queries("d21_source_mix")(spark, sf).collect()
+      .map(_.getAs[Double]("token_share"))
+    assert(shares.nonEmpty && shares.forall(s => s > 0 && s <= 1.0))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum to ${shares.sum}")
+  }
+
   test("connected components of an empty pair list is empty, not a crash") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")

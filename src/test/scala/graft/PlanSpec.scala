@@ -141,6 +141,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-node top-k not pushed below the shuffle")
   }
 
+  test("e9: IVF+PQ scan carries codes, probes broadcast, top-k pushes down") {
+    val p = plan("e9_ivf_pq")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "probe side should broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    assert(p.contains("pq_encode"), "scan side must carry PQ codes")
+  }
+
+  test("q44: both nation roles broadcast and the date filter reaches the scan") {
+    val p = plan("q44_nation_volume")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both nation roles should broadcast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate range filter not pushed to the lineitem scan")
+  }
+
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)
