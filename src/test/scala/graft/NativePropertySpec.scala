@@ -89,4 +89,68 @@ object NativePropertySpec extends Properties("NativeKernels") {
         lut.getDouble(s * Ks + j) == refDist(v, cb, s, j)
       })
     }
+
+  // ---- pure-JVM media codecs: total on arbitrary bytes, lossless on
+  // well-formed payloads (they run per-row on executors — a crash is a
+  // task failure, so totality is a correctness property here)
+
+  private val dims = Gen.choose(1, 6)
+  private val rawBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+
+  property("PPM roundtrip is lossless for any pixel bytes") =
+    forAll(dims, dims, rawBytes) { (w, h, seed) =>
+      val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+        if (seed.isEmpty) 0 else seed(i % seed.length))
+      val img = graft.operators.PpmCodec.decode(
+        graft.operators.PpmCodec.encode(w, h, rgb))
+      img.exists(d => d.width == w && d.height == h && d.rgb.sameElements(rgb))
+    }
+
+  property("PPM decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.PpmCodec.decode(bs.toArray)
+      true
+    }
+
+  property("WAV roundtrip is lossless for any samples") =
+    forAll(Gen.choose(1, 48000), Gen.listOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
+      (rate, samples) =>
+        val a = graft.operators.WavCodec.decode(
+          graft.operators.WavCodec.encode(rate, samples.toArray))
+        a.exists(d => d.sampleRate == rate && d.samples.sameElements(samples))
+    }
+
+  property("WAV decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.WavCodec.decode(bs.toArray)
+      true
+    }
+
+  private val colorspace = Gen.oneOf("mono", "420", "420jpeg", "422", "444")
+
+  property("Y4M roundtrip is lossless for any frames/colorspace") =
+    forAll(dims, dims, Gen.choose(0, 4), colorspace, rawBytes) {
+      (w, h, nf, cs, seed) =>
+        val fs = graft.operators.Y4mCodec.frameSize(w, h, cs).toInt
+        val frames = Array.tabulate(nf)(f => Array.tabulate[Byte](fs)(i =>
+          if (seed.isEmpty) f.toByte else seed((f + i) % seed.length)))
+        val v = graft.operators.Y4mCodec.decode(
+          graft.operators.Y4mCodec.encode(w, h, 25, 1, cs, frames))
+        v.exists(d => d.width == w && d.height == h &&
+          d.frames.length == nf &&
+          d.frames.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    }
+
+  property("Y4M decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.Y4mCodec.decode(bs.toArray)
+      true
+    }
+
+  property("Y4M decode never throws on arbitrary header text") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      graft.operators.Y4mCodec.decode(
+        ("YUV4MPEG2 " + s).getBytes("US-ASCII"))
+      true
+    }
 }
