@@ -152,14 +152,24 @@ object Dedup {
     * sub-document passage unit shared by the batch passage dedup
     * (d18) and the streaming contamination screen. Narrow generate:
     * only (id, block_idx, 32-byte hash) rows leave the scan. */
+  /** With `fullOnly`, trailing partial blocks are dropped: a screen
+    * matching on fragments shorter than the passage unit (down to one
+    * token, or md5("") for empty docs) would flag coincidences as
+    * contamination. The intra-corpus dedup (d18) keeps partials — they
+    * hash consistently on both sides there. */
   def passageBlocks(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", blockSize: Int = 20): DataFrame = {
+                    textCol: String = "text", blockSize: Int = 20,
+                    fullOnly: Boolean = false): DataFrame = {
     val toks = Text.tokens(lower(col(textCol)))
     val nBlocks =
       greatest(ceil(size(toks) / lit(blockSize.toDouble)).cast("int") - 1, lit(0))
-    docs.select(col(idCol), posexplode(transform(sequence(lit(0), nBlocks),
-      i => md5(concat_ws(" ", slice(toks, i * blockSize + 1, lit(blockSize))))))
-      .as(Seq("block_idx", "bh")))
+    val base = docs.select(col(idCol),
+      floor(size(toks) / lit(blockSize.toDouble)).cast("int").as("__nfull"),
+      posexplode(transform(sequence(lit(0), nBlocks),
+        i => md5(concat_ws(" ", slice(toks, i * blockSize + 1, lit(blockSize))))))
+        .as(Seq("block_idx", "bh")))
+    (if (fullOnly) base.filter(col("block_idx") < col("__nfull")) else base)
+      .drop("__nfull")
   }
 
   /** Connected components over a near-dup pair list: every document

@@ -179,9 +179,13 @@ object Pipelines {
     *   static plan on every micro-batch. */
   def streamPassageScreen(stream: DataFrame, refBlocks: DataFrame): DataFrame = {
     import graft.operators.Dedup
-    Dedup.passageBlocks(stream)
+    // fullOnly: fragments shorter than the passage unit must not flag
+    Dedup.passageBlocks(stream, fullOnly = true)
       .withColumnRenamed("doc_id", "in_id")
-      .join(refBlocks.select(col("doc_id").as("ref_id"), col("bh")), "bh")
+      // distinct: a reference doc repeating a block (or two reference
+      // docs sharing one) must not multiply an arriving passage's rows
+      // beyond one per (passage, ref doc)
+      .join(refBlocks.select(col("doc_id").as("ref_id"), col("bh")).distinct(), "bh")
       .select("in_id", "block_idx", "ref_id")
   }
 

@@ -209,7 +209,10 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     in.addData(
       (1L, passage), // leads with the reference's first block → alert
-      (2L, "no overlap with anything in the reference corpus at all"))
+      (2L, "no overlap with anything in the reference corpus at all"),
+      // a sub-unit fragment must NOT flag even though the reference's
+      // trailing partial block hashes the same tokens
+      (3L, "trailing reference words here"))
     q.processAllAvailable()
     val out = spark.table("passage_out").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
