@@ -184,6 +184,30 @@ object DocQueries {
         .orderBy("source", "lang")
     },
 
+    // per-document lexical diversity: vocabulary size and the Simpson
+    // diversity index 1 - Σn²/N² (the probability two random tokens
+    // differ) — a repetition/quality screen like d17, chosen over
+    // entropy because it is LOG-FREE: exact integer sums + one double
+    // division are bit-portable across engines, while ln() differs in
+    // the last ulp between libm implementations. Same scale shape as
+    // d17: token generate → two keyed aggs with map-side combine.
+    "d22_token_diversity" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val counts = table(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("doc_id"), col("n_tokens"), col("vocab"),
+          (lit(1.0) - col("s2").cast(DoubleType) /
+            (col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
+            .as("simpson"))
+        .orderBy("doc_id")
+    },
+
     "d9_bpe_tokens" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
@@ -587,6 +611,18 @@ object DocQueries {
         |SELECT doc_id, COUNT(*) AS n_blocks,
         |  CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d22_token_diversity" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS n FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents) t
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  1.0 - CAST(SUM(n*n) AS DOUBLE) /
+        |    (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS simpson
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d21_source_mix" ->
       """WITH per AS (

@@ -543,6 +543,25 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q14 shape: promotion revenue share — the ratio of a
+    // conditional aggregate to the total in ONE pass (two decimal sums
+    // in the same aggregation, divided post-agg in double). The month
+    // filter pushes to the lineitem scan.
+    "q45_promo_share" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1995-10-01").cast(TimestampType))
+        .select(col("l_partkey"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("rev"))
+      val p = table(s, d, "part").select("p_partkey", "p_type")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("rev"))).cast(DoubleType) /
+            sum(col("rev")).cast(DoubleType)).as("promo_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // TPC-H Q7 shape: bidirectional nation-pair trade volume — the
     // two-role dimension pattern (nation joins TWICE under different
     // roles, both broadcast) with an OR'd pair predicate that only the
@@ -997,6 +1016,17 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
+
+    "q45_promo_share" ->
+      s"""SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) END)
+         |    AS VARCHAR) AS DOUBLE)
+         |  / CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS promo_revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
 
     "q44_nation_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
