@@ -543,6 +543,29 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate over a
+    // fact⋈dim join — three OR'd (brand, size-range, quantity-range)
+    // branches that reference BOTH tables, so only the common
+    // conjuncts (extracted by Catalyst's CNF conversion) can push to
+    // the scans; the rest evaluates post-join. Exercises OR-predicate
+    // handling that simple conjunctive queries never touch.
+    "q46_disjunctive_join" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("rev"))
+      val p = table(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // TPC-H Q14 shape: promotion revenue share — the ratio of a
     // conditional aggregate to the total in ONE pass (two decimal sums
     // in the same aggregation, divided post-agg in double). The month
@@ -1016,6 +1039,17 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
+
+    "q46_disjunctive_join" ->
+      s"""SELECT CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q45_promo_share" ->
       s"""SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'

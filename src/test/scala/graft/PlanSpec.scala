@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite {
       "shipdate range filter not pushed to the lineitem scan")
   }
 
+  test("q46: disjunctive predicate partially pushes to the scans as Or filters") {
+    val p = plan("q46_disjunctive_join")
+    assert(!p.contains("CartesianProduct"))
+    val scanLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    // Catalyst's CNF extraction pushes the per-table disjunction of
+    // each branch's single-table conjuncts (brand/size to part,
+    // quantity to lineitem) — the cross-table residue evaluates
+    // post-join. A regression to no pushdown would ship every row.
+    assert(scanLines.exists(_.contains("Or(")),
+      s"expected an Or(...) pushed filter on at least one scan:\n${scanLines.mkString("\n")}")
+  }
+
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)
