@@ -233,4 +233,17 @@ object Pipelines {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+
+  /** Exactly-once parquet sink for `foreachBatch`: each micro-batch
+    * lands in its own `batch=<epoch>` hive partition with overwrite,
+    * so a REPLAYED epoch (failure recovery redelivers the same batch
+    * id) overwrites its own previous output instead of appending
+    * duplicates — idempotent-write exactly-once, the standard pattern
+    * when the downstream store has no transactions. Readers get the
+    * epoch as a normal partition column and prune on it. Pair with
+    * `Tables.compact` for small-file maintenance at high trigger
+    * rates. */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch=$epochId")
 }
