@@ -543,6 +543,32 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q10 shape: returned-items revenue report — selective fact
+    // filter (returnflag) + date-windowed orders + customer/nation
+    // dims, grouped per customer, top-20 by lost revenue. The two
+    // fact filters push to their scans; nation broadcasts.
+    "q47_returned_items" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("rev"))
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-10-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val c = table(s, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val n = table(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // TPC-H Q19 shape: disjunctive multi-attribute predicate over a
     // fact⋈dim join — three OR'd (brand, size-range, quantity-range)
     // branches that reference BOTH tables, so only the common
@@ -1039,6 +1065,20 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY cgrp ORDER BY cgrp""".stripMargin,
+
+    "q47_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q46_disjunctive_join" ->
       s"""SELECT CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS revenue,
