@@ -586,7 +586,7 @@ object RelationalQueries {
             col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
             col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
             col("l_quantity").between(20, 30)))
         .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_lines"))
@@ -719,8 +719,12 @@ object RelationalQueries {
     }
   )
 
-  private val sumDisc =
-    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+  /** The one SQL spelling of discounted line revenue — every oracle
+    * that sums it (plain or under CASE) must share this text so the
+    * decimal parity recipe can never diverge per-query. */
+  private val discExpr =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+  private val sumDisc = s"SUM($discExpr)"
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -1088,13 +1092,12 @@ object RelationalQueries {
          |    AND l_quantity BETWEEN 1 AND 11)
          |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
          |    AND l_quantity BETWEEN 10 AND 20)
-         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
          |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q45_promo_share" ->
       s"""SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
-         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
-         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) END)
+         |    THEN $discExpr END)
          |    AS VARCHAR) AS DOUBLE)
          |  / CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS promo_revenue,
          |  COUNT(*) AS n_lines
