@@ -60,6 +60,22 @@ object Engine {
     ensure("word_shingles") { exprs =>
       graft.plans.WordShingles(exprs.head, litInt(exprs(1), "word_shingles k"))
     }
+    // dedup primitives for SQL-first users: POLYHASH(s [, modulus]) and
+    // WINNOW_FINGERPRINTS(tokens [, k, w, modulus]) with the engine's
+    // default constants (graft.operators.Dedup.P / the d10 parameters),
+    // so the d6/d10/d16 pipelines are expressible in plain SQL
+    ensure("polyhash") { exprs =>
+      val p = if (exprs.length > 1) litStr(exprs(1), "polyhash modulus").toLong
+              else graft.operators.Dedup.P
+      graft.plans.PolyHash(exprs.head, p)
+    }
+    ensure("winnow_fingerprints") { exprs =>
+      val k = if (exprs.length > 1) litInt(exprs(1), "winnow k") else 3
+      val w = if (exprs.length > 2) litInt(exprs(2), "winnow w") else 4
+      val p = if (exprs.length > 3) litStr(exprs(3), "winnow modulus").toLong
+              else 1000000000000000L
+      graft.plans.WinnowFingerprints(exprs.head, k, w, p)
+    }
     // T24 surface (reference controllers/index.js:57-170, 293-403):
     // KSQL-shaped statements using these names run through spark.sql,
     // resolving to the same native/codegen expressions as the Column API.

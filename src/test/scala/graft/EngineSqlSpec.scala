@@ -41,6 +41,27 @@ class EngineSqlSpec extends AnyFunSuite {
       "simhash64", "cosine_sim").subsetOf(names))
   }
 
+  test("dedup primitives are expressible in plain SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text").createOrReplaceTempView("engine_sql_docs")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  POLYHASH(text) AS h,
+        |  WINNOW_FINGERPRINTS(SPLIT(LOWER(TRIM(text)), '\\s+')) AS fps
+        |FROM engine_sql_docs ORDER BY doc_id""".stripMargin).collect()
+    // SQL results equal the Column-API formulations used by d6/d10
+    val expH = Seq("alpha beta gamma delta epsilon zeta", "alpha beta gamma")
+      .toDF("t").select(graft.functions.Native.polyHash(col("t"),
+        graft.operators.Dedup.P)).collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).toSeq == expH.toSeq)
+    val expF = Seq("alpha beta gamma delta epsilon zeta", "alpha beta gamma")
+      .toDF("t").select(graft.operators.Dedup.winnow(col("t")))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows.map(_.getSeq[Long](2)).toSeq == expF.toSeq)
+  }
+
   test("a reference-shaped MAPPED statement runs end-to-end") {
     import spark.implicits._
     Seq(("1", Map("D" -> "20240131", "AMT" -> "12.5", "MV" -> "1:x#2:y")))
