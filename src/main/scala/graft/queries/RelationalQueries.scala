@@ -503,9 +503,16 @@ object RelationalQueries {
           (col("l_shipdate").cast("date") >
             date_add(col("o_orderdate").cast("date"), 90)).as("late"))
         .repartition(col("l_orderkey"))
-      val perOrder = l1all.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      // two-level aggregate instead of double countDistinct: both
+      // levels cluster by subsets of (l_orderkey, l_suppkey), which the
+      // l_orderkey repartition already satisfies — no Expand operator,
+      // no additional exchange
+      val perOrder = l1all
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk2"))
+        .agg(max(col("late")).as("any_late"))
+        .groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late_supp"))
       val sup = table(s, d, "supplier")
       val n = table(s, d, "nation")
         .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))

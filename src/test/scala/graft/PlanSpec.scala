@@ -115,6 +115,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_COL"),
       "expected the explicit l_orderkey repartition enabling exchange reuse")
     assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+    // the per-order stats are a two-level aggregate on subsets of the
+    // repartition key — a double countDistinct would reintroduce an
+    // Expand (2x the rows through the aggregation)
+    assert(!p.contains("Expand"), "q42 must not plan an Expand")
   }
 
   test("q43: lineitem pre-aggregates to qualifying orderkeys before the wide join") {
