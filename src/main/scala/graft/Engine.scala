@@ -64,16 +64,28 @@ object Engine {
     // WINNOW_FINGERPRINTS(tokens [, k, w, modulus]) with the engine's
     // default constants (graft.operators.Dedup.P / the d10 parameters),
     // so the d6/d10/d16 pipelines are expressible in plain SQL
+    def litLong(e: Expression, what: String): Long = {
+      val s = litStr(e, what).trim
+      val v = try s.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$what must be an integer literal, got '$s'")
+      }
+      require(v > 0, s"$what must be positive, got $v")
+      v
+    }
     ensure("polyhash") { exprs =>
-      val p = if (exprs.length > 1) litStr(exprs(1), "polyhash modulus").toLong
+      val p = if (exprs.length > 1) litLong(exprs(1), "polyhash modulus")
               else graft.operators.Dedup.P
       graft.plans.PolyHash(exprs.head, p)
     }
     ensure("winnow_fingerprints") { exprs =>
-      val k = if (exprs.length > 1) litInt(exprs(1), "winnow k") else 3
-      val w = if (exprs.length > 2) litInt(exprs(2), "winnow w") else 4
-      val p = if (exprs.length > 3) litStr(exprs(3), "winnow modulus").toLong
-              else 1000000000000000L
+      val k = if (exprs.length > 1) litInt(exprs(1), "winnow k")
+              else graft.operators.Dedup.WinnowK
+      val w = if (exprs.length > 2) litInt(exprs(2), "winnow w")
+              else graft.operators.Dedup.WinnowW
+      val p = if (exprs.length > 3) litLong(exprs(3), "winnow modulus")
+              else graft.operators.Dedup.WinnowModulus
       graft.plans.WinnowFingerprints(exprs.head, k, w, p)
     }
     // T24 surface (reference controllers/index.js:57-170, 293-403):

@@ -124,15 +124,22 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The d10 winnowing parameters — ONE definition shared by the
+    * Column API, the SQL registration (Engine), and the generated
+    * oracle SQL, so they can never drift apart. */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowModulus = 1000000000000000L
+
   /** Winnowing fingerprints: polynomial hash per k-word shingle, then
     * the minimum of every w-wide sliding window of hashes, deduped and
     * sorted. Guarantees any sufficiently-long match between two
     * documents shares a fingerprint — the robust local dedup sketch.
     * Narrow per-row computation (no shuffle); fingerprints typically
     * feed an explode + equi-join like the MinHash bands. */
-  def winnow(c: Column, k: Int = 3, w: Int = 4): Column =
+  def winnow(c: Column, k: Int = WinnowK, w: Int = WinnowW): Column =
     graft.functions.Native.winnowFingerprints(Text.tokens(lower(c)), k, w,
-      1000000000000000L)
+      WinnowModulus)
 
   /** Composed-builtins winnowing (shingle strings + per-window slice
     * copies + interpreted lambdas — ~50× the native cost at sf0.1);

@@ -472,22 +472,25 @@ object DocQueries {
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
   /** (doc_id, fingerprint) rows via the same winnowing fold as
-    * Dedup.winnow — shared by the d10 and d16 oracles. */
-  private val winnowFpSql: String =
-    """SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
-      |    generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
-      |    i -> list_min(hashes[i:i+3]))))) AS fingerprint
+    * Dedup.winnow — shared by the d10 and d16 oracles; the k/w/modulus
+    * constants interpolate from Dedup so they can never drift. */
+  private val winnowFpSql: String = {
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW; val p = Dedup.WinnowModulus
+    raw"""SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(hashes) - $w + 1, 1)),
+      |    i -> list_min(hashes[i:i+${w - 1}]))))) AS fingerprint
       |FROM (
       |  SELECT doc_id, list_transform(sh, s -> list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
       |        list_transform(regexp_split_to_array(s, ''), c2 -> CAST(ascii(c2) AS BIGINT))),
-      |      (a, b) -> (a*31 + b) % 1000000000000000)) AS hashes
+      |      (a, b) -> (a*31 + b) % $p)) AS hashes
       |  FROM (
-      |    SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |      ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
-      |        i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |    SELECT doc_id, CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(generate_series(1, len(toks) - $k + 1),
+      |        i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       |          FROM documents) a) b) c""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "d7b_simhash_bands" -> simhashBandsOracle,

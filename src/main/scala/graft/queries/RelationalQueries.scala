@@ -506,13 +506,15 @@ object RelationalQueries {
       // two-level aggregate instead of double countDistinct: both
       // levels cluster by subsets of (l_orderkey, l_suppkey), which the
       // l_orderkey repartition already satisfies — no Expand operator,
-      // no additional exchange
+      // no additional exchange. count/sum skip a null-suppkey group
+      // exactly like countDistinct (and the oracle's EXISTS) would.
       val perOrder = l1all
         .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk2"))
         .agg(max(col("late")).as("any_late"))
         .groupBy("ok")
-        .agg(count(lit(1)).as("n_supp"),
-          sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late_supp"))
+        .agg(count(col("sk2")).as("n_supp"),
+          sum(when(col("any_late") && col("sk2").isNotNull, 1L).otherwise(0L))
+            .as("n_late_supp"))
       val sup = table(s, d, "supplier")
       val n = table(s, d, "nation")
         .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))

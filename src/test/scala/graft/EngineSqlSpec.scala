@@ -60,6 +60,20 @@ class EngineSqlSpec extends AnyFunSuite {
       .toDF("t").select(graft.operators.Dedup.winnow(col("t")))
       .collect().map(_.getSeq[Long](0))
     assert(rows.map(_.getSeq[Long](2)).toSeq == expF.toSeq)
+    // explicit-argument paths: spelling out the engine defaults must
+    // equal the default-argument results (pins argument order and the
+    // literal-to-Long conversion), and string-literal numbers with
+    // whitespace are accepted like every litInt-based argument
+    import graft.operators.Dedup.{WinnowK, WinnowModulus, WinnowW}
+    val explicit = spark.sql(
+      s"""SELECT POLYHASH(text, ${graft.operators.Dedup.P}) AS h,
+         |  WINNOW_FINGERPRINTS(SPLIT(LOWER(TRIM(text)), '\\\\s+'),
+         |    $WinnowK, $WinnowW, $WinnowModulus) AS fps,
+         |  POLYHASH(text, ' ${graft.operators.Dedup.P} ') AS h2
+         |FROM engine_sql_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(explicit.map(_.getLong(0)).toSeq == rows.map(_.getLong(1)).toSeq)
+    assert(explicit.map(_.getSeq[Long](1)).toSeq == rows.map(_.getSeq[Long](2)).toSeq)
+    assert(explicit.map(_.getLong(2)).toSeq == rows.map(_.getLong(1)).toSeq)
   }
 
   test("a reference-shaped MAPPED statement runs end-to-end") {
