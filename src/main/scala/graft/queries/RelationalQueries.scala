@@ -433,6 +433,29 @@ object RelationalQueries {
     // green at a scale factor it stays green; rsd=0.02 keeps the 5% bound
     // at a 2.5-sigma margin (measured max error at sf0.1: 1.0%) without
     // the 16x-larger rsd=0.01 sketch.
+    // approximate percentile sketch — the 100 TB path for q26's exact
+    // percentiles (exact buffers every per-group value; the
+    // Greenwald-Khanna style sketch is O(1/accuracy) state with
+    // map-side merge). Sketch values are engine-specific, so like q27
+    // the oracle checks a BOUND: the approximate median must land
+    // within the exact p45-p55 band — true by the sketch's rank-error
+    // guarantee at accuracy 1000 (eps 0.1%), far inside the band.
+    "q48_approx_quantiles" -> q { (s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"), col("n_lines"),
+          (col("approx_median") >= col("p45") &&
+            col("approx_median") <= col("p55")).cast(IntegerType)
+            .as("within_band"))
+        .orderBy("l_returnflag")
+    },
+
     "q27_approx_distinct" -> q { (s, d) =>
       table(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -1173,6 +1196,13 @@ object RelationalQueries {
         |    ON c_custkey = o_custkey
         |  GROUP BY c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // like q27: the oracle asserts Spark's computed in-band boolean
+    // against a literal 1 — the sketch value never crosses engines
+    "q48_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(1 AS INTEGER) AS within_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle asserts the HLL estimate lands within 5% of exact by
     // matching Spark's computed boolean against a literal 1 — the sketch
