@@ -144,11 +144,12 @@ object Dedup {
   /** Composed-builtins winnowing (shingle strings + per-window slice
     * copies + interpreted lambdas — ~50× the native cost at sf0.1);
     * kept to equivalence-test the native expression. */
-  private[graft] def winnowComposed(c: Column, k: Int = 3, w: Int = 4): Column = {
+  private[graft] def winnowComposed(c: Column, k: Int = WinnowK,
+                                    w: Int = WinnowW): Column = {
     val sh = shingles(c, k)
     val hashes = transform(sh, s =>
       aggregate(split(s, ""), lit(0L),
-        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L))
+        (acc, ch) => (acc * 31 + ascii(ch)) % WinnowModulus))
     val cnt = size(hashes)
     sort_array(array_distinct(transform(
       sequence(lit(1), greatest(cnt - w + 1, lit(1))),
