@@ -29,6 +29,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximum-inner-product top-k (the recommendation / retrieval
+    * primitive: cosine ranks direction, MIPS ranks direction×length).
+    * Brute force is the e1 shape — broadcast query set, one corpus
+    * pass, rank≤k planned as WindowGroupLimit. The same pass computes
+    * the NORM-AUGMENTATION reduction score (append
+    * sqrt(M²−‖x‖²)/M to x/M and 0 to the unit query; then
+    * cos(q′,x′) = ip/(‖q‖·M)) — the public trick that turns any
+    * cosine index (e2's LSH tables, e3/e9's IVF cells) into a MIPS
+    * index at scale — and `aug_agrees` machine-checks per row that
+    * the reduced score induces the identical ranking. The corpus max
+    * norm M is a 1-row broadcast. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val mx = corpus.agg(max(Vectors.norm2(col("embedding"))).as("maxnorm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q)).crossJoin(broadcast(mx))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.dot(col("qe"), col("ce")).as("ip"),
+        (Vectors.dot(col("qe"), col("ce")) /
+          (Vectors.norm2(col("qe")) * col("maxnorm"))).as("aug_cos"))
+    val wIp = Window.partitionBy("q_id").orderBy(col("ip").desc, col("cand_id"))
+    val wAug = Window.partitionBy("q_id").orderBy(col("aug_cos").desc, col("cand_id"))
+    // rank≤k filters adjacent to the ip window (so WindowGroupLimit
+    // keeps k rows per task); the agreement re-rank then runs over the
+    // ≤k survivors on the SAME q_id partitioning — no extra exchange
+    scored.withColumn("rank", row_number().over(wIp))
+      .filter(col("rank") <= k)
+      .withColumn("aug_rank", row_number().over(wAug))
+      .select(col("q_id"), col("rank"), col("cand_id"), col("ip"),
+        (col("rank") === col("aug_rank")).cast("integer").as("aug_agrees"))
+  }
+
   /** Multi-table sign-LSH ANN: `nTables` independent hash tables of
     * `planesPerTable` hyperplanes each; a candidate is scored if it
     * shares a bucket with the query in ANY table (union-of-tables is

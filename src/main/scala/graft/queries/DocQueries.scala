@@ -300,6 +300,87 @@ object DocQueries {
         .orderBy("lang")
     },
 
+    // C4-style line-level boilerplate cleaning: the page-structure
+    // scrub every web-scrape pipeline runs before tokenization. A
+    // multi-line page is synthesized deterministically from the doc
+    // text (navigation chrome, a lorem-ipsum block on doc_id%7, a
+    // javascript block on doc_id%5 — the d19 synthesis pattern), then
+    // cleaned with the C4 rules: keep only lines with >= 5 words
+    // ending in terminal punctuation; drop WHOLE documents containing
+    // 'lorem ipsum' or a curly brace. Narrow per-row map (split +
+    // higher-order filter + join, all codegen-able builtins), zero
+    // shuffle before the final sort — the same plan at any scale.
+    "d23_boilerplate_clean" -> q { (s, d) =>
+      val words = split(trim(col("text")), "\\s+")
+      val raw = concat_ws("\n",
+        concat(array_join(slice(words, 1, 8), " "), lit(".")),
+        lit("click here to continue"),
+        concat(array_join(slice(words, 9, 4), " "), lit(" today!")),
+        lit("terms of service apply"),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(col("doc_id") % 5 === 0, lit("enable javascript { var x = 1; }")))
+      val keepLine = (ln: org.apache.spark.sql.Column) =>
+        size(split(ln, " ")) >= 5 &&
+          (ln.endsWith(".") || ln.endsWith("!") || ln.endsWith("?"))
+      table(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .filter(!col("raw").contains("lorem ipsum") && !col("raw").contains("{"))
+        .select(col("doc_id"),
+          size(split(col("raw"), "\n")).as("n_lines"),
+          size(filter(split(col("raw"), "\n"), keepLine)).as("n_kept"),
+          array_join(filter(split(col("raw"), "\n"), keepLine), "\n")
+            .as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // bigram language-model score (KenLM-lite): each document scored
+    // by the mean corpus frequency of its bigrams — the fluency /
+    // typicality signal quality filters threshold on. Two keyed
+    // aggregations + one equi-join, ALL riding a single explicit
+    // bigram repartition (the q42 canonical-exchange pattern: the
+    // frequency agg AND the join probe sit on the same exchange);
+    // the per-doc reduce is the only other shuffle. Integer sums +
+    // one double division keep the score bit-portable (no log()).
+    "d24_bigram_lm" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      val bg = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .repartition(col("bigram"))
+      val freq = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_cf").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+            .as("mean_cf"))
+        .orderBy("doc_id")
+    },
+
+    // stratified (mixture-balancing) sample: every (lang, source)
+    // stratum downsampled to ≈ the smallest stratum's size — the
+    // "rebalance the data mixture" step after d21's report. Rate =
+    // mincnt/cnt applied WITHOUT division: keep iff (h mod M)*cnt <
+    // mincnt*M over d15's portable multiplicative hash — all-integer,
+    // bit-reproducible across engines/runs. Stratum counts are a
+    // broadcast (bounded by |langs|×|sources|), the min is one row;
+    // the corpus itself only streams through a narrow filter.
+    "d25_stratified_sample" -> q { (s, d) =>
+      val M = 1000003L
+      val docs = table(s, d, "documents")
+      val cnt = docs.groupBy(col("lang").as("cl"), col("source").as("cs"))
+        .agg(count(lit(1)).as("cnt"))
+      val minc = cnt.agg(min(col("cnt")).as("mincnt"))
+      docs.join(broadcast(cnt),
+          col("lang") === col("cl") && col("source") === col("cs"))
+        .crossJoin(broadcast(minc))
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+          col("cnt") < col("mincnt") * M)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // REAL image decode: deterministic PPM payloads (pixel bytes derive
     // from the supplier key) ride a binary column; the pure-JVM codec
     // extracts dimensions + per-channel means per partition. The oracle
@@ -660,6 +741,55 @@ object DocQueries {
       """SELECT lang, COUNT(*) AS n_sampled FROM documents
         |WHERE ((doc_id * 2654435761) % 2147483647) % 100 < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d23_boilerplate_clean" -> {
+      val keep = "ln -> len(string_split(ln, ' ')) >= 5 AND " +
+        "(ends_with(ln, '.') OR ends_with(ln, '!') OR ends_with(ln, '?'))"
+      s"""WITH r AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ') || '.',
+         |    'click here to continue',
+         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[9:12], ' ') || ' today!',
+         |    'terms of service apply',
+         |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'enable javascript { var x = 1; }' END) AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(string_split(raw, chr(10))) AS n_lines,
+         |  len(list_filter(string_split(raw, chr(10)), $keep)) AS n_kept,
+         |  array_to_string(list_filter(string_split(raw, chr(10)), $keep),
+         |    chr(10)) AS clean_text
+         |FROM r
+         |WHERE NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d24_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) a),
+        |f AS (SELECT bigram, COUNT(*) AS cf FROM b GROUP BY bigram)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cf
+        |FROM b JOIN f USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d25_stratified_sample" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS cnt FROM documents
+        |  GROUP BY lang, source),
+        |m AS (SELECT MIN(cnt) AS mincnt FROM c)
+        |SELECT doc_id, documents.lang, documents.source
+        |FROM documents
+        |JOIN c ON documents.lang = c.lang AND documents.source = c.source
+        |CROSS JOIN m
+        |WHERE ((doc_id * 2654435761) % 2147483647) % 1000003 * cnt
+        |  < mincnt * 1000003
+        |ORDER BY doc_id""".stripMargin,
 
     // expected features from the pixel-generation formula: byte i of the
     // 16x8 RGB payload is (id*31 + i) % 256, so channel c's mean is the

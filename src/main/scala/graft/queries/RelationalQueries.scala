@@ -700,6 +700,162 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // TPC-H Q2 shape: min-cost supplier per part — a per-group MIN
+    // joined back to the detail rows that achieve it (the argmin-per-
+    // key-with-payload pattern at fact scale). lineitem stands in for
+    // partsupp: unit cost = min(l_extendedprice / l_quantity) per
+    // (part, supplier). One explicit l_partkey repartition feeds BOTH
+    // aggregation levels AND the join-back (partitioning on a subset
+    // of the group keys satisfies each clustering), so the whole
+    // argmin chain rides a single canonical exchange — the q42
+    // pattern. Doubles compare exactly: both sides of the equality
+    // are MINs over the same correctly-rounded IEEE divisions.
+    "q49_min_cost_supplier" -> q { (s, d) =>
+      val ps = table(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val minc = ps.groupBy(col("l_partkey").as("mpk"))
+        .agg(min(col("cost")).as("min_cost"))
+      val p = table(s, d, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+        .select("p_partkey", "p_name", "p_size")
+      ps.join(minc, col("l_partkey") === col("mpk") &&
+          col("cost") === col("min_cost"))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("p_size"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    },
+
+    // TPC-H Q11 shape: groups whose share of a GLOBAL total exceeds a
+    // threshold — per-part value over a restricted supplier set, kept
+    // only above 1.25× the mean per-part value. The threshold is
+    // data-adaptive (value·nparts > 1.25·total) rather than TPC-H's
+    // fixed fraction, so the query stays non-degenerate at EVERY scale
+    // factor (Q11's literal 0.0001 is spec'd to shrink as 1/SF for the
+    // same reason). The 1-row total/count re-aggregate broadcasts
+    // back; the supplier keep-set broadcasts into the fact scan side.
+    "q50_important_stock" -> q { (s, d) =>
+      val keep = table(s, d, "supplier")
+        .filter(col("s_nationkey") % 3 === 0).select("s_suppkey")
+      val v = table(s, d, "lineitem")
+        .join(broadcast(keep), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(d4(col("l_extendedprice"))).as("value"))
+      val tot = v.agg(sum(col("value")).as("total"),
+        count(lit(1)).as("nparts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value").cast(DoubleType) * col("nparts").cast(DoubleType) >
+          lit(1.25) * col("total").cast(DoubleType))
+        .select(col("l_partkey"), col("value").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q17 shape: a per-group average GATING the detail rows of
+    // the same fact (small-quantity lines of one brand, priced as
+    // yearly revenue). The brand part-set semi-reduces lineitem FIRST
+    // (so the per-part average is only computed for parts that can
+    // survive), then one explicit l_partkey repartition feeds both the
+    // average aggregation and the gate join-back — the exchange-reuse
+    // pattern again. Threshold compare runs in double on both engines
+    // (identical IEEE inputs → identical outcome).
+    "q51_small_qty_revenue" -> q { (s, d) =>
+      val p = table(s, d, "part").filter(col("p_brand") === "Brand#13")
+        .select("p_partkey")
+      val li = table(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .repartition(col("l_partkey"))
+      val aq = li.groupBy(col("l_partkey").as("apk"))
+        .agg((sum(d4(col("l_quantity"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_qty"))
+      li.join(aq, col("l_partkey") === col("apk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(d4(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q15 shape: top supplier by windowed revenue — a MAX over a
+    // derived aggregate equality-joined back to that same aggregate
+    // (the reference's CREATE VIEW revenue + WHERE total = MAX). The
+    // equality runs on the exact DECIMAL revenue (never the double),
+    // so ties are bit-deterministic on both engines.
+    "q52_top_supplier" -> q { (s, d) =>
+      val rev = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("total_rev").cast(DoubleType).as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16 shape: supplier diversity per part attribute — the
+    // distinct (part, supplier) relationship anti-joined against a
+    // supplier blacklist, then COUNT(DISTINCT) per attribute triple.
+    // The blacklist is a filtered dim (broadcast anti-join); the
+    // attribute dim stays a keyed join (at 100 TB the FILTERED part
+    // table is still fact-sized — AQE may broadcast it when small,
+    // but the plan must not require it).
+    "q53_parts_supplier_cnt" -> q { (s, d) =>
+      val ps = table(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val bad = table(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = table(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q20 shape: the nested semi-join chain — suppliers having
+    // (a filtered part, excess-concentration) relationship. The
+    // correlated EXISTS collapses into ONE conditional aggregation per
+    // (part, supplier) pair (a year's shipments vs lifetime shipments,
+    // both sums in one pass), the threshold compares decimals exactly
+    // (qty_96·2 > qty_all — no division), and eligibility flows
+    // through two left-semi joins (pairs ⋉ parts, suppliers ⋉ pairs) —
+    // no fact row ever widens.
+    "q54_excess_suppliers" -> q { (s, d) =>
+      val pairs = table(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(d4(col("l_quantity"))).as("qty_all"),
+          sum(when(year(col("l_shipdate")) === 1996, d4(col("l_quantity")))
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).as("qty_96"))
+        .filter(col("qty_96") * 2 > col("qty_all"))
+      val p = table(s, d, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val eligible = pairs
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey"))
+      table(s, d, "supplier")
+        .filter(col("s_nationkey") % 2 === 0)
+        .join(eligible, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(table(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+
     // the salted-join utility under the correctness gate: salting must
     // be bit-identical to the plain join (the oracle IS the plain join)
     "q38_skew_salted" -> q { (s, d) =>
@@ -1209,6 +1365,93 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  CAST(1 AS INTEGER) AS within_band
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |minc AS (SELECT l_partkey AS mpk, MIN(cost) AS min_cost
+        |  FROM ps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_size, cost
+        |FROM ps
+        |JOIN minc ON l_partkey = mpk AND cost = min_cost
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD' AND p_size < 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q50_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey % 3 = 0
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(CAST(SUM(value) AS VARCHAR) AS DOUBLE) AS total,
+        |    CAST(COUNT(*) AS DOUBLE) AS nparts FROM v)
+        |SELECT l_partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
+        |FROM v CROSS JOIN t
+        |WHERE CAST(CAST(value AS VARCHAR) AS DOUBLE) * nparts > 1.25 * total
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q51_small_qty_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN (SELECT l_partkey AS apk,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |      FROM lineitem GROUP BY 1) a ON apk = l_partkey
+        |WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q52_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $sumDisc AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, s_acctbal,
+         |  CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q54_excess_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_all,
+        |    SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+        |      THEN CAST(l_quantity AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_96
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey % 2 = 0
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM pairs
+        |    WHERE qty_96 * 2 > qty_all
+        |      AND l_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q53_parts_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     // the oracle asserts the HLL estimate lands within 5% of exact by
     // matching Spark's computed boolean against a literal 1 — the sketch

@@ -69,6 +69,16 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // maximum-inner-product top-k + the norm-augmentation reduction
+    // (what plugs MIPS into any cosine index at scale), with per-row
+    // machine-checked rank agreement between the two scores
+    "e10_mips_topk" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "ip", "aug_agrees")
+        .orderBy("q_id", "rank")
+    },
+
     // IVF+PQ (FAISS IVFADC shape): coarse cells bound the candidate
     // set, PQ codes compress the scan side to m bytes/vector, ADC
     // scores candidates with LUT lookups — the billion-vector index
@@ -140,6 +150,31 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the reduction equality is computed with the SAME double ops on
+    // both engines, so the boolean matches Spark's bit-for-bit (it is
+    // not asserted against a literal — if double rounding ever
+    // collapsed two ips into one aug_cos, both sides would agree on 0)
+    "e10_mips_topk" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |cs AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+         |mx AS (SELECT MAX(sqrt(${sumSq("embedding")})) AS maxnorm FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, cand_id,
+         |    list_aggregate(list_transform(list_zip(qe, ce),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') AS ip,
+         |    list_aggregate(list_transform(list_zip(qe, ce),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("qe")}) * maxnorm) AS aug_cos
+         |  FROM cs, qs, mx WHERE cand_id <> q_id),
+         |r AS (SELECT q_id, cand_id, ip, aug_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, cand_id, ip,
+         |  CAST(rank = ROW_NUMBER() OVER
+         |    (PARTITION BY q_id ORDER BY aug_cos DESC, cand_id) AS INTEGER)
+         |    AS aug_agrees
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "e2_ann_lsh" -> {
       val tbls = (0 until 8).map(t => s"($t)").mkString(", ")

@@ -189,6 +189,25 @@ object Pipelines {
       .select("in_id", "block_idx", "ref_id")
   }
 
+  /** Ingest-time stratified (mixture-balancing) sampler — the
+    * streaming twin of the batch d25 query. `stratumCounts` is a
+    * STATIC (lang, source, cnt, mincnt) rates table built from the
+    * reference corpus (e.g. the previous mixture report) and
+    * MATERIALIZED by the caller; arriving documents join it
+    * (broadcast) and pass the divisionless portable-hash gate
+    * (h mod M)·cnt < mincnt·M. Stateless AND deterministic per key —
+    * a replayed micro-batch makes the identical keep/drop decisions,
+    * which is exactly what the idempotent exactly-once sink needs
+    * (a rand()-based sampler would re-roll on recovery). */
+  def streamStratifiedSample(stream: DataFrame,
+                             stratumCounts: DataFrame): DataFrame = {
+    val M = 1000003L
+    stream.join(broadcast(stratumCounts), Seq("lang", "source"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+        col("cnt") < col("mincnt") * M)
+      .drop("cnt", "mincnt")
+  }
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

@@ -179,6 +179,84 @@ class PlanSpec extends AnyFunSuite {
       s"expected an Or(...) pushed filter on at least one scan:\n${scanLines.mkString("\n")}")
   }
 
+  test("q49: the argmin chain rides one explicit partkey repartition, no cartesian") {
+    val p = plan("q49_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"))
+    // both aggregation levels AND the join-back cluster on subsets of
+    // l_partkey — the explicit repartition is the only fact exchange
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit l_partkey repartition enabling exchange reuse")
+    assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+  }
+
+  test("q50/q52: the 1-row global re-aggregate broadcasts back, facts never cross-join") {
+    Seq("q50_important_stock", "q52_top_supplier").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: the 1-row side must broadcast, not cartesian")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: expected the broadcast join for the global aggregate")
+      assert(p.contains("partial_sum"), s"$name: aggregation must be two-phase")
+    }
+  }
+
+  test("q51: brand parts semi-reduce lineitem before the shared-exchange gate join") {
+    val p = plan("q51_small_qty_revenue")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "the brand part-set should semi-join first")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit l_partkey repartition shared by avg and gate")
+  }
+
+  test("q53: blacklist anti-joins broadcast; distinct relationship aggregates two-phase") {
+    val p = plan("q53_parts_supplier_cnt")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "expected the blacklist anti-join")
+    assert(p.contains("BroadcastHashJoin"), "the blacklist should broadcast")
+  }
+
+  test("q54: eligibility flows through semi-joins — no fact row ever widens") {
+    val p = plan("q54_excess_suppliers")
+    assert(!p.contains("CartesianProduct"))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
+      p.contains("LeftSemi"), "expected semi-join eligibility chain")
+    assert(p.contains("LeftSemi"), "pairs and suppliers must semi-join, not inner-join")
+    assert(p.contains("partial_sum"), "the pair aggregate must be two-phase")
+  }
+
+  test("e10: MIPS top-k keeps WindowGroupLimit; the re-rank adds no exchange") {
+    val p = plan("e10_mips_topk")
+    assert(p.contains("WindowGroupLimit"), "ip top-k not pushed below the shuffle")
+    // both windows partition on q_id: ONE q_id hash exchange total (the
+    // other exchanges are the 1-row max-norm aggregate's SinglePartition
+    // and the final ORDER BY's range partitioning)
+    val qidExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(q_id")).toSeq
+    assert(qidExchanges.size == 1,
+      s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
+  }
+
+  test("d23: boilerplate cleaning is a narrow map — no key shuffle anywhere") {
+    val p = plan("d23_boilerplate_clean")
+    assert(!p.contains("hashpartitioning"),
+      "line cleaning must stay a pure per-row map (sort-only exchanges)")
+  }
+
+  test("d24: frequency agg and join probe share one explicit bigram repartition") {
+    val p = plan("d24_bigram_lm")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit bigram repartition enabling exchange reuse")
+  }
+
+  test("d25: stratum stats broadcast — corpus text never shuffles") {
+    val p = plan("d25_stratified_sample")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "stratum counts should broadcast")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must not cross a shuffle")
+  }
+
   test("q13/q32: window aggregations group by timestamp keys, not strings") {
     Seq("q13_events_tumbling", "q32_hopping").foreach { name =>
       val p = plan(name)

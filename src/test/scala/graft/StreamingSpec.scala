@@ -274,6 +274,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 2L), s"far vector must not pass the screen: ${out.toSeq}")
   }
 
+  test("stream-static stratified sampler makes the batch d25 decisions, replay-stable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rates: stratum (en, src0) keeps ~1/3, (fr, src1) keeps all
+    val rates = Seq(("en", "src0", 3L, 1L), ("fr", "src1", 1L, 1L))
+      .toDF("lang", "source", "cnt", "mincnt").cache()
+    def gate(id: Long, cnt: Long, mincnt: Long): Boolean =
+      ((id * 2654435761L) % 2147483647L) % 1000003L * cnt < mincnt * 1000003L
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "lang", "source")
+    val q = Pipelines.streamStratifiedSample(stream, rates)
+      .writeStream.format("memory").queryName("strat_out")
+      .outputMode("append").start()
+    val batch = (1L to 30L).map(i => (i, "en", "src0")) :+ (99L, "fr", "src1")
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    // replaying the same rows must make the SAME decisions (the
+    // determinism the idempotent sink relies on), not re-roll
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    val out = spark.table("strat_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    q.stop()
+    val expected = batch.filter { case (id, l, _) =>
+      gate(id, if (l == "en") 3L else 1L, 1L)
+    }.map(_._1)
+    assert(out.sorted == (expected ++ expected).sorted,
+      s"stream decisions must equal the batch gate on both plays: got $out")
+    assert(out.contains(99L), "the keep-all stratum must pass its row")
+    assert(expected.size < batch.size, "the downsampled stratum must drop rows")
+  }
+
   test("latest-per-key table materialization updates across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
