@@ -318,13 +318,26 @@ object Dedup {
     * ONCE and the shuffled output feeds both sides (without it each
     * join side recomputes the scan + signatures). */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val b = simhashBands(docs, idCol, textCol).repartition(col("band"), col("chunk"))
+                      textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhash(docs, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** Near-dup pairs within `maxHamming` over an ARBITRARY 64-bit
+    * fingerprint column — the generic core of [[simhashNearDups]],
+    * equally the image-phash (m5) path: 4×16-bit chunk banding
+    * (complete recall at hamming ≤ 3 by pigeonhole), the explicit
+    * band-key repartition making both self-join sides one canonical
+    * exchange, exact XOR-popcount verify on candidates only. */
+  def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val banded = hashed.select(col(idCol), col(hashCol),
+      posexplode(array((0 until SimhashBandCount).map(b =>
+        simhashChunk(col(hashCol), b)): _*)).as(Seq("band", "chunk")))
+    val b = banded.repartition(col("band"), col("chunk"))
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        col(s"x.$hashCol").as("ha"), col(s"y.$hashCol").as("hb"))
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))

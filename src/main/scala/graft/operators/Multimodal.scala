@@ -346,6 +346,46 @@ object Multimodal {
     }
   }
 
+  /** A decoded image's 64-bit perceptual fingerprint; None = malformed
+    * payload or an image smaller than the 9×8 hash window. */
+  final case class ImageHash(id: Long, width: Option[Int],
+                             height: Option[Int], dhash: Option[Long])
+
+  /** REAL per-partition perceptual hashing (dHash) of decoded images:
+    * bit (row·8+col) is set iff gray(row,col) < gray(row,col+1) over
+    * the top-left 9×8 window of the ACTUAL pixel data
+    * (gray = (r+g+b)/3, integer). Brightness-invariant by
+    * construction — a uniform offset shifts every gray equally and no
+    * comparison flips — which is what makes it a near-dup key where a
+    * content hash is not. Compose with [[resizeImages]](9, 8) first
+    * for scale-invariance (the classic dHash recipe); the hash then
+    * feeds `Dedup.hammingNearDups` for banded image dedup. */
+  def hashImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        PpmCodec.decode(payload) match {
+          case Some(img) if img.width >= 9 && img.height >= 8 =>
+            def gray(r: Int, c: Int): Int = {
+              val p = (r * img.width + c) * 3
+              ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
+                (img.rgb(p + 2) & 0xff)) / 3
+            }
+            var h = 0L
+            var b = 0
+            while (b < 64) {
+              if (gray(b / 8, b % 8) < gray(b / 8, b % 8 + 1)) h |= 1L << b
+              b += 1
+            }
+            ImageHash(id, Some(img.width), Some(img.height), Some(h))
+          case Some(img) =>
+            ImageHash(id, Some(img.width), Some(img.height), None)
+          case None => ImageHash(id, None, None, None)
+        }
+      }
+    }
+  }
+
   /** REAL per-partition box resize of PPM payloads; malformed payloads
     * pass through untouched (null-not-fail would drop pixels a later
     * stage may still want to inspect). */

@@ -402,6 +402,34 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL image near-dup dedup: perceptual hashes (dHash) from
+    // actually-decoded pixels, then the d7b banded hamming join —
+    // image dedup as a keyed equi-join, never pixel-vs-pixel. Each
+    // supplier contributes two renditions (the original and a
+    // +1-brightness copy, wrap-free by the %254 pixel formula);
+    // brightness shifts every gray equally so the pair is
+    // hamming-0 — the invariance a content hash (m1) cannot give.
+    "m5_image_phash" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .flatMap { sid =>
+          val (w, h) = (16, 8)
+          // per-supplier gradient slope diversifies the hashes (a
+          // constant slope would make EVERY image a near-dup of every
+          // other — O(n²) pairs through one hot band bucket)
+          val k = 3 + 2 * (sid % 13)
+          def img(delta: Int) = graft.operators.PpmCodec.encode(w, h,
+            Array.tabulate[Byte](w * h * 3)(i =>
+              (((sid * 31 + i * k) % 254) + delta).toByte))
+          Seq((sid * 2, img(0)), (sid * 2 + 1, img(1)))
+        }
+      val hashed = graft.operators.Multimodal.hashImages(media).toDF()
+        .select(col("id"), col("dhash"))
+      Dedup.hammingNearDups(hashed, "id", "dhash")
+        .orderBy("a_id", "b_id")
+    },
+
     // REAL video decode + frame sampling: deterministic Y4M (YUV4MPEG2,
     // luma-only `Cmono`) payloads ride a binary column; the pure-JVM
     // codec parses the stream header, walks FRAME markers, and every
@@ -838,6 +866,34 @@ object DocQueries {
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac,
         |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_bigram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // expected dhash from the pixel-generation formula: gray(p) of the
+    // 16×8 image is the integer mean of three consecutive %254 channel
+    // bytes (+delta brightness); bit b compares gray neighbors in the
+    // 9×8 window; bit 63 uses Long.MinValue wrap semantics (the d7
+    // trick); pairs brute-force in SQL — the banded Spark join has
+    // COMPLETE recall at hamming ≤ 3 by pigeonhole, so the sets match
+    "m5_image_phash" -> {
+      val grayExpr = "((sid*31 + (p*3)*kk) % 254 + (sid*31 + (p*3+1)*kk) % 254 + " +
+        "(sid*31 + (p*3+2)*kk) % 254 + 3*delta) // 3"
+      val terms = (0 until 64).map { b =>
+        val i = (b / 8) * 16 + (b % 8) + 1
+        val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+        s"(CASE WHEN gl[$i] < gl[${i + 1}] THEN $w ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH imgs AS (
+         |  SELECT s_suppkey * 2 + dlt.d AS id, s_suppkey AS sid,
+         |    3 + 2 * (s_suppkey % 13) AS kk, dlt.d AS delta
+         |  FROM supplier CROSS JOIN (VALUES (0), (1)) dlt(d)),
+         |g AS (SELECT id, list_transform(generate_series(0, 127),
+         |    p -> $grayExpr) AS gl FROM imgs),
+         |h AS (SELECT id, $terms AS dhash FROM g)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.id < b.id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // expected features from the frame-generation formula: luma byte i
     // of frame f is (id*17 + f*29 + i*7) % 256 over the 8x8 plane

@@ -63,6 +63,52 @@ class MultimodalSpec extends AnyFunSuite {
       "malformed payload nulls features, never fails the pipeline")
   }
 
+  test("hashImages: dHash from real pixels — brightness-invariant, edit-local, guarded") {
+    import spark.implicits._
+    val (w, h) = (16, 8)
+    def enc(px: Int => Int) =
+      PpmCodec.encode(w, h, Array.tabulate[Byte](w * h * 3)(i => px(i).toByte))
+    val base: Int => Int = i => (i * 7 + 3) % 254
+    val media = Seq(
+      1L -> enc(base),
+      2L -> enc(i => base(i) + 1), // uniform +1 brightness
+      // local edit: bump one pixel (pixel 3 = row 0 col 3) far enough
+      // to flip its two adjacent comparisons at most
+      3L -> enc(i => if (i / 3 == 3) base(i) + 60 else base(i)),
+      4L -> enc(_ => 9), // flat image: no comparison fires -> hash 0
+      5L -> null.asInstanceOf[Array[Byte]],
+      6L -> PpmCodec.encode(4, 4, Array.fill[Byte](4 * 4 * 3)(1))) // under 9x8
+    val out = Multimodal.hashImages(media.toDS()).collect()
+      .map(r => r.id -> r.dhash).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L) == out(1L), "uniform brightness must not change the hash")
+    val d = java.lang.Long.bitCount(out(3L).get ^ out(1L).get)
+    assert(d >= 1 && d <= 2, s"a one-pixel edit flips at most its two comparisons, got $d")
+    assert(out(4L).contains(0L), "flat image hashes to 0")
+    assert(out(5L).isEmpty, "malformed payload nulls the hash")
+    assert(out(6L).isEmpty, "images smaller than the 9x8 window null the hash")
+  }
+
+  test("hammingNearDups over image hashes finds exactly the banded pairs") {
+    import spark.implicits._
+    // hamming(1,2)=0, hamming(1,3)<=2 -> pairs (1,2),(1,3),(2,3); the
+    // flat image 4 is far from the gradient family
+    val (w, h) = (16, 8)
+    def enc(px: Int => Int) =
+      PpmCodec.encode(w, h, Array.tabulate[Byte](w * h * 3)(i => px(i).toByte))
+    val base: Int => Int = i => (i * 7 + 3) % 254
+    val media = Seq(
+      1L -> enc(base), 2L -> enc(i => base(i) + 1),
+      3L -> enc(i => if (i / 3 == 3) base(i) + 60 else base(i)),
+      4L -> enc(_ => 9)).toDS()
+    val hashed = Multimodal.hashImages(media).toDF()
+      .select(col("id"), col("dhash"))
+    val pairs = graft.operators.Dedup.hammingNearDups(hashed, "id", "dhash")
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("resizeImages produces decodable resized payloads") {
     import spark.implicits._
     val rgb = Array.tabulate[Byte](8 * 4 * 3)(i => (i % 256).toByte)

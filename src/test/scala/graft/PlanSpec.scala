@@ -236,6 +236,16 @@ class PlanSpec extends AnyFunSuite {
       s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
   }
 
+  test("m5: image near-dup is the banded hamming join — pixels never shuffle") {
+    val p = plan("m5_image_phash")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the band-key repartition enabling exchange reuse")
+    val exchanges = p.linesIterator.filter(_.contains("partitioning")).mkString
+    assert(!exchanges.contains("payload") && !exchanges.contains("_2"),
+      "image payloads must not cross a shuffle — only (id, dhash, band, chunk)")
+  }
+
   test("d23: boilerplate cleaning is a narrow map — no key shuffle anywhere") {
     val p = plan("d23_boilerplate_clean")
     assert(!p.contains("hashpartitioning"),
