@@ -136,6 +136,41 @@ object DocQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // asymmetric CONTAINMENT detection: |fp(A)∩fp(B)| / |fp(A)| over
+    // winnowing fingerprint sets — catches a document quoted/embedded
+    // inside a much larger one, where Jaccard (d5/d6) is diluted to
+    // nothing by the size imbalance. Candidates come from the same
+    // fingerprint equi-join as d16; fingerprints shared by more than
+    // 100 documents are dropped FIRST (the classic stop-shingle cap:
+    // a boilerplate fingerprint would otherwise fan the join out
+    // quadratically at corpus scale), and every count is an exact
+    // integer so both engines agree bit-for-bit.
+    "d26_containment" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val fps = table(s, d, "documents")
+        .select(col("doc_id"), explode(Dedup.winnow(col("text"))).as("fingerprint"))
+      val keep = fps.groupBy("fingerprint")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+        .select("fingerprint")
+      val f2 = fps.join(keep, "fingerprint")
+      val sizes = f2.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val pairs = f2.as("a").join(f2.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      pairs
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_fp").as("a_fp")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_fp").as("b_fp")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) / col("a_fp").cast(DoubleType))
+            .as("containment_a"),
+          (col("n_shared").cast(DoubleType) / col("b_fp").cast(DoubleType))
+            .as("containment_b"))
+        .orderBy("a_id", "b_id")
+    },
+
     // sub-document (passage) dedup, C4-style: each doc splits into
     // consecutive 20-token blocks; a block survives only at its FIRST
     // corpus-wide occurrence (ordered by doc_id, then position).
@@ -708,6 +743,26 @@ object DocQueries {
     "d10_winnow" ->
       s"""SELECT doc_id, fingerprint FROM ($winnowFpSql) t
          |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "d26_containment" ->
+      s"""WITH fp AS ($winnowFpSql),
+         |keep AS (SELECT fingerprint FROM fp
+         |  GROUP BY fingerprint HAVING COUNT(*) <= 100),
+         |f2 AS (SELECT fp.doc_id, fp.fingerprint
+         |  FROM fp JOIN keep USING (fingerprint)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM f2 GROUP BY doc_id),
+         |prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    COUNT(*) AS n_shared
+         |  FROM f2 a JOIN f2 b
+         |    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |SELECT a_id, b_id, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(sa.n_fp AS DOUBLE) AS containment_a,
+         |  CAST(n_shared AS DOUBLE) / CAST(sb.n_fp AS DOUBLE) AS containment_b
+         |FROM prs
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "d18_passage_dedup" ->
       """WITH b AS (

@@ -827,6 +827,47 @@ object RelationalQueries {
           col("p_size"))
     },
 
+    // TPC-H Q8 shape: market share — one supplier nation's slice of a
+    // region's imported volume per year, the conditional-over-total
+    // ratio computed WITHIN groups (q45's global ratio, q44's
+    // two-role nation dim, composed): 5 joins, two broadcast nation
+    // roles, the region membership and part-type filters as semi-joins
+    // that never widen the fact row.
+    "q55_market_share" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (d4(col("l_extendedprice")) * (one4 - d4(col("l_discount")))).as("vol"))
+      val p = table(s, d, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1995-01-01").cast(TimestampType),
+          lit("1996-12-31").cast(TimestampType)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      val n1 = table(s, d, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+      val r = table(s, d, "region").filter(col("r_name") === "ASIA")
+      val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n2 = table(s, d, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("snk"))
+        .groupBy("o_year")
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_5", col("vol")))
+            .cast(DoubleType) / sum(col("vol")).cast(DoubleType))
+            .as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    },
+
     // TPC-H Q20 shape: the nested semi-join chain — suppliers having
     // (a filtered part, excess-concentration) relationship. The
     // correlated EXISTS collapses into ONE conditional aggregation per
@@ -1422,6 +1463,25 @@ object RelationalQueries {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "q55_market_share" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+         |  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+         |      THEN $discExpr END) AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST($sumDisc AS VARCHAR) AS DOUBLE) AS mkt_share,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+         |    AND TIMESTAMP '1996-12-31 00:00:00'
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q54_excess_suppliers" ->
       """WITH pairs AS (

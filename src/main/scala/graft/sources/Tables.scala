@@ -69,6 +69,25 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Deterministic hash-sharded corpus layout: shard =
+    * pmod(xxhash64(key), nShards) written as a hive partition — the
+    * "write the corpus as N stable shards" step feeding downstream
+    * tokenizer/packing jobs. Deterministic (a row's shard depends only
+    * on its key — identical across runs, partitionings and engines
+    * restarts, which is what makes incremental re-runs and shard-level
+    * retries safe), size-balanced by the hash, and prunable (a
+    * shard = k filter reads one directory — asserted in SourcesSpec).
+    * The pre-write repartition ON the shard column aligns tasks with
+    * shards so each shard directory gets one file per write, not one
+    * per upstream task. */
+  def writeSharded(df: DataFrame, path: String, keyCol: String,
+                   nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files
     * by `key` and sorted within each. Two tables bucketed the same way
     * join WITHOUT a shuffle (the scan already satisfies the join's

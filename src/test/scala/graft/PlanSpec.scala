@@ -236,6 +236,24 @@ class PlanSpec extends AnyFunSuite {
       s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
   }
 
+  test("q55: both nation roles broadcast; membership filters stay semi-joins") {
+    val p = plan("q55_market_share")
+    assert(!p.contains("CartesianProduct"))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both nation roles should broadcast")
+    assert(p.contains("LeftSemi"), "part-type and region membership must semi-join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window not pushed to the orders scan")
+  }
+
+  test("d26: containment candidates come from the fingerprint join — text never shuffles") {
+    val p = plan("d26_containment")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exchanges.contains("fingerprint"), "expected the fingerprint exchange")
+    assert(!exchanges.contains("text"), "raw text must not cross a shuffle")
+  }
+
   test("m5: image near-dup is the banded hamming join — pixels never shuffle") {
     val p = plan("m5_image_phash")
     assert(!p.contains("CartesianProduct"))

@@ -86,6 +86,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("sharded layout: deterministic assignment, one file per shard, prunable") {
+    val dir = Files.createTempDirectory("graft_shard").toString
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    Tables.writeSharded(docs, s"$dir/a", "doc_id", nShards = 8)
+    // re-writing (under a different upstream partitioning) must assign
+    // every row to the SAME shard — the property shard-level retries
+    // and incremental re-runs depend on
+    Tables.writeSharded(docs.repartition(13), s"$dir/b", "doc_id", nShards = 8)
+    val a = spark.read.parquet(s"$dir/a").select("doc_id", "shard")
+    val b = spark.read.parquet(s"$dir/b").select("doc_id", "shard")
+    assert(a.join(b, "doc_id")
+      .filter(a("shard") =!= b("shard")).count() == 0,
+      "shard assignment must be deterministic across writes")
+    // all rows preserved, every shard directory holds exactly one file
+    assert(a.count() == docs.count())
+    val shardDirs = new java.io.File(s"$dir/a").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8, s"expected 8 shard dirs, got ${shardDirs.length}")
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${sd.getName}: expected one file per shard, got $files")
+    }
+    // a shard filter prunes to one directory
+    val q = spark.read.parquet(s"$dir/a").filter(col("shard") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+  }
+
   test("compaction collapses a small-files directory, preserving rows") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val docs = Tables.table(spark, sf, "documents").select("doc_id", "n_chars")
