@@ -306,10 +306,17 @@ object Dedup {
     * explosion (4 keys per doc, narrow map). */
   def simhashBands(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
-    simhash(docs, idCol, textCol)
-      .select(col(idCol), col("simhash"),
-        posexplode(array((0 until SimhashBandCount).map(b =>
-          simhashChunk(col("simhash"), b)): _*)).as(Seq("band", "chunk")))
+    bandChunks(simhash(docs, idCol, textCol), idCol, "simhash")
+
+  /** The ONE banding construction: (id, hash) → one row per 16-bit
+    * chunk, keyed (band, chunk) — shared by the simhash path, the
+    * image-phash path and the streaming screen so the layout can
+    * never diverge between them. */
+  private[graft] def bandChunks(hashed: DataFrame, idCol: String,
+                                hashCol: String): DataFrame =
+    hashed.select(col(idCol), col(hashCol),
+      posexplode(array((0 until SimhashBandCount).map(b =>
+        simhashChunk(col(hashCol), b)): _*)).as(Seq("band", "chunk")))
 
   /** Near-dup pairs within `maxHamming` (≤ 3 for complete recall with
     * 4 bands): banded candidates verified by exact XOR popcount. The
@@ -329,10 +336,8 @@ object Dedup {
     * exchange, exact XOR-popcount verify on candidates only. */
   def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val banded = hashed.select(col(idCol), col(hashCol),
-      posexplode(array((0 until SimhashBandCount).map(b =>
-        simhashChunk(col(hashCol), b)): _*)).as(Seq("band", "chunk")))
-    val b = banded.repartition(col("band"), col("chunk"))
+    val b = bandChunks(hashed, idCol, hashCol)
+      .repartition(col("band"), col("chunk"))
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

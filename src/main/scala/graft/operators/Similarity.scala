@@ -48,8 +48,11 @@ object Similarity {
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"),
         Vectors.dot(col("qe"), col("ce")).as("ip"),
-        (Vectors.dot(col("qe"), col("ce")) /
-          (Vectors.norm2(col("qe")) * col("maxnorm"))).as("aug_cos"))
+        Vectors.norm2(col("qe")).as("qn"), col("maxnorm"))
+      // aug_cos derives from the ip COLUMN — the O(dim) dot fold is
+      // guaranteed to evaluate once per row, with or without codegen CSE
+      .select(col("q_id"), col("cand_id"), col("ip"),
+        (col("ip") / (col("qn") * col("maxnorm"))).as("aug_cos"))
     val wIp = Window.partitionBy("q_id").orderBy(col("ip").desc, col("cand_id"))
     val wAug = Window.partitionBy("q_id").orderBy(col("aug_cos").desc, col("cand_id"))
     // rank≤k filters adjacent to the ip window (so WindowGroupLimit

@@ -147,8 +147,14 @@ object DocQueries {
     // integer so both engines agree bit-for-bit.
     "d26_containment" -> q { (s, d) =>
       import org.apache.spark.sql.types.DoubleType
+      // ONE winnow pass: the explicit fingerprint repartition makes the
+      // df-cap aggregate, the cap join and both pair-join sides
+      // canonically identical exchanges (AQE stage reuse — the q42 /
+      // hammingNearDups pattern; without it the fingerprint fold over
+      // full text re-runs once per consumer)
       val fps = table(s, d, "documents")
         .select(col("doc_id"), explode(Dedup.winnow(col("text"))).as("fingerprint"))
+        .repartition(col("fingerprint"))
       val keep = fps.groupBy("fingerprint")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
         .select("fingerprint")

@@ -83,6 +83,10 @@ object Tables {
   def writeSharded(df: DataFrame, path: String, keyCol: String,
                    nShards: Int): Unit = {
     import org.apache.spark.sql.functions._
+    require(!df.columns.contains("shard"),
+      "input already carries a 'shard' column (re-sharding a sharded " +
+        "read-back?) — drop or rename it first; silently overwriting " +
+        "it would lose the original values")
     df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(nShards.toLong)))
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)

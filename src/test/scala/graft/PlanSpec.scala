@@ -218,8 +218,6 @@ class PlanSpec extends AnyFunSuite {
   test("q54: eligibility flows through semi-joins — no fact row ever widens") {
     val p = plan("q54_excess_suppliers")
     assert(!p.contains("CartesianProduct"))
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
-      p.contains("LeftSemi"), "expected semi-join eligibility chain")
     assert(p.contains("LeftSemi"), "pairs and suppliers must semi-join, not inner-join")
     assert(p.contains("partial_sum"), "the pair aggregate must be two-phase")
   }
