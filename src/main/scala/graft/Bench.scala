@@ -25,8 +25,12 @@ object Bench {
   // and min-of-N is the standard estimator for the true cost.
   // a failing query must abort the bench loudly — swallowing it would
   // report a crash as the fastest "time" in the suite
+  // sorted name order: Map hash order reshuffles whenever a query is
+  // added, which both breaks cross-round per-query comparability and
+  // moves the JIT warm-up sequence under every query (suite-order
+  // profile pollution — the q32/q38 effect); sorted order is stable
   private def timeSuite(spark: SparkSession, sfDir: String): Map[String, Double] =
-    SparkEntry.queries.map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try consume(fn(spark, sfDir)) catch {
@@ -37,7 +41,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
-    }
+    }.toMap
 
   private def js(m: Map[String, Double]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

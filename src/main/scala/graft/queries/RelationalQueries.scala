@@ -868,6 +868,35 @@ object RelationalQueries {
         .orderBy("o_year")
     },
 
+    // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
+    // a computed measure spanning THREE tables (revenue minus a
+    // retail-cost charge), name-filtered part dim, nation broadcast.
+    // The cost factor multiplies in double FIRST (correctly-rounded
+    // IEEE, identical both engines) and converts to decimal once —
+    // chaining three decimal multiplications instead would walk the
+    // engines' different precision/scale promotion rules.
+    "q56_profit" -> q { (s, d) =>
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val p = table(s, d, "part")
+        .filter(col("p_name").contains("gizmo"))
+        .select("p_partkey", "p_retailprice")
+      val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = table(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(
+          sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))) -
+            d4(col("p_retailprice") * col("l_quantity") * lit(0.1)))
+            .cast(DoubleType).as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+
     // TPC-H Q20 shape: the nested semi-join chain — suppliers having
     // (a filtered part, excess-concentration) relationship. The
     // correlated EXISTS collapses into ONE conditional aggregation per
@@ -1482,6 +1511,21 @@ object RelationalQueries {
          |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
          |    AND TIMESTAMP '1996-12-31 00:00:00'
          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q56_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+         |  CAST(CAST(SUM($discExpr
+         |    - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)))
+         |    AS VARCHAR) AS DOUBLE) AS profit,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gizmo%'
+         |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
 
     "q54_excess_suppliers" ->
       """WITH pairs AS (

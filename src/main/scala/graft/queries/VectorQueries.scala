@@ -69,6 +69,27 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // index-quality evaluation as a first-class query: recall@10 of
+    // the LSH index (e2) against brute-force ground truth (e1), per
+    // query vector — the measurement loop every production ANN
+    // deployment runs before/after (re)building an index. Left join +
+    // conditional count; both sides are the existing operators.
+    "e12_recall_report" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("cand_id"))
+      val approx = Similarity.lshTopK(emb, qs, k = 10)
+        .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("cand_id") === col("ac"), "left_outer")
+        .groupBy("q_id")
+        .agg((sum(when(col("ac").isNotNull, 1L).otherwise(0L))
+          .cast(DoubleType) / lit(10.0)).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+
     // maximum-inner-product top-k + the norm-augmentation reduction
     // (what plugs MIPS into any cosine index at scale), with per-row
     // machine-checked rank agreement between the two scores
@@ -150,6 +171,44 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // both chains (brute-force + LSH) replayed as CTEs, joined the
+    // same way — the recall number itself is what's being checked
+    "e12_recall_report" -> {
+      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+      val cosQC =
+        s"""list_aggregate(list_transform(list_zip(qe, ce),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq("qe")}) * sqrt(${sumSq("ce")}))""".stripMargin
+      s"""WITH qs0 AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |cs0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+         |exact AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |    FROM (SELECT q_id, cand_id, $cosQC AS cos
+         |          FROM cs0, qs0 WHERE cand_id <> q_id) s) t
+         |  WHERE rank <= 10),
+         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+         |qb AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q_id, qe, cand_id, ce
+         |         FROM c JOIN qb USING (tbl, bucket) WHERE cand_id <> q_id),
+         |approx AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |    FROM (SELECT q_id, cand_id, $cosQC AS cos FROM cand) s) t
+         |  WHERE rank <= 10)
+         |SELECT e.q_id,
+         |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / 10.0 AS recall_at_10
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.cand_id = a.cand_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    },
 
     // the reduction equality is computed with the SAME double ops on
     // both engines, so the boolean matches Spark's bit-for-bit (it is

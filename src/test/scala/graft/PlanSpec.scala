@@ -234,6 +234,21 @@ class PlanSpec extends AnyFunSuite {
       s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
   }
 
+  test("q56: profit joins broadcast the nation dim; name filter stays on the part scan") {
+    val p = plan("q56_profit")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+    assert(p.contains("StringContains(p_name,gizmo)"),
+      "name filter not pushed to the part scan")
+    assert(p.contains("partial_sum"), "profit aggregation must be two-phase")
+  }
+
+  test("e12: the recall join is keyed — no cartesian between exact and approx") {
+    val p = plan("e12_recall_report")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), "both top-k chains keep partial top-k")
+  }
+
   test("q55: both nation roles broadcast; membership filters stay semi-joins") {
     val p = plan("q55_market_share")
     assert(!p.contains("CartesianProduct"))
