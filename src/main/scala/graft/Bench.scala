@@ -21,14 +21,19 @@ object Bench {
   private def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  // min of two runs per query: the host shows multi-second noise bursts,
-  // and min-of-N is the standard estimator for the true cost.
-  // a failing query must abort the bench loudly — swallowing it would
-  // report a crash as the fastest "time" in the suite
+  // adaptive min-of-N per query (2..5 runs): keep re-running while a
+  // run still improves >20% on the best so far. Rationale, measured:
+  // a heavy-codegen query landing while the C2 queue is saturated by
+  // its predecessors times 20-30 s in-suite but 1.3-1.5 s warm
+  // (BenchOne), and the slow slot FOLLOWS THE SUITE POSITION, not the
+  // query (q38 under hash order, q53/q54 under sorted order) — a fixed
+  // min-of-2 bakes that compilation backlog into whichever query sits
+  // there. Converged queries still stop at 2 runs. A failing query
+  // must abort the bench loudly — swallowing it would report a crash
+  // as the fastest "time" in the suite.
   // sorted name order: Map hash order reshuffles whenever a query is
   // added, which both breaks cross-round per-query comparability and
-  // moves the JIT warm-up sequence under every query (suite-order
-  // profile pollution — the q32/q38 effect); sorted order is stable
+  // moves the JIT warm-up sequence under every query; sorted is stable
   private def timeSuite(spark: SparkSession, sfDir: String): Map[String, Double] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -40,7 +45,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      var best = once()
+      var runs = 1
+      var improving = true
+      while (runs < 5 && improving) {
+        val t = once()
+        improving = t < best * 0.8
+        if (t < best) best = t
+        runs += 1
+      }
+      name -> best
     }.toMap
 
   private def js(m: Map[String, Double]): String =

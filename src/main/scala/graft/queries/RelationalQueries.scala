@@ -868,6 +868,30 @@ object RelationalQueries {
         .orderBy("o_year")
     },
 
+    // cohort retention — the product-analytics shape (day-over-day
+    // here; week-over-week is the same plan): distinct daily-active
+    // (day, user) pairs self-joined one day apart. ONE explicit
+    // user_id repartition serves the distinct, both join sides AND
+    // the shifted twin (user_id is a subset of every clustering
+    // involved — the q42 pattern); only the final per-day rollup
+    // re-shuffles, and what shuffles is 12-byte (day, user) pairs.
+    "q57_retention" -> q { (s, d) =>
+      val active = table(s, d, "events")
+        .select(to_date(evTs(col("ts"))).as("day"), col("user_id"))
+        .repartition(col("user_id"))
+        .distinct()
+      val nxt = active.select(date_sub(col("day"), 1).as("day"),
+        col("user_id"), lit(1L).as("ret"))
+      active.join(nxt, Seq("day", "user_id"), "left_outer")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(coalesce(col("ret"), lit(0L))).as("n_retained"))
+        .select(col("day"), col("n_active"), col("n_retained"),
+          (col("n_retained").cast(DoubleType) / col("n_active").cast(DoubleType))
+            .as("retention"))
+        .orderBy("day")
+    },
+
     // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
     // a computed measure spanning THREE tables (revenue minus a
     // retail-cost charge), name-filtered part dim, nation broadcast.
@@ -1511,6 +1535,16 @@ object RelationalQueries {
          |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
          |    AND TIMESTAMP '1996-12-31 00:00:00'
          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q57_retention" ->
+      """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |n AS (SELECT day - 1 AS day, user_id, 1 AS ret FROM a)
+        |SELECT a.day AS day, COUNT(*) AS n_active,
+        |  CAST(SUM(COALESCE(n.ret, 0)) AS BIGINT) AS n_retained,
+        |  CAST(SUM(COALESCE(n.ret, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS retention
+        |FROM a LEFT JOIN n ON a.day = n.day AND a.user_id = n.user_id
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
 
     "q56_profit" ->
       s"""SELECT n_name AS nation,

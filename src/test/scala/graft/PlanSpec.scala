@@ -234,6 +234,22 @@ class PlanSpec extends AnyFunSuite {
       s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
   }
 
+  test("q57: retention self-join rides the one explicit user_id repartition") {
+    val p = plan("q57_retention")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit user_id repartition shared by distinct and both join sides")
+    // the distinct, the join probe and the shifted twin all cluster on
+    // user_id: every user_id exchange must be the canonical explicit
+    // repartition (AQE stage reuse executes it once) — an
+    // ENSURE_REQUIREMENTS exchange would be a real re-shuffle
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id")).toSeq
+    assert(userExchanges.nonEmpty &&
+      userExchanges.forall(_.contains("REPARTITION_BY_COL")),
+      s"retention must not re-shuffle on user_id:\n${userExchanges.mkString("\n")}")
+  }
+
   test("q56: profit joins broadcast the nation dim; name filter stays on the part scan") {
     val p = plan("q56_profit")
     assert(!p.contains("CartesianProduct"))
