@@ -360,26 +360,33 @@ object Multimodal {
     * content hash is not. Compose with [[resizeImages]](9, 8) first
     * for scale-invariance (the classic dHash recipe); the hash then
     * feeds `Dedup.hammingNearDups` for banded image dedup. */
+  /** The pure dHash kernel (None if the image is smaller than the 9×8
+    * window) — separated from the Dataset plumbing so its invariants
+    * (brightness invariance, totality) are property-testable. */
+  private[graft] def dhash64(img: PpmCodec.Image): Option[Long] =
+    if (img.width < 9 || img.height < 8) None
+    else {
+      def gray(r: Int, c: Int): Int = {
+        val p = (r * img.width + c) * 3
+        ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
+          (img.rgb(p + 2) & 0xff)) / 3
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (gray(b / 8, b % 8) < gray(b / 8, b % 8 + 1)) h |= 1L << b
+        b += 1
+      }
+      Some(h)
+    }
+
   def hashImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, payload) =>
         PpmCodec.decode(payload) match {
-          case Some(img) if img.width >= 9 && img.height >= 8 =>
-            def gray(r: Int, c: Int): Int = {
-              val p = (r * img.width + c) * 3
-              ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
-                (img.rgb(p + 2) & 0xff)) / 3
-            }
-            var h = 0L
-            var b = 0
-            while (b < 64) {
-              if (gray(b / 8, b % 8) < gray(b / 8, b % 8 + 1)) h |= 1L << b
-              b += 1
-            }
-            ImageHash(id, Some(img.width), Some(img.height), Some(h))
           case Some(img) =>
-            ImageHash(id, Some(img.width), Some(img.height), None)
+            ImageHash(id, Some(img.width), Some(img.height), dhash64(img))
           case None => ImageHash(id, None, None, None)
         }
       }

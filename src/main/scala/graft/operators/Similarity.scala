@@ -385,4 +385,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Persist the IVF index as TABLES — the Spark-native index
+    * lifecycle: an index is data, not a sidecar file format.
+    * `centroids/` holds (cid, centroid); `cells/` holds the corpus
+    * with its cell assignment, hive-partitioned BY CELL, so a probe's
+    * scan prunes to its nprobe directories — partition pruning IS the
+    * inverted list. Rebuild = overwrite; any number of query jobs
+    * read the index concurrently like any other table. Assignment
+    * math is identical to [[ivfTopK]], so the persisted path returns
+    * bit-identical results (spec-asserted). */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    cents.zipWithIndex.map { case (c, i) => (i + 1L, c) }.toSeq
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    def centScores(v: Column): Column = array(cents.map { c =>
+      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
+    }: _*)
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        centScores(col("embedding")).as("scores"))
+      .select(col("vec_id"), col("embedding"),
+        array_position(col("scores"), array_max(col("scores"))).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Query a persisted IVF index: centroids load as a (tiny) table,
+    * probes select the top-nprobe cells, and the cell equi-join
+    * against the hive-partitioned corpus lets Spark prune non-probed
+    * cell directories. Same scoring chain as [[ivfTopK]]. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents: Array[Array[Float]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
+    val nlist = cents.length
+    def centScores(v: Column): Column = array(cents.map { c =>
+      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
+    }: _*)
+    val c = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        slice(transform(
+          sort_array(arrays_zip(
+            transform(centScores(col("embedding")), s => -s).as("neg"),
+            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
+          s => s.getField("cid")), 1, nprobe).as("probes"))
+      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

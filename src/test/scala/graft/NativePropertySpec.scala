@@ -112,6 +112,41 @@ object NativePropertySpec extends Properties("NativeKernels") {
       true
     }
 
+  private val hashDims = for {
+    w <- Gen.choose(9, 20); h <- Gen.choose(8, 14)
+  } yield (w, h)
+
+  property("dhash is brightness-invariant while no channel saturates") =
+    forAll(hashDims, rawBytes, Gen.choose(1, 55)) { case ((w, h), seed, delta) =>
+      // channels capped at 200 so +delta (<=55) can never wrap a byte
+      def px(i: Int): Int =
+        if (seed.isEmpty) 7 else (seed(i % seed.length) & 0xff) % 200
+      def img(d: Int) = graft.operators.PpmCodec.Image(w, h,
+        Array.tabulate[Byte](w * h * 3)(i => (px(i) + d).toByte))
+      graft.operators.Multimodal.dhash64(img(delta)) ==
+        graft.operators.Multimodal.dhash64(img(0))
+    }
+
+  property("dhash bit b compares the gray neighbors at (b/8, b%8) exactly") =
+    forAll(hashDims, rawBytes) { case ((w, h), seed) =>
+      def px(i: Int): Int = if (seed.isEmpty) 7 else seed(i % seed.length) & 0xff
+      val img = graft.operators.PpmCodec.Image(w, h,
+        Array.tabulate[Byte](w * h * 3)(i => px(i).toByte))
+      def gray(r: Int, c: Int): Int =
+        (px((r * w + c) * 3) + px((r * w + c) * 3 + 1) + px((r * w + c) * 3 + 2)) / 3
+      val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (gray(b / 8, b % 8) < gray(b / 8, b % 8 + 1)) acc | (1L << b) else acc
+      }
+      graft.operators.Multimodal.dhash64(img).contains(expected)
+    }
+
+  property("dhash is None exactly when the image is under the 9x8 window") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12)) { (w, h) =>
+      val img = graft.operators.PpmCodec.Image(w, h,
+        Array.fill[Byte](w * h * 3)(1))
+      graft.operators.Multimodal.dhash64(img).isDefined == (w >= 9 && h >= 8)
+    }
+
   property("WAV roundtrip is lossless for any samples") =
     forAll(Gen.choose(1, 48000), Gen.listOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
       (rate, samples) =>

@@ -25,6 +25,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index answers bit-identically to the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, s"$dir/idx")
+    // cells/ is a hive layout: one directory per cell — the inverted list
+    val cellDirs = new java.io.File(s"$dir/idx/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=N partition directories")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("cos"))
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, s"$dir/idx", queries, k = 10)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    val direct = Similarity.ivfTopK(emb, queries, k = 10)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(fromIndex.toSeq == direct.toSeq,
+      "index round-trip must not change a single rank or score")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
       .groupBy(_.getAs[Long]("q_id"))
