@@ -18,8 +18,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * because the driver's captured stdout tail truncated round 3's line.
   */
 object Bench {
-  private def consume(df: DataFrame): Unit =
+  /** The one consumption contract (also used by BenchOne, so the
+    * isolated re-measure always measures the same thing). */
+  private[graft] def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** The one bench session recipe (shared with BenchOne). */
+  private[graft] def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
   // adaptive min-of-N per query (2..5 runs): keep re-running while a
   // run still improves >20% on the best so far. Rationale, measured:
@@ -48,7 +62,14 @@ object Bench {
       var best = once()
       var runs = 1
       var improving = true
-      while (runs < 5 && improving) {
+      // keep running while improving OR while the best is still over
+      // the backlog threshold: a PERSISTENT C2 backlog produces two
+      // similar slow runs (e.g. 25 s then 23 s — "not improving"),
+      // which the improvement test alone would accept as converged;
+      // nearly every warm query in this suite is < 2 s, so a > 5 s
+      // best buys the compiler more runs to catch up before we record
+      // it. A genuinely slow query pays at most 5 runs.
+      while (runs < 5 && (improving || best > 5.0)) {
         val t = once()
         improving = t < best * 0.8
         if (t < best) best = t
@@ -62,13 +83,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session()
     // generic JIT/codegen warmup so the first measured query doesn't
     // absorb JVM start (no query results are precomputed)
     spark.range(1000000).selectExpr("sum(id * 2) AS s").collect()

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 
 /** Isolated single-query re-measure (the SURVEY §6e methodology):
@@ -10,21 +9,21 @@ import org.apache.spark.sql.execution.FormattedMode
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.BenchOne <query> [sfDir] [n]")
     val name = args(0)
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; valid: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 5
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // session + consumption come from Bench so the isolated re-measure
+    // always measures exactly what the suite measures
+    val spark = Bench.session()
     println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Bench.consume(fn(spark, sfDir))
       println(f"[benchone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

@@ -351,18 +351,12 @@ object Multimodal {
   final case class ImageHash(id: Long, width: Option[Int],
                              height: Option[Int], dhash: Option[Long])
 
-  /** REAL per-partition perceptual hashing (dHash) of decoded images:
-    * bit (row·8+col) is set iff gray(row,col) < gray(row,col+1) over
-    * the top-left 9×8 window of the ACTUAL pixel data
-    * (gray = (r+g+b)/3, integer). Brightness-invariant by
-    * construction — a uniform offset shifts every gray equally and no
-    * comparison flips — which is what makes it a near-dup key where a
-    * content hash is not. Compose with [[resizeImages]](9, 8) first
-    * for scale-invariance (the classic dHash recipe); the hash then
-    * feeds `Dedup.hammingNearDups` for banded image dedup. */
-  /** The pure dHash kernel (None if the image is smaller than the 9×8
-    * window) — separated from the Dataset plumbing so its invariants
-    * (brightness invariance, totality) are property-testable. */
+  /** The pure dHash kernel: bit (row·8+col) is set iff
+    * gray(row,col) < gray(row,col+1) over the top-left 9×8 window
+    * (gray = (r+g+b)/3, integer); None if the image is smaller than
+    * the window. Separated from the Dataset plumbing so its
+    * invariants (brightness invariance, totality, per-bit semantics)
+    * are property-testable. */
   private[graft] def dhash64(img: PpmCodec.Image): Option[Long] =
     if (img.width < 9 || img.height < 8) None
     else {
@@ -380,6 +374,13 @@ object Multimodal {
       Some(h)
     }
 
+  /** REAL per-partition perceptual hashing (dHash, [[dhash64]]) of
+    * decoded images. Brightness-invariant by construction — a uniform
+    * offset shifts every gray equally and no comparison flips — which
+    * is what makes it a near-dup key where a content hash is not.
+    * Compose with [[resizeImages]](9, 8) first for scale-invariance
+    * (the classic dHash recipe); the hash then feeds
+    * `Dedup.hammingNearDups` for banded image dedup. */
   def hashImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

@@ -209,27 +209,30 @@ object Similarity {
   /** IVF ANN with one Lloyd refinement of the seed centroids — better
     * cell balance than raw seeds, same query shape (narrow assignment +
     * bucket equi-join + WindowGroupLimit top-k). */
-  def ivfLloydTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                   nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents0: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val refined = lloydRefine(corpus, cents0)
-    def centScores(v: Column): Column = array(refined.map { c =>
-      Native.cosineSim(v, array(c.map(lit): _*))
-    }: _*)
-    val c = corpus
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        centScores(col("embedding")).as("scores"))
-      .select(col("cand_id"), col("ce"),
-        array_position(col("scores"), array_max(col("scores"))).as("cell"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        slice(transform(
-          sort_array(arrays_zip(
-            transform(centScores(col("embedding")), s => -s).as("neg"),
-            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
-          s => s.getField("cid")), 1, nprobe).as("probes"))
-      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
+  // ---- the IVF building blocks, shared by EVERY variant so the probe
+  // selection / assignment / scoring chains cannot diverge ------------
+
+  /** Per-centroid cosine scores of a vector (centroids ride as
+    * literals inside the expression — a tiny plan-side broadcast). */
+  private def centScoresFor(cents: Array[Array[Double]])(v: Column): Column =
+    array(cents.map(c => Native.cosineSim(v, array(c.map(lit): _*))): _*)
+
+  /** Cell id = argmax centroid similarity (first on ties, 1-based). */
+  private def cellOf(scores: Column): Column =
+    array_position(scores, array_max(scores))
+
+  /** Top-`nprobe` 1-based cell ids by centroid similarity — THE probe
+    * expression. */
+  private def probeCells(centScores: Column, nlist: Int, nprobe: Int): Column =
+    slice(transform(
+      sort_array(arrays_zip(
+        transform(centScores, s => -s).as("neg"),
+        sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
+      s => s.getField("cid")), 1, nprobe)
+
+  /** Cell-joined exact-cosine scoring + per-query top-k: `c` carries
+    * (cand_id, ce, cell), `q` carries (q_id, qe, cell). */
+  private def cellCosTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), "cell")
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"),
@@ -237,6 +240,30 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Corpus cell assignment for the cosine variants. */
+  private def cellAssign(corpus: DataFrame,
+                         centScores: Column => Column): DataFrame =
+    corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        centScores(col("embedding")).as("scores"))
+      .select(col("cand_id"), col("ce"), cellOf(col("scores")).as("cell"))
+
+  private def ivfQueries(queries: DataFrame, centScores: Column => Column,
+                         nlist: Int, nprobe: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        probeCells(centScores(col("embedding")), nlist, nprobe).as("probes"))
+      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
+
+  def ivfLloydTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents0: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centScores = centScoresFor(lloydRefine(corpus, cents0)) _
+    cellCosTopK(cellAssign(corpus, centScores),
+      ivfQueries(queries, centScores, nlist, nprobe), k)
   }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
@@ -318,22 +345,15 @@ object Similarity {
       val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
       boot(j)(s * subDim + d)
     }
-    def centScores(v: Column): Column = array(boot.take(nlist).map { c =>
-      Native.cosineSim(v, array(c.map(lit): _*))
-    }: _*)
+    val centScores = centScoresFor(boot.take(nlist)) _
     val c = corpus
       .select(col("vec_id").as("cand_id"),
         centScores(col("embedding")).as("scores"),
         Native.pqEncode(col("embedding"), cbFlat, m, ks, subDim).as("code"))
-      .select(col("cand_id"), col("code"),
-        array_position(col("scores"), array_max(col("scores"))).as("cell"))
+      .select(col("cand_id"), col("code"), cellOf(col("scores")).as("cell"))
     val q = queries.select(col("vec_id").as("q_id"),
         Native.pqLut(col("embedding"), cbFlat, m, ks, subDim).as("lut"),
-        slice(transform(
-          sort_array(arrays_zip(
-            transform(centScores(col("embedding")), s => -s).as("neg"),
-            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
-          s => s.getField("cid")), 1, nprobe).as("probes"))
+        probeCells(centScores(col("embedding")), nlist, nprobe).as("probes"))
       .select(col("q_id"), col("lut"), explode(col("probes")).as("cell"))
     val scored = c.join(broadcast(q), "cell")
       .filter(col("cand_id") =!= col("q_id"))
@@ -356,35 +376,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    def centScores(v: Column): Column = array(cents.map { c =>
-      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
-    }: _*)
-    // cell id = argmax centroid similarity (first on ties, 1-based);
-    // score the centroids ONCE per row, then index into the array
-    val c = corpus
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        centScores(col("embedding")).as("scores"))
-      .select(col("cand_id"), col("ce"),
-        array_position(col("scores"), array_max(col("scores"))).as("cell"))
-    // query probes: top-nprobe cells by centroid similarity
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        slice(transform(
-          sort_array(arrays_zip(
-            transform(centScores(col("embedding")), s => -s).as("neg"),
-            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
-          s => s.getField("cid")), 1, nprobe).as("probes"))
-      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
-    val scored = c.join(broadcast(q), "cell")
-      .filter(col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"),
-        Vectors.cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val centScores = centScoresFor(bootCentroids(corpus, nlist)) _
+    cellCosTopK(cellAssign(corpus, centScores),
+      ivfQueries(queries, centScores, nlist, nprobe), k)
   }
+
+  /** The deterministic centroid bootstrap (first `nlist` vectors by
+    * id) — bounded collect, not data movement. */
+  private def bootCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =
+    corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
   /** Persist the IVF index as TABLES — the Spark-native index
     * lifecycle: an index is data, not a sidecar file format.
@@ -398,20 +400,16 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val cents = bootCentroids(corpus, nlist)
     cents.zipWithIndex.map { case (c, i) => (i + 1L, c) }.toSeq
       .toDF("cid", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    def centScores(v: Column): Column = array(cents.map { c =>
-      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
-    }: _*)
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        centScores(col("embedding")).as("scores"))
-      .select(col("vec_id"), col("embedding"),
-        array_position(col("scores"), array_max(col("scores"))).as("cell"))
+    // cell written as INT: hive partition inference reads the column
+    // back as IntegerType, so the probe join must not wrap the
+    // partition column in a cast (a cast would block pruning)
+    cellAssign(corpus, centScoresFor(cents))
+      .select(col("cand_id").as("vec_id"), col("ce").as("embedding"),
+        col("cell").cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -422,27 +420,18 @@ object Similarity {
     * cell directories. Same scoring chain as [[ivfTopK]]. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val cents: Array[Array[Float]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect().map(_.getSeq[Float](1).toArray)
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
     val nlist = cents.length
-    def centScores(v: Column): Column = array(cents.map { c =>
-      Native.cosineSim(v, array(c.map(x => lit(x.toDouble)): _*))
-    }: _*)
+    val centScores = centScoresFor(cents) _
     val c = spark.read.parquet(s"$path/cells")
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cell"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        slice(transform(
-          sort_array(arrays_zip(
-            transform(centScores(col("embedding")), s => -s).as("neg"),
-            sequence(lit(1L), lit(nlist.toLong)).as("cid"))),
-          s => s.getField("cid")), 1, nprobe).as("probes"))
-      .select(col("q_id"), col("qe"), explode(col("probes")).as("cell"))
-    val scored = c.join(broadcast(q), "cell")
-      .filter(col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"),
-        Vectors.cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // probe cells cast to the partition column's INT type — the cast
+    // sits on the (tiny, broadcast) probe side, never on the partition
+    // column, so cell-directory pruning stays available
+    val q = ivfQueries(queries, centScores, nlist, nprobe)
+      .withColumn("cell", col("cell").cast("int"))
+    cellCosTopK(c, q, k)
   }
 }

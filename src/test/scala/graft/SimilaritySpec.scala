@@ -32,6 +32,15 @@ class SimilaritySpec extends AnyFunSuite {
     val cellDirs = new java.io.File(s"$dir/idx/cells").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "expected cell=N partition directories")
+    // a cell filter must prune to its directory WITHOUT a cast on the
+    // partition column (cell is written as INT so the inferred
+    // partition type matches) — partition pruning IS the inverted list
+    val pruned = spark.read.parquet(s"$dir/idx/cells").filter(col("cell") === 1)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.contains("cell"), prunedPlan)
+    assert(!prunedPlan.contains("cast(cell"),
+      "the partition column must not be wrapped in a cast")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("cand_id"), r.getAs[Double]("cos"))
