@@ -189,6 +189,44 @@ object Pipelines {
       .select("in_id", "block_idx", "ref_id")
   }
 
+  /** Ingest-time IMAGE near-dup screen — the m5 streaming twin:
+    * arriving image payloads decode + perceptually hash per partition
+    * (real dHash over real pixels, `Multimodal.hashImages`), then
+    * band-join a STATIC hashed corpus on the shared
+    * `Dedup.bandChunks` layout — stream-static and STATELESS. A
+    * re-uploaded or merely re-brightened image is caught at ingest;
+    * a content hash would miss the latter. Emits
+    * (in_id, match_id, hamming) within `maxHamming`; undecodable
+    * payloads drop (null hash), never fail the stream. Per-row
+    * first-matching-band dedup (the streamNearDupScreen trick) keeps
+    * it stateless.
+    *
+    * @param corpusHashes static side — `Multimodal.hashImages` output
+    *   (id, dhash), MATERIALIZED by the caller (cache or a written
+    *   table): Spark re-executes the static plan per micro-batch. */
+  def streamImagePhashScreen(stream: Dataset[(Long, Array[Byte])],
+                             corpusHashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    val s = Multimodal.hashImages(stream).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("id").as("in_id"), col("dhash").as("in_hash"))
+    val c = corpusHashes
+      .select(col("id").as("match_id"), col("dhash").as("match_hash"))
+    val firstMatchingBand = (0 until Dedup.SimhashBandCount).reverse
+      .foldLeft(lit(-1): Column) { (acc, b) =>
+        when(Dedup.simhashChunk(col("in_hash"), b) ===
+          Dedup.simhashChunk(col("match_hash"), b), lit(b)).otherwise(acc)
+      }
+    Dedup.bandChunks(s, "in_id", "in_hash")
+      .join(Dedup.bandChunks(c, "match_id", "match_hash"), Seq("band", "chunk"))
+      .filter(col("band") === firstMatchingBand)
+      .select(col("in_id"), col("match_id"),
+        bit_count(col("in_hash").bitwiseXOR(col("match_hash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Ingest-time stratified (mixture-balancing) sampler — the
     * streaming twin of the batch d25 query. `stratumCounts` is a
     * STATIC (lang, source, cnt, mincnt) rates table built from the

@@ -274,6 +274,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 2L), s"far vector must not pass the screen: ${out.toSeq}")
   }
 
+  test("stream-static image phash screen flags re-brightened uploads, drops undecodable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Multimodal, PpmCodec}
+    val (w, h) = (16, 8)
+    def enc(px: Int => Int) =
+      PpmCodec.encode(w, h, Array.tabulate[Byte](w * h * 3)(i => px(i).toByte))
+    val base: Int => Int = i => (i * 7 + 3) % 200
+    val far: Int => Int = i => ((i / 24) * 90 + 10) % 200
+    val corpus = Seq(100L -> enc(base), 200L -> enc(far)).toDS()
+    val corpusHashes = Multimodal.hashImages(corpus).toDF()
+      .select(col("id"), col("dhash")).cache()
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Pipelines.streamImagePhashScreen(in.toDS().map(identity), corpusHashes)
+      .writeStream.format("memory").queryName("phash_screen_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, enc(i => base(i) + 9)),            // re-brightened corpus 100
+      (2L, enc(i => (i * 13 + 101) % 197)),   // unrelated gradient
+      (3L, "not a ppm".getBytes("US-ASCII"))) // undecodable
+    q.processAllAvailable()
+    val out = spark.table("phash_screen_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(out.contains((1L, 100L, 0L)),
+      s"brightness-shifted image must match its corpus original: ${out.toSeq}")
+    assert(!out.exists(_._1 == 3L), "undecodable payloads must drop silently")
+  }
+
   test("stream-static stratified sampler makes the batch d25 decisions, replay-stable") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
