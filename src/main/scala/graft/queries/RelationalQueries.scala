@@ -892,6 +892,49 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // TPC-H Q12 shape: a dimension attribute (order priority) counted
+    // conditionally under a FACT-side derived group (ship mode —
+    // synthesized deterministically from the supplier key, as the
+    // generator carries no shipmode column). The mode filter prunes
+    // the fact scan; the CASE counts evaluate post-join.
+    "q58_shipmode_priority" -> q { (s, d) =>
+      val mode3 = col("l_suppkey") % 3
+      val li = table(s, d, "lineitem")
+        .filter(mode3 < 2 &&
+          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .select(col("l_orderkey"),
+          when(mode3 === 0, "MAIL").when(mode3 === 1, "SHIP").otherwise("AIR")
+            .as("shipmode"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("shipmode")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("shipmode")
+    },
+
+    // TPC-H Q4 shape: order-priority backlog — orders in a quarter
+    // having ANY late line, counted by priority. The correlated
+    // EXISTS is a left-semi join with a cross-side date condition
+    // (l_shipdate > o_orderdate + 60): the equi-key carries the join,
+    // the inequality evaluates inside it, and no order row ever
+    // duplicates however many lines are late.
+    "q59_priority_backlog" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-10-01").cast(TimestampType))
+      val li = table(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
     // a computed measure spanning THREE tables (revenue minus a
     // retail-cost charge), name-filtered part dim, nation broadcast.
@@ -1535,6 +1578,28 @@ object RelationalQueries {
          |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
          |    AND TIMESTAMP '1996-12-31 00:00:00'
          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q58_shipmode_priority" ->
+      """SELECT CASE l_suppkey % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+        |    ELSE 'AIR' END AS shipmode,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_suppkey % 3 < 2
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY shipmode ORDER BY shipmode""".stripMargin,
+
+    "q59_priority_backlog" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q57_retention" ->
       """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -234,6 +234,18 @@ class PlanSpec extends AnyFunSuite {
       s"the agreement re-rank must reuse the ip window's q_id exchange:\n$qidExchanges")
   }
 
+  test("q58/q59: the Q12 date window pushes; the Q4 EXISTS stays a semi-join") {
+    val p58 = plan("q58_shipmode_priority")
+    assert(!p58.contains("CartesianProduct"))
+    assert(p58.contains("GreaterThanOrEqual(l_shipdate"),
+      "Q12's ship-date window not pushed to the lineitem scan")
+    val p59 = plan("q59_priority_backlog")
+    assert(p59.contains("LeftSemi"),
+      "the EXISTS must plan as a semi-join (an inner join would duplicate orders)")
+    assert(p59.contains("GreaterThanOrEqual(o_orderdate"),
+      "Q4's order-date window not pushed to the orders scan")
+  }
+
   test("q57: retention self-join rides the one explicit user_id repartition") {
     val p = plan("q57_retention")
     assert(!p.contains("CartesianProduct"))
