@@ -900,8 +900,7 @@ object RelationalQueries {
     "q58_shipmode_priority" -> q { (s, d) =>
       val mode3 = col("l_suppkey") % 3
       val li = table(s, d, "lineitem")
-        .filter(mode3 < 2 &&
-          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
         .select(col("l_orderkey"),
           when(mode3 === 0, "MAIL").when(mode3 === 1, "SHIP").otherwise("AIR")
@@ -1587,8 +1586,7 @@ object RelationalQueries {
         |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
         |    THEN 1 ELSE 0 END) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_suppkey % 3 < 2
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY shipmode ORDER BY shipmode""".stripMargin,
 

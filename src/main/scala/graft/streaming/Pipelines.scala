@@ -149,11 +149,22 @@ object Pipelines {
       .withColumnRenamed("doc_id", "in_id").withColumnRenamed("simhash", "in_hash")
     val c = corpusBands
       .withColumnRenamed("doc_id", "match_id").withColumnRenamed("simhash", "match_hash")
-    // pairs sharing several bands would duplicate; a stateful
-    // dropDuplicates would grow forever on a stream, so dedup is
-    // PER-ROW: both hashes travel with the row, so "is this the FIRST
-    // band where the chunks agree?" is a pure expression (band layout
-    // shared with Dedup.simhashBands via Dedup.simhashChunk)
+    bandedHammingScreen(s, c, maxHamming)
+  }
+
+  /** Shared tail of the stream-static hamming screens (SimHash text
+    * screen, image-phash screen): band equi-join + per-row
+    * first-matching-band dedup + XOR-popcount verify. Pairs sharing
+    * several bands would duplicate, and a stateful dropDuplicates
+    * would grow forever on a stream — so dedup is PER-ROW: both
+    * hashes travel with the row, making "is this the FIRST band where
+    * the chunks agree?" a pure expression (band layout shared with
+    * `Dedup.bandChunks` via `Dedup.simhashChunk`). Both inputs are
+    * pre-banded and renamed to (in_id, in_hash) / (match_id,
+    * match_hash). */
+  private def bandedHammingScreen(s: DataFrame, c: DataFrame,
+                                  maxHamming: Int): DataFrame = {
+    import graft.operators.Dedup
     val firstMatchingBand = (0 until Dedup.SimhashBandCount).reverse
       .foldLeft(lit(-1): Column) { (acc, b) =>
         when(Dedup.simhashChunk(col("in_hash"), b) ===
@@ -201,30 +212,24 @@ object Pipelines {
     * first-matching-band dedup (the streamNearDupScreen trick) keeps
     * it stateless.
     *
-    * @param corpusHashes static side — `Multimodal.hashImages` output
-    *   (id, dhash), MATERIALIZED by the caller (cache or a written
-    *   table): Spark re-executes the static plan per micro-batch. */
+    * @param corpusBands static side — `Dedup.bandChunks` over
+    *   `Multimodal.hashImages` output ((id, dhash, band, chunk) rows),
+    *   MATERIALIZED by the caller (cache or a written bands table):
+    *   Spark re-executes the static plan per micro-batch, so an
+    *   unbanded corpus here would redo the 4-way band explosion —
+    *   and an unhashed one the full decode — every batch. */
   def streamImagePhashScreen(stream: Dataset[(Long, Array[Byte])],
-                             corpusHashes: DataFrame,
+                             corpusBands: DataFrame,
                              maxHamming: Int = 3): DataFrame = {
     import graft.operators.{Dedup, Multimodal}
-    val s = Multimodal.hashImages(stream).toDF()
-      .filter(col("dhash").isNotNull)
-      .select(col("id").as("in_id"), col("dhash").as("in_hash"))
-    val c = corpusHashes
-      .select(col("id").as("match_id"), col("dhash").as("match_hash"))
-    val firstMatchingBand = (0 until Dedup.SimhashBandCount).reverse
-      .foldLeft(lit(-1): Column) { (acc, b) =>
-        when(Dedup.simhashChunk(col("in_hash"), b) ===
-          Dedup.simhashChunk(col("match_hash"), b), lit(b)).otherwise(acc)
-      }
-    Dedup.bandChunks(s, "in_id", "in_hash")
-      .join(Dedup.bandChunks(c, "match_id", "match_hash"), Seq("band", "chunk"))
-      .filter(col("band") === firstMatchingBand)
-      .select(col("in_id"), col("match_id"),
-        bit_count(col("in_hash").bitwiseXOR(col("match_hash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val s = Dedup.bandChunks(
+        Multimodal.hashImages(stream).toDF()
+          .filter(col("dhash").isNotNull).select("id", "dhash"),
+        "id", "dhash")
+      .withColumnRenamed("id", "in_id").withColumnRenamed("dhash", "in_hash")
+    val c = corpusBands
+      .withColumnRenamed("id", "match_id").withColumnRenamed("dhash", "match_hash")
+    bandedHammingScreen(s, c, maxHamming)
   }
 
   /** Ingest-time stratified (mixture-balancing) sampler — the

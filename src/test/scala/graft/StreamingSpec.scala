@@ -284,10 +284,11 @@ class StreamingSpec extends AnyFunSuite {
     val base: Int => Int = i => (i * 7 + 3) % 200
     val far: Int => Int = i => ((i / 24) * 90 + 10) % 200
     val corpus = Seq(100L -> enc(base), 200L -> enc(far)).toDS()
-    val corpusHashes = Multimodal.hashImages(corpus).toDF()
-      .select(col("id"), col("dhash")).cache()
+    val corpusBands = graft.operators.Dedup.bandChunks(
+      Multimodal.hashImages(corpus).toDF().select(col("id"), col("dhash")),
+      "id", "dhash").cache()
     val in = MemoryStream[(Long, Array[Byte])]
-    val q = Pipelines.streamImagePhashScreen(in.toDS().map(identity), corpusHashes)
+    val q = Pipelines.streamImagePhashScreen(in.toDS().map(identity), corpusBands)
       .writeStream.format("memory").queryName("phash_screen_out")
       .outputMode("append").start()
     in.addData(
