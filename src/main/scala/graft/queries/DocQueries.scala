@@ -136,6 +136,27 @@ object DocQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // the corpus dedup dashboard: the one-row summary every pipeline
+    // reports after a dedup pass — document count, exact-duplicate
+    // count (docs minus normalized-hash groups, the d4 unit) and
+    // near-duplicate pair count (the d7b banded join) with the exact
+    // rate. Two 1-row aggregates broadcast-crossed; all counts exact
+    // integers.
+    "d27_dedup_report" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val docs = table(s, d, "documents")
+      val exact = Dedup.exact(docs)
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs"))
+        .select(col("n_docs"),
+          (col("n_docs") - col("n_groups")).as("n_exact_dups"))
+      val near = Dedup.simhashNearDups(docs)
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+      exact.crossJoin(broadcast(near))
+        .select(col("n_docs"), col("n_exact_dups"), col("n_neardup_pairs"),
+          (col("n_exact_dups").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("exact_dup_rate"))
+    },
+
     // asymmetric CONTAINMENT detection: |fp(A)∩fp(B)| / |fp(A)| over
     // winnowing fingerprint sets — catches a document quoted/embedded
     // inside a much larger one, where Jaccard (d5/d6) is diluted to
@@ -749,6 +770,17 @@ object DocQueries {
     "d10_winnow" ->
       s"""SELECT doc_id, fingerprint FROM ($winnowFpSql) t
          |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "d27_dedup_report" ->
+      s"""WITH $simhashPairsChain,
+         |ex AS (SELECT COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs
+         |  FROM (SELECT md5(lower(text)) AS h, COUNT(*) AS n
+         |        FROM documents GROUP BY 1) g),
+         |np AS (SELECT COUNT(*) AS n_neardup_pairs FROM prs WHERE hamming <= 3)
+         |SELECT n_docs, n_docs - n_groups AS n_exact_dups, n_neardup_pairs,
+         |  CAST(n_docs - n_groups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS exact_dup_rate
+         |FROM ex CROSS JOIN np""".stripMargin,
 
     "d26_containment" ->
       s"""WITH fp AS ($winnowFpSql),
