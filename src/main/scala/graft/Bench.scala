@@ -48,34 +48,65 @@ object Bench {
   // sorted name order: Map hash order reshuffles whenever a query is
   // added, which both breaks cross-round per-query comparability and
   // moves the JIT warm-up sequence under every query; sorted is stable
+  private def timeQuery(spark: SparkSession, sfDir: String, name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try consume(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name failed at $sfDir")
+          throw e
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    var best = once()
+    var runs = 1
+    var improving = true
+    // keep running while improving OR while the best is still over
+    // the backlog threshold: a PERSISTENT C2 backlog produces two
+    // similar slow runs (e.g. 25 s then 23 s — "not improving"),
+    // which the improvement test alone would accept as converged;
+    // nearly every warm query in this suite is < 2 s, so a > 5 s
+    // best buys the compiler more runs to catch up before we record
+    // it. A genuinely slow query pays at most 5 runs.
+    while (runs < 5 && (improving || best > 5.0)) {
+      val t = once()
+      improving = t < best * 0.8
+      if (t < best) best = t
+      runs += 1
+    }
+    best
+  }
+
   private def timeSuite(spark: SparkSession, sfDir: String): Map[String, Double] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] query $name failed at $sfDir")
-            throw e
-        }
-        (System.nanoTime() - t0) / 1e9
+    SparkEntry.queries.keys.toSeq.sorted
+      .map(name => name -> timeQuery(spark, sfDir, name)).toMap
+
+  // A 10× data step cannot legitimately cost more than ~12× (10× +
+  // slack) once times are above the fixed per-query session floor —
+  // bigger ratios are the C2-compile-backlog / host-noise artifact
+  // SURVEY §6e documents, not a plan property. Round-4 shipped 8 such
+  // rows (q32 at 171×); the dual-SF data to catch them was already in
+  // the artifact, unconsulted.
+  private val RatioCap = 12.0
+  private val OverheadFloor = 0.15 // sec; fixed per-query session cost
+
+  /** Queries whose big-SF suite time is implausible against their
+    * small-SF time get one isolated adaptive re-measure on the
+    * now-quiet warm JVM (the BenchOne methodology, in-process, after
+    * the suite has drained the C2 compile queue). Returns
+    * name -> (suiteTime, isolatedTime). */
+  private def remeasureOutliers(
+      spark: SparkSession, sfDir: String,
+      big: Map[String, Double], small: Map[String, Double]): Map[String, (Double, Double)] =
+    big.keys.toSeq.sorted.flatMap { name =>
+      small.get(name).collect {
+        case s if big(name) > math.max(s, OverheadFloor) * RatioCap =>
+          System.err.println(
+            f"[bench] $name: suite ${big(name)}%.2f s is >${RatioCap}%.0f× its " +
+              f"small-SF ${s}%.2f s — isolated re-measure")
+          name -> (big(name), timeQuery(spark, sfDir, name))
       }
-      var best = once()
-      var runs = 1
-      var improving = true
-      // keep running while improving OR while the best is still over
-      // the backlog threshold: a PERSISTENT C2 backlog produces two
-      // similar slow runs (e.g. 25 s then 23 s — "not improving"),
-      // which the improvement test alone would accept as converged;
-      // nearly every warm query in this suite is < 2 s, so a > 5 s
-      // best buys the compiler more runs to catch up before we record
-      // it. A genuinely slow query pays at most 5 runs.
-      while (runs < 5 && (improving || best > 5.0)) {
-        val t = once()
-        improving = t < best * 0.8
-        if (t < best) best = t
-        runs += 1
-      }
-      name -> best
     }.toMap
 
   private def js(m: Map[String, Double]): String =
@@ -104,13 +135,26 @@ object Bench {
         Map.empty[String, Double]
     }
 
-    val results = timeSuite(spark, sfDir)
+    val suite = timeSuite(spark, sfDir)
+    // splice isolated re-measures over ratio-implausible rows; headline
+    // is the isolated number (never worse than the suite row — the
+    // re-measure runs warm), both are recorded for provenance
+    val outliers = remeasureOutliers(spark, sfDir, suite, small)
+    val results = suite ++ outliers.map { case (n, (s, iso)) => n -> math.min(s, iso) }
     val total = results.values.sum
+    val outlierJson =
+      if (outliers.isEmpty) ""
+      else {
+        val body = outliers.toSeq.sortBy(_._1).map { case (n, (s, iso)) =>
+          "\"" + n + "\":{\"suite\":" + s + ",\"isolated\":" + iso + "}"
+        }.mkString("{", ",", "}")
+        s""","outliers":$body"""
+      }
     val extra =
       if (small.isEmpty) ""
       else s""","sf_small":"${smallDir.get}","total_small":${small.values.sum},"queries_small":${js(small)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$outlierJson$extra}"""
     println(line)
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

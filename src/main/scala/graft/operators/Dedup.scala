@@ -194,19 +194,32 @@ object Dedup {
     * is truncated with an eager localCheckpoint, and the loop exits as
     * soon as a round changes nothing. The driver never sees the data —
     * only the per-round changed-row COUNT.
+    *
+    * `checkpointDir`: localCheckpoint (the default) stores round state
+    * in executor block managers — fastest locally, but on a real
+    * cluster an executor loss mid-loop kills the job because the
+    * truncated lineage cannot recompute. Passing a directory (HDFS/S3
+    * on a cluster) switches every round snapshot to a RELIABLE
+    * `checkpoint()` that survives executor loss. Sets the context
+    * checkpoint dir as a side effect; round files accumulate under it
+    * for the life of the session unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+                          bCol: String = "b_id", maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
     // seed one propagation ahead: label = min(id, min neighbour id)
-    var labels = edges.groupBy(col("src"))
+    var labels = snapshot(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("md"))
-      .select(col("src").as("id"), least(col("src"), col("md")).as("label"))
-      .localCheckpoint()
+      .select(col("src").as("id"), least(col("src"), col("md")).as("label")))
     // labels only ever DECREASE, so the (exact, overflow-free) decimal
     // label sum is strictly monotone until the fixpoint — one aggregate
     // action per round instead of a join-and-count against the
@@ -227,10 +240,10 @@ object Dedup {
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
       // pointer jumping: label := min(label, label(label))
       val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = prop.join(hop, prop("label") === hop("lid"), "left_outer")
-        .select(prop("id"),
-          least(prop("label"), coalesce(col("llabel"), prop("label"))).as("label"))
-        .localCheckpoint()
+      val next = snapshot(
+        prop.join(hop, prop("label") === hop("lid"), "left_outer")
+          .select(prop("id"),
+            least(prop("label"), coalesce(col("llabel"), prop("label"))).as("label")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

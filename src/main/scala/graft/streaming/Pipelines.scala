@@ -241,13 +241,23 @@ object Pipelines {
     * (h mod M)·cnt < mincnt·M. Stateless AND deterministic per key —
     * a replayed micro-batch makes the identical keep/drop decisions,
     * which is exactly what the idempotent exactly-once sink needs
-    * (a rand()-based sampler would re-roll on recovery). */
+    * (a rand()-based sampler would re-roll on recovery).
+    *
+    * Unknown-stratum contract: a (lang, source) stratum with NO row in
+    * the rates table — a new language/source appearing mid-stream —
+    * passes through UNSAMPLED (keep-all). The rates table encodes the
+    * mixture seen at its build time; silently dropping a stratum it has
+    * never seen would lose a new data source with no signal, whereas
+    * keeping it over-represents it only until the next rates rebuild
+    * folds it in. The keep-all branch is a null test, so decisions stay
+    * deterministic under replay. */
   def streamStratifiedSample(stream: DataFrame,
                              stratumCounts: DataFrame): DataFrame = {
     val M = 1000003L
-    stream.join(broadcast(stratumCounts), Seq("lang", "source"))
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
-        col("cnt") < col("mincnt") * M)
+    stream.join(broadcast(stratumCounts), Seq("lang", "source"), "left_outer")
+      .filter(col("cnt").isNull ||
+        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+          col("cnt") < col("mincnt") * M)
       .drop("cnt", "mincnt")
   }
 

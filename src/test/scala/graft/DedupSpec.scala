@@ -117,6 +117,25 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
   }
 
+  test("connected components with a reliable checkpoint dir answer identically") {
+    import spark.implicits._
+    // the cluster path: round state goes to a reliable checkpoint()
+    // (survives executor loss) instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L, 25L -> 20L))
+    // the rounds really checkpointed: files exist under the dir
+    def files(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles().map(files).sum else 1
+    assert(files(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+  }
+
   test("d21 token shares cover the whole corpus") {
     val shares = SparkEntry.queries("d21_source_mix")(spark, sf).collect()
       .map(_.getAs[Double]("token_share"))

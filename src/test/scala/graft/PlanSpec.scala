@@ -151,6 +151,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "probe side should broadcast")
     assert(p.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
     assert(p.contains("pq_encode"), "scan side must carry PQ codes")
+    // e7's brute-force ADC demonstrator scores ALL candidates via a
+    // broadcast nested-loop join — acceptable there by design, fatal
+    // here: e9 is the scale path and its candidate set must come from
+    // the IVF cell equi-join only. Gate so a refactor can't silently
+    // swap the demonstrator shape in.
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the bucketed IVF+PQ path must stay an equi-join — no brute-force NLJ")
+  }
+
+  test("q26: quartiles buffer the per-group list once (array-form percentile)") {
+    val p = plan("q26_percentiles")
+    // one two-phase percentile aggregate: partial + final
+    assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).size == 2,
+      "expected exactly one two-phase percentile aggregate")
+    // exactly two aggregate functions per phase: the ONE array-form
+    // quartile call + the median — a regression to three scalar
+    // quartile aggregates (three independent buffered lists) would
+    // print Functions [4]
+    val fnLines = p.linesIterator.filter(_.trim.startsWith("Functions")).toSeq
+    assert(fnLines.nonEmpty && fnLines.forall(_.contains("Functions [2]")),
+      s"expected 2 aggregate functions (array quartiles + median):\n${fnLines.mkString("\n")}")
+    assert(fnLines.forall(_.contains("[0.25,0.5,0.75]")),
+      "quartiles must be the single array-form percentile call")
   }
 
   test("q44: both nation roles broadcast and the date filter reaches the scan") {

@@ -336,6 +336,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.size < batch.size, "the downsampled stratum must drop rows")
   }
 
+  test("sampler passes unknown strata through unsampled (keep-all contract)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rates know only (en, src0); a (de, srcNew) stratum arrives mid-stream
+    val rates = Seq(("en", "src0", 3L, 1L))
+      .toDF("lang", "source", "cnt", "mincnt").cache()
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "lang", "source")
+    val q = Pipelines.streamStratifiedSample(stream, rates)
+      .writeStream.format("memory").queryName("strat_unknown_out")
+      .outputMode("append").start()
+    in.addData((1L to 10L).map(i => (i, "de", "srcNew")): _*)
+    q.processAllAvailable()
+    val out = spark.table("strat_unknown_out").collect()
+    q.stop()
+    assert(out.length == 10,
+      "a stratum absent from the rates table must pass through keep-all, not vanish")
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == (1L to 10L))
+  }
+
+  test("sampler → idempotent sink composition: a replayed epoch is identical") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the two pieces were designed to compose: deterministic keep/drop
+    // decisions + per-epoch overwrite = exactly-once sampling output
+    // under failure-recovery redelivery
+    val dir = java.nio.file.Files.createTempDirectory("graft_strat_eo").toString
+    val rates = Seq(("en", "src0", 3L, 1L))
+      .toDF("lang", "source", "cnt", "mincnt").cache()
+    val sink = Pipelines.idempotentParquetSink(dir)
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "lang", "source")
+    val q = Pipelines.streamStratifiedSample(stream, rates)
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batch = (1L to 30L).map(i => (i, "en", "src0"))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows() = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Int]("batch"))).sorted.toSeq
+    val first = rows()
+    assert(first.nonEmpty && first.size < batch.size,
+      "the sampled epoch must keep a strict subset")
+    // failure-recovery redelivery: epoch 0's INPUT rows re-run the same
+    // sampler logic (the gate re-decides — this is where rand() would
+    // diverge) and the sink overwrites its own batch=0 partition
+    sink(Pipelines.streamStratifiedSample(
+      batch.toDF("doc_id", "lang", "source"), rates), 0L)
+    assert(rows() == first,
+      "replayed epoch output must be identical — same decisions, no duplicates")
+  }
+
   test("latest-per-key table materialization updates across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
