@@ -540,6 +540,83 @@ object DocQueries {
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
         .orderBy("id")
+    },
+
+    // sequence packing (concat-and-chunk): the step between curation
+    // and the trainer — documents are laid head-to-tail into fixed
+    // SEQ_LEN-token training sequences. The global order is the d15
+    // portable hash (a deterministic, engine-reproducible epoch
+    // shuffle), sharded so the running token offset is a window SUM
+    // PARTITIONED BY shard — shards pack independently, so at 100 TB
+    // this is N_SHARDS-way parallel with ONE hash exchange (a single
+    // un-partitioned running sum would serialize the corpus through
+    // one task). Each doc reports the sequence it starts in, its
+    // offset inside it, and how many sequences it straddles —
+    // all-integer (`div`/`%`), bit-reproducible.
+    "d28_sequence_pack" -> q { (s, d) =>
+      val seqLen = 512L
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))).as("h"))
+        .select(col("doc_id"), col("n_tokens"), col("h"),
+          pmod(col("h"), lit(8L)).as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tok_offset"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset div $seqLen").as("seq_id"),
+          pmod(col("tok_offset"), lit(seqLen)).as("seq_off"),
+          (expr(s"(tok_offset + n_tokens - 1) div $seqLen") -
+            expr(s"tok_offset div $seqLen") + lit(1L)).as("n_seqs"))
+        .orderBy("doc_id")
+    },
+
+    // BM25 keyword retrieval top-k — the text-side retrieval primitive
+    // next to the e-series vector ANN. Shape for scale: tokens are
+    // FILTERED to the query's terms inside the per-row array (narrow
+    // map) BEFORE the explode, so only matching (doc, term) rows ever
+    // reach the tf shuffle — the corpus-wide vocabulary never does;
+    // the 3-row df table and the 1-row corpus stats broadcast. The idf
+    // is the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) without
+    // the log: ln() differs in the last ulp across libm
+    // implementations (the repo-wide log-free determinism rule), and
+    // the monotone ranking signal is what retrieval needs.
+    "d29_bm25" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val terms = Seq("spark", "join", "vector")
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("ts"))
+      val matches = docs
+        .select(col("doc_id"), size(col("ts")).as("dl"),
+          explode(filter(col("ts"), t => t.isin(terms: _*))).as("term"))
+      val tf = matches.groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = matches.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ts"))).as("sum_dl"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+              (col("sum_dl").cast(DoubleType) / col("n_docs"))))).as("w"))
+        // per-doc score = LEFT FOLD of the term weights in term-ascending
+        // order: a plain sum(double) adds in shuffle-arrival order, which
+        // differs between engines (and between runs) in the last ulp —
+        // the e7-oracle sorted-fold rule
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          array_sort(collect_list(struct(col("term"), col("w")))).as("tw"))
+        .select(col("doc_id"), col("n_terms"),
+          aggregate(col("tw"), lit(0.0),
+            (acc, x) => acc + x.getField("w")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     }
   )
 
@@ -1015,6 +1092,61 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
-    }
+    },
+
+    // DuckDB SUM(INTEGER) widens to HUGEINT — every integer window/agg
+    // sum is CAST back to BIGINT to match Spark's long (the q58 lesson)
+    "d28_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        |      AS n_tokens,
+        |    ((doc_id * 2654435761) % 2147483647) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, h % 8 AS shard,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 8
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        |  tok_offset // 512 AS seq_id,
+        |  tok_offset % 512 AS seq_off,
+        |  (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1
+        |    AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "d29_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+        |    unnest(list_filter(ts,
+        |      x -> x IN ('spark', 'join', 'vector'))) AS term
+        |  FROM t),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM m
+        |       GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m
+        |       GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM t)
+        |-- decimal literals must be cast: DuckDB parses 2.2 as
+        |-- DECIMAL(2,1) and decimal intermediates round differently
+        |-- from IEEE double arithmetic (last-ulp hash mismatch)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((n_docs - df + CAST(0.5 AS DOUBLE)) /
+        |        (df + CAST(0.5 AS DOUBLE)) *
+        |        (tf * CAST(2.2 AS DOUBLE)) /
+        |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * dl /
+        |        (CAST(sum_dl AS DOUBLE) / n_docs))) ORDER BY term)),
+        |    (a, b) -> a + b) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN st
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -176,6 +176,31 @@ class PlanSpec extends AnyFunSuite {
       "quartiles must be the single array-form percentile call")
   }
 
+  test("d28: packing rides ONE shard exchange; offsets are a partitioned window") {
+    val p = plan("d28_sequence_pack")
+    // a single un-partitioned running sum would serialize the corpus
+    // through one task — the window MUST partition by shard, and the
+    // whole packing assignment costs exactly one hash exchange (the
+    // final deterministic ORDER BY adds a range exchange, not hash)
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) == 1,
+      "packing must cost exactly one hash exchange (the shard window)")
+    assert(p.contains("Window"), "running token offset must be a window sum")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must read only doc_id + text")
+  }
+
+  test("d29: query-term filter precedes the explode; df and stats broadcast") {
+    val p = plan("d29_bm25")
+    // only tokens matching the query's terms may reach the tf shuffle —
+    // the per-row array filter must sit INSIDE the Generate's input, so
+    // the corpus-wide vocabulary never explodes
+    assert(p.contains("explode(filter("),
+      "explode must consume the term-filtered array, not the full token array")
+    assert(p.contains("BroadcastHashJoin"), "3-row df table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join against tiny stats")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q44: both nation roles broadcast and the date filter reaches the scan") {
     val p = plan("q44_nation_volume")
     assert(!p.contains("CartesianProduct"))
