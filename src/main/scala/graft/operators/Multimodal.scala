@@ -374,6 +374,55 @@ object Multimodal {
       Some(h)
     }
 
+  /** The [[dhash64]] kernel over a raw luma plane (video frames are
+    * already single-channel — no gray conversion): bit (row·8+col) is
+    * set iff y(row,col) < y(row,col+1) over the top-left 9×8 window;
+    * None if the frame is smaller than the window. */
+  private[graft] def dhash64Luma(width: Int, height: Int,
+                                 y: Array[Byte]): Option[Long] =
+    if (width < 9 || height < 8) None
+    else {
+      def lum(r: Int, c: Int): Int = y(r * width + c) & 0xff
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (lum(b / 8, b % 8) < lum(b / 8, b % 8 + 1)) h |= 1L << b
+        b += 1
+      }
+      Some(h)
+    }
+
+  /** A sampled video frame's 64-bit perceptual fingerprint
+    * ([[dhash64Luma]] over the decoded plane); None frame fields =
+    * malformed payload, None dhash = frame smaller than the 9×8
+    * window (null-not-fail, the codec-family rule). */
+  final case class FrameHash(id: Long, frame_idx: Option[Int],
+                             dhash: Option[Long])
+
+  /** REAL per-partition perceptual hashing of decoded VIDEO frames:
+    * every `stride`-th frame's luma plane → dHash. Brightness-
+    * invariant like the image path, so a re-encoded AND re-brightened
+    * frame still collides where a content hash misses. Feeds
+    * `Dedup.hammingNearDups` for cross-video frame dedup: only
+    * (frame id, 8-byte hash) rows ever leave the decode task — the
+    * planes themselves never shuffle. */
+  def hashVideoFrames(media: Dataset[(Long, Array[Byte])],
+                      stride: Int): Dataset[FrameHash] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        Y4mCodec.decode(payload) match {
+          case Some(v) if v.frames.nonEmpty =>
+            (0 until v.frames.length by stride).map { f =>
+              FrameHash(id, Some(f), dhash64Luma(v.width, v.height, v.luma(f)))
+            }
+          case _ => Seq(FrameHash(id, None, None))
+        }
+      }
+    }
+  }
+
   /** REAL per-partition perceptual hashing (dHash, [[dhash64]]) of
     * decoded images. Brightness-invariant by construction — a uniform
     * offset shifts every gray equally and no comparison flips — which

@@ -542,6 +542,39 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // video frame near-dup dedup: the m4 Y4M decode composed with the
+    // m5 dHash + banded hamming join — catches a re-encoded AND
+    // re-brightened frame (the +f luma offset below) where a content
+    // hash misses both. Per-video slope k diversifies hashes across
+    // videos (m5's hot-band lesson: a shared slope would near-dup
+    // EVERY frame against every other through one band bucket). Only
+    // (frame id, 8-byte hash) rows leave the decode task — the luma
+    // planes never shuffle (plan-gated).
+    "m6_video_frame_dedup" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { sid =>
+          val (w, h) = (16, 8)
+          // slope > 127 wraps the 254-modulus every other pixel, so
+          // comparison bits flip often → diverse hashes (a small slope
+          // makes almost every comparison "increasing" and hashes
+          // cluster near all-ones — the hot-band trap, measured: 611
+          // colliding video pairs per 100 at k=3+2*(sid%13), 8 here)
+          val k = 129 + 2 * (sid % 63)
+          // frame f = frame 0 re-brightened by +f: dHash-identical
+          val frames = Array.tabulate(3)(f =>
+            Array.tabulate[Byte](w * h)(i =>
+              (((sid * 31 + i * k) % 254) + f).toByte))
+          (sid, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames))
+        }
+      val hashed = graft.operators.Multimodal.hashVideoFrames(media, stride = 1)
+        .toDF()
+        .select((col("id") * 4 + col("frame_idx")).as("fid"), col("dhash"))
+      Dedup.hammingNearDups(hashed, "fid", "dhash")
+        .orderBy("a_id", "b_id")
+    },
+
     // sequence packing (concat-and-chunk): the step between curation
     // and the trainer — documents are laid head-to-tail into fixed
     // SEQ_LEN-token training sequences. The global order is the d15
@@ -1092,6 +1125,33 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // expected pairs from the frame-generation formula: the +f
+    // brightness offset cancels in every dHash comparison (both sides
+    // shift equally), so a video's hash depends only on (sid, k) and
+    // the brute-force pairing runs over per-video hashes expanded to
+    // frame ids — exactly what the banded join computes
+    "m6_video_frame_dedup" -> {
+      val lumExpr = "(sid*31 + p*kk) % 254"
+      val terms = (0 until 64).map { b =>
+        val i = (b / 8) * 16 + (b % 8) + 1
+        val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+        s"(CASE WHEN gl[$i] < gl[${i + 1}] THEN $w ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH v AS (
+         |  SELECT s_suppkey AS sid, 129 + 2 * (s_suppkey % 63) AS kk
+         |  FROM supplier),
+         |g AS (SELECT sid, list_transform(generate_series(0, 127),
+         |    p -> $lumExpr) AS gl FROM v),
+         |h AS (SELECT sid, $terms AS dhash FROM g),
+         |fr AS (SELECT sid * 4 + f.f AS fid, dhash
+         |       FROM h CROSS JOIN (VALUES (0), (1), (2)) f(f))
+         |SELECT a.fid AS a_id, b.fid AS b_id,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM fr a JOIN fr b ON a.fid < b.fid
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     // DuckDB SUM(INTEGER) widens to HUGEINT — every integer window/agg

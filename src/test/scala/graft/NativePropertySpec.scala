@@ -147,6 +147,27 @@ object NativePropertySpec extends Properties("NativeKernels") {
       graft.operators.Multimodal.dhash64(img).isDefined == (w >= 9 && h >= 8)
     }
 
+  property("luma dhash is brightness-invariant while no sample saturates") =
+    forAll(hashDims, rawBytes, Gen.choose(1, 55)) { case ((w, h), seed, delta) =>
+      def px(i: Int): Int =
+        if (seed.isEmpty) 7 else (seed(i % seed.length) & 0xff) % 200
+      def plane(d: Int) = Array.tabulate[Byte](w * h)(i => (px(i) + d).toByte)
+      graft.operators.Multimodal.dhash64Luma(w, h, plane(delta)) ==
+        graft.operators.Multimodal.dhash64Luma(w, h, plane(0))
+    }
+
+  property("luma dhash equals rgb dhash on a gray image of the same plane") =
+    forAll(hashDims, rawBytes) { case ((w, h), seed) =>
+      // a single-channel plane and its 3-channel gray replication must
+      // hash identically — the video path IS the m5 kernel on luma
+      def px(i: Int): Int = if (seed.isEmpty) 7 else seed(i % seed.length) & 0xff
+      val plane = Array.tabulate[Byte](w * h)(i => px(i).toByte)
+      val rgb = graft.operators.PpmCodec.Image(w, h,
+        Array.tabulate[Byte](w * h * 3)(i => px(i / 3).toByte))
+      graft.operators.Multimodal.dhash64Luma(w, h, plane) ==
+        graft.operators.Multimodal.dhash64(rgb)
+    }
+
   property("WAV roundtrip is lossless for any samples") =
     forAll(Gen.choose(1, 48000), Gen.listOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
       (rate, samples) =>

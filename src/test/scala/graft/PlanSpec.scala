@@ -343,6 +343,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.contains("text"), "raw text must not cross a shuffle")
   }
 
+  test("m6: video frame near-dup is the banded hamming join — planes never shuffle") {
+    val p = plan("m6_video_frame_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the band-key repartition enabling exchange reuse")
+    val exchanges = p.linesIterator.filter(_.contains("partitioning")).mkString
+    assert(!exchanges.contains("payload") && !exchanges.contains("_2"),
+      "video payloads must not cross a shuffle — only (fid, dhash, band, chunk)")
+  }
+
   test("m5: image near-dup is the banded hamming join — pixels never shuffle") {
     val p = plan("m5_image_phash")
     assert(!p.contains("CartesianProduct"))
