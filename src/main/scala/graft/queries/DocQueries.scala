@@ -587,23 +587,7 @@ object DocQueries {
     // offset inside it, and how many sequences it straddles —
     // all-integer (`div`/`%`), bit-reproducible.
     "d28_sequence_pack" -> q { (s, d) =>
-      val seqLen = 512L
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
-          (pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))).as("h"))
-        .select(col("doc_id"), col("n_tokens"), col("h"),
-          pmod(col("h"), lit(8L)).as("shard"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("h", "doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tok_offset"))
-        .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_offset"),
-          expr(s"tok_offset div $seqLen").as("seq_id"),
-          pmod(col("tok_offset"), lit(seqLen)).as("seq_off"),
-          (expr(s"(tok_offset + n_tokens - 1) div $seqLen") -
-            expr(s"tok_offset div $seqLen") + lit(1L)).as("n_seqs"))
+      graft.operators.Packing.sequencePack(table(s, d, "documents"))
         .orderBy("doc_id")
     },
 

@@ -318,4 +318,21 @@ object Pipelines {
   def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
     (batch, epochId) =>
       batch.write.mode("overwrite").parquet(s"$path/batch=$epochId")
+
+  /** Per-epoch sequence packing landed exactly-once — the streaming
+    * twin of the batch `d28_sequence_pack` query, as a `foreachBatch`
+    * body. Non-time windows are unsupported on streaming DataFrames,
+    * so the packing window runs INSIDE foreachBatch where the
+    * micro-batch is an ordinary batch DataFrame. Sequences are scoped
+    * (epoch, shard, seq) — epochs pack independently with no
+    * cross-batch state — and `Packing.sequencePack` is deterministic
+    * in the batch CONTENT alone (portable-hash order, all-integer
+    * chunk math), so a replayed epoch packs identically and the
+    * idempotent `batch=<epoch>` overwrite makes redelivery a no-op:
+    * the d25-sampler exactly-once recipe applied to packing. */
+  def epochSequencePackSink(path: String, seqLen: Long = 512L,
+                            nShards: Long = 8L): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      idempotentParquetSink(path)(
+        graft.operators.Packing.sequencePack(batch, seqLen, nShards), epochId)
 }

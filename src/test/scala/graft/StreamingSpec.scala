@@ -389,6 +389,43 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch output must be identical — same decisions, no duplicates")
   }
 
+  test("epoch sequence packing: offsets cover each shard gaplessly; replay is identical") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_eo").toString
+    // tiny seqLen so docs straddle sequence boundaries in-test
+    val sink = Pipelines.epochSequencePackSink(dir, seqLen = 16L, nShards = 4L)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = stream.writeStream.foreachBatch(sink).outputMode("append").start()
+    val batch = (1L to 40L).map(i =>
+      (i, Seq.fill((3 + i % 9).toInt)("tok").mkString(" ")))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows() = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("n_seqs"))).sorted.toSeq
+    val first = rows()
+    assert(first.map(_._1) == (1L to 40L), "every doc must be packed exactly once")
+    // within each shard the offsets are gapless: sorted offsets tile
+    // head-to-tail with the token counts (the packing invariant)
+    first.groupBy(_._2).foreach { case (_, docs) =>
+      val byOff = docs.sortBy(_._4)
+      byOff.foldLeft(0L) { case (expect, (_, _, n, off, _, _)) =>
+        assert(off == expect, s"offset gap: expected $expect got $off")
+        expect + n
+      }
+    }
+    assert(first.exists(_._6 > 1), "some doc must straddle a sequence boundary")
+    // failure-recovery redelivery: same input, same epoch id → the
+    // deterministic pack + idempotent overwrite must reproduce the
+    // output byte-for-byte
+    sink(batch.toDF("doc_id", "text"), 0L)
+    assert(rows() == first, "replayed epoch must pack identically")
+  }
+
   test("latest-per-key table materialization updates across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
