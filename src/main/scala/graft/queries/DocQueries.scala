@@ -542,6 +542,34 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // URL canonicalization + dedup: the crawl-pipeline step BEFORE any
+    // text dedup — the same page re-crawled through different tracking
+    // links must collapse first. URLs are synthesized deterministically
+    // from doc fields (the d19/d23 pattern): scheme + WWW casing noise,
+    // a path that repeats across docs, a utm_* tracking tail and one
+    // real param. Canonicalize = lowercase, strip scheme/www, drop
+    // utm_* params (keep real ones), then keep the EARLIEST doc per
+    // canonical URL. Narrow per-row map + one keyed agg — the d4 shape
+    // with a canonicalizer in front, same plan at any crawl size.
+    "d30_url_dedup" -> q { (s, d) =>
+      val raw = concat(lit("https://WWW."), col("source"), lit(".Example.com/"),
+        col("lang"), lit("/p"), (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=feed&utm_id="), col("doc_id").cast("string"),
+        lit("&ref="), (col("doc_id") % 3).cast("string"))
+      val ns = regexp_replace(lower(raw), "^https?://(www\\.)?", "")
+      val path = substring_index(ns, "?", 1)
+      val kept = array_join(
+        filter(split(substring_index(ns, "?", -1), "&"),
+          p => !p.startsWith("utm_")), "&")
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          when(kept === "", path).otherwise(concat(path, lit("?"), kept))
+            .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+        .orderBy("canonical_url")
+    },
+
     // video frame near-dup dedup: the m4 Y4M decode composed with the
     // m5 dHash + banded hamming join — catches a re-encoded AND
     // re-brightened frame (the +f luma offset below) where a content
@@ -1110,6 +1138,26 @@ object DocQueries {
          |    i -> $amp)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     },
+
+    "d30_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, lower('https://WWW.' || source || '.Example.com/'
+        |    || lang || '/p' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+        |    || '&ref=' || CAST(doc_id % 3 AS VARCHAR)) AS lurl
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |        regexp_replace(lurl, '^https?://(www\.)?', '') AS ns
+        |      FROM u),
+        |c AS (SELECT doc_id,
+        |  string_split(ns, '?')[1] AS path,
+        |  array_to_string(list_filter(
+        |    string_split(string_split(ns, '?')[2], '&'),
+        |    p -> NOT starts_with(p, 'utm_')), '&') AS kept FROM n)
+        |SELECT CASE WHEN kept = '' THEN path
+        |         ELSE path || '?' || kept END AS canonical_url,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     // expected pairs from the frame-generation formula: the +f
     // brightness offset cancels in every dHash comparison (both sides

@@ -261,6 +261,33 @@ object Pipelines {
       .drop("cnt", "mincnt")
   }
 
+  /** Ingest-time BM25 keyword screen — the streaming twin of the batch
+    * `d29_bm25` retrieval query: arriving documents score against a
+    * FIXED term list with df/corpus stats baked in as literals
+    * (computed once from the reference corpus, e.g. by the d29 df/stats
+    * aggregates), and rows under `minScore` drop. Completely STATELESS
+    * and shuffle-free: tf per term is a per-row array count
+    * (`size(filter(tokens, = term))`), the score a left-to-right fold
+    * over the term list — no explode, no join, no aggregation state,
+    * so the screen composes with any sink and replays
+    * deterministically. Rational log-free idf, matching d29. */
+  def streamKeywordScreen(stream: DataFrame, termDfs: Seq[(String, Long)],
+                          nDocs: Long, avgdl: Double,
+                          minScore: Double): DataFrame = {
+    require(termDfs.nonEmpty, "termDfs must list at least one (term, df)")
+    val ts = split(trim(lower(col("text"))), "\\s+")
+    val dl = size(ts).cast("double")
+    val score = termDfs.map { case (term, df) =>
+      val tf = size(filter(ts, t => t === lit(term))).cast("double")
+      val idf = (lit(nDocs.toDouble) - df + lit(0.5)) / (lit(df.toDouble) + lit(0.5))
+      when(tf > 0,
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    stream.withColumn("bm25", score).filter(col("bm25") >= minScore)
+  }
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

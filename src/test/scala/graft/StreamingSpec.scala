@@ -389,6 +389,39 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch output must be identical — same decisions, no duplicates")
   }
 
+  test("keyword screen keeps term-bearing docs, drops the rest, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val screened = Pipelines.streamKeywordScreen(stream,
+      termDfs = Seq("spark" -> 3L, "join" -> 2L),
+      nDocs = 10L, avgdl = 5.0, minScore = 0.1)
+    val q = screened.writeStream.format("memory").queryName("kw_screen_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "spark join spark row"),      // both terms
+      (2L, "the quick brown fox"),       // neither — must drop
+      (3L, "join the table"),            // one term
+      (4L, "SPARK loves Spark"))         // case-normalized tf=2
+    q.processAllAvailable()
+    val out = spark.table("kw_screen_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    q.stop()
+    assert(out.keySet == Set(1L, 3L, 4L),
+      s"docs without query terms must drop, got ${out.keySet}")
+    assert(out(1L) > out(3L), "two matching terms must outscore one")
+    assert(out.values.forall(_ > 0.0))
+    // the screen is a pure per-row expression: recomputing the same
+    // rows as a batch yields the identical scores (replay stability)
+    val replay = Pipelines.streamKeywordScreen(
+      Seq((1L, "spark join spark row"), (3L, "join the table"),
+        (4L, "SPARK loves Spark")).toDF("doc_id", "text"),
+      Seq("spark" -> 3L, "join" -> 2L), 10L, 5.0, 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(replay == out, "replayed rows must score bit-identically")
+  }
+
   test("epoch sequence packing: offsets cover each shard gaplessly; replay is identical") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
