@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * is a real, widely-supported image format (header `P6\n<w> <h>\n255\n`
   * + raw interleaved RGB bytes), which makes the multimodal decode path
   * REAL in this container: parse, dimensions, channel statistics and
-  * box resize all operate on actual pixel data. Compressed formats
-  * (JPEG/PNG/video) still need an external codec — that seam stays in
+  * box resize all operate on actual pixel data. For a compressed
+  * format, see [[GifCodec]] (real LZW); JPEG/PNG (DCT/deflate) still
+  * need an external codec — that seam stays in
   * [[Multimodal.extractFeatures]]'s documented stub.
   */
 object PpmCodec {
@@ -297,6 +298,254 @@ object Y4mCodec {
   }
 }
 
+/** GIF87a image codec — pure JVM, no external libraries, written from
+  * scratch against the published GIF87a specification (CompuServe,
+  * 1987). GIF is a REAL compressed format — variable-width LZW over
+  * palette indices with code-table growth, clear codes and sub-block
+  * framing — so this is the engine's first compressed-codec path, not
+  * a container walk. The decoder emits [[PpmCodec.Image]] (palette
+  * applied), so everything downstream of the PPM path — channel
+  * stats, box resize, dHash near-dup — composes unchanged. JPEG/PNG
+  * (DCT/deflate) remain the documented stub seam.
+  *
+  * LZW width discipline (the part implementations get wrong): the
+  * decoder sits one table entry BEHIND the encoder (it adds an entry
+  * per code only from the second code on), so the encoder checks
+  * `nextCode == 1<<width` BEFORE adding where the decoder checks it
+  * AFTER — both switch width for the same emitted code. The table-full
+  * clear at 4096 resets both sides; slot 4095 is never referenced.
+  */
+object GifCodec {
+
+  /** Fields are u16 in the format; capped lower to bound allocations
+    * on corrupt headers (same rationale as [[PpmCodec.MaxDim]]). */
+  val MaxDim = 4095
+
+  private val ClearCode = 256
+  private val EoiCode = 257
+
+  /** Encode one full-frame image: `indices` are w·h palette indices,
+    * `palette` exactly 256 packed 0xRRGGBB ints (a 256-entry global
+    * color table). */
+  def encode(width: Int, height: Int, indices: Array[Byte],
+             palette: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim,
+      s"dims out of range: ${width}x$height")
+    require(indices.length == width * height, "indices must be w*h bytes")
+    require(palette.length == 256, "palette must have 256 entries")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio: unspecified
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0)    // no local color table, not interlaced
+    out.write(8)    // LZW minimum code size
+    val lzw = lzwEncode(indices)
+    var i = 0
+    while (i < lzw.length) { // 255-byte sub-block framing
+      val n = math.min(255, lzw.length - i)
+      out.write(n)
+      out.write(lzw, i, n)
+      i += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0; var accBits = 0; var width = 9
+    def emit(code: Int): Unit = {
+      acc |= code << accBits
+      accBits += width
+      while (accBits >= 8) { out.write(acc & 0xff); acc >>>= 8; accBits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = EoiCode + 1
+    emit(ClearCode)
+    if (data.isEmpty) { emit(EoiCode); if (accBits > 0) out.write(acc & 0xff); return out.toByteArray }
+    var prev = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      val key = Integer.valueOf((prev << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev)
+        // width check BEFORE adding — see the class doc's discipline
+        if (nextCode == (1 << width) && width < 12) width += 1
+        dict.put(key, Integer.valueOf(nextCode))
+        nextCode += 1
+        if (nextCode == 4096) { // table full: clear and restart
+          emit(ClearCode); dict.clear(); nextCode = EoiCode + 1; width = 9
+        }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev)
+    emit(EoiCode)
+    if (accBits > 0) out.write(acc & 0xff)
+    out.toByteArray
+  }
+
+  /** Decode a GIF payload to an RGB [[PpmCodec.Image]]; None on
+    * malformed, truncated, interlaced or paletteless input
+    * (null-not-fail, the codec-family rule). GIF89a extensions
+    * (graphic control, comments, application blocks) are skipped per
+    * spec; only the FIRST image of an animation decodes. */
+  def decode(payload: Array[Byte]): Option[PpmCodec.Image] = {
+    if (payload == null || payload.length < 13) return None
+    val magic = new String(payload, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    var pos = 6
+    def u16(): Int = {
+      val v = (payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8)
+      pos += 2; v
+    }
+    u16(); u16() // logical screen dims (per-image dims are what matter)
+    val packed = payload(pos) & 0xff
+    pos += 3 // packed + background index + aspect
+    var palette: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > payload.length) return None
+      palette = Array.tabulate(n) { i =>
+        ((payload(pos + 3 * i) & 0xff) << 16) |
+          ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+          (payload(pos + 3 * i + 2) & 0xff)
+      }
+      pos += 3 * n
+    }
+    while (pos < payload.length) {
+      val block = payload(pos) & 0xff
+      pos += 1
+      if (block == 0x3b) return None // trailer before any image
+      else if (block == 0x21) {      // extension: label + sub-blocks
+        pos += 1
+        var n = -1
+        while (n != 0) {
+          if (pos >= payload.length) return None
+          n = payload(pos) & 0xff
+          pos += 1 + n
+        }
+      } else if (block == 0x2c) {    // image descriptor
+        if (pos + 9 > payload.length) return None
+        u16(); u16() // left, top
+        val w = u16(); val h = u16()
+        val ip = payload(pos) & 0xff
+        pos += 1
+        if ((ip & 0x40) != 0) return None // interlaced: unsupported, not misdecoded
+        if ((ip & 0x80) != 0) {           // local color table wins
+          val n = 2 << (ip & 7)
+          if (pos + 3 * n > payload.length) return None
+          palette = Array.tabulate(n) { i =>
+            ((payload(pos + 3 * i) & 0xff) << 16) |
+              ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+              (payload(pos + 3 * i + 2) & 0xff)
+          }
+          pos += 3 * n
+        }
+        if (palette == null || w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+          pos >= payload.length) return None
+        val minCode = payload(pos) & 0xff
+        pos += 1
+        if (minCode < 2 || minCode > 8) return None
+        val data = new java.io.ByteArrayOutputStream()
+        var n = -1
+        while (n != 0) { // un-frame the sub-blocks
+          if (pos >= payload.length) return None
+          n = payload(pos) & 0xff
+          pos += 1
+          if (n > 0) {
+            if (pos + n > payload.length) return None
+            data.write(payload, pos, n)
+            pos += n
+          }
+        }
+        return lzwDecode(data.toByteArray, minCode, w * h).flatMap { idx =>
+          val rgb = new Array[Byte](w * h * 3)
+          var ok = true
+          var i = 0
+          while (ok && i < idx.length) {
+            val ci = idx(i) & 0xff
+            if (ci >= palette.length) ok = false // index past the table
+            else {
+              val c = palette(ci)
+              rgb(i * 3) = ((c >> 16) & 0xff).toByte
+              rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+              rgb(i * 3 + 2) = (c & 0xff).toByte
+            }
+            i += 1
+          }
+          if (ok) Some(PpmCodec.Image(w, h, rgb)) else None
+        }
+      } else return None
+    }
+    None
+  }
+
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < clear) { table(i) = Array(i.toByte); i += 1 }
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var b = 0
+      while (b < width) {
+        val bp = bitPos + b
+        if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) v |= 1 << b
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && out.size < expected) {
+      val code = read()
+      if (code < 0) return None
+      if (code == clear) {
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], clear, 4096, null)
+        next = eoi + 1; width = minCode + 1; prev = null
+      } else if (code == eoi) done = true
+      else {
+        val entry: Array[Byte] =
+          if (code < next && table(code) != null) table(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        out.write(entry, 0, entry.length)
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+          // width check AFTER adding — see the class doc's discipline
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    if (out.size != expected) None else Some(out.toByteArray)
+  }
+}
+
 /** Multimodal-column plumbing (SURVEY §2c `m1_binary_meta`,
   * `m2_image_decode`, `m3_audio_decode`).
   *
@@ -321,12 +570,22 @@ object Multimodal {
   /** REAL per-partition image decode over (id, ppmPayload) rows:
     * dimensions + per-channel means from actual pixels. mapPartitions
     * is the batch shape — one decoder context per task at 100 TB. */
-  def decodeImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] = {
+  def decodeImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
+    decodeImagesWith(media, PpmCodec.decode)
+
+  /** [[decodeImages]] for GIF payloads: the REAL compressed path —
+    * LZW-decompressed palette indices resolve to pixels, then the
+    * identical feature extraction. One decoder swap, same plumbing. */
+  def decodeGifImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
+    decodeImagesWith(media, GifCodec.decode)
+
+  private def decodeImagesWith(media: Dataset[(Long, Array[Byte])],
+      decode: Array[Byte] => Option[PpmCodec.Image]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, payload) =>
         val len = if (payload == null) 0 else payload.length
-        PpmCodec.decode(payload) match {
+        decode(payload) match {
           case Some(img) =>
             val n = img.width * img.height
             val sums = new Array[Long](3)

@@ -542,6 +542,31 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL COMPRESSED image decode: GIF87a payloads (variable-width
+    // LZW over palette indices — the from-scratch GifCodec) decode per
+    // partition and yield the same channel statistics as the PPM path.
+    // The oracle computes expected features from the index+palette
+    // generation formulas — what's being checked is the whole
+    // encode→LZW→sub-blocks→decode→palette-resolve loop.
+    "m7_gif_decode" -> q { (s, d) =>
+      import s.implicits._
+      val palette = Array.tabulate(256)(c =>
+        (((c * 3 + 5) % 256) << 16) | (((c * 7 + 1) % 256) << 8) |
+          ((c * 11 + 9) % 256))
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (16, 8)
+          val idx = Array.tabulate[Byte](w * h)(i => ((id * 13 + i * 11) % 256).toByte)
+          (id, graft.operators.GifCodec.encode(w, h, idx, palette))
+        }
+      graft.operators.Multimodal.decodeGifImages(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    },
+
     // URL canonicalization + dedup: the crawl-pipeline step BEFORE any
     // text dedup — the same page re-crawled through different tracking
     // links must collapse first. URLs are synthesized deterministically
@@ -1136,6 +1161,21 @@ object DocQueries {
          |    i -> $amp), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // expected features from the index+palette generation formulas:
+    // pixel p's palette index is (s_suppkey*13 + p*11) % 256 and
+    // channel ch of palette entry c is (c*A + B) % 256
+    "m7_gif_decode" -> {
+      def mean(a: Int, b: Int) =
+        s"list_aggregate(list_transform(generate_series(0, 127), " +
+          s"p -> CAST((((s_suppkey*13 + p*11) % 256) * $a + $b) % 256 AS DOUBLE)), 'avg')"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         |  ${mean(3, 5)} AS mean_r,
+         |  ${mean(7, 1)} AS mean_g,
+         |  ${mean(11, 9)} AS mean_b
          |FROM supplier ORDER BY id""".stripMargin
     },
 

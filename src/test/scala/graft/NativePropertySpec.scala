@@ -147,6 +147,56 @@ object NativePropertySpec extends Properties("NativeKernels") {
       graft.operators.Multimodal.dhash64(img).isDefined == (w >= 9 && h >= 8)
     }
 
+  private val gifPalette = Array.tabulate(256)(c =>
+    (((c * 3 + 5) % 256) << 16) | (((c * 7 + 1) % 256) << 8) | ((c * 11 + 9) % 256))
+
+  property("GIF LZW roundtrip is lossless for arbitrary small images") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 40), rawBytes) { (w, h, seed) =>
+      def px(i: Int): Byte = if (seed.isEmpty) 7 else seed(i % seed.length)
+      val idx = Array.tabulate[Byte](w * h)(px)
+      val gif = graft.operators.GifCodec.encode(w, h, idx, gifPalette)
+      graft.operators.GifCodec.decode(gif).exists { img =>
+        img.width == w && img.height == h &&
+          (0 until w * h).forall { i =>
+            val c = gifPalette(idx(i) & 0xff)
+            (img.rgb(i * 3) & 0xff) == ((c >> 16) & 0xff) &&
+              (img.rgb(i * 3 + 1) & 0xff) == ((c >> 8) & 0xff) &&
+              (img.rgb(i * 3 + 2) & 0xff) == (c & 0xff)
+          }
+      }
+    }
+
+  property("GIF LZW roundtrip survives width growth AND the 4096 table clear") = {
+    // a non-repeating pseudo-random 300x300 forces the code table
+    // through every width (9..12) and past 4096 entries (clear+reset);
+    // a constant image checks the maximal-run path. Identity palette
+    // (0xRRGGBB with R=G=B=index) lets us compare indices directly.
+    val idPal = Array.tabulate(256)(c => (c << 16) | (c << 8) | c)
+    def roundtrip(idx: Array[Byte], w: Int, h: Int): Boolean = {
+      val gif = graft.operators.GifCodec.encode(w, h, idx, idPal)
+      graft.operators.GifCodec.decode(gif).exists { img =>
+        (0 until w * h).forall(i => (img.rgb(i * 3) & 0xff) == (idx(i) & 0xff))
+      }
+    }
+    val noisy = Array.tabulate[Byte](300 * 300)(i => ((i * i + i / 7) % 251).toByte)
+    val flat = Array.fill[Byte](300 * 300)(42)
+    roundtrip(noisy, 300, 300) && roundtrip(flat, 300, 300)
+  }
+
+  property("GIF LZW actually compresses runs") = {
+    val flat = Array.fill[Byte](100 * 100)(9)
+    val gif = graft.operators.GifCodec.encode(100, 100, flat, gifPalette)
+    // 10000 indices + 768B palette + headers; LZW on a constant image
+    // must land far under the raw index count
+    gif.length < 100 * 100 / 2
+  }
+
+  property("GIF decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.GifCodec.decode(bs.toArray)
+      true
+    }
+
   property("luma dhash is brightness-invariant while no sample saturates") =
     forAll(hashDims, rawBytes, Gen.choose(1, 55)) { case ((w, h), seed, delta) =>
       def px(i: Int): Int =
