@@ -143,10 +143,54 @@ object WavCodec {
       "data".getBytes("US-ASCII") ++ le32(dataLen) ++ pcm
   }
 
+  /** G.711 µ-law expansion of one companded byte to its 16-bit PCM
+    * sample — the REAL compressed-audio path (8 bits on the wire per
+    * 16-bit sample; format tag 7 in WAV). Closed-form per byte:
+    * complement, then magnitude ((mant·8 + 0x84) << exp) − 0x84,
+    * signed by the top bit — max ±32124, and byte 0xFF decodes to
+    * exactly 0. */
+  def ulawDecode8(u: Byte): Short = {
+    val b = ~u & 0xff
+    val exp = (b >> 4) & 7
+    val mant = b & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((b & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** G.711 µ-law compression of a 16-bit sample (the encoder half, so
+    * tests and synthesized corpora can produce real companded WAVs):
+    * bias, clip at 32635, locate the segment, keep 4 mantissa bits,
+    * complement. */
+  def ulawEncode16(s: Short): Byte = {
+    var x = s.toInt
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  /** Encode µ-law bytes as a canonical WAV file (format tag 7, 8 bits
+    * per sample, mono). */
+  def encodeUlaw(sampleRate: Int, ulaw: Array[Byte]): Array[Byte] = {
+    require(ulaw.length <= MaxSamples, "too many samples")
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + ulaw.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(7) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
+      le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(ulaw.length) ++ ulaw
+  }
+
   /** Decode a WAV payload; None on anything malformed or unsupported
     * (null-not-fail, the engine's KSQL-style semantics). Walks the
     * chunk list properly — extra chunks (LIST/INFO/cue) are skipped,
-    * `fmt ` must declare 16-bit mono PCM before `data` is accepted. */
+    * `fmt ` must declare mono 16-bit PCM (tag 1) or 8-bit G.711 µ-law
+    * (tag 7, expanded through [[ulawDecode8]]) before `data` is
+    * accepted. */
   def decode(payload: Array[Byte]): Option[Audio] = {
     if (payload == null || payload.length < 44) return None
     def ascii(off: Int, s: String): Boolean =
@@ -159,21 +203,33 @@ object WavCodec {
     if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
     var pos = 12
     var rate = -1
-    var fmtOk = false
+    var fmtTag = -1
     while (pos + 8 <= payload.length) {
       val size = u32(pos + 4)
       if (size > payload.length - pos - 8) return None
       val body = pos + 8
       if (ascii(pos, "fmt ")) {
         if (size < 16) return None
-        // PCM (1), mono, 16-bit — anything else is unsupported, not data
-        if (u16(body) != 1 || u16(body + 2) != 1 || u16(body + 14) != 16) return None
+        // mono PCM16 (tag 1) or mono µ-law 8-bit (tag 7) — anything
+        // else is unsupported, not data
+        val tag = u16(body)
+        val bits = u16(body + 14)
+        if (u16(body + 2) != 1 || !((tag == 1 && bits == 16) ||
+          (tag == 7 && bits == 8))) return None
         val r = u32(body + 4)
         if (r <= 0 || r > Int.MaxValue) return None
         rate = r.toInt
-        fmtOk = true
+        fmtTag = tag
       } else if (ascii(pos, "data")) {
-        if (!fmtOk || size % 2 != 0 || size / 2 > MaxSamples) return None
+        if (fmtTag == 7) { // µ-law: one byte per sample, expand
+          if (size > MaxSamples) return None
+          val n = size.toInt
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = ulawDecode8(payload(body + i)); i += 1 }
+          return Some(Audio(rate, out))
+        }
+        if (fmtTag != 1 || size % 2 != 0 || size / 2 > MaxSamples) return None
         val n = (size / 2).toInt
         val out = new Array[Short](n)
         var i = 0

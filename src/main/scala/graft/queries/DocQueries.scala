@@ -542,6 +542,28 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL COMPRESSED audio decode: G.711 µ-law WAVs (format tag 7 —
+    // 8 companded bits on the wire per 16-bit sample) expand through
+    // the closed-form ulawDecode8 into the same amplitude stats as the
+    // PCM path. The oracle replicates the µ-law expansion formula per
+    // sample — the whole encode→container→expand loop is checked.
+    "m8_ulaw_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val rate = 8000
+          val n = (600 + (id % 4) * 100).toInt
+          val u = Array.tabulate[Byte](n)(i => ((id * 7 + i * 31) % 256).toByte)
+          (id, graft.operators.WavCodec.encodeUlaw(rate, u))
+        }
+      graft.operators.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED image decode: GIF87a payloads (variable-width
     // LZW over palette indices — the from-scratch GifCodec) decode per
     // partition and yield the same channel statistics as the PPM path.
@@ -1161,6 +1183,25 @@ object DocQueries {
          |    i -> $amp), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the µ-law expansion in SQL: byte u → b = 255 − u (complement),
+    // magnitude ((b%16)·8 + 132)·2^((b//16)%8) − 132, |sample| = the
+    // magnitude regardless of the sign bit
+    "m8_ulaw_decode" -> {
+      val n = "(600 + (s_suppkey % 4) * 100)"
+      val b = "(255 - ((s_suppkey*7 + i*31) % 256))"
+      val mag = s"((($b % 16) * 8 + 132) * " +
+        s"([1,2,4,8,16,32,64,128])[(($b // 16) % 8) + 1] - 132)"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST($n AS DOUBLE) * 1000.0 / 8000 AS duration_ms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     },
 

@@ -147,6 +147,32 @@ object NativePropertySpec extends Properties("NativeKernels") {
       graft.operators.Multimodal.dhash64(img).isDefined == (w >= 9 && h >= 8)
     }
 
+  property("ulaw WAV container expands every byte exactly") =
+    forAll(rawBytes) { bs =>
+      val wav = graft.operators.WavCodec.encodeUlaw(8000, bs.toArray)
+      graft.operators.WavCodec.decode(wav).exists { a =>
+        a.sampleRate == 8000 &&
+          a.samples.sameElements(bs.map(graft.operators.WavCodec.ulawDecode8))
+      }
+    }
+
+  property("ulaw codewords are a fixed point and quantization is bounded") = {
+    // exhaustive over all 65536 samples: re-encoding a decoded value
+    // returns the same codeword — except G.711's NEGATIVE ZERO (0x7F,
+    // hit by s in -3..-1), which decodes to 0 and legitimately
+    // re-encodes as positive zero 0xFF (the two codes differ only in
+    // the sign bit) — and the error stays within the segment's
+    // half-step (~|s|/32 + slack)
+    (-32768 to 32767).forall { s =>
+      val c = graft.operators.WavCodec.ulawEncode16(s.toShort)
+      val d = graft.operators.WavCodec.ulawDecode8(c).toInt
+      val c2 = graft.operators.WavCodec.ulawEncode16(d.toShort)
+      val clamp = math.max(-32635, math.min(32635, s))
+      (c2 == c || (d == 0 && ((c2 ^ c) & 0xff) == 0x80)) &&
+        math.abs(d - clamp) <= ((math.abs(clamp) + 132) >> 5) + 8
+    }
+  }
+
   private val gifPalette = Array.tabulate(256)(c =>
     (((c * 3 + 5) % 256) << 16) | (((c * 7 + 1) % 256) << 8) | ((c * 11 + 9) % 256))
 
