@@ -455,10 +455,12 @@ object GifCodec {
   }
 
   /** Decode a GIF payload to an RGB [[PpmCodec.Image]]; None on
-    * malformed, truncated, interlaced or paletteless input
-    * (null-not-fail, the codec-family rule). GIF89a extensions
-    * (graphic control, comments, application blocks) are skipped per
-    * spec; only the FIRST image of an animation decodes. */
+    * malformed, truncated or paletteless input (null-not-fail, the
+    * codec-family rule). GIF89a extensions (graphic control, comments,
+    * application blocks) are skipped per spec, interlaced images are
+    * de-interlaced (the spec's 4-pass row order — what ImageIO's
+    * writer emits, interop-tested); only the FIRST image of an
+    * animation decodes. */
   def decode(payload: Array[Byte]): Option[PpmCodec.Image] = {
     if (payload == null || payload.length < 13) return None
     val magic = new String(payload, 0, 6, "US-ASCII")
@@ -500,7 +502,7 @@ object GifCodec {
         val w = u16(); val h = u16()
         val ip = payload(pos) & 0xff
         pos += 1
-        if ((ip & 0x40) != 0) return None // interlaced: unsupported, not misdecoded
+        val interlaced = (ip & 0x40) != 0
         if ((ip & 0x80) != 0) {           // local color table wins
           val n = 2 << (ip & 7)
           if (pos + 3 * n > payload.length) return None
@@ -528,7 +530,29 @@ object GifCodec {
             pos += n
           }
         }
-        return lzwDecode(data.toByteArray, minCode, w * h).flatMap { idx =>
+        return lzwDecode(data.toByteArray, minCode, w * h).flatMap { raw =>
+          // interlaced images store rows in the spec's 4-pass order
+          // (starts 0,4,2,1 / steps 8,8,4,2) — permute back to display
+          // order before resolving the palette
+          val idx =
+            if (!interlaced) raw
+            else {
+              val out = new Array[Byte](raw.length)
+              val starts = Array(0, 4, 2, 1)
+              val steps = Array(8, 8, 4, 2)
+              var src = 0
+              var p = 0
+              while (p < 4) {
+                var row = starts(p)
+                while (row < h) {
+                  System.arraycopy(raw, src * w, out, row * w, w)
+                  src += 1
+                  row += steps(p)
+                }
+                p += 1
+              }
+              out
+            }
           val rgb = new Array[Byte](w * h * 3)
           var ok = true
           var i = 0
@@ -602,6 +626,225 @@ object GifCodec {
   }
 }
 
+/** PNG image codec — pure JVM. The DEFLATE stream rides the JVM's
+  * built-in zlib (`java.util.zip.Inflater`/`Deflater` — part of the
+  * platform, not an external library); everything PNG-specific is
+  * written from scratch against the published PNG specification
+  * (RFC 2083): chunk framing with CRC-32 verification, IHDR/PLTE/IDAT
+  * walk, scanline de-filtering (None/Sub/Up/Average/Paeth), and 8-bit
+  * gray / palette / RGB / RGBA color types. The decoder emits
+  * [[PpmCodec.Image]] (RGB; alpha dropped, gray replicated, palette
+  * resolved) so stats/resize/dHash compose unchanged. The encoder
+  * CYCLES the five filter types across rows, so a roundtrip exercises
+  * every de-filter path. JPEG (DCT) remains the documented stub seam.
+  */
+object PngCodec {
+
+  /** Same rationale as [[PpmCodec.MaxDim]]. */
+  val MaxDim = 32767
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def crc32(type4: Array[Byte], data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(type4)
+    c.update(data)
+    c.getValue.toInt
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode raw interleaved RGB as an 8-bit truecolor PNG. Rows are
+    * filtered with type (row % 5) — None/Sub/Up/Average/Paeth in
+    * rotation — which costs nothing and makes every decoder filter
+    * path exercised by any ≥5-row roundtrip. */
+  def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim,
+      s"dims out of range: ${width}x$height")
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, Signature.length)
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(name: String, data: Array[Byte]): Unit = {
+      val t = name.getBytes("US-ASCII")
+      out.write(be32(data.length), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      out.write(be32(crc32(t, data)), 0, 4)
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0)) // 8-bit, truecolor, deflate, adaptive, no interlace
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload to RGB; None on malformed input, CRC
+    * mismatch, or an unsupported shape (only 8-bit depth, color types
+    * gray/palette/RGB/RGBA, no interlacing — unsupported is rejected,
+    * never misdecoded). Alpha is dropped, gray replicated, palette
+    * resolved through PLTE. */
+  def decode(payload: Array[Byte]): Option[PpmCodec.Image] = {
+    if (payload == null || payload.length < 8 + 12 ||
+      !Signature.indices.forall(i => payload(i) == Signature(i))) return None
+    var pos = 8
+    def u32(): Long = {
+      val v = ((payload(pos) & 0xffL) << 24) | ((payload(pos + 1) & 0xffL) << 16) |
+        ((payload(pos + 2) & 0xffL) << 8) | (payload(pos + 3) & 0xffL)
+      pos += 4; v
+    }
+    var w = -1; var h = -1; var colorType = -1
+    var palette: Array[Int] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      if (pos + 12 > payload.length) return None
+      val len = u32()
+      if (len > payload.length - pos - 8) return None
+      val n = len.toInt
+      val name = new String(payload, pos, 4, "US-ASCII")
+      val typ = java.util.Arrays.copyOfRange(payload, pos, pos + 4)
+      pos += 4
+      val data = java.util.Arrays.copyOfRange(payload, pos, pos + n)
+      pos += n
+      val crc = u32()
+      if (crc.toInt != crc32(typ, data)) return None
+      name match {
+        case "IHDR" =>
+          if (n != 13) return None
+          w = ((data(0) & 0xff) << 24) | ((data(1) & 0xff) << 16) |
+            ((data(2) & 0xff) << 8) | (data(3) & 0xff)
+          h = ((data(4) & 0xff) << 24) | ((data(5) & 0xff) << 16) |
+            ((data(6) & 0xff) << 8) | (data(7) & 0xff)
+          colorType = data(9) & 0xff
+          // 8-bit only; deflate(0)/adaptive(0)/no-interlace(0)
+          if ((data(8) & 0xff) != 8 || data(10) != 0 || data(11) != 0 ||
+            data(12) != 0) return None
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+          if (colorType != 0 && colorType != 2 && colorType != 3 &&
+            colorType != 6) return None
+        case "PLTE" =>
+          if (n % 3 != 0 || n > 768) return None
+          palette = Array.tabulate(n / 3)(i =>
+            ((data(3 * i) & 0xff) << 16) | ((data(3 * i + 1) & 0xff) << 8) |
+              (data(3 * i + 2) & 0xff))
+        case "IDAT" => idat.write(data, 0, n)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks (tEXt, gAMA, …) skipped per spec
+      }
+    }
+    if (w <= 0 || colorType < 0) return None
+    val bpp = colorType match {
+      case 0 => 1 case 2 => 3 case 3 => 1 case _ => 4
+    }
+    if (colorType == 3 && palette == null) return None
+    val stride = w * bpp
+    val expected = (stride + 1) * h
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val got = try {
+      var off = 0
+      var read = -1
+      while (off < expected && read != 0) {
+        read = inf.inflate(raw, off, expected - off)
+        off += read
+      }
+      off
+    } catch { case _: java.util.zip.DataFormatException => -1 }
+    finally inf.end()
+    if (got != expected) return None
+    // de-filter in place into the unfiltered pixel buffer
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+        val dec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        px(y * stride + x) = (dec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize to RGB
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    var ok = true
+    while (ok && i < w * h) {
+      colorType match {
+        case 0 =>
+          val g = px(i); rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+        case 2 =>
+          rgb(i * 3) = px(i * 3); rgb(i * 3 + 1) = px(i * 3 + 1)
+          rgb(i * 3 + 2) = px(i * 3 + 2)
+        case 3 =>
+          val ci = px(i) & 0xff
+          if (ci >= palette.length) ok = false
+          else {
+            val c = palette(ci)
+            rgb(i * 3) = ((c >> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (c & 0xff).toByte
+          }
+        case _ =>
+          rgb(i * 3) = px(i * 4); rgb(i * 3 + 1) = px(i * 4 + 1)
+          rgb(i * 3 + 2) = px(i * 4 + 2)
+      }
+      i += 1
+    }
+    if (ok) Some(PpmCodec.Image(w, h, rgb)) else None
+  }
+}
+
 /** Multimodal-column plumbing (SURVEY §2c `m1_binary_meta`,
   * `m2_image_decode`, `m3_audio_decode`).
   *
@@ -634,6 +877,11 @@ object Multimodal {
     * identical feature extraction. One decoder swap, same plumbing. */
   def decodeGifImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
     decodeImagesWith(media, GifCodec.decode)
+
+  /** [[decodeImages]] for PNG payloads: DEFLATE via the JVM's zlib,
+    * chunk/CRC/filter layer from scratch ([[PngCodec]]). */
+  def decodePngImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
+    decodeImagesWith(media, PngCodec.decode)
 
   private def decodeImagesWith(media: Dataset[(Long, Array[Byte])],
       decode: Array[Byte] => Option[PpmCodec.Image]): Dataset[ImageFeatures] = {

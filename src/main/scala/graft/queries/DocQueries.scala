@@ -542,6 +542,27 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL COMPRESSED image decode #2: PNG (DEFLATE via the JVM's
+    // built-in zlib; the chunk/CRC-32/scanline-filter layer is the
+    // from-scratch PngCodec). The encoder cycles all five PNG row
+    // filters, so the 8-row payloads exercise every de-filter path
+    // before the stats land — checked against the generation formula.
+    "m9_png_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (16, 8)
+          val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 29 + i * 3) % 256).toByte)
+          (id, graft.operators.PngCodec.encode(w, h, rgb))
+        }
+      graft.operators.Multimodal.decodePngImages(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED audio decode: G.711 µ-law WAVs (format tag 7 —
     // 8 companded bits on the wire per 16-bit sample) expand through
     // the closed-form ulawDecode8 into the same amplitude stats as the
@@ -1183,6 +1204,20 @@ object DocQueries {
          |    i -> $amp), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // expected features from the pixel-generation formula: byte i of
+    // the RGB buffer is (id*29 + i*3) % 256, channel c sits at 3p+c
+    "m9_png_decode" -> {
+      def mean(c: Int) =
+        s"list_aggregate(list_transform(generate_series(0, 127), " +
+          s"p -> CAST((s_suppkey*29 + (p*3 + $c)*3) % 256 AS DOUBLE)), 'avg')"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         |  ${mean(0)} AS mean_r,
+         |  ${mean(1)} AS mean_g,
+         |  ${mean(2)} AS mean_b
          |FROM supplier ORDER BY id""".stripMargin
     },
 

@@ -3,10 +3,64 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Multimodal, PpmCodec, WavCodec}
+import graft.operators.{GifCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTest._
+
+  test("PNG interop: decodes what the JVM's independent ImageIO encoder writes") {
+    // ImageIO's PNG writer is a wholly separate implementation — if our
+    // from-scratch chunk/CRC/filter layer decodes its output pixel-
+    // exactly, the codec speaks real PNG, not a private dialect
+    val (w, h) = (23, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256) << 16 |
+        ((x * 13 + y * 7) % 256) << 8 | ((x * 5 + y * 3) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val got = PngCodec.decode(bos.toByteArray)
+    assert(got.isDefined, "must decode ImageIO's PNG output")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert((d.rgb(p) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (d.rgb(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (d.rgb(p + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y) differs")
+    }
+  }
+
+  test("GIF interop: decodes what the JVM's independent ImageIO encoder writes") {
+    // same cross-implementation check for the LZW layer: ImageIO's GIF
+    // writer quantizes to its own palette, so compare against what
+    // ImageIO itself reads back, pixel-exactly
+    val (w, h) = (19, 13)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 41 + y * 17) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val payload = bos.toByteArray
+    val reference = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val got = GifCodec.decode(payload)
+    assert(got.isDefined, "must decode ImageIO's GIF output")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val rgb = reference.getRGB(x, y)
+      assert((d.rgb(p) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (d.rgb(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (d.rgb(p + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y) differs")
+    }
+  }
 
   test("PPM codec round-trips pixels exactly") {
     val rgb = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 11 % 256).toByte)

@@ -173,6 +173,33 @@ object NativePropertySpec extends Properties("NativeKernels") {
     }
   }
 
+  property("PNG roundtrip is lossless through all five row filters") =
+    forAll(Gen.choose(1, 30), Gen.choose(5, 20), rawBytes) { (w, h, seed) =>
+      // h >= 5 so the encoder's cycling filter hits None/Sub/Up/
+      // Average/Paeth in every run
+      def px(i: Int): Byte = if (seed.isEmpty) 7 else seed(i % seed.length)
+      val rgb = Array.tabulate[Byte](w * h * 3)(px)
+      val png = graft.operators.PngCodec.encode(w, h, rgb)
+      graft.operators.PngCodec.decode(png).exists { img =>
+        img.width == w && img.height == h && img.rgb.sameElements(rgb)
+      }
+    }
+
+  property("PNG decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.PngCodec.decode(bs.toArray)
+      true
+    }
+
+  property("PNG decode rejects a corrupted byte (CRC catches bit rot)") = {
+    val rgb = Array.tabulate[Byte](10 * 10 * 3)(i => (i * 7).toByte)
+    val png = graft.operators.PngCodec.encode(10, 10, rgb)
+    // flip one bit inside the IDAT payload region
+    val corrupt = png.clone()
+    corrupt(png.length / 2) = (corrupt(png.length / 2) ^ 0x10).toByte
+    graft.operators.PngCodec.decode(corrupt).isEmpty
+  }
+
   private val gifPalette = Array.tabulate(256)(c =>
     (((c * 3 + 5) % 256) << 16) | (((c * 7 + 1) % 256) << 8) | ((c * 11 + 9) % 256))
 
