@@ -883,6 +883,12 @@ object Multimodal {
   def decodePngImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
     decodeImagesWith(media, PngCodec.decode)
 
+  /** [[decodeImages]] for baseline JPEG payloads ([[JpegCodec]] — the
+    * from-scratch Huffman/IDCT decoder; interop-proven, not oracled,
+    * since JPEG decode is standard-bounded rather than bit-fixed). */
+  def decodeJpegImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
+    decodeImagesWith(media, JpegCodec.decode)
+
   private def decodeImagesWith(media: Dataset[(Long, Array[Byte])],
       decode: Array[Byte] => Option[PpmCodec.Image]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._

@@ -542,6 +542,42 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL COMPRESSED image decode #3: baseline JPEG through the
+    // from-scratch Huffman/IDCT JpegCodec. Payloads are genuine JPEGs
+    // written by the JVM's independent ImageIO encoder per executor
+    // task (the only honest way to synthesize real lossy streams).
+    // JPEG decode is standard-bounded, not bit-fixed, so the ORACLE
+    // checks what is deterministic — every payload decodes with the
+    // exact expected geometry — while pixel fidelity is proven by the
+    // MultimodalSpec interop tests against ImageIO's own reader.
+    "m10_jpeg_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (24, 16)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((id * 7 + x) % 256) << 16).toInt |
+                (((id * 11 + y) % 256) << 8).toInt | ((x + y) % 256))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          (id, bos.toByteArray)
+        }
+      graft.operators.Multimodal.decodeJpegImages(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED image decode #2: PNG (DEFLATE via the JVM's
     // built-in zlib; the chunk/CRC-32/scanline-filter layer is the
     // from-scratch PngCodec). The encoder cycles all five PNG row
@@ -1206,6 +1242,14 @@ object DocQueries {
          |    i -> $amp)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     },
+
+    // geometry-only oracle by design: JPEG pixel values are decoder-
+    // bounded, not bit-fixed (see the query comment); a null width
+    // (decode failure) or wrong dims fails the hash
+    "m10_jpeg_decode" ->
+      """SELECT s_suppkey AS id,
+        |  CAST(24 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height
+        |FROM supplier ORDER BY id""".stripMargin,
 
     // expected features from the pixel-generation formula: byte i of
     // the RGB buffer is (id*29 + i*3) % 256, channel c sits at 3p+c

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GifCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
+import graft.operators.{GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTest._
@@ -60,6 +60,88 @@ class MultimodalSpec extends AnyFunSuite {
         (d.rgb(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
         (d.rgb(p + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y) differs")
     }
+  }
+
+  test("JPEG interop: grayscale decode matches the JVM's reader within IDCT tolerance") {
+    // both decoders consume the SAME compressed stream ImageIO wrote;
+    // grayscale has no chroma upsampling, so any difference is IDCT
+    // rounding — the standard bounds it to a couple of levels
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 128 + (96 * math.sin(x / 6.0) * math.cos(y / 5.0)).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val payload = bos.toByteArray
+    val reference = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val got = JpegCodec.decode(payload)
+    assert(got.isDefined, "must decode ImageIO's baseline JPEG")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = d.rgb((y * w + x) * 3) & 0xff
+      // raster samples are the raw decoded Y values — getRGB would
+      // apply Java's linear-gray→sRGB colorspace conversion on top
+      val ref = reference.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(ours - ref))
+    }
+    assert(maxDiff <= 2, s"gray decode diverges by $maxDiff levels")
+  }
+
+  test("JPEG interop: color decode tracks the JVM's reader through chroma subsampling") {
+    // a smooth color field keeps legitimate upsampling-filter
+    // differences (nearest vs interpolating) small; large divergence
+    // would mean broken Huffman/dequant/IDCT, not filter choice
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 128 + (80 * math.sin(x / 9.0)).toInt
+      val g = 128 + (80 * math.cos(y / 7.0)).toInt
+      val b = 128 + (80 * math.sin((x + y) / 11.0)).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val payload = bos.toByteArray
+    val reference = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val got = JpegCodec.decode(payload)
+    assert(got.isDefined, "must decode ImageIO's baseline color JPEG")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    var sumDiff = 0L
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ours = d.rgb((y * w + x) * 3 + c) & 0xff
+      val ref = (reference.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      sumDiff += math.abs(ours - ref)
+      maxDiff = math.max(maxDiff, math.abs(ours - ref))
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(meanDiff <= 3.0, s"mean channel divergence $meanDiff too high")
+    assert(maxDiff <= 32, s"max channel divergence $maxDiff too high")
+  }
+
+  test("JPEG decoder rejects progressive streams instead of misdecoding") {
+    val (w, h) = (16, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, x * 16 + y)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    assert(JpegCodec.decode(bos.toByteArray).isEmpty,
+      "progressive JPEG must be rejected, not misdecoded")
   }
 
   test("PPM codec round-trips pixels exactly") {

@@ -185,6 +185,32 @@ object NativePropertySpec extends Properties("NativeKernels") {
       }
     }
 
+  property("JPEG decode never throws on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      graft.operators.JpegCodec.decode(bs.toArray)
+      true
+    }
+
+  property("JPEG decode never throws on corrupted real streams") =
+    forAll(Gen.choose(0, 10000), Gen.choose(0, 255)) { (at, v) =>
+      // corrupt one byte of a genuine ImageIO JPEG at an arbitrary
+      // offset: decode must return (Some or None), never throw
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { img.setRGB(x, y, (x * 8) << 16 | (y * 8) << 8); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      bytes(at % bytes.length) = v.toByte
+      graft.operators.JpegCodec.decode(bytes)
+      true
+    }
+
   property("PNG decode never throws on arbitrary bytes") =
     forAll(rawBytes) { bs =>
       graft.operators.PngCodec.decode(bs.toArray)
