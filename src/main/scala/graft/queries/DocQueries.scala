@@ -766,6 +766,68 @@ object DocQueries {
             (acc, x) => acc + x.getField("w")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // per-source distribution drift: total-variation distance between
+    // each source's token distribution and the corpus distribution —
+    // the data-mixing diagnostic that flags a source whose text
+    // stopped looking like the rest (crawl rot, a format change, a
+    // spam burst) before it contaminates a training mix. TV =
+    // 1/2 Σ_t |c_st/N_s − c_t/N| is rearranged to the all-integer
+    // numerator |c_st·N − c_t·N_s| (one double division at the very
+    // end — the repo's integer-exact determinism rule), and tokens
+    // ABSENT from a source contribute N_s·(N − Σ_{t∈s} c_t) in closed
+    // form, so only (source, token) rows that exist are ever joined —
+    // the full |sources|×|vocab| grid never materializes. Raw tokens
+    // aggregate once; token totals re-aggregate the (source, token)
+    // counts (vocab-sized, not corpus-sized) and share one token
+    // exchange with the probe join (the d24 pattern); the per-source
+    // totals and the 1-row corpus total broadcast.
+    "d31_source_divergence" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val st = table(s, d, "documents")
+        .select(col("source"), explode(Text.tokens(lower(col("text")))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        .repartition(col("tok"))
+      val tot = st.groupBy("tok").agg(sum(col("cst")).as("ct"))
+      val ns = st.groupBy("source").agg(sum(col("cst")).as("nsrc"))
+      val n = st.agg(sum(col("cst")).as("ntot"))
+      st.join(tot, "tok")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("nsrc"), col("ntot"))
+        .agg(sum(abs(col("cst") * col("ntot") - col("ct") * col("nsrc"))).as("s1"),
+          sum(col("ct")).as("s2"))
+        .select(col("source"), col("nsrc").as("n_tokens"),
+          ((col("s1") + col("nsrc") * (col("ntot") - col("s2"))).cast(DoubleType) /
+            (lit(2.0) * col("nsrc") * col("ntot"))).as("tv_dist"))
+        .orderBy("source")
+    },
+
+    // crawl-screen: domain blocklist + per-domain document cap.
+    // Domains synthesized from doc fields (the d30 pattern); a tiny
+    // blocklist broadcast-anti-joins the corpus (spam/SEO domains drop
+    // wholesale) and each surviving domain keeps only its K earliest
+    // docs — the anti-bulk gate crawl pipelines apply before any text
+    // filter sees the data. row_number ≤ K plans as WindowGroupLimit:
+    // the partial top-K runs BEFORE the domain shuffle, so a
+    // million-page domain ships K rows per input partition, never the
+    // whole domain (plan-gated).
+    "d32_domain_cap" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("source"), lit("."), col("lang"), lit(".example.com"))
+            .as("domain"))
+      val block = Seq("src3.zh.example.com", "src7.de.example.com",
+        "src11.en.example.com").toDF("domain")
+      val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      docs.join(broadcast(block), Seq("domain"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("domain", "rk", "doc_id")
+        .orderBy("domain", "rk")
     }
   )
 
@@ -1399,6 +1461,42 @@ object DocQueries {
         |    (a, b) -> a + b) AS score
         |FROM tf JOIN df USING (term) CROSS JOIN st
         |GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // every SUM is CAST back to BIGINT before entering arithmetic
+    // (DuckDB widens to HUGEINT — the q58 lesson); the single double
+    // division is written with the identical operand order as Spark
+    "d31_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS cst FROM tok
+        |       GROUP BY source, tok),
+        |t AS (SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st
+        |      GROUP BY tok),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS nsrc FROM st
+        |       GROUP BY source),
+        |n AS (SELECT CAST(SUM(cst) AS BIGINT) AS ntot FROM st)
+        |SELECT source, nsrc AS n_tokens,
+        |  CAST(CAST(SUM(ABS(cst*ntot - ct*nsrc)) AS BIGINT)
+        |     + nsrc * (ntot - CAST(SUM(ct) AS BIGINT)) AS DOUBLE)
+        |  / (CAST(2.0 AS DOUBLE) * nsrc * ntot) AS tv_dist
+        |FROM st JOIN t USING (tok) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY source, nsrc, ntot
+        |ORDER BY source""".stripMargin,
+
+    "d32_domain_cap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source || '.' || lang || '.example.com' AS domain
+        |  FROM documents),
+        |f AS (SELECT * FROM docs WHERE domain NOT IN
+        |  ('src3.zh.example.com', 'src7.de.example.com',
+        |   'src11.en.example.com')),
+        |r AS (SELECT domain, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |      FROM f)
+        |SELECT domain, rk, doc_id FROM r WHERE rk <= 5
+        |ORDER BY domain, rk""".stripMargin
   )
 }

@@ -394,4 +394,23 @@ class PlanSpec extends AnyFunSuite {
         s"$name must format AFTER the aggregation, not shuffle string keys")
     }
   }
+
+  test("d31: token totals and probe share one token exchange; side tables broadcast") {
+    val p = plan("d31_source_divergence")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit token repartition enabling exchange reuse")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "per-source totals and the corpus total should broadcast")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must not cross a shuffle")
+  }
+
+  test("d32: per-domain cap is WindowGroupLimit; blocklist broadcasts as anti-join") {
+    val p = plan("d32_domain_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "rk<=K must plan as a partial top-K below the domain shuffle")
+    assert(p.contains("LeftAnti"), "blocklist must be an anti-join")
+    assert(!p.contains("SortMergeJoin"), "the tiny blocklist must broadcast")
+  }
 }
