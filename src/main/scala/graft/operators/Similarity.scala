@@ -414,6 +414,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Incremental maintenance of a persisted IVF index: assign the
+    * delta vectors to cells with the EXISTING centroids (read back
+    * from the index — never recomputed, so base and delta agree on
+    * geometry) and append into the hive cell layout. This is the
+    * index-as-tables payoff: ingesting new vectors is a partitioned
+    * parquet append — no rebuild, no file-format surgery — and every
+    * concurrent reader sees a consistent cell directory. Centroids
+    * drift as the corpus grows; when recall degrades (measure with
+    * e12), a full [[writeIvfIndex]] rebuild re-clusters — the same
+    * rebuild-on-drift loop FAISS/SCaNN deployments run. */
+  def appendToIvfIndex(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    cellAssign(delta, centScoresFor(cents))
+      .select(col("cand_id").as("vec_id"), col("ce").as("embedding"),
+        col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Query a persisted IVF index: centroids load as a (tiny) table,
     * probes select the top-nprobe cells, and the cell equi-join
     * against the hive-partitioned corpus lets Spark prune non-probed

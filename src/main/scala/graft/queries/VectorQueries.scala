@@ -132,6 +132,24 @@ object VectorQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select("q_id", "rank", "cand_id", "adc")
         .orderBy("q_id", "rank")
+    },
+
+    // incremental maintenance of the persisted IVF index: build from a
+    // base corpus, append the delta with the EXISTING centroids (a
+    // hive-partition parquet append — no rebuild), query the maintained
+    // index. The base keeps the first-nlist bootstrap vectors, so the
+    // geometry matches a full-corpus build and the same SQL derivation
+    // as e3 oracles this path bit-exactly: append+query ≡ rebuild+query.
+    "e11_ivf_delta" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft_e11_idx").toString
+      val base = emb.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1)
+      Similarity.writeIvfIndex(base, s"$dir/idx")
+      Similarity.appendToIvfIndex(delta, s"$dir/idx")
+      Similarity.ivfTopKFromIndex(s, s"$dir/idx", emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -154,6 +172,45 @@ object VectorQueries {
       }.mkString(" + ")
     }
     buckets.map(b => s"($b)").mkString("[", ", ", "]")
+  }
+
+  /** The IVF derivation (bootstrap centroids → cell assignment → probe
+    * selection → candidate scoring → top-k), shared by e3 (in-memory)
+    * and e11 (persisted base + appended delta): both compute the same
+    * geometry, so one SQL derivation oracles both bit-exactly. */
+  private lazy val ivfSql: String = {
+    val cosInSql =
+      """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |cscore AS (
+       |  SELECT e.vec_id, cc.cid, $cosInSql AS cs
+       |  FROM embeddings e CROSS JOIN cents cc),
+       |cell AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM cscore) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS cand_id
+       |  FROM probes p JOIN cell c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.cand_id,
+       |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+       |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+       |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.q_id
+       |  JOIN embeddings b ON b.vec_id = cand.cand_id)
+       |SELECT q_id, rank, cand_id, cos FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -257,40 +314,11 @@ object VectorQueries {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
 
-    "e3_ann_ivf" -> {
-      val cosInSql =
-        """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
-          |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-          |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
-          |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         |cscore AS (
-         |  SELECT e.vec_id, cc.cid, $cosInSql AS cs
-         |  FROM embeddings e CROSS JOIN cents cc),
-         |cell AS (SELECT vec_id, cid AS cell FROM (
-         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-         |  FROM cscore) t WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
-         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
-         |cand AS (
-         |  SELECT p.q_id, c.vec_id AS cand_id
-         |  FROM probes p JOIN cell c ON p.cell = c.cell
-         |  WHERE c.vec_id <> p.q_id),
-         |scored AS (
-         |  SELECT cand.q_id, cand.cand_id,
-         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
-         |  FROM cand
-         |  JOIN embeddings a ON a.vec_id = cand.q_id
-         |  JOIN embeddings b ON b.vec_id = cand.cand_id)
-         |SELECT q_id, rank, cand_id, cos FROM (
-         |  SELECT q_id, cand_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    },
+    "e3_ann_ivf" -> ivfSql,
+
+    // the maintained (base + appended delta) index reproduces the
+    // full-corpus IVF answer exactly, so the same derivation oracles it
+    "e11_ivf_delta" -> ivfSql,
 
     "e5_ann_ivf_lloyd" -> {
       def cosM(a: String, b: String) =

@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSuite {
       "index round-trip must not change a single rank or score")
   }
 
+  test("appended delta answers bit-identically to a full index rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta").toString
+    // base keeps the first-nlist bootstrap vectors so both builds share
+    // centroids; the delta lands via a hive-partition parquet append
+    val base = emb.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1)
+    assert(delta.count() > 0, "the delta split must be non-empty")
+    Similarity.writeIvfIndex(base, s"$dir/inc")
+    Similarity.appendToIvfIndex(delta, s"$dir/inc")
+    Similarity.writeIvfIndex(emb, s"$dir/full")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("cos"))
+    val inc = Similarity.ivfTopKFromIndex(spark, s"$dir/inc", queries, k = 10)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    val full = Similarity.ivfTopKFromIndex(spark, s"$dir/full", queries, k = 10)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(inc.toSeq == full.toSeq,
+      "append+query must not differ from rebuild+query in any rank or score")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val brute = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
       .groupBy(_.getAs[Long]("q_id"))
