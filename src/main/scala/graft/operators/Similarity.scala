@@ -132,6 +132,39 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * clustering: assign every vector to a coarse cell (the same
+    * deterministic bootstrap centroids as [[ivfTopK]], so cell geometry
+    * is SQL-derivable), generate candidate pairs ONLY within a cell,
+    * verify with exact cosine, and drop the higher-id member of every
+    * pair at or above `minCos` (a deterministic keeper in place of the
+    * paper's centroid-distance rule — same dedup set shape, oracle-
+    * exact). Complements [[lshNearDupPairs]] (e4/e6): hyperplane
+    * buckets catch near-identical vectors with tunable recall; cells
+    * partition the space exhaustively, so within-cell dedup is the
+    * published semantic-prune shape for LLM training corpora. The
+    * candidate self-join carries ONLY (vec_id, cell) — embeddings join
+    * back by id for the verify pass — and both sides share one
+    * canonical cell exchange. At real scale nlist grows with the corpus
+    * (SemDeDup runs ~100k clusters) so per-cell pair counts stay
+    * bounded; nlist=16 matches the test-SF cell geometry of e3. */
+  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 16): DataFrame = {
+    val cents = bootCentroids(corpus, nlist)
+    val cells = cellAssign(corpus, centScoresFor(cents))
+      .select(col("cand_id").as("vec_id"), col("cell"))
+      .repartition(col("cell"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val dups = pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be")), "b_id")
+      .filter(Vectors.cosine(col("ae"), col("be")) >= minCos)
+      .select(col("b_id").as("vec_id")).distinct()
+    corpus.join(dups, Seq("vec_id"), "left_anti")
+  }
+
   /** k-NN graph over the whole corpus — every node's k nearest
     * bucket-mates (the structure semantic clustering / graph-based
     * dedup builds on). Candidates come from the same sign-LSH banding

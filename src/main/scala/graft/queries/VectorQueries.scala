@@ -150,6 +150,17 @@ object VectorQueries {
       Similarity.ivfTopKFromIndex(s, s"$dir/idx", emb.filter(col("vec_id") < 5), k = 10)
         .select("q_id", "rank", "cand_id", "cos")
         .orderBy("q_id", "rank")
+    },
+
+    // SemDeDup (arXiv:2303.09540): cluster-then-prune semantic dedup —
+    // the published LLM-corpus curation pipeline; candidates only ever
+    // come from within a coarse cell (narrow (vec_id, cell) rows through
+    // the self-join), exact-cosine verify, higher-id member drops; full
+    // oracle reusing the e3 cell derivation
+    "e13_semdedup" -> q { (s, d) =>
+      Similarity.semDedup(table(s, d, "embeddings"), minCos = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
     }
   )
 
@@ -174,23 +185,30 @@ object VectorQueries {
     buckets.map(b => s"($b)").mkString("[", ", ", "]")
   }
 
-  /** The IVF derivation (bootstrap centroids → cell assignment → probe
-    * selection → candidate scoring → top-k), shared by e3 (in-memory)
-    * and e11 (persisted base + appended delta): both compute the same
-    * geometry, so one SQL derivation oracles both bit-exactly. */
-  private lazy val ivfSql: String = {
+  /** The IVF cell derivation (bootstrap centroids → per-vector cosine
+    * scores → argmax cell), shared by the ANN oracles (e3/e11) and the
+    * SemDeDup oracle (e13) — one geometry, SQL-derived once. */
+  private lazy val ivfCellCtes: String = {
     val cosInSql =
       """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
         |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
         |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    s"""cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
        |cscore AS (
        |  SELECT e.vec_id, cc.cid, $cosInSql AS cs
        |  FROM embeddings e CROSS JOIN cents cc),
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-       |  FROM cscore) t WHERE rn = 1),
+       |  FROM cscore) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** The IVF query derivation (cells → probe selection → candidate
+    * scoring → top-k), shared by e3 (in-memory) and e11 (persisted
+    * base + appended delta): both compute the same geometry, so one
+    * SQL derivation oracles both bit-exactly. */
+  private lazy val ivfSql: String = {
+    s"""WITH $ivfCellCtes,
        |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
@@ -319,6 +337,23 @@ object VectorQueries {
     // the maintained (base + appended delta) index reproduces the
     // full-corpus IVF answer exactly, so the same derivation oracles it
     "e11_ivf_delta" -> ivfSql,
+
+    "e13_semdedup" ->
+      s"""WITH $ivfCellCtes,
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dups AS (
+         |  SELECT DISTINCT p.b_id AS vec_id
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.a_id
+         |  JOIN embeddings eb ON eb.vec_id = p.b_id
+         |  WHERE list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("ea.embedding")}) * sqrt(${sumSq("eb.embedding")})) >= 0.35)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY vec_id""".stripMargin,
 
     "e5_ann_ivf_lloyd" -> {
       def cosM(a: String, b: String) =

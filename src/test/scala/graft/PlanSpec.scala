@@ -71,6 +71,20 @@ class PlanSpec extends AnyFunSuite {
       "expected the explicit band-key repartition enabling exchange reuse")
   }
 
+  test("e13: semdedup candidates come from the cell equi-join, key-only rows") {
+    val p = plan("e13_semdedup")
+    assert(!p.contains("CartesianProduct"), "semdedup must not cross-join the corpus")
+    // both self-join sides repartition on cell: canonically identical
+    // exchanges that AQE stage reuse executes once
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit cell repartition enabling exchange reuse")
+    // embeddings join back by id for the verify pass only — the cell
+    // self-join must carry (vec_id, cell), never the vector payload
+    val cellJoinSide = p.linesIterator.filter(_.contains("REPARTITION_BY_COL")).mkString
+    assert(!cellJoinSide.contains("embedding"),
+      "the candidate self-join must not shuffle embedding payloads")
+  }
+
   test("q39: both date filters are pushed to their parquet scans") {
     val p = plan("q39_ship_priority")
     assert(p.contains("GreaterThan(l_shipdate"),
