@@ -161,6 +161,18 @@ object VectorQueries {
       Similarity.semDedup(table(s, d, "embeddings"), minCos = 0.35)
         .select("vec_id")
         .orderBy("vec_id")
+    },
+
+    // semantic clusters: the e4 LSH-blocked near-dup pairs closed into
+    // connected components (the d20 pointer-jumping loop) — cluster ids
+    // over the embedding-similarity graph, the grouping that semantic
+    // curation (diversity sampling, cluster-level pruning) keys on.
+    // Two proven chains composed; FULL oracle (recursive CTE closure)
+    "e14_semantic_clusters" -> q { (s, d) =>
+      graft.operators.Dedup.connectedComponents(
+          Similarity.lshNearDupPairs(table(s, d, "embeddings"), minCos = 0.2))
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
     }
   )
 
@@ -488,6 +500,17 @@ object VectorQueries {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT b_id FROM pairs WHERE cos >= 0.35)
          |ORDER BY vec_id""".stripMargin,
+
+    // transitive closure over the e4 pairs via a recursive CTE;
+    // cluster id = min reachable vec_id (the d20 oracle shape)
+    "e14_semantic_clusters" ->
+      s"""WITH RECURSIVE $lshPairsSql,
+         |e AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT s, t FROM e
+         |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         |SELECT s AS vec_id, least(s, MIN(t)) AS cluster
+         |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
 
     // PQ/ADC mirror: same deterministic codebooks (first 16 vectors,
     // 8 subspaces x 8 dims), same d-ascending double folds, so codes
