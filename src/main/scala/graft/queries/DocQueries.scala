@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.q
@@ -828,6 +828,36 @@ object DocQueries {
         .filter(col("rk") <= 5)
         .select("domain", "rk", "doc_id")
         .orderBy("domain", "rk")
+    },
+
+    // model-based quality filtering (the CCNet/GPT-3/FineWeb classifier
+    // gate): LINEAR CLASSIFIER INFERENCE over hashed token features —
+    // feature = polyHash(token) mod 1024 buckets, fixed deterministic
+    // per-bucket weights (stand-ins for an offline-trained model; the
+    // engine's job is the inference plan, not the training), logit =
+    // weight sum / token count. The whole score is ONE narrow per-row
+    // fold over the token array (no explode, no join, no aggregation
+    // state — the d29 in-row discipline), so at 100 TB it runs at scan
+    // speed and composes with any screen. Integer weight sums; the one
+    // double division happens at the end (log-free determinism rule).
+    "d33_quality_classifier" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      // w(bucket) = (bucket*2654435761) mod 2039 − 1019 : a fixed
+      // pseudo-random weight table in closed form, reproduced in SQL
+      val weight = (t: Column) =>
+        (graft.functions.Native.polyHash(t, 1000003L) % lit(1024L)) *
+          lit(2654435761L) % lit(2039L) - lit(1019L)
+      table(s, d, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+            .as("raw_score"))
+        .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+          (col("raw_score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .as("logit"))
+        .withColumn("keep",
+          (col("logit") >= 0).cast(org.apache.spark.sql.types.IntegerType))
+        .orderBy("doc_id")
     }
   )
 
@@ -1497,6 +1527,26 @@ object DocQueries {
         |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
         |      FROM f)
         |SELECT domain, rk, doc_id FROM r WHERE rk <= 5
-        |ORDER BY domain, rk""".stripMargin
+        |ORDER BY domain, rk""".stripMargin,
+
+    // the same polyHash char fold as the winnow oracles; BIGINT cast on
+    // the list sum (DuckDB sums into HUGEINT — the q58 lesson)
+    "d33_quality_classifier" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(toks, tok ->
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(tok, ''),
+        |          c2 -> CAST(ascii(c2) AS BIGINT))),
+        |      (a, b) -> (a*31 + b) % 1000003) % 1024) * 2654435761) % 2039 - 1019
+        |  ), 'sum') AS BIGINT) AS raw_score
+        |  FROM t)
+        |SELECT doc_id, n_tokens, raw_score,
+        |  CAST(raw_score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS logit,
+        |  CASE WHEN CAST(raw_score AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }
