@@ -18,6 +18,22 @@ object Text {
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Hashed-feature linear-classifier weight: polyHash(token) lands in
+    * one of 1024 feature buckets; the per-bucket weight is the fixed
+    * closed form (bucket·2654435761) mod 2039 − 1019 (a stand-in for an
+    * offline-trained model — inference is the engine's job). ONE
+    * definition shared by the d33 batch gate and the streaming quality
+    * screen so the two can never drift; the same fold is replicated in
+    * the d33 oracle SQL. */
+  def classifierWeight(t: Column): Column =
+    (Native.polyHash(t, 1000003L) % lit(1024L)) * lit(2654435761L) %
+      lit(2039L) - lit(1019L)
+
+  /** Integer weight sum over a token array — one narrow per-row fold
+    * (no explode, no join, no aggregation state). */
+  def classifierRawScore(toks: Column): Column =
+    aggregate(transform(toks, classifierWeight _), lit(0L), (acc, x) => acc + x)
+
   /** Count of stopword tokens (lowercased). */
   def stopwordCount(c: Column): Column =
     size(filter(tokens(lower(c)), w => w.isin(Stopwords: _*)))

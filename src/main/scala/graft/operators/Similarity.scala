@@ -132,6 +132,53 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** IVF + scalar quantization (the FAISS IVF-SQ8 index family):
+    * coarse cells bound the candidate set exactly as [[ivfTopK]], and
+    * the scan side carries 8-bit codes — one byte per dimension, 4×
+    * narrower than the float vectors (vs PQ's 8 bytes/vector but with
+    * much higher recall: SQ quantizes each dimension independently
+    * instead of 8-dim subspaces). Train = per-dimension min/max, ONE
+    * distributive aggregate whose 1-row result is a stats bootstrap,
+    * not data movement; encode = floor((x−min)·255/(max−min)) clamped,
+    * a narrow map; score = inner product against the midpoint
+    * reconstruction min + (code+0.5)·(max−min)/255, folded
+    * d-ascending in double so the SQL oracle reproduces every code
+    * and score exactly. Probes broadcast; per-query top-k is a
+    * WindowGroupLimit. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val statsRow = corpus.agg(
+      array((0 until dim).map(i =>
+        min(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mns"),
+      array((0 until dim).map(i =>
+        max(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mxs"))
+      .collect()(0)
+    val mns = statsRow.getSeq[Double](0).toArray
+    val mxs = statsRow.getSeq[Double](1).toArray
+    val cents = bootCentroids(corpus, nlist)
+    val centScores = centScoresFor(cents) _
+    // cell + code: the only columns that ever leave the corpus scan
+    val codeArr = array((0 until dim).map { i =>
+      val x = element_at(col("ce"), i + 1).cast("double")
+      least(floor((x - lit(mns(i))) * lit(255.0) / lit(mxs(i) - mns(i))),
+        lit(255L)).cast("int")
+    }: _*)
+    val codes = cellAssign(corpus, centScores)
+      .select(col("cand_id"), col("cell"), codeArr.as("code"))
+    val q = ivfQueries(queries, centScores, nlist, nprobe)
+    val score = (0 until dim).map { i =>
+      element_at(col("qe"), i + 1).cast("double") *
+        (lit(mns(i)) + (element_at(col("code"), i + 1).cast("double") + lit(0.5)) *
+          lit((mxs(i) - mns(i)) / 255.0))
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"), score.as("sq_ip"))
+    val w = Window.partitionBy("q_id").orderBy(col("sq_ip").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
     * clustering: assign every vector to a coarse cell (the same
     * deterministic bootstrap centroids as [[ivfTopK]], so cell geometry

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.q
@@ -843,15 +843,9 @@ object DocQueries {
     "d33_quality_classifier" -> q { (s, d) =>
       import org.apache.spark.sql.types.DoubleType
       val toks = Text.tokens(lower(col("text")))
-      // w(bucket) = (bucket*2654435761) mod 2039 − 1019 : a fixed
-      // pseudo-random weight table in closed form, reproduced in SQL
-      val weight = (t: Column) =>
-        (graft.functions.Native.polyHash(t, 1000003L) % lit(1024L)) *
-          lit(2654435761L) % lit(2039L) - lit(1019L)
       table(s, d, "documents")
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-          aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
-            .as("raw_score"))
+          Text.classifierRawScore(toks).as("raw_score"))
         .select(col("doc_id"), col("n_tokens"), col("raw_score"),
           (col("raw_score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
             .as("logit"))

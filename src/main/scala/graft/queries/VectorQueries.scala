@@ -163,6 +163,18 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // IVF + scalar quantization (FAISS IVF-SQ8): cells bound candidates,
+    // the scan side carries one byte per dimension (4× narrower than
+    // floats; higher recall than PQ's subspace codes), scoring is the
+    // midpoint reconstruction inner product — full oracle (SQL-derived
+    // per-dim min/max stats, codes, and d-ascending score folds)
+    "e15_ivf_sq8" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "sq_ip")
+        .orderBy("q_id", "rank")
+    },
+
     // semantic clusters: the e4 LSH-blocked near-dup pairs closed into
     // connected components (the d20 pointer-jumping loop) — cluster ids
     // over the embedding-similarity graph, the grouping that semantic
@@ -500,6 +512,41 @@ object VectorQueries {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT b_id FROM pairs WHERE cos >= 0.35)
          |ORDER BY vec_id""".stripMargin,
+
+    // same cell/probe chain as e3; per-dim min/max stats, SQ8 codes and
+    // the midpoint-reconstruction scores all SQL-derived, d-ascending
+    "e15_ivf_sq8" ->
+      s"""WITH $ivfCellCtes,
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |dims AS (SELECT u.i AS i,
+         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+         |  FROM embeddings e, generate_series(1, 64) u(i) GROUP BY u.i),
+         |stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+         |enc AS (SELECT e.vec_id AS cand_id,
+         |    list_transform(generate_series(1, 64), i ->
+         |      CAST(least(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i])), 255) AS INTEGER)) AS code
+         |  FROM embeddings e CROSS JOIN stats),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(generate_series(1, 64), i ->
+         |      CAST(qv.embedding[i] AS DOUBLE) *
+         |        (mns[i] + (CAST(code[i] AS DOUBLE) + 0.5) * ((mxs[i] - mns[i]) / 255))), 'sum') AS sq_ip
+         |  FROM cand
+         |  JOIN embeddings qv ON qv.vec_id = cand.q_id
+         |  JOIN enc ON enc.cand_id = cand.cand_id
+         |  CROSS JOIN stats)
+         |SELECT q_id, rank, cand_id, sq_ip FROM (
+         |  SELECT q_id, cand_id, sq_ip,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_ip DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // transitive closure over the e4 pairs via a recursive CTE;
     // cluster id = min reachable vec_id (the d20 oracle shape)

@@ -288,6 +288,24 @@ object Pipelines {
     stream.withColumn("bm25", score).filter(col("bm25") >= minScore)
   }
 
+  /** Ingest-time model-based quality gate — the d33 streaming twin:
+    * arriving docs score through the SAME hashed-feature linear
+    * classifier (one shared `Text.classifierRawScore` definition, so
+    * batch and stream can never drift) and rows whose logit falls
+    * under `minLogit` drop. Completely STATELESS and shuffle-free —
+    * the score is one narrow per-row fold over the token array (no
+    * explode, no join, no aggregation state), so the screen composes
+    * with any sink and replays bit-identically: integer weight sums,
+    * one deterministic double division per row. */
+  def streamQualityScreen(stream: DataFrame, minLogit: Double): DataFrame = {
+    val toks = graft.functions.Text.tokens(lower(col("text")))
+    stream
+      .withColumn("logit",
+        graft.functions.Text.classifierRawScore(toks).cast("double") /
+          size(toks).cast("double"))
+      .filter(col("logit") >= minLogit)
+  }
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

@@ -159,6 +159,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-node top-k not pushed below the shuffle")
   }
 
+  test("e15: IVF-SQ8 candidates come from the cell equi-join, top-k pushes down") {
+    val p = plan("e15_ivf_sq8")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "probe side should broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the bucketed IVF-SQ8 path must stay an equi-join — no brute-force NLJ")
+  }
+
   test("e9: IVF+PQ scan carries codes, probes broadcast, top-k pushes down") {
     val p = plan("e9_ivf_pq")
     assert(!p.contains("CartesianProduct"))

@@ -422,6 +422,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay == out, "replayed rows must score bit-identically")
   }
 
+  test("quality screen agrees with the d33 batch gate on real corpus rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real documents rows so the parity check exercises real text
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Pipelines.streamQualityScreen(stream, minLogit = 0.0)
+      .writeStream.format("memory").queryName("quality_screen_out")
+      .outputMode("append").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    val screened = spark.table("quality_screen_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit")).toMap
+    q.stop()
+    // the batch gate over the same rows: keep=1 iff logit >= 0 — the
+    // stream screen must keep exactly those docs with identical logits
+    val batch = SparkEntry.queries("d33_quality_classifier")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("logit"),
+        r.getAs[Int]("keep")))
+    val expected = batch.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(screened == expected,
+      "stream screen must keep exactly the batch gate's keepers, logits bit-equal")
+    assert(screened.nonEmpty && screened.size < docs.length,
+      "parity fixture should exercise both keep and drop paths")
+  }
+
   test("epoch sequence packing: offsets cover each shard gaplessly; replay is identical") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
