@@ -361,4 +361,58 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Persist the SimHash fingerprint index as a TABLE — the text-side
+    * analog of `Similarity.writeIvfIndex`: an index is data. Each
+    * document costs 16 bytes (id + 64-bit fingerprint) regardless of
+    * text size; band keys recompute on read (a narrow map over those
+    * 16-byte rows), so no band materialization is stored. The layout
+    * is hive-partitioned by `ingest` GENERATION — the base build is
+    * generation 0, every [[screenDeltaAppend]] lands its survivors in
+    * its own generation directory — which is what makes incremental
+    * ingest exactly-once (the idempotentParquetSink epoch pattern). */
+  def writeSimhashIndex(docs: DataFrame, path: String,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit =
+    simhash(docs, idCol, textCol).select(col(idCol), col("simhash"))
+      .write.mode("overwrite").parquet(s"$path/ingest=0")
+
+  /** Incremental corpus dedup: screen a DELTA of new documents against
+    * the persisted fingerprint index and append the survivors — the
+    * production ingest shape at 100 TB (the day's delta dedups against
+    * the corpus index; the corpus is never re-deduped). A delta doc
+    * drops iff an already-INDEXED doc sits within `maxHamming`, or an
+    * earlier-id doc in the same delta does (the delta self-screens via
+    * [[hammingNearDups]]). Both screens are (band, chunk) equi-joins
+    * over 16-byte (id, fingerprint) rows with complete recall at
+    * hamming ≤ 3 by pigeonhole; raw text never leaves its scan.
+    *
+    * Exactly-once: the screen reads ONLY generations < `ingestId`
+    * (partition pruning — the cast-free filter is the same trap-aware
+    * shape as the IVF cell read) and overwrites its own
+    * `ingest=<ingestId>` directory, so replaying an ingest recomputes
+    * the identical survivor set and lands it idempotently — a crashed
+    * and retried ingest cannot double-insert or self-collide.
+    * Returns the surviving (id, simhash) rows read back from the
+    * index, so re-executing the returned plan is stable. */
+  def screenDeltaAppend(delta: DataFrame, path: String, ingestId: Int,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxHamming: Int = 3): DataFrame = {
+    val spark = delta.sparkSession
+    val dh = simhash(delta, idCol, textCol).select(col(idCol), col("simhash"))
+    val prior = spark.read.parquet(path)
+      .filter(col("ingest") < ingestId)
+      .select(col(idCol), col("simhash"))
+    val db = bandChunks(dh, idCol, "simhash")
+    val ib = bandChunks(prior, idCol, "simhash")
+    val vsIndex = db.as("x").join(ib.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .select(col(s"x.$idCol").as(idCol)).distinct()
+    val withinDelta = hammingNearDups(dh, idCol, "simhash", maxHamming)
+      .select(col("b_id").as(idCol)).distinct()
+    dh.join(vsIndex.union(withinDelta).distinct(), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/ingest=$ingestId")
+    spark.read.parquet(path).filter(col("ingest") === ingestId)
+      .select(col(idCol), col("simhash"))
+  }
 }

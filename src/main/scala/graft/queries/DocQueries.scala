@@ -830,6 +830,21 @@ object DocQueries {
         .orderBy("domain", "rk")
     },
 
+    // incremental corpus dedup (the text-side e11): even docs build the
+    // persisted fingerprint index, odd docs arrive as the delta and
+    // screen against it — survivors land in their own ingest generation
+    // (exactly-once replay). Complete recall at hamming ≤ 3 by
+    // pigeonhole banding, so the oracle reproduces the drop set with
+    // the same banded-pairs derivation as d7b.
+    "d34_incremental_dedup" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_d34_idx").toString
+      Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 2 === 0), s"$dir/idx")
+      Dedup.screenDeltaAppend(docs.filter(col("doc_id") % 2 === 1),
+          s"$dir/idx", ingestId = 1)
+        .orderBy("doc_id")
+    },
+
     // model-based quality filtering (the CCNet/GPT-3/FineWeb classifier
     // gate): LINEAR CLASSIFIER INFERENCE over hashed token features —
     // feature = polyHash(token) mod 1024 buckets, fixed deterministic
@@ -1522,6 +1537,20 @@ object DocQueries {
         |      FROM f)
         |SELECT domain, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY domain, rk""".stripMargin,
+
+    // the banded-pairs chain is complete at hamming ≤ 3 (pigeonhole),
+    // so the drop set is exact: an odd doc drops iff ANY pair links it
+    // to an even doc (either side — the whole index screens) or to a
+    // SMALLER odd doc (the delta keeps earliest arrivals)
+    "d34_incremental_dedup" ->
+      s"""WITH $simhashPairsChain,
+         |dropped AS (
+         |  SELECT b_id AS doc_id FROM prs WHERE hamming <= 3 AND b_id % 2 = 1
+         |  UNION
+         |  SELECT a_id FROM prs WHERE hamming <= 3 AND a_id % 2 = 1 AND b_id % 2 = 0)
+         |SELECT doc_id, simhash FROM sims
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // the same polyHash char fold as the winnow oracles; BIGINT cast on
     // the list sum (DuckDB sums into HUGEINT — the q58 lesson)

@@ -163,6 +163,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index: replay is idempotent, second screen drops everything") {
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString
+    Dedup.writeSimhashIndex(
+      corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      s"$dir/idx")
+    val delta = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val first = rows(Dedup.screenDeltaAppend(delta, s"$dir/idx", ingestId = 1))
+    assert(first.nonEmpty, "some delta docs must survive the screen")
+    // the cast-free generation filter must prune to the prior directories
+    val spark2 = corpus.sparkSession
+    val priorPlan = spark2.read.parquet(s"$dir/idx")
+      .filter(org.apache.spark.sql.functions.col("ingest") < 1)
+      .queryExecution.executedPlan.toString
+    assert(priorPlan.contains("PartitionFilters") && !priorPlan.contains("cast(ingest"),
+      "generation screen must partition-prune without a cast")
+    // replaying the SAME ingest recomputes the identical survivor set
+    // (the ingest=1 directory is excluded from its own screen)
+    val replay = rows(Dedup.screenDeltaAppend(delta, s"$dir/idx", ingestId = 1))
+    assert(replay == first, "a retried ingest must land identically, not collide")
+    // a LATER ingest of the same delta finds every doc already indexed
+    // (hamming 0 to itself) and drops it all — no double insert
+    val second = rows(Dedup.screenDeltaAppend(delta, s"$dir/idx", ingestId = 2))
+    assert(second.isEmpty, "re-ingesting indexed docs must drop them all")
+  }
+
   test("simhash banding recall is COMPLETE at hamming <= 3 (pigeonhole)") {
     val corpus = graft.sources.Tables.table(spark, sf, "documents")
     val banded = Dedup.simhashNearDups(corpus).collect()
