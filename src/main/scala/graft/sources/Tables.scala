@@ -44,6 +44,21 @@ object Tables {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Raw-file corpus ingestion via Spark's built-in `binaryFile`
+    * source — the entry point that feeds the multimodal decode family:
+    * each file becomes one row of (path, modificationTime, length,
+    * content binary), so a directory tree of images/audio/video lands
+    * directly as the opaque-binary column the m-family decoders
+    * consume. Glob filtering happens at FILE LISTING time (files that
+    * don't match are never opened — the binary analog of partition
+    * pruning) and recursive lookup walks nested corpus layouts. */
+  def binaryCorpus(spark: SparkSession, dir: String,
+                   glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+
   /** Compact a parquet directory produced by a streaming sink: many
     * small files → ~`targetFileBytes` files, preserving the data. The
     * operational companion to `streaming.Pipelines.parquetSink` — a

@@ -27,6 +27,33 @@ class SourcesSpec extends AnyFunSuite {
       orig.agg(sum(col("n_nationkey").cast("long"))).head.getLong(0))
   }
 
+  test("binaryFile source feeds the multimodal decoders end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bin").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/nested"))
+    val rgb = Array.tabulate[Byte](2 * 1 * 3)(i => (i * 10).toByte)
+    Files.write(java.nio.file.Paths.get(s"$dir/a.ppm"),
+      graft.operators.PpmCodec.encode(2, 1, rgb))
+    Files.write(java.nio.file.Paths.get(s"$dir/nested/b.ppm"),
+      graft.operators.PpmCodec.encode(1, 1, Array[Byte](5, 5, 5)))
+    Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"),
+      "not an image".getBytes)
+    val files = Tables.binaryCorpus(spark, dir, glob = "*.ppm")
+    // the glob filters at LISTING time: the txt file is never opened
+    assert(files.count() == 2, "glob must keep only the ppm files")
+    assert(files.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // raw files → binary rows → the m2 decode chain, end-to-end
+    val media = files.orderBy("path")
+      .select(monotonically_increasing_id().as("id"), col("content"))
+      .as[(Long, Array[Byte])]
+    val decoded = graft.operators.Multimodal.decodeImages(media)
+      .collect().sortBy(_.id)
+    assert(decoded.length == 2)
+    assert(decoded(0).width.contains(2) && decoded(0).height.contains(1))
+    assert(decoded(1).width.contains(1) && decoded(1).mean_r.contains(5.0))
+  }
+
   test("json source round-trips with schema inference") {
     val dir = Files.createTempDirectory("graft_json").toString
     val orig = Tables.table(spark, sf, "region")
