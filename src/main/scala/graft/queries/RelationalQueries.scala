@@ -934,6 +934,28 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // one-pass column profiler (the Deequ / DataFrame.summary shape):
+    // per-column row count, null count and EXACT distinct count — the
+    // data-quality report run before any pipeline trusts a new table.
+    // The multiple exact-DISTINCT aggregates plan through ONE Expand
+    // pass (one scan of the table, not a job per column); the unpivot
+    // to (column, stats) rows is a stack() over the 1-row aggregate.
+    // At 100 TB swap countDistinct for approx_count_distinct (the q27
+    // sketch) — same plan shape minus the Expand multiplication.
+    "q60_profile" -> q { (s, d) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")) }
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, n_rows - nn_$c, nd_$c").mkString(", ")
+      table(s, d, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_rows, n_nulls, n_distinct)"))
+        .orderBy("column_name")
+    },
+
     // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
     // a computed measure spanning THREE tables (revenue minus a
     // retail-cost charge), name-filtered part dim, nation broadcast.
@@ -1598,6 +1620,16 @@ object RelationalQueries {
         |    WHERE l_orderkey = o_orderkey
         |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q60_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "q57_retention" ->
       """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
