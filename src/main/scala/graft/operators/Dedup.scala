@@ -398,6 +398,20 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         maxHamming: Int = 3): DataFrame = {
     val spark = delta.sparkSession
+    screenDelta(delta, path, ingestId, idCol, textCol, maxHamming)
+      .write.mode("overwrite").parquet(s"$path/ingest=$ingestId")
+    spark.read.parquet(path).filter(col("ingest") === ingestId)
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** The survivor computation of [[screenDeltaAppend]], exposed so the
+    * plan gate can assert its shape (raw text never shuffles; both
+    * screens are keyed equi-joins) without executing the write. */
+  private[graft] def screenDelta(delta: DataFrame, path: String, ingestId: Int,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 maxHamming: Int = 3): DataFrame = {
+    val spark = delta.sparkSession
     val dh = simhash(delta, idCol, textCol).select(col(idCol), col("simhash"))
     val prior = spark.read.parquet(path)
       .filter(col("ingest") < ingestId)
@@ -411,8 +425,5 @@ object Dedup {
     val withinDelta = hammingNearDups(dh, idCol, "simhash", maxHamming)
       .select(col("b_id").as(idCol)).distinct()
     dh.join(vsIndex.union(withinDelta).distinct(), Seq(idCol), "left_anti")
-      .write.mode("overwrite").parquet(s"$path/ingest=$ingestId")
-    spark.read.parquet(path).filter(col("ingest") === ingestId)
-      .select(col(idCol), col("simhash"))
   }
 }

@@ -85,6 +85,33 @@ class PlanSpec extends AnyFunSuite {
       "the candidate self-join must not shuffle embedding payloads")
   }
 
+  test("d34: the incremental screen shuffles fingerprints, never text") {
+    // the screen plan (no write executed): both the vs-index and
+    // within-delta screens must move 16-byte (id, hash) rows only
+    val dir = java.nio.file.Files.createTempDirectory("graft_d34_gate").toString
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    graft.operators.Dedup.writeSimhashIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      s"$dir/idx")
+    val p = graft.operators.Dedup.screenDelta(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        s"$dir/idx", ingestId = 1)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "raw text must never cross a shuffle")
+  }
+
+  test("q60: the profiler reads the table once (one scan, one Expand pass)") {
+    val p = plan("q60_profile")
+    assert(p.contains("Expand"),
+      "multiple exact DISTINCTs should plan through one Expand pass")
+    // count node-detail headers: FormattedMode prints each scan twice
+    // (tree summary + "(N) Scan parquet" detail)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"profiler must scan the table once, found $scans scans")
+  }
+
   test("q39: both date filters are pushed to their parquet scans") {
     val p = plan("q39_ship_priority")
     assert(p.contains("GreaterThan(l_shipdate"),
