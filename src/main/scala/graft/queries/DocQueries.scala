@@ -830,6 +830,39 @@ object DocQueries {
         .orderBy("domain", "rk")
     },
 
+    // benchmark decontamination by FRACTIONAL n-gram overlap (the
+    // GPT-3 appendix-C rule, kept by most pretraining pipelines): a
+    // train doc is contaminated when the fraction of its distinct
+    // 13-gram fingerprints that appear anywhere in the eval set
+    // crosses a threshold — robust where d16's shared-fingerprint
+    // count is not (a long doc quoting one benchmark item scores low
+    // here). Grams are 8-byte polyHash values: the explode and both
+    // keyed joins ship (id, hash) rows, never text; one gram join +
+    // one per-doc agg. Output = the contamination report (any-overlap
+    // docs with the ≥ 0.5 drop verdict).
+    "d35_decontaminate" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val docs = table(s, d, "documents")
+      val toks = Text.tokens(lower(col("text")))
+      def grams(side: DataFrame, idAs: String) = side
+        .select(col("doc_id").as(idAs),
+          explode(array_distinct(transform(
+            graft.functions.Native.wordShingles(toks, 13),
+            sh => graft.functions.Native.polyHash(sh, 1000003L)))).as("gram"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 10 === 0), "eval_id")
+        .select("gram").distinct().withColumn("hit", lit(1))
+      grams(docs.filter(col("doc_id") % 10 =!= 0), "train_id")
+        .join(evalGrams, Seq("gram"), "left_outer")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("overlap",
+          col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+        .withColumn("drop_doc", (col("overlap") >= 0.5).cast(IntegerType))
+        .orderBy("train_id")
+    },
+
     // incremental corpus dedup (the text-side e11): even docs build the
     // persisted fingerprint index, odd docs arrive as the delta and
     // screen against it — survivors land in their own ingest generation
@@ -1537,6 +1570,32 @@ object DocQueries {
         |      FROM f)
         |SELECT domain, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY domain, rk""".stripMargin,
+
+    // 13-gram shingles (whole-text fallback under 13 tokens — the
+    // winnow/d24 convention), polyHash fingerprints, BIGINT-cast sums
+    "d35_decontaminate" ->
+      raw"""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 12),
+        |        i -> array_to_string(toks[i:i+12], ' ')) END,
+        |      s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(s2, ''),
+        |          c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (a, b) -> (a*31 + b) % 1000003)))) AS gram
+        |  FROM tk),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |agg AS (SELECT tr.doc_id AS train_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0) tr
+        |  LEFT JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+        |SELECT train_id, n_grams, n_hit,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap,
+        |  CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
+        |       THEN 1 ELSE 0 END AS drop_doc
+        |FROM agg WHERE n_hit > 0 ORDER BY train_id""".stripMargin,
 
     // the banded-pairs chain is complete at hamming ≤ 3 (pigeonhole),
     // so the drop set is exact: an odd doc drops iff ANY pair links it
