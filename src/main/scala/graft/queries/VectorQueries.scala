@@ -175,6 +175,31 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    // SIGIR'09 — what Elasticsearch/Vespa/OpenSearch run for
+    // lexical+vector search): the d29 BM25 top-10 and the e1 cosine
+    // top-10 for query vector 0 fuse by Σ 1/(60+rank). The fusion is a
+    // k-row full-outer join + re-rank — constant work after the two
+    // retrieval chains, so the hybrid costs what its branches cost.
+    // Fixed fold order (lexical + vector) keeps the double sum exact.
+    "e16_hybrid_rrf" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = DocQueries.queries("d29_bm25")(s, d)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank_lex"))
+      val vec = Similarity.bruteForceTopK(
+          table(s, d, "embeddings"),
+          table(s, d, "embeddings").filter(col("vec_id") === 0), k = 10)
+        .select(col("cand_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(lit(1.0) / (lit(60L) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("rank_vec")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // semantic clusters: the e4 LSH-blocked near-dup pairs closed into
     // connected components (the d20 pointer-jumping loop) — cluster ids
     // over the embedding-similarity graph, the grouping that semantic
@@ -547,6 +572,34 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_ip DESC, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // both retrieval branches replay as CTEs (the d29 oracle verbatim,
+    // the e1 cosine fold restricted to query 0); CAST(1.0 AS DOUBLE)
+    // per the d29 decimal-literal rule
+    "e16_hybrid_rrf" -> {
+      val cosSql =
+        s"""list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")}))""".stripMargin
+      s"""WITH bm AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM (${DocQueries.oracles("d29_bm25")}) lx),
+         |vec AS (
+         |  SELECT cand_id AS doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cos DESC, cand_id) AS rank_vec
+         |  FROM (
+         |    SELECT b.vec_id AS cand_id, $cosSql AS cos
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id = 0 AND b.vec_id <> 0
+         |    ORDER BY cos DESC, cand_id LIMIT 10) vx),
+         |fused AS (
+         |  SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_lex), CAST(0.0 AS DOUBLE)) +
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_vec), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+         |SELECT doc_id, rank_lex, rank_vec, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // transitive closure over the e4 pairs via a recursive CTE;
     // cluster id = min reachable vec_id (the d20 oracle shape)
