@@ -179,6 +179,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage ANN cascade (the FAISS search-then-refine deployment
+    * shape): the quantized index ([[ivfSq8TopK]]) generates a top-`c`
+    * candidate set per query from CODES only, then the exact cosine
+    * re-ranks those `c` rows to the final top-`k` with the true float
+    * vectors joined back BY ID — so full-precision vectors are read
+    * for c rows per query, not the corpus. Refinement cost is
+    * constant per query (c ≈ 3-10× k) on top of the index probe; the
+    * re-rank reuses the q_id partitioning the candidate top-c already
+    * established (no extra exchange beyond the id joins). */
+  def annRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    c: Int = 30, nlist: Int = 16, nprobe: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val cand = ivfSq8TopK(corpus, queries, k = c, nlist, nprobe, dim)
+      .select(col("q_id"), col("cand_id"))
+    val exact = cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))), "q_id")
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce")), "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
     * clustering: assign every vector to a coarse cell (the same
     * deterministic bootstrap centroids as [[ivfTopK]], so cell geometry

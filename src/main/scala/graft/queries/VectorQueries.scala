@@ -175,6 +175,18 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // two-stage ANN cascade (the FAISS search-then-refine deployment
+    // shape): the SQ8 index generates top-30 candidates from codes,
+    // exact cosine re-ranks them to top-10 with float vectors joined
+    // back by id — full precision touches 30 rows per query, never the
+    // corpus; full oracle (the e15 chain spliced + the e1 cosine fold)
+    "e17_ann_rerank" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.annRerankTopK(emb, emb.filter(col("vec_id") < 5), k = 10, c = 30)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
+    },
+
     // hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
     // SIGIR'09 — what Elasticsearch/Vespa/OpenSearch run for
     // lexical+vector search): the d29 BM25 top-10 and the e1 cosine
@@ -251,6 +263,38 @@ object VectorQueries {
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |  FROM cscore) t WHERE rn = 1)""".stripMargin
   }
+
+  /** The IVF-SQ8 derivation (cells → probes → per-dim min/max stats →
+    * 8-bit codes → midpoint-reconstruction inner products), shared by
+    * e15 (top-k over quantized scores) and e17 (top-c candidates +
+    * exact re-rank). Ends in the `scored` CTE. */
+  private lazy val sq8ScoredCtes: String =
+    s"""$ivfCellCtes,
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+       |dims AS (SELECT u.i AS i,
+       |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+       |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+       |  FROM embeddings e, generate_series(1, 64) u(i) GROUP BY u.i),
+       |stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+       |enc AS (SELECT e.vec_id AS cand_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(least(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i])), 255) AS INTEGER)) AS code
+       |  FROM embeddings e CROSS JOIN stats),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS cand_id
+       |  FROM probes p JOIN cell c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.cand_id,
+       |    list_aggregate(list_transform(generate_series(1, 64), i ->
+       |      CAST(qv.embedding[i] AS DOUBLE) *
+       |        (mns[i] + (CAST(code[i] AS DOUBLE) + 0.5) * ((mxs[i] - mns[i]) / 255))), 'sum') AS sq_ip
+       |  FROM cand
+       |  JOIN embeddings qv ON qv.vec_id = cand.q_id
+       |  JOIN enc ON enc.cand_id = cand.cand_id
+       |  CROSS JOIN stats)""".stripMargin
 
   /** The IVF query derivation (cells → probe selection → candidate
     * scoring → top-k), shared by e3 (in-memory) and e11 (persisted
@@ -541,36 +585,33 @@ object VectorQueries {
     // same cell/probe chain as e3; per-dim min/max stats, SQ8 codes and
     // the midpoint-reconstruction scores all SQL-derived, d-ascending
     "e15_ivf_sq8" ->
-      s"""WITH $ivfCellCtes,
-         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
-         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
-         |dims AS (SELECT u.i AS i,
-         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
-         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
-         |  FROM embeddings e, generate_series(1, 64) u(i) GROUP BY u.i),
-         |stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
-         |enc AS (SELECT e.vec_id AS cand_id,
-         |    list_transform(generate_series(1, 64), i ->
-         |      CAST(least(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i])), 255) AS INTEGER)) AS code
-         |  FROM embeddings e CROSS JOIN stats),
-         |cand AS (
-         |  SELECT p.q_id, c.vec_id AS cand_id
-         |  FROM probes p JOIN cell c ON p.cell = c.cell
-         |  WHERE c.vec_id <> p.q_id),
-         |scored AS (
-         |  SELECT cand.q_id, cand.cand_id,
-         |    list_aggregate(list_transform(generate_series(1, 64), i ->
-         |      CAST(qv.embedding[i] AS DOUBLE) *
-         |        (mns[i] + (CAST(code[i] AS DOUBLE) + 0.5) * ((mxs[i] - mns[i]) / 255))), 'sum') AS sq_ip
-         |  FROM cand
-         |  JOIN embeddings qv ON qv.vec_id = cand.q_id
-         |  JOIN enc ON enc.cand_id = cand.cand_id
-         |  CROSS JOIN stats)
+      s"""WITH $sq8ScoredCtes
          |SELECT q_id, rank, cand_id, sq_ip FROM (
          |  SELECT q_id, cand_id, sq_ip,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_ip DESC, cand_id) AS rank
          |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the SQ8 chain ranks a top-30 candidate set; the exact cosine
+    // (the e1/e3 fold) re-ranks those rows to the final top-10
+    "e17_ann_rerank" ->
+      s"""WITH $sq8ScoredCtes,
+         |c30 AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_ip DESC, cand_id) AS rank
+         |  FROM scored) t WHERE rank <= 30),
+         |re AS (
+         |  SELECT c30.q_id, c30.cand_id,
+         |    list_aggregate(list_transform(list_zip(qv.embedding, cv.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("qv.embedding")}) * sqrt(${sumSq("cv.embedding")})) AS cos
+         |  FROM c30
+         |  JOIN embeddings qv ON qv.vec_id = c30.q_id
+         |  JOIN embeddings cv ON cv.vec_id = c30.cand_id)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM re) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // both retrieval branches replay as CTEs (the d29 oracle verbatim,

@@ -112,6 +112,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"profiler must scan the table once, found $scans scans")
   }
 
+  test("d35: decontamination joins ship gram hashes, text never shuffles") {
+    val p = plan("d35_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "raw text must not cross a shuffle")
+    assert(exchanges.contains("gram"), "expected the gram-key equi-join exchange")
+  }
+
   test("q39: both date filters are pushed to their parquet scans") {
     val p = plan("q39_ship_priority")
     assert(p.contains("GreaterThan(l_shipdate"),
@@ -193,6 +201,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the bucketed IVF-SQ8 path must stay an equi-join — no brute-force NLJ")
+  }
+
+  test("e17: the rerank cascade stays equi-join, both top-k stages push down") {
+    val p = plan("e17_ann_rerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay the SQ8 cell equi-join")
+    // two WindowGroupLimit stages: top-c candidates, then top-k rerank
+    val wgl = "WindowGroupLimit".r.findAllIn(p).length
+    assert(wgl >= 2, s"both cascade stages should plan partial top-k, found $wgl")
   }
 
   test("e9: IVF+PQ scan carries codes, probes broadcast, top-k pushes down") {
