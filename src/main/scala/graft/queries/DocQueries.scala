@@ -830,6 +830,47 @@ object DocQueries {
         .orderBy("domain", "rk")
     },
 
+    // the Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+    // table A1) as one document gate: word-count bounds, mean-word-
+    // length bounds, symbol-to-word ratio, alphabetic-word fraction,
+    // and the required-stopword count — the heuristic battery most
+    // pretraining pipelines run before any model-based filter (d33).
+    // Every signal is an in-row array fold (the d29 discipline): zero
+    // shuffles, scan-speed at 100 TB. Integer counts; the two ratio
+    // divisions are the only double ops.
+    "d36_gopher_rules" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val toks = Text.tokens(lower(col("text")))
+      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val nEll = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sum_wlen"),
+          (nHash + nEll).cast("long").as("n_sym"),
+          size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(filter(
+            array(reqStop.map(lit): _*), w => array_contains(toks, w)))
+            .cast("long").as("n_req_stop"))
+        .select(col("doc_id"), col("n_words"),
+          (col("sum_wlen").cast(DoubleType) / col("n_words").cast(DoubleType))
+            .as("mean_wlen"),
+          (col("n_sym").cast(DoubleType) / col("n_words").cast(DoubleType))
+            .as("sym_ratio"),
+          (col("n_alpha").cast(DoubleType) / col("n_words").cast(DoubleType))
+            .as("alpha_frac"),
+          col("n_req_stop"))
+        .withColumn("pass",
+          (col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+            col("sym_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+            col("n_req_stop") >= 2).cast(IntegerType))
+        .orderBy("doc_id")
+    },
+
     // benchmark decontamination by FRACTIONAL n-gram overlap (the
     // GPT-3 appendix-C rule, kept by most pretraining pipelines): a
     // train doc is contaminated when the fraction of its distinct
@@ -1570,6 +1611,37 @@ object DocQueries {
         |      FROM f)
         |SELECT domain, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY domain, rk""".stripMargin,
+
+    // same in-row folds; BIGINT casts on the list sums, doubles only
+    // in the two ratios (identical operand order)
+    "d36_gopher_rules" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(toks, tok -> len(tok)), 'sum')
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(text) - len(replace(text, '#', ''))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks, tok -> regexp_matches(tok, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS BIGINT) AS n_req_stop
+        |  FROM t),
+        |r AS (SELECT doc_id, n_words,
+        |    CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+        |    CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) AS sym_ratio,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+        |    n_req_stop
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_wlen, sym_ratio, alpha_frac, n_req_stop,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |        AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+        |        AND n_req_stop >= 2
+        |       THEN 1 ELSE 0 END AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // 13-gram shingles (whole-text fallback under 13 tokens — the
     // winnow/d24 convention), polyHash fingerprints, BIGINT-cast sums
