@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped scratch directories for queries that persist an index
+  * as part of their plan (d34, e11): one directory per (query, input)
+  * key, WIPED at the start of every use so each invocation builds from
+  * a clean slate (append-mode index writes stay correct under the
+  * bench's min-of-N re-runs), and the whole tree is removed by a JVM
+  * shutdown hook — repeated runs no longer accumulate orphaned temp
+  * dirs. The index build/write still happens inside the timed region:
+  * that is the honest cost of the maintenance path being measured.
+  */
+object ScratchDirs {
+  private val root: Path =
+    Files.createTempDirectory("graft_scratch")
+  private val handed = TrieMap.empty[String, Path]
+
+  sys.addShutdownHook(deleteTree(root))
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** A clean directory for `name` keyed by the input `dir` it derives
+    * from; the same key always maps to the same path, emptied on each
+    * call. */
+  def fresh(name: String, dir: String): String = synchronized {
+    val key = name + "|" + dir
+    val p = handed.getOrElseUpdate(key, {
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+      root.resolve(safe)
+    })
+    deleteTree(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+}

@@ -213,6 +213,11 @@ object JpegCodec {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
               c.tq > 3)) return None
+            // T.81 §A.2: a single-component scan is non-interleaved (one data
+            // unit per MCU) regardless of declared sampling factors; the
+            // interleaved decode below would misorder blocks, so reject
+            // h/v > 1 here rather than silently misdecode.
+            if (n == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
             pos = end
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>

@@ -159,9 +159,15 @@ object Similarity {
     val centScores = centScoresFor(cents) _
     // cell + code: the only columns that ever leave the corpus scan
     val codeArr = array((0 until dim).map { i =>
-      val x = element_at(col("ce"), i + 1).cast("double")
-      least(floor((x - lit(mns(i))) * lit(255.0) / lit(mxs(i) - mns(i))),
-        lit(255L)).cast("int")
+      // A constant dimension (mx == mn) would divide 0/0 → NaN, whose
+      // floor/least ordering differs between engines; emit code 0 so the
+      // midpoint reconstruction degenerates to min, matching the oracle.
+      if (mxs(i) == mns(i)) lit(0)
+      else {
+        val x = element_at(col("ce"), i + 1).cast("double")
+        least(floor((x - lit(mns(i))) * lit(255.0) / lit(mxs(i) - mns(i))),
+          lit(255L)).cast("int")
+      }
     }: _*)
     val codes = cellAssign(corpus, centScores)
       .select(col("cand_id"), col("cell"), codeArr.as("code"))

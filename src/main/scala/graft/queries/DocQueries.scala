@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.q
+import graft.ScratchDirs
 import graft.functions.Text
 import graft.operators.Dedup
 import graft.sources.Tables.table
@@ -912,7 +913,7 @@ object DocQueries {
     // the same banded-pairs derivation as d7b.
     "d34_incremental_dedup" -> q { (s, d) =>
       val docs = table(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft_d34_idx").toString
+      val dir = ScratchDirs.fresh("d34_idx", d)
       Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 2 === 0), s"$dir/idx")
       Dedup.screenDeltaAppend(docs.filter(col("doc_id") % 2 === 1),
           s"$dir/idx", ingestId = 1)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine.q
+import graft.ScratchDirs
 import graft.operators.Similarity
 import graft.sources.Tables.table
 
@@ -142,7 +143,7 @@ object VectorQueries {
     // as e3 oracles this path bit-exactly: append+query ≡ rebuild+query.
     "e11_ivf_delta" -> q { (s, d) =>
       val emb = table(s, d, "embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("graft_e11_idx").toString
+      val dir = ScratchDirs.fresh("e11_idx", d)
       val base = emb.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
       val delta = emb.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 1)
       Similarity.writeIvfIndex(base, s"$dir/idx")
@@ -280,7 +281,8 @@ object VectorQueries {
        |stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
        |enc AS (SELECT e.vec_id AS cand_id,
        |    list_transform(generate_series(1, 64), i ->
-       |      CAST(least(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i])), 255) AS INTEGER)) AS code
+       |      CASE WHEN mxs[i] = mns[i] THEN 0
+       |        ELSE CAST(least(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i])), 255) AS INTEGER) END) AS code
        |  FROM embeddings e CROSS JOIN stats),
        |cand AS (
        |  SELECT p.q_id, c.vec_id AS cand_id
