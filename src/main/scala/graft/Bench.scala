@@ -125,7 +125,8 @@ object Bench {
     // sfDir gets no secondary rather than an unrelated hardcoded one
     val sfNorm = sfDir.stripSuffix("/")
     val smallDir =
-      if (sfNorm.endsWith("sf0.1")) Some(s"${sfNorm.stripSuffix("sf0.1")}sf0.01")
+      if (sfNorm.endsWith("sf1")) Some("/root/testdata/sf0.1")
+      else if (sfNorm.endsWith("sf0.1")) Some(s"${sfNorm.stripSuffix("sf0.1")}sf0.01")
       else if (sfNorm.endsWith("sf0.01")) Some(s"${sfNorm.stripSuffix("sf0.01")}sf0.001")
       else None
     val small = smallDir match {

@@ -21,9 +21,21 @@ object T24 {
   /** Leading positional marker, stripped before string-join. */
   val MvLead = "^s?[0-9]+:"
 
+  private def nat(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
   /** Decode a multivalue string to its element array (empties dropped).
-    * Mirror of reference `controllers/index.js:93` (FILTER∘REGEXP_SPLIT). */
-  def mvSplit(c: Column): Column =
+    * Mirror of reference `controllers/index.js:93` (FILTER∘REGEXP_SPLIT),
+    * as the one-scan native `MvMarkerSplit` — the composed regex split
+    * Pattern.compiles per row (plans/MvExprs.scala; equivalence
+    * property-tested in NativePropertySpec). */
+  def mvSplit(c: Column): Column = nat(graft.plans.MvMarkerSplit(ex(c)))
+
+  /** The composed regex formulation of [[mvSplit]] — kept as the
+    * property-test oracle for the native expression. */
+  def mvSplitComposed(c: Column): Column =
     filter(split(c, MvMarker), x => x =!= lit(""))
 
   /** 1-based positional element of a multivalue string (KSQL arrays are
@@ -34,7 +46,11 @@ object T24 {
   /** string-join over a multivalue with a delimiter — reference
     * `controllers/index.js:75-83` (ARRAY_JOIN∘FILTER∘REGEXP_SPLIT with
     * the leading marker stripped first). */
-  def mvJoin(c: Column, delim: String): Column =
+  def mvJoin(c: Column, delim: String): Column = array_join(mvSplit(c), delim)
+
+  /** The composed regex formulation of [[mvJoin]] — property-test
+    * oracle (lead-marker strip + split + filter ≡ one marker scan). */
+  def mvJoinComposed(c: Column, delim: String): Column =
     array_join(filter(split(regexp_replace(c, MvLead, ""), "#(s?[0-9]+:)?"),
       x => x =!= lit("")), delim)
 
@@ -42,7 +58,7 @@ object T24 {
     * component — reference `controllers/index.js:90-91`. Returns null when
     * the component is absent (KSQL out-of-range array access). */
   def seabField(c: Column, delim: String, n: Int): Column =
-    try_element_at(split(c, java.util.regex.Pattern.quote(delim)), lit(n))
+    try_element_at(nat(graft.plans.SplitChar(ex(c), delim)), lit(n))
 
   /** SEAB_HEXTOTEXT(FROM_BYTES(x,'hex')): hex string → UTF-8 text —
     * reference `controllers/index.js:307`. */

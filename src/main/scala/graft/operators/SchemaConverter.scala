@@ -253,23 +253,36 @@ object SchemaConverter {
     * fields explode exactly like [[multivalue]].
     */
   def blobFe(raw: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
-    val fields = split(decode(unhex(col(Blob)), "ISO-8859-1"),
-      java.util.regex.Pattern.quote(FeSep))
-    def fieldAt(i: Int) = try_element_at(fields, lit(i + 1))
+    // ONE byte pass over the hex blob (unhex + latin-1 + FE/FD split
+    // fused — plans/MvExprs.scala); the composed
+    // split(decode(unhex(..)), quote(þ)) chain Pattern.compiled per
+    // row and round-tripped through java.lang.String twice. Decoded
+    // ONCE into a real column: CollapseProject refuses to inline a
+    // non-cheap expression used by several fields, so the decode is
+    // never duplicated across field extractions.
+    val DecTmp = "__FEFD"
+    val withDec = raw.withColumn(DecTmp,
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.MvDecode(
+          org.apache.spark.sql.GraftBridge.expression(col(Blob)))))
+    def elemsAt(i: Int) = try_element_at(col(DecTmp), lit(i + 1))
+    // a single-value field is the FD-join of its elements (identity
+    // when the field never contained an FD marker)
+    def fieldAt(i: Int) = array_join(elemsAt(i), FdSep)
     val posed = schema.zipWithIndex
     val svs = posed.filter(_._1.parseSv)
     val vms = posed.filter(_._1.parseVm)
     val vss = posed.filter(_._1.parseVs)
     if (vms.isEmpty && vss.isEmpty) {
-      raw.select(col(RecId) +: svs.map { case (sp, i) =>
+      withDec.select(col(RecId) +: svs.map { case (sp, i) =>
         val (c, n) = compileField(fieldAt(i), sp); c.as(n)
       }: _*)
     } else {
       val arrays = (vms ++ vss).map { case (sp, i) =>
-        split(fieldAt(i), java.util.regex.Pattern.quote(FdSep)).as(outputName(sp))
+        elemsAt(i).as(outputName(sp))
       }
       val svPairs = svs.map { case (sp, i) => compileField(fieldAt(i), sp) }
-      val zipped = raw.select((col(RecId) +: svPairs.map { case (c, n) => c.as(n) }) :+
+      val zipped = withDec.select((col(RecId) +: svPairs.map { case (c, n) => c.as(n) }) :+
         posexplode_outer(arrays_zip(arrays: _*)).as(Seq("pos", "mv")): _*)
       val vmCols = vms.map { case (sp, _) =>
         val (c, n) = compileField(col("mv").getField(outputName(sp)), sp)
@@ -277,7 +290,9 @@ object SchemaConverter {
       }
       val vsCols = vss.map { case (sp, _) =>
         transform(
-          split(col("mv").getField(outputName(sp)), java.util.regex.Pattern.quote(FcSep)),
+          org.apache.spark.sql.GraftBridge.column(graft.plans.SplitChar(
+            org.apache.spark.sql.GraftBridge.expression(
+              col("mv").getField(outputName(sp))), FcSep)),
           e => compileField(e, sp)._1
         ).as(outputName(sp) + "_VS")
       }

@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Properties}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{SimHash64, WordShingles}
+import graft.plans.{MvOps, SimHash64, WordShingles}
 
 /** ScalaCheck properties over the pure compute kernels of the native
   * expressions (no Spark session — these run per-row on executors, so
@@ -337,5 +337,78 @@ object NativePropertySpec extends Properties("NativeKernels") {
       graft.operators.Y4mCodec.decode(
         ("YUV4MPEG2 " + s).getBytes("US-ASCII"))
       true
+    }
+
+  // ---- MvOps one-pass split kernels vs the composed regex chains ----
+  // (plans/MvExprs.scala replaces per-row Pattern.compile; these pin
+  // exact equivalence with the java.util.regex formulations)
+
+  private def gad2list(a: org.apache.spark.sql.catalyst.util.ArrayData): List[String] =
+    (0 until a.numElements()).map(a.getUTF8String(_).toString).toList
+
+  // content skewed toward the marker alphabet so split edges get hit
+  private val mvChar = Gen.frequency(
+    6 -> Gen.alphaNumChar, 3 -> Gen.oneOf('#', ':', 's', '0', '1', '9'),
+    1 -> Gen.oneOf('þ', 'ý', 'ü', '_', 'é', '中'))
+  private val mvStr = Gen.listOf(mvChar).map(_.mkString)
+
+  property("splitBytes == split(quote(sep), -1) for marker seps") =
+    forAll(mvStr, Gen.oneOf("þ", "ý", "ü", "_", "#|")) { (s, sep) =>
+      val exp = s.split(java.util.regex.Pattern.quote(sep), -1).toList
+      gad2list(MvOps.splitBytes(UTF8String.fromString(s),
+        sep.getBytes(java.nio.charset.StandardCharsets.UTF_8))) == exp
+    }
+
+  property("markerSplit == filter(regex split, non-empty)") =
+    forAll(mvStr) { s =>
+      val exp = s.split("(^s?[0-9]+:|#(s?[0-9]+:)?)", -1).filter(_.nonEmpty).toList
+      gad2list(MvOps.markerSplit(UTF8String.fromString(s))) == exp
+    }
+
+  // reference FEFD chain: unhex (Spark odd-length semantics) →
+  // ISO-8859-1 decode → split þ → split ý
+  private def feFdRef(hex: String): Option[List[List[String]]] = {
+    val hb = hex.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val odd = (hb.length & 1) != 0
+      val out = new Array[Byte](hb.length / 2 + (if (odd) 1 else 0))
+      var h = 0
+      for (i <- out.indices) {
+        if (i == 0 && odd) { out(0) = java.util.HexFormat.fromHexDigit(hb(0)).toByte; h = 1 }
+        else {
+          out(i) = ((java.util.HexFormat.fromHexDigit(hb(h)) << 4) |
+            java.util.HexFormat.fromHexDigit(hb(h + 1))).toByte
+          h += 2
+        }
+      }
+      val s = new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
+      Some(s.split(java.util.regex.Pattern.quote("þ"), -1).toList
+        .map(_.split(java.util.regex.Pattern.quote("ý"), -1).toList))
+    } catch { case _: IllegalArgumentException => None }
+  }
+
+  private val hexish = Gen.listOf(Gen.frequency(
+    8 -> Gen.oneOf("0123456789abcdefABCDEF".toSeq),
+    1 -> Gen.oneOf('g', 'z', ' '))).map(_.mkString)
+  private val realBlob = Gen.listOf(Gen.frequency(
+    6 -> Gen.asciiPrintableChar, 2 -> Gen.oneOf('þ', 'ý'),
+    1 -> Gen.oneOf('é', 'Ø'))).map(_.mkString)
+
+  property("feFdDecode == composed unhex∘latin1∘split chain (fuzz hex)") =
+    forAll(hexish) { hex =>
+      val got = Option(MvOps.feFdDecode(UTF8String.fromString(hex)))
+        .map(f => (0 until f.numElements()).toList.map(i =>
+          gad2list(f.getArray(i))))
+      got == feFdRef(hex)
+    }
+
+  property("feFdDecode round-trips a real latin-1 blob") =
+    forAll(realBlob) { s =>
+      val hex = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        .map(b => f"${b & 0xff}%02X").mkString
+      val got = Option(MvOps.feFdDecode(UTF8String.fromString(hex)))
+        .map(f => (0 until f.numElements()).toList.map(i =>
+          gad2list(f.getArray(i))))
+      got == feFdRef(hex)
     }
 }

@@ -152,6 +152,11 @@ class PlanSpec extends AnyFunSuite {
     assert(generates == 1, s"expected exactly one Generate, found $generates")
     assert(!p.contains("hashpartitioning"),
       "FE/FD decode must not key-shuffle — it is a pure per-row expansion")
+    // the decode must be the fused native expression, not the composed
+    // regex chain (which Pattern.compiles per row — SURVEY §6d)
+    assert(p.contains("mv_decode"), "expected the native mv_decode")
+    assert(!p.contains("\\Q"),
+      "no Pattern.quote regex split may remain on the blob path")
   }
 
   test("q42: one shared late-line exchange feeds both consumers, no cartesian") {
