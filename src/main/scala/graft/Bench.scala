@@ -30,6 +30,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // codegen-fallback gate: a query that falls out of whole-stage
+      // codegen (Janino compile failure — the JIT cliff SURVEY §6c
+      // tracks) must ABORT the bench, not silently run interpreted and
+      // report a mystery 50× row. Fallback count = 0 is asserted by
+      // construction; the JSON line records the gate was armed.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -155,7 +161,7 @@ object Bench {
       if (small.isEmpty) ""
       else s""","sf_small":"${smallDir.get}","total_small":${small.values.sum},"queries_small":${js(small)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$outlierJson$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir","codegen_fallback":"disallowed"$outlierJson$extra}"""
     println(line)
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))

@@ -37,6 +37,16 @@ object Native {
     GraftBridge.column(graft.plans.PqAdc(
       GraftBridge.expression(lut), GraftBridge.expression(code), ks))
 
+  /** SQ8 codes under global per-dimension min/max quantization. */
+  def sq8Encode(v: Column, mns: Array[Double], mxs: Array[Double]): Column =
+    GraftBridge.column(graft.plans.Sq8Encode(
+      GraftBridge.expression(v), mns.toSeq, mxs.toSeq))
+
+  /** Query · midpoint-reconstruction inner product over SQ8 codes. */
+  def sq8Score(q: Column, code: Column, mns: Array[Double], scales: Array[Double]): Column =
+    GraftBridge.column(graft.plans.Sq8Score(
+      GraftBridge.expression(q), GraftBridge.expression(code), mns.toSeq, scales.toSeq))
+
   /** One-pass winnowing fingerprints of a token array. */
   def winnowFingerprints(tokens: Column, k: Int, w: Int, modulus: Long): Column =
     GraftBridge.column(graft.plans.WinnowFingerprints(

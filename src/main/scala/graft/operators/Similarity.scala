@@ -157,26 +157,19 @@ object Similarity {
     val mxs = statsRow.getSeq[Double](1).toArray
     val cents = bootCentroids(corpus, nlist)
     val centScores = centScoresFor(cents) _
-    // cell + code: the only columns that ever leave the corpus scan
-    val codeArr = array((0 until dim).map { i =>
-      // A constant dimension (mx == mn) would divide 0/0 → NaN, whose
-      // floor/least ordering differs between engines; emit code 0 so the
-      // midpoint reconstruction degenerates to min, matching the oracle.
-      if (mxs(i) == mns(i)) lit(0)
-      else {
-        val x = element_at(col("ce"), i + 1).cast("double")
-        least(floor((x - lit(mns(i))) * lit(255.0) / lit(mxs(i) - mns(i))),
-          lit(255L)).cast("int")
-      }
-    }: _*)
+    // cell + code: the only columns that ever leave the corpus scan.
+    // Encode and score are NATIVE loop expressions (plans/Sq8Exprs):
+    // the formerly-composed 64-element array() + 64-term sum unrolled
+    // past Janino's 64 KB method limit, which made the whole stage
+    // silently fall back to interpreted execution (caught by the
+    // bench's codegen-fallback gate). Same math, same zero-range
+    // guard (code 0), same d-ascending double fold — oracle unchanged.
     val codes = cellAssign(corpus, centScores)
-      .select(col("cand_id"), col("cell"), codeArr.as("code"))
+      .select(col("cand_id"), col("cell"),
+        Native.sq8Encode(col("ce"), mns, mxs).as("code"))
     val q = ivfQueries(queries, centScores, nlist, nprobe)
-    val score = (0 until dim).map { i =>
-      element_at(col("qe"), i + 1).cast("double") *
-        (lit(mns(i)) + (element_at(col("code"), i + 1).cast("double") + lit(0.5)) *
-          lit((mxs(i) - mns(i)) / 255.0))
-    }.reduce(_ + _)
+    val scales = Array.tabulate(dim)(i => (mxs(i) - mns(i)) / 255.0)
+    val score = Native.sq8Score(col("qe"), col("code"), mns, scales)
     val scored = codes.join(broadcast(q), "cell")
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"), score.as("sq_ip"))

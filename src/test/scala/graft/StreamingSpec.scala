@@ -194,6 +194,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 0L)
   }
 
+  test("crash recovery: kill after a torn epoch, restart from checkpoint, equal the uninterrupted run") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // The exactly-once claim is: deterministic transform + per-epoch
+    // overwrite sink + checkpoint = a crash anywhere between the sink
+    // write and the epoch commit is invisible in the final output.
+    // This test manufactures exactly that crash state instead of
+    // hoping a timed kill lands inside the window: stop the query,
+    // delete the epoch's commit marker (crash BEFORE commit), and
+    // tear the epoch's sink output (crash MID-write), then restart.
+    val base = JF.createTempDirectory("graft_crash").toString
+    val inDir = s"$base/in"; JF.createDirectories(JP.get(inDir))
+    def addFile(n: Int, rows: Seq[(Long, String, String)]): Unit =
+      JF.write(JP.get(s"$inDir/f$n.csv"),
+        rows.map { case (i, l, s) => s"$i,$l,$s" }.mkString("\n").getBytes)
+    val rates = Seq(("en", "src0", 3L, 1L))
+      .toDF("lang", "source", "cnt", "mincnt").cache()
+    val schema = new StructType()
+      .add("doc_id", "long").add("lang", "string").add("source", "string")
+    def start(out: String, ckpt: String) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).csv(inDir)
+      Pipelines.streamStratifiedSample(stream, rates)
+        .writeStream.foreachBatch(Pipelines.idempotentParquetSink(out))
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    def snapshot(out: String): Seq[(Long, String, String, Int)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[String]("source"), r.getAs[Int]("batch"))).sorted.toSeq
+    // one file per epoch (maxFilesPerTrigger=1): f0, f1 now, f2 later
+    addFile(0, (1L to 30L).map(i => (i, "en", "src0")))
+    addFile(1, (31L to 60L).map(i => (i, "en", "src0")))
+    // ---- crashed run: epochs 0-1, then the manufactured crash ----
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val q1 = start(out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(JF.exists(JP.get(s"$ckpt/commits/1")), "precondition: epoch 1 committed")
+    // crash state A: epoch 1 wrote its output but never committed.
+    // The local-fs CheckpointFileManager renames (marker, .crc sibling)
+    // as one unit, so a crash loses both — delete both; leaving the
+    // stale .crc behind would manufacture a state no crash produces
+    // (and Spark rightly rejects it as concurrent checkpoint use).
+    JF.delete(JP.get(s"$ckpt/commits/1"))
+    JF.deleteIfExists(JP.get(s"$ckpt/commits/.1.crc"))
+    // crash state B: the write itself was torn — drop one part file
+    val batch1 = JP.get(s"$out/batch=1")
+    val part = JF.list(batch1).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    JF.delete(part)
+    // more input arrives while "down"
+    addFile(2, (61L to 90L).map(i => (i, "en", "src0")))
+    // ---- restart from the same checkpoint ----
+    val q2 = start(out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // ---- reference: the same 3 files, never interrupted ----
+    val qr = start(s"$base/ref_out", s"$base/ref_ckpt")
+    qr.processAllAvailable(); qr.stop()
+    val recovered = snapshot(out)
+    assert(recovered == snapshot(s"$base/ref_out"),
+      "recovered output must equal the uninterrupted run exactly")
+    // the replay really did re-execute epoch 1 (not just skip it)
+    assert(recovered.exists(_._4 == 1) && recovered.exists(_._4 == 2))
+  }
+
   test("idempotent sink: replaying an epoch overwrites, never duplicates") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
