@@ -128,37 +128,37 @@ object GenData {
       col("event_type"), col("value"), col("props")),
       s"$out/events.parquet", files(events.count() * copies))
 
-    // documents: copy-specific vocabulary rotation + deterministic
-    // token shuffle for c > 0 (see scaladoc); copy 0 is verbatim
+    // documents: copy-specific Caesar letter shift for c > 0; copy 0
+    // is verbatim. A WORD-level rotation of the source vocabulary is
+    // NOT enough: the driver's synthetic corpus draws from a tiny
+    // (~60-word) pool, so rotated copies re-use the same pool and
+    // SimHash (unigram-frequency-based) still finds dense cross-copy
+    // near-dups — measured 86k pairs at sf1 vs 2.3k at sf0.1 (38×
+    // for 10× data, quadratic densification). A per-copy bijection of
+    // the LETTERS is length-preserving, commutes with lowercasing,
+    // keeps every intra-copy relationship (token frequencies, shingle
+    // sets, token order, winnow/passage structure) EXACTLY the
+    // source's, and makes cross-copy token sets disjoint no matter
+    // how small the vocabulary — near-dup structure scales linearly
+    // by construction. (Caveat, documented in SURVEY §6h: shifted
+    // copies defeat English-specific heuristics — stopword ratios,
+    // char-n-gram langid — so d2/d3-style score DISTRIBUTIONS at sfN
+    // differ from the source's; the per-row compute cost they time is
+    // unchanged.)
     val docs = tbl("documents")
     val sd = stride(docs, "doc_id")
-    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "").distinct()
-      .orderBy("t").collect().map(_.getString(0))
-    val v = vocab.length
-    val vocabArr = array(vocab.map(lit): _*)
-    val idxMap = map(vocab.zipWithIndex.flatMap {
-      case (w, i) => Seq(lit(w), lit(i))
-    }: _*)
-    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
-    // rotation step 7 is coprime with any realistic vocab size > 7; a
-    // doc's token SET lands on a near-disjoint rotated set, so
-    // cross-copy Jaccard collapses below near-dup thresholds
-    val rotated = transform(toks, t =>
-      coalesce(
-        element_at(vocabArr,
-          ((element_at(idxMap, t) + lit(7) * col("copy")) % v + 1).cast("int")),
-        t))
-    val shuffledText = array_join(
-      transform(
-        array_sort(transform(rotated, (t, i) => struct(
-          xxhash64(t, i, col("doc_id"), col("copy")).as("k"), t.as("t")))),
-        kv => kv.getField("t")),
-      " ")
-    val newText = when(col("copy") === 0, col("text")).otherwise(shuffledText)
+    val lowerAz = "abcdefghijklmnopqrstuvwxyz"
+    val upperAz = lowerAz.toUpperCase
+    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+    val newText = (1 until copies).foldLeft(
+      when(col("copy") === 0, col("text"))) { (acc, c) =>
+      acc.when(col("copy") === c,
+        translate(col("text"), lowerAz + upperAz,
+          rot(lowerAz, c % 26) + rot(upperAz, c % 26)))
+    }.otherwise(col("text")) // copies beyond 26 wrap onto earlier shifts
     write(replicate(docs, copies).select(
       shifted("doc_id", sd), newText.as("text"), col("lang"), col("source"),
-      length(newText).cast("long").as("n_chars")),
+      col("n_chars")),
       // docs/embeddings are small on disk but heavy per row (shingle
       // explodes, vector math): parallelize the narrow pre-shuffle
       // stage explicitly instead of by byte count
