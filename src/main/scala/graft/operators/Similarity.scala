@@ -15,6 +15,39 @@ import graft.functions.{Native, Vectors}
   */
 object Similarity {
 
+  /** Layout-stable hyperplane pool: every LSH table owns
+    * `MaxPlanesPerTable` consecutive planes of one deterministic pool,
+    * the native expression always computes the FULL 16-bit bucket, and
+    * a build that wants p < 16 planes per table masks the bucket to its
+    * low p bits. Growing p therefore REFINES existing buckets (each
+    * splits in two) instead of reshuffling them — and the SQL oracle
+    * can reproduce any p by masking the same embedded plane pool. */
+  private[graft] val MaxPlanesPerTable = 16
+
+  /** Planes per table for a corpus of `n` vectors: the smallest
+    * p ∈ [4, 16] with 32·2^p ≥ n, i.e. expected bucket occupancy is
+    * held ≤ ~32 per table as the corpus grows. A FIXED p is the
+    * quadratic-densification trap this repo measured at the
+    * sf0.1→sf1 decade: with 8 tables × 2^4 buckets the band self-join
+    * grew ~100× for 10× data (e4 16.3×, e8 15.0× wall-clock ratios);
+    * occupancy-held bucketing keeps candidate volume ~32·nTables·n/2,
+    * linear in n at ANY corpus size. Pure integer comparison so the
+    * DuckDB oracle derives the identical p from count(*). */
+  private[graft] def autoPlanes(n: Long): Int =
+    (4 to MaxPlanesPerTable).find(j => (32L << j) >= n)
+      .getOrElse(MaxPlanesPerTable)
+
+  /** The banded (id, tbl, bucket) map shared by every sign-LSH surface:
+    * full-width buckets from the stable pool, masked to `p` bits. */
+  private def bandedLsh(df: DataFrame, idCol: String, p: Int,
+                        nTables: Int, dim: Int): DataFrame = {
+    val planes = Vectors.randomPlanes(nTables * MaxPlanesPerTable, dim)
+    df.select(col(idCol),
+        posexplode(Native.lshBuckets(col("embedding"), planes, MaxPlanesPerTable))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("bucket", col("bucket").bitwiseAND(lit((1L << p) - 1)))
+  }
+
   /** Brute-force cosine top-k: every query against the full corpus.
     * `queries` must be small (it is broadcast). Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -73,14 +106,21 @@ object Similarity {
     * and the only wide operation is the equi-join on that key against
     * the broadcast query side, so the corpus shuffles at most once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = Vectors.randomPlanes(nTables * planesPerTable, dim)
+              nTables: Int = 8, planesPerTable: Int = 0, dim: Int = 64): DataFrame = {
+    // planesPerTable = 0 → auto-tune from corpus size (occupancy-held
+    // bucketing; see autoPlanes): per-query candidate volume stays
+    // ~32·nTables instead of growing linearly with the corpus
+    val p = if (planesPerTable > 0) planesPerTable else autoPlanes(corpus.count())
+    val planes = Vectors.randomPlanes(nTables * MaxPlanesPerTable, dim)
     def buckets(v: org.apache.spark.sql.Column) =
-      graft.functions.Native.lshBuckets(v, planes, planesPerTable)
+      graft.functions.Native.lshBuckets(v, planes, MaxPlanesPerTable)
+    val mask = lit((1L << p) - 1)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+      .withColumn("bucket", col("bucket").bitwiseAND(mask))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+      .withColumn("bucket", col("bucket").bitwiseAND(mask))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("qe"), col("cand_id"), col("ce"))
@@ -105,16 +145,17 @@ object Similarity {
     * when the scan (wide rows, remote storage) dominates the cheap
     * bucketing map; at bench scale the forced exchange costs more. */
   def lshNearDupPairs(corpus: DataFrame, minCos: Double,
-                      nTables: Int = 8, planesPerTable: Int = 4,
+                      nTables: Int = 8, planesPerTable: Int = 0,
                       dim: Int = 64, singleScan: Boolean = false): DataFrame = {
-    val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, dim)
+    // planesPerTable = 0 → auto-tune from corpus size: a fixed p makes
+    // the band self-join quadratic (occupancy grows with n); the
+    // occupancy-held p keeps candidate pairs ~32·nTables·n/2, linear
+    val p = if (planesPerTable > 0) planesPerTable else autoPlanes(corpus.count())
     // banded rows carry ONLY (vec_id, tbl, bucket): candidate pairs and
     // their dedup exchange move 16-byte keys, not embedding payloads
     // (shipping vectors through an 8-way band explosion is the
     // 100 TB shuffle sin); vectors join back by id for the verify pass
-    val banded = corpus.select(col("vec_id"),
-      posexplode(graft.functions.Native.lshBuckets(col("embedding"), planes, planesPerTable))
-        .as(Seq("tbl", "bucket")))
+    val banded = bandedLsh(corpus, "vec_id", p, nTables, dim)
     // with singleScan, both self-join sides become canonically identical
     // exchanges that AQE stage reuse executes ONCE (the simhashNearDups
     // shape, gated in PlanSpec)
@@ -248,12 +289,12 @@ object Similarity {
     * near-dup pairs the graph is DIRECTED: each node ranks all its
     * own bucket-mates, so (a → b) can exist without (b → a). */
   def knnGraph(corpus: DataFrame, k: Int,
-               nTables: Int = 8, planesPerTable: Int = 4,
+               nTables: Int = 8, planesPerTable: Int = 0,
                dim: Int = 64): DataFrame = {
-    val planes = Vectors.randomPlanes(nTables * planesPerTable, dim)
-    val banded = corpus.select(col("vec_id"),
-      posexplode(Native.lshBuckets(col("embedding"), planes, planesPerTable))
-        .as(Seq("tbl", "bucket")))
+    // planesPerTable = 0 → auto-tune (see autoPlanes): the corpus-wide
+    // band self-join stays linear in n because occupancy is held ~32
+    val p = if (planesPerTable > 0) planesPerTable else autoPlanes(corpus.count())
+    val banded = bandedLsh(corpus, "vec_id", p, nTables, dim)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))

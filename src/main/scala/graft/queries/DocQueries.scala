@@ -478,13 +478,17 @@ object DocQueries {
         .select(col("s_suppkey").cast("long")).as[Long]
         .flatMap { sid =>
           val (w, h) = (16, 8)
-          // per-supplier gradient slope diversifies the hashes (a
-          // constant slope would make EVERY image a near-dup of every
-          // other — O(n²) pairs through one hot band bucket)
-          val k = 3 + 2 * (sid % 13)
+          // xor-mixed per-(sid, pixel) pattern: hash ENTROPY must grow
+          // with the corpus. The earlier 13-family gradient slope gave
+          // every image ~n/13 hash-near neighbors — a quadratic pair
+          // count, measured as a 13.4× wall-clock ratio at the
+          // sf0.1→sf1 decade (SURVEY §6h). Mixed patterns make
+          // cross-supplier dhash bits independent coins, so the only
+          // surviving pairs are each supplier's delta-twins — linear
+          // at any corpus size, like real photo corpora.
           def img(delta: Int) = graft.operators.PpmCodec.encode(w, h,
             Array.tabulate[Byte](w * h * 3)(i =>
-              (((sid * 31 + i * k) % 254) + delta).toByte))
+              ((((sid * 2654435761L) ^ (i * 1103515245L)) % 254) + delta).toByte))
           Seq((sid * 2, img(0)), (sid * 2 + 1, img(1)))
         }
       val hashed = graft.operators.Multimodal.hashImages(media).toDF()
@@ -689,16 +693,15 @@ object DocQueries {
         .select(col("s_suppkey").cast("long")).as[Long]
         .map { sid =>
           val (w, h) = (16, 8)
-          // slope > 127 wraps the 254-modulus every other pixel, so
-          // comparison bits flip often → diverse hashes (a small slope
-          // makes almost every comparison "increasing" and hashes
-          // cluster near all-ones — the hot-band trap, measured: 611
-          // colliding video pairs per 100 at k=3+2*(sid%13), 8 here)
-          val k = 129 + 2 * (sid % 63)
-          // frame f = frame 0 re-brightened by +f: dHash-identical
+          // xor-mixed per-(sid, pixel) luma (same rationale as m5: the
+          // 63-family gradient slope made cross-video collisions
+          // quadratic — a 30.4× wall-clock ratio at the sf0.1→sf1
+          // decade, SURVEY §6h); frame f = frame 0 re-brightened by
+          // +f, so each video's 3 frames stay dHash-identical and the
+          // pair count is 3 per video — linear by construction
           val frames = Array.tabulate(3)(f =>
             Array.tabulate[Byte](w * h)(i =>
-              (((sid * 31 + i * k) % 254) + f).toByte))
+              ((((sid * 2654435761L) ^ (i * 2246822519L)) % 254) + f).toByte))
           (sid, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames))
         }
       val hashed = graft.operators.Multimodal.hashVideoFrames(media, stride = 1)
@@ -1369,16 +1372,16 @@ object DocQueries {
     // trick); pairs brute-force in SQL — the banded Spark join has
     // COMPLETE recall at hamming ≤ 3 by pigeonhole, so the sets match
     "m5_image_phash" -> {
-      val grayExpr = "((sid*31 + (p*3)*kk) % 254 + (sid*31 + (p*3+1)*kk) % 254 + " +
-        "(sid*31 + (p*3+2)*kk) % 254 + 3*delta) // 3"
+      def px(o: String) = s"xor(sid*2654435761, ($o)*1103515245) % 254"
+      val grayExpr =
+        s"(${px("p*3")} + ${px("p*3+1")} + ${px("p*3+2")} + 3*delta) // 3"
       val terms = (0 until 64).map { b =>
         val i = (b / 8) * 16 + (b % 8) + 1
         val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
         s"(CASE WHEN gl[$i] < gl[${i + 1}] THEN $w ELSE 0 END)"
       }.mkString("\n    + ")
       s"""WITH imgs AS (
-         |  SELECT s_suppkey * 2 + dlt.d AS id, s_suppkey AS sid,
-         |    3 + 2 * (s_suppkey % 13) AS kk, dlt.d AS delta
+         |  SELECT s_suppkey * 2 + dlt.d AS id, s_suppkey AS sid, dlt.d AS delta
          |  FROM supplier CROSS JOIN (VALUES (0), (1)) dlt(d)),
          |g AS (SELECT id, list_transform(generate_series(0, 127),
          |    p -> $grayExpr) AS gl FROM imgs),
@@ -1501,15 +1504,14 @@ object DocQueries {
     // the brute-force pairing runs over per-video hashes expanded to
     // frame ids — exactly what the banded join computes
     "m6_video_frame_dedup" -> {
-      val lumExpr = "(sid*31 + p*kk) % 254"
+      val lumExpr = "xor(sid*2654435761, p*2246822519) % 254"
       val terms = (0 until 64).map { b =>
         val i = (b / 8) * 16 + (b % 8) + 1
         val w = if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
         s"(CASE WHEN gl[$i] < gl[${i + 1}] THEN $w ELSE 0 END)"
       }.mkString("\n    + ")
       s"""WITH v AS (
-         |  SELECT s_suppkey AS sid, 129 + 2 * (s_suppkey % 63) AS kk
-         |  FROM supplier),
+         |  SELECT s_suppkey AS sid FROM supplier),
          |g AS (SELECT sid, list_transform(generate_series(0, 127),
          |    p -> $lumExpr) AS gl FROM v),
          |h AS (SELECT sid, $terms AS dhash FROM g),

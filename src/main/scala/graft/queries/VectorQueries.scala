@@ -234,6 +234,19 @@ object VectorQueries {
     * embedded as double literals (Double.toString round-trips exactly
     * through strtod), and the projections fold sequentially in double —
     * bit-identical bucketing, so the LSH query gets a FULL oracle. */
+  /** Bucket-width mask CTE: the same occupancy-held p the Spark side
+    * derives (Similarity.autoPlanes — smallest p ∈ [4,16] with
+    * 32·2^p ≥ count(*)) as a one-row msk = 2^p − 1, so
+    * `bks[i] & pp.msk` reproduces the Spark bucket masking at ANY
+    * corpus size. Pure integer arithmetic on both engines, so the
+    * oracle stays full-fidelity at every SF, not just the one the
+    * driver happens to verify at. */
+  private val lshMaskSql: String =
+    """pp AS (SELECT (1::BIGINT << COALESCE((SELECT MIN(g.j)
+      |    FROM generate_series(4, 16) g(j)
+      |    WHERE (32::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)), 16)) - 1
+      |  AS msk)""".stripMargin
+
   private def lshBucketsSql(vec: String, nTables: Int, planesPerTable: Int): String = {
     val planes = graft.functions.Vectors.randomPlanes(nTables * planesPerTable, 64)
     def proj(p: Array[Double]) =
@@ -359,11 +372,12 @@ object VectorQueries {
          |    FROM (SELECT q_id, cand_id, $cosQC AS cos
          |          FROM cs0, qs0 WHERE cand_id <> q_id) s) t
          |  WHERE rank <= 10),
-         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
-         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
-         |qb AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) WHERE vec_id < 5),
+         |$lshMaskSql,
+         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
+         |qb AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp WHERE vec_id < 5),
          |cand AS (SELECT DISTINCT q_id, qe, cand_id, ce
          |         FROM c JOIN qb USING (tbl, bucket) WHERE cand_id <> q_id),
          |approx AS (
@@ -407,11 +421,12 @@ object VectorQueries {
 
     "e2_ann_lsh" -> {
       val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
-      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
-         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
-         |qs AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) WHERE vec_id < 5),
+      s"""WITH $lshMaskSql,
+         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp WHERE vec_id < 5),
          |cand AS (SELECT DISTINCT q_id, qe, cand_id, ce
          |         FROM c JOIN qs USING (tbl, bucket) WHERE cand_id <> q_id),
          |scored AS (
@@ -554,9 +569,10 @@ object VectorQueries {
 
     "e8_knn_graph" -> {
       val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
-      s"""WITH base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
-         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+      s"""WITH $lshMaskSql,
+         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
+         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
          |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
          |    x.embedding AS ae, y.embedding AS be
          |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
@@ -700,9 +716,10 @@ object VectorQueries {
     * (mirrors Similarity.lshNearDupPairs with the e2 plane constants). */
   private def lshPairsSql: String = {
     val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
-    s"""base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 4)} AS bks FROM embeddings),
-       |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-       |      FROM base CROSS JOIN (VALUES $tbls) t(tbl)),
+    s"""$lshMaskSql,
+       |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
+       |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+       |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
        |    x.embedding AS ae, y.embedding AS be
        |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
