@@ -16,9 +16,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one driver-generated parquet table from an sf directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one driver-generated parquet table from an sf directory.
+    *
+    * `events.ts` has shifted physical type across testdata generations
+    * (INT64 TIMESTAMP(NANOS) read as Long via the nanosAsLong legacy
+    * conf, later TIMESTAMP(MICROS) which Spark reads as TIMESTAMP_NTZ).
+    * The engine's contract is the original one — `ts` is a Long of
+    * nanoseconds since the epoch — so the scan normalizes whatever the
+    * file carries back to that type here, in the one place all queries
+    * read through. DuckDB oracles are unaffected either way: it maps
+    * both generations to a timestamp, and `epoch_us(ts)` is
+    * generation-independent there.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // NTZ→LTZ cast interprets the naive value in the session zone;
+        // the engine pins UTC (Engine.configure), matching DuckDB's
+        // naive-as-is epoch_us
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            df.col("ts").cast(org.apache.spark.sql.types.TimestampType)) *
+            org.apache.spark.sql.functions.lit(1000L))
+    }
+  }
 
   /** CSV source with optional explicit schema (inference otherwise). */
   def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
