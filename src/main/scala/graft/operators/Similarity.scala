@@ -245,26 +245,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cluster count for a SemDeDup corpus of `n` vectors: the smallest
+    * power of two in [16, 4096] whose expected cell occupancy n/nlist
+    * is ≤ 64. A FIXED nlist is the quadratic-densification trap this
+    * repo measured at the sf0.1→sf1 decade (e13 13.5× wall-clock for
+    * 10× data, isolated re-measure confirming it was pair volume, not
+    * JIT): within-cell pairs total n²/(2·nlist), so holding occupancy
+    * makes them ≤ 32·n — linear — exactly the published SemDeDup
+    * posture, where cluster count grows with the corpus (the paper
+    * runs ~100k clusters). Pure-integer rule so the DuckDB oracle
+    * derives the identical nlist from count(*). Above the 4096 cap
+    * the coarse assignment (n·nlist scores) would dominate; the real
+    * 100 TB path there is a hierarchical coarse quantizer (two-level
+    * IMI / HNSW assigner), documented in SURVEY §6h. */
+  private[graft] def autoNlist(n: Long): Int =
+    (4 to 12).map(1 << _).find(p => p.toLong * 64L >= n).getOrElse(4096)
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
-    * clustering: assign every vector to a coarse cell (the same
-    * deterministic bootstrap centroids as [[ivfTopK]], so cell geometry
-    * is SQL-derivable), generate candidate pairs ONLY within a cell,
-    * verify with exact cosine, and drop the higher-id member of every
-    * pair at or above `minCos` (a deterministic keeper in place of the
-    * paper's centroid-distance rule — same dedup set shape, oracle-
-    * exact). Complements [[lshNearDupPairs]] (e4/e6): hyperplane
-    * buckets catch near-identical vectors with tunable recall; cells
-    * partition the space exhaustively, so within-cell dedup is the
-    * published semantic-prune shape for LLM training corpora. The
-    * candidate self-join carries ONLY (vec_id, cell) — embeddings join
-    * back by id for the verify pass — and both sides share one
-    * canonical cell exchange. At real scale nlist grows with the corpus
-    * (SemDeDup runs ~100k clusters) so per-cell pair counts stay
-    * bounded; nlist=16 matches the test-SF cell geometry of e3. */
-  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 16): DataFrame = {
-    val cents = bootCentroids(corpus, nlist)
-    val cells = cellAssign(corpus, centScoresFor(cents))
-      .select(col("cand_id").as("vec_id"), col("cell"))
+    * clustering: assign every vector to a coarse cell (centroids = the
+    * first nlist corpus vectors, the same deterministic bootstrap rule
+    * as [[ivfTopK]], so cell geometry is SQL-derivable), generate
+    * candidate pairs ONLY within a cell, verify with exact cosine, and
+    * drop the higher-id member of every pair at or above `minCos` (a
+    * deterministic keeper in place of the paper's centroid-distance
+    * rule — same dedup set shape, oracle-exact). Complements
+    * [[lshNearDupPairs]] (e4/e6): hyperplane buckets catch
+    * near-identical vectors with tunable recall; cells partition the
+    * space exhaustively, so within-cell dedup is the published
+    * semantic-prune shape for LLM training corpora. The candidate
+    * self-join carries ONLY (vec_id, cell) — embeddings join back by
+    * id for the verify pass — and both sides share one canonical cell
+    * exchange.
+    *
+    * nlist = 0 (default) auto-scales with the corpus ([[autoNlist]]).
+    * Assignment is a broadcast join against the ≤4096-row centroid
+    * side with a map-side max_by argmax — NOT the inlined-literal
+    * centroid expression the probe-query family uses: at nlist ≥ ~128
+    * the literal form outgrows Janino method limits, and the n·nlist
+    * score rows here collapse to n rows in the partial aggregate, so
+    * nothing wide ever shuffles. */
+  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 0): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    // centroids = first nlist vectors; vec_ids are dense from 0 (the
+    // bootCentroids orderBy/limit rule expressed as a pushable filter)
+    val cents = corpus.filter(col("vec_id") < nl)
+      .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+    val cells = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosine(col("embedding"), col("centv")).as("cs"))
+      // argmax cell per vector: max of (cs, -cid) picks the highest
+      // score, lowest cid on ties — bit-identical to the oracle's
+      // ROW_NUMBER ORDER BY cs DESC, cid
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m")("ncid")).as("cell"))
       .repartition(col("cell"))
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -156,8 +156,11 @@ object VectorQueries {
     // SemDeDup (arXiv:2303.09540): cluster-then-prune semantic dedup —
     // the published LLM-corpus curation pipeline; candidates only ever
     // come from within a coarse cell (narrow (vec_id, cell) rows through
-    // the self-join), exact-cosine verify, higher-id member drops; full
-    // oracle reusing the e3 cell derivation
+    // the self-join), exact-cosine verify, higher-id member drops. The
+    // cluster count is occupancy-held (Similarity.autoNlist — the
+    // paper's own posture: clusters grow with the corpus), which keeps
+    // within-cell pairs linear in n; full oracle deriving the identical
+    // nlist from count(*)
     "e13_semdedup" -> q { (s, d) =>
       Similarity.semDedup(table(s, d, "embeddings"), minCos = 0.35)
         .select("vec_id")
@@ -260,23 +263,43 @@ object VectorQueries {
     buckets.map(b => s"($b)").mkString("[", ", ", "]")
   }
 
+  private lazy val cellCosInSql: String =
+    """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+      |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
   /** The IVF cell derivation (bootstrap centroids → per-vector cosine
-    * scores → argmax cell), shared by the ANN oracles (e3/e11) and the
-    * SemDeDup oracle (e13) — one geometry, SQL-derived once. */
-  private lazy val ivfCellCtes: String = {
-    val cosInSql =
-      """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
-        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
-        |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+    * scores → argmax cell), shared by the ANN oracles (e3/e11) — the
+    * probe-query geometry, fixed nlist=16. */
+  private lazy val ivfCellCtes: String =
     s"""cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
        |cscore AS (
-       |  SELECT e.vec_id, cc.cid, $cosInSql AS cs
+       |  SELECT e.vec_id, cc.cid, $cellCosInSql AS cs
        |  FROM embeddings e CROSS JOIN cents cc),
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |  FROM cscore) t WHERE rn = 1)""".stripMargin
-  }
+
+  /** The SemDeDup cell derivation (e13): same bootstrap-centroid
+    * geometry, but nlist is OCCUPANCY-HELD — the smallest power of two
+    * in [16, 4096] with nlist·64 ≥ count(*) (Similarity.autoNlist),
+    * derived here from count(*) by the same pure-integer rule so the
+    * oracle tracks the operator at any SF. A fixed nlist makes
+    * within-cell pairs n²/(2·nlist) — the quadratic trap the
+    * sf0.1→sf1 decade bench measured at 13.5×. */
+  private lazy val semCellCtes: String =
+    s"""nl AS (SELECT (1::BIGINT << COALESCE((SELECT MIN(g.j)
+       |    FROM generate_series(4, 12) g(j)
+       |    WHERE (64::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)), 12)) AS nlist),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < (SELECT nlist FROM nl)),
+       |cscore AS (
+       |  SELECT e.vec_id, cc.cid, $cellCosInSql AS cs
+       |  FROM embeddings e CROSS JOIN cents cc),
+       |cell AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM cscore) t WHERE rn = 1)""".stripMargin
 
   /** The IVF-SQ8 derivation (cells → probes → per-dim min/max stats →
     * 8-bit codes → midpoint-reconstruction inner products), shared by
@@ -449,7 +472,7 @@ object VectorQueries {
     "e11_ivf_delta" -> ivfSql,
 
     "e13_semdedup" ->
-      s"""WITH $ivfCellCtes,
+      s"""WITH $semCellCtes,
          |pairs AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id),

@@ -251,4 +251,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!default.contains("REPARTITION_BY_COL"),
       "default mode must not force the exchange (cheap-map recompute wins at bench scale)")
   }
+
+  test("semdedup: autoNlist holds expected cell occupancy at 64") {
+    // the pure-integer rule the DuckDB oracle re-derives from count(*):
+    // smallest power of two in [16, 4096] with nlist * 64 >= n
+    assert(Similarity.autoNlist(1) == 16)
+    assert(Similarity.autoNlist(1024) == 16)
+    assert(Similarity.autoNlist(1025) == 32)
+    assert(Similarity.autoNlist(6000) == 128)   // sf0.1
+    assert(Similarity.autoNlist(60000) == 1024) // sf1
+    assert(Similarity.autoNlist(4096L * 64) == 4096)
+    assert(Similarity.autoNlist(Long.MaxValue) == 4096) // capped
+  }
+
+  test("semdedup: auto geometry equals an explicit-nlist run") {
+    val n = emb.count()
+    val auto = Similarity.semDedup(emb, minCos = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val explicit = Similarity.semDedup(emb, minCos = 0.35,
+        nlist = Similarity.autoNlist(n))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(auto.nonEmpty && auto == explicit)
+  }
 }
