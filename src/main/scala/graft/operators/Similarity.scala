@@ -284,23 +284,51 @@ object Similarity {
     * the literal form outgrows Janino method limits, and the n·nlist
     * score rows here collapse to n rows in the partial aggregate, so
     * nothing wide ever shuffles. */
-  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 0): DataFrame = {
+  /** The occupancy-held SemDeDup cell map: (vec_id, cell) for every
+    * corpus vector, cell = argmax-cosine bootstrap centroid (highest
+    * score, lowest cid on ties — bit-identical to the oracles'
+    * ROW_NUMBER ORDER BY cs DESC, cid), repartitioned on cell so every
+    * consumer shares one canonical exchange. Assignment is a broadcast
+    * join against the ≤4096-row centroid side with a map-side max_by
+    * argmax — n·nlist score rows collapse to n in the partial
+    * aggregate, nothing wide shuffles. */
+  private[graft] def semCells(corpus: DataFrame, nlist: Int = 0): DataFrame = {
     val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
     // centroids = first nlist vectors; vec_ids are dense from 0 (the
     // bootCentroids orderBy/limit rule expressed as a pushable filter)
     val cents = corpus.filter(col("vec_id") < nl)
       .select(col("vec_id").as("cid"), col("embedding").as("centv"))
-    val cells = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         Vectors.cosine(col("embedding"), col("centv")).as("cs"))
-      // argmax cell per vector: max of (cs, -cid) picks the highest
-      // score, lowest cid on ties — bit-identical to the oracle's
-      // ROW_NUMBER ORDER BY cs DESC, cid
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("vec_id"), (-col("m")("ncid")).as("cell"))
       .repartition(col("cell"))
+  }
+
+  /** Cluster-level diversity sampling (e18): keep at most `k` vectors
+    * per SemDeDup cell, chosen by the portable multiplicative hash of
+    * vec_id (deterministic and engine-reproducible, like d15's corpus
+    * sample) — the cluster-balanced pruning step semantic curation
+    * runs AFTER semDedup removed near-duplicates: a cell that holds
+    * thousands of routine variants contributes k representatives, a
+    * rare cell keeps everything. rank ≤ k over a literal k plans as
+    * WindowGroupLimit, so each task keeps ≤ k rows per cell BEFORE the
+    * cell exchange — a million-vector cell ships k rows per input
+    * partition, never the cell. */
+  def diversitySample(corpus: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
+    val cells = semCells(corpus, nlist)
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(2147483647L))
+    val w = Window.partitionBy("cell").orderBy(h.asc, col("vec_id").asc)
+    cells.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("cell"), col("rank"))
+  }
+
+  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 0): DataFrame = {
+    val cells = semCells(corpus, nlist)
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))

@@ -945,6 +945,111 @@ object DocQueries {
         .withColumn("keep",
           (col("logit") >= 0).cast(org.apache.spark.sql.types.IntegerType))
         .orderBy("doc_id")
+    },
+
+    // cluster-aware dedup keeping the BEST member (d37): where d11
+    // keeps each duplicate group's lowest id, real curation keeps the
+    // highest-QUALITY copy (the boilerplate-stripped mirror beats the
+    // ad-laden original). Near-dup clusters come from the proven d20
+    // chain (banded SimHash pairs closed by pointer-jumping CC);
+    // quality is the d2 score computed in the scan projection (text
+    // never shuffles — only (doc_id, score) joins the narrow cluster
+    // map); the per-cluster argmax is one max_by aggregate (highest
+    // score, lowest doc_id on ties — matching the oracle's ROW_NUMBER
+    // order; d2's hash-green oracle proves the score doubles are
+    // bit-equal cross-engine, so the tie order is portable). Docs in
+    // no near-dup pair are their own singleton cluster.
+    "d37_dedup_keep_best" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val docs = table(s, d, "documents")
+      val quality = docs
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordCount(col("text")).as("n_stop"),
+          Text.punctCount(col("text")).as("n_punct"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"),
+          Text.qualityScore(col("n_tokens"),
+            col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType),
+            col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType))
+            .as("score"))
+      val clusters = Dedup.connectedComponents(Dedup.simhashNearDups(docs))
+        .select(col("id").as("doc_id"), col("cluster"))
+      quality.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("score"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster"), (-col("m")("nid")).as("kept_doc"),
+          col("n_members"), col("m")("score").as("score"))
+        .orderBy("cluster")
+    },
+
+    // temperature-scaled source resampling (d38): the mixture-
+    // flattening step of the published pretraining data recipes
+    // (GPT-3 / LLaMA sample sources ∝ count^α rather than raw size so
+    // a huge crawl can't drown the small high-quality sources). α=1/2
+    // here: each source's target = floor(sqrt(mincnt·cnt)) — the
+    // geometric mean of the smallest source and itself, exactly
+    // between full (α=1) and equal-allocation (α=0, which is d25).
+    // The keep decision is the d15/d25 divisionless portable-hash
+    // gate ((h mod M)·cnt < target·M, all-integer), so it is
+    // deterministic, engine-reproducible, and replay-stable; per-
+    // source stats broadcast, the corpus streams through one narrow
+    // filter. sqrt is IEEE-correctly-rounded so both engines compute
+    // the identical target from the identical integers.
+    "d38_temperature_mix" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val docs = table(s, d, "documents")
+      val c = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val m = c.agg(min(col("cnt")).as("mincnt"))
+      val t = c.crossJoin(broadcast(m))
+        .select(col("source"), col("cnt"),
+          floor(sqrt(col("mincnt").cast(DoubleType) * col("cnt").cast(DoubleType)))
+            .cast(LongType).as("target"))
+      val M = 1000003L
+      docs.join(broadcast(t), "source")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M
+          * col("cnt") < col("target") * M)
+        .groupBy("source", "cnt", "target")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    // corpus snapshot diff (d39): the report run between two crawl
+    // generations before any re-processing — which documents were
+    // added, removed, changed, or carried unchanged, per source. Two
+    // snapshot versions are synthesized deterministically from the one
+    // documents table (the d19/d23/d30 pattern: v1 drops doc_id%5==4,
+    // v2 drops doc_id%7==6 and edits doc_id%11==0 by prepending a
+    // revision marker), each reduced AT THE SCAN to (doc_id, source,
+    // fingerprint) — the d8 polynomial content fingerprint — so the
+    // full-outer join on doc_id ships 24-byte rows, never text.
+    // Classification is fingerprint equality; one keyed join + one
+    // grouped conditional aggregation.
+    "d39_corpus_diff" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("source").as("src1"),
+          Text.fingerprint(col("text")).as("fp1"))
+      val v2text = when(col("doc_id") % 11 === 0,
+        concat(lit("rev2 "), col("text"))).otherwise(col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), col("source").as("src2"),
+          Text.fingerprint(v2text).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("fp1").isNull, lit("added"))
+            .when(col("fp2").isNull, lit("removed"))
+            .when(col("fp1") === col("fp2"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .groupBy("source")
+        .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+        .orderBy("source")
     }
   )
 
@@ -1068,10 +1173,92 @@ object DocQueries {
       |          FROM documents) a) b) c""".stripMargin
   }
 
+  /** d37's oracle: the d20 transitive-closure clusters + the d2
+    * quality score, argmax per cluster (singletons cluster to
+    * themselves via the LEFT JOIN + COALESCE). */
+  private def dedupKeepBestOracle: String =
+    s"""WITH RECURSIVE $simhashPairsChain,
+       |e AS (SELECT a_id AS s, b_id AS t FROM prs WHERE hamming <= 3
+       |      UNION SELECT b_id, a_id FROM prs WHERE hamming <= 3),
+       |reach AS (SELECT s, t FROM e
+       |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+       |clu AS (SELECT s AS doc_id, least(s, MIN(t)) AS cluster
+       |  FROM reach GROUP BY s),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4*stop_ratio + 0.3*(1.0 - punct_ratio)
+       |      + 0.3*least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS score
+       |  FROM (
+       |    SELECT doc_id, n_tokens,
+       |      CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |      CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio
+       |    FROM (
+       |      SELECT doc_id,
+       |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |          w -> w IN ('the','a','and','of','to','in'))) AS n_stop,
+       |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+       |        length(text) AS n_chars
+       |      FROM documents) x) y),
+       |mem AS (SELECT q.doc_id, COALESCE(clu.cluster, q.doc_id) AS cluster, q.score
+       |  FROM q LEFT JOIN clu ON q.doc_id = clu.doc_id),
+       |sel AS (SELECT cluster, doc_id, score,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+       |  FROM mem)
+       |SELECT cluster, doc_id AS kept_doc, n_members, score
+       |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  /** The d8 content-fingerprint fold over an arbitrary text
+    * expression — shared by the d39 oracle's two synthesized snapshot
+    * versions so it can never drift from Text.fingerprint. */
+  private def fpSql(textExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_split_to_array(substring(lower($textExpr), 1, 64), ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a*31 + b) % 1000000000000000)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d7b_simhash_bands" -> simhashBandsOracle,
 
     "d20_dedup_clusters" -> dedupClustersOracle,
+
+    "d37_dedup_keep_best" -> dedupKeepBestOracle,
+
+    "d38_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS mincnt FROM c),
+        |t AS (SELECT source, cnt,
+        |    CAST(floor(sqrt(CAST(mincnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS BIGINT) AS target
+        |  FROM c CROSS JOIN m)
+        |SELECT d.source, t.cnt, t.target, COUNT(*) AS n_kept
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE ((d.doc_id * 2654435761) % 2147483647) % 1000003 * t.cnt
+        |  < t.target * 1000003
+        |GROUP BY d.source, t.cnt, t.target
+        |ORDER BY d.source""".stripMargin,
+
+    "d39_corpus_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, source, ${fpSql("text")} AS fp
+         |  FROM documents WHERE doc_id % 5 <> 4),
+         |v2 AS (
+         |  SELECT doc_id, source,
+         |    ${fpSql("CASE WHEN doc_id % 11 = 0 THEN 'rev2 ' || text ELSE text END")} AS fp
+         |  FROM documents WHERE doc_id % 7 <> 6),
+         |j AS (
+         |  SELECT COALESCE(v1.source, v2.source) AS source,
+         |    CASE WHEN v1.fp IS NULL THEN 'added'
+         |         WHEN v2.fp IS NULL THEN 'removed'
+         |         WHEN v1.fp = v2.fp THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT source,
+         |  SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+         |  SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+         |  SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+         |  SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "d16_contamination" ->
       s"""WITH fp AS ($winnowFpSql),

@@ -226,6 +226,19 @@ object VectorQueries {
           Similarity.lshNearDupPairs(table(s, d, "embeddings"), minCos = 0.2))
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
+    },
+
+    // cluster-level diversity sampling (e18): keep ≤ k vectors per
+    // SemDeDup cell, chosen by the d15 portable hash — the cluster-
+    // balanced pruning semantic curation runs AFTER near-dup removal
+    // (a cell of thousands of routine variants contributes k
+    // representatives; rare cells keep everything). rank ≤ literal k
+    // plans as WindowGroupLimit: each task keeps ≤ k rows per cell
+    // BEFORE the cell exchange. Full oracle on the shared occupancy-
+    // held cell derivation (autoNlist from count(*)).
+    "e18_cell_diversity_sample" -> q { (s, d) =>
+      Similarity.diversitySample(table(s, d, "embeddings"), k = 8)
+        .orderBy("cell", "rank")
     }
   )
 
@@ -732,7 +745,16 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    }
+    },
+
+    "e18_cell_diversity_sample" ->
+      s"""WITH $semCellCtes
+         |SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rank
+         |  FROM cell) t
+         |WHERE rank <= 8 ORDER BY cell, rank""".stripMargin
   )
 
   /** Shared CTE chain producing the LSH-blocked near-dup `pairs`

@@ -486,4 +486,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "blocklist must be an anti-join")
     assert(!p.contains("SortMergeJoin"), "the tiny blocklist must broadcast")
   }
+
+  test("e18: per-cell diversity cap is WindowGroupLimit over the cell exchange") {
+    val p = plan("e18_cell_diversity_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must plan as a partial top-k below the cell shuffle")
+    assert(!p.contains("CartesianProduct"),
+      "centroid assignment must be a broadcast join, not a cartesian")
+  }
+
+  test("d39: the snapshot diff joins fingerprints, never text") {
+    val p = plan("d39_corpus_diff")
+    assert(!p.contains("CartesianProduct"))
+    // both snapshot sides reduce to (doc_id, source, fp) at the scan;
+    // the full-outer join exchange must not carry the text column
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "raw text must never cross a shuffle")
+  }
+
+  test("d38: the mixture gate broadcasts stats and streams the corpus") {
+    val p = plan("d38_temperature_mix")
+    assert(!p.contains("SortMergeJoin"),
+      "the per-source stats side must broadcast into the corpus scan")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
