@@ -261,6 +261,27 @@ object Pipelines {
       .drop("cnt", "mincnt")
   }
 
+  /** Ingest-time temperature-scaled mixture sampler — the streaming
+    * twin of the batch `d38_temperature_mix`: arriving docs join a
+    * STATIC broadcast per-source table of (cnt, target) — computed
+    * once from the reference corpus by the d38 aggregates (target =
+    * floor(sqrt(mincnt·cnt)), the α=1/2 flattening) — and pass the
+    * same divisionless portable-hash gate. Stateless AND
+    * deterministic per doc_id, so replayed micro-batches make
+    * identical keep/drop decisions (the idempotent exactly-once sink's
+    * requirement; rand() would re-roll on recovery). Sources absent
+    * from the table pass unsampled (the d25 twin's left-outer rule:
+    * new sources are kept until the next rate refresh). */
+  def streamTemperatureMix(stream: DataFrame,
+                           sourceTargets: DataFrame): DataFrame = {
+    val M = 1000003L
+    stream.join(broadcast(sourceTargets), Seq("source"), "left_outer")
+      .filter(col("cnt").isNull ||
+        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+          col("cnt") < col("target") * M)
+      .drop("cnt", "target")
+  }
+
   /** Ingest-time BM25 keyword screen — the streaming twin of the batch
     * `d29_bm25` retrieval query: arriving documents score against a
     * FIXED term list with df/corpus stats baked in as literals

@@ -403,6 +403,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.size < batch.size, "the downsampled stratum must drop rows")
   }
 
+  test("stream-static temperature mix makes the batch d38 decisions, replay-stable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // targets as d38 derives them: crawl has 9 docs, curated 1 →
+    // mincnt=1, crawl target = floor(sqrt(1*9)) = 3 (~1/3 kept),
+    // curated target = 1 (keep-all)
+    val targets = Seq(("crawl", 9L, 3L), ("curated", 1L, 1L))
+      .toDF("source", "cnt", "target").cache()
+    def gate(id: Long, cnt: Long, target: Long): Boolean =
+      ((id * 2654435761L) % 2147483647L) % 1000003L * cnt < target * 1000003L
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "source")
+    val q = Pipelines.streamTemperatureMix(stream, targets)
+      .writeStream.format("memory").queryName("tmix_out")
+      .outputMode("append").start()
+    val batch = (1L to 30L).map(i => (i, "crawl")) ++
+      Seq((98L, "curated"), (99L, "srcNew"))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    in.addData(batch: _*) // replay must not re-roll
+    q.processAllAvailable()
+    val out = spark.table("tmix_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    q.stop()
+    val expected = batch.filter {
+      case (id, "crawl") => gate(id, 9L, 3L)
+      case (id, "curated") => gate(id, 1L, 1L)
+      case _ => true // unknown source passes unsampled
+    }.map(_._1)
+    assert(out.sorted == (expected ++ expected).sorted,
+      s"stream decisions must equal the batch gate on both plays: got $out")
+    assert(out.contains(98L) && out.contains(99L))
+    assert(expected.size < batch.size, "the flattened source must drop rows")
+  }
+
   test("sampler passes unknown strata through unsampled (keep-all contract)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
