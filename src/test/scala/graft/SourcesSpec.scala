@@ -12,6 +12,41 @@ import graft.sources.Tables
 class SourcesSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("driver testdata honors the engine's normalized schema contract") {
+    // The driver regenerates /root/testdata between rounds and physical
+    // types have drifted (round 6: events.ts TIMESTAMP(NANOS) →
+    // TIMESTAMP(MICROS), which silently broke every ts-nanos query
+    // while oracles kept passing). Tables.table normalizes events.ts
+    // back to Long nanos; this asserts the post-normalization contract
+    // for every column queries do arithmetic on, so the NEXT generation
+    // drift fails here, loudly, instead of deep inside a query.
+    val expect = Map(
+      "events" -> Map("event_id" -> LongType, "ts" -> LongType,
+        "user_id" -> LongType, "value" -> DoubleType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_shipdate" -> TimestampNTZType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType),
+      "customer" -> Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType),
+      "supplier" -> Map("s_suppkey" -> LongType),
+      "part" -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+        "p_retailprice" -> DoubleType),
+      "nation" -> Map("n_nationkey" -> IntegerType),
+      "region" -> Map("r_regionkey" -> IntegerType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    val drift = for {
+      (t, cols) <- expect.toSeq
+      schema = Tables.table(spark, sf, t).schema
+      (c, want) <- cols
+      got = schema(c).dataType if got != want
+    } yield s"$t.$c: expected $want, got $got"
+    assert(drift.isEmpty,
+      s"testdata schema drift (regenerate or extend Tables.table normalization):\n  ${drift.mkString("\n  ")}")
+  }
+
   test("csv source round-trips with schema inference and explicit schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val orig = Tables.table(spark, sf, "nation")
