@@ -22,6 +22,11 @@ object Native {
   def polyHash(s: Column, modulus: Long): Column =
     GraftBridge.column(graft.plans.PolyHash(GraftBridge.expression(s), modulus))
 
+  /** One-pass Gopher quality signals (d36): struct(n_words, sum_wlen,
+    * n_sym, n_alpha, n_req_stop) from the raw text. */
+  def gopherStats(text: Column): Column =
+    GraftBridge.column(graft.plans.GopherStats(GraftBridge.expression(text)))
+
   /** PQ codes of an embedding (codebook flat layout (s*ks+j)*subDim+d). */
   def pqEncode(v: Column, codebook: Array[Double], m: Int, ks: Int, subDim: Int): Column =
     GraftBridge.column(graft.plans.PqEncode(

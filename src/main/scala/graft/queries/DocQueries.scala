@@ -839,26 +839,24 @@ object DocQueries {
     // length bounds, symbol-to-word ratio, alphabetic-word fraction,
     // and the required-stopword count — the heuristic battery most
     // pretraining pipelines run before any model-based filter (d33).
-    // Every signal is an in-row array fold (the d29 discipline): zero
-    // shuffles, scan-speed at 100 TB. Integer counts; the two ratio
+    // All five signals come from the native one-pass GopherStats
+    // expression (plans/GopherStats.scala): the composed array-fold
+    // form became the slowest text row on the round-6 data (~1.3 s
+    // deep-warm at sf0.1 — interpreted higher-order lambdas, §6d) and
+    // is kept as the NativePropertySpec equivalence oracle. Zero
+    // shuffles, scan-speed at 100 TB; integer counts, the two ratio
     // divisions are the only double ops.
     "d36_gopher_rules" -> q { (s, d) =>
       import org.apache.spark.sql.types.{DoubleType, IntegerType}
-      val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val toks = Text.tokens(lower(col("text")))
-      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
-      val nEll = (length(col("text")) -
-        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
       table(s, d, "documents")
         .select(col("doc_id"),
-          size(toks).cast("long").as("n_words"),
-          aggregate(transform(toks, t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("sum_wlen"),
-          (nHash + nEll).cast("long").as("n_sym"),
-          size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
-          size(filter(
-            array(reqStop.map(lit): _*), w => array_contains(toks, w)))
-            .cast("long").as("n_req_stop"))
+          graft.functions.Native.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g")("n_words").as("n_words"),
+          col("g")("sum_wlen").as("sum_wlen"),
+          col("g")("n_sym").as("n_sym"),
+          col("g")("n_alpha").as("n_alpha"),
+          col("g")("n_req_stop").as("n_req_stop"))
         .select(col("doc_id"), col("n_words"),
           (col("sum_wlen").cast(DoubleType) / col("n_words").cast(DoubleType))
             .as("mean_wlen"),

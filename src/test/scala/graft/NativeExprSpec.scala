@@ -31,6 +31,48 @@ class NativeExprSpec extends AnyFunSuite {
     assert(out(2) == Seq("a b c", "b c d"))
   }
 
+  test("native GopherStats equals the composed formulation (corpus + edges)") {
+    import spark.implicits._
+    val reqStop = graft.plans.GopherStats.RequiredStopwords
+    def composed(df: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.functions.Text.tokens(lower(col("text")))
+      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val nEll = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+      df.select(col("id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_wlen"),
+        (nHash + nEll).cast("long").as("n_sym"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(array(reqStop.map(lit): _*), w => array_contains(toks, w)))
+          .cast("long").as("n_req_stop"))
+    }
+    def native(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), Native.gopherStats(col("text")).as("g"))
+        .select(col("id"), col("g")("n_words"), col("g")("sum_wlen"),
+          col("g")("n_sym"), col("g")("n_alpha"), col("g")("n_req_stop"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 6).map(r.get).toList)
+        .sortBy(_.head.toString).toSeq
+    val corpus = Tables.table(spark, sf, "documents").limit(300)
+      .select(col("doc_id").as("id"), col("text"))
+    assert(rows(native(corpus)) == rows(composed(corpus)))
+    // whitespace/symbol/unicode edges: tabs and newlines (trim vs \s+
+    // boundaries), empty and all-space strings, overlapping dot runs,
+    // '#' inside words, stopwords repeated and capitalized, non-ASCII
+    // tokens (no [a-z] after lowering), multi-byte chars around marks
+    val edges = Seq(
+      "", " ", "\t", " \t\n ", "the the the", "THE Be with...",
+      "a#b ## c.....d", "...", "......", ".......", "ab...cd...",
+      "über café 北京 42 #", "  leading and trailing  ",
+      "that\thave\nwith of", "x y", "word. word.. word...",
+      "be be be be", "tHe BE To oF aNd ThAt HaVe WiTh").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    assert(rows(native(edges)) == rows(composed(edges)))
+  }
+
   test("native CosineSim is bit-identical to the composed double fold") {
     val emb = Tables.table(spark, sf, "embeddings").limit(100)
     val pairs = emb.as("a").crossJoin(emb.as("b"))
