@@ -14,7 +14,19 @@ object Text {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** The native one-pass stats struct backing the three counters
+    * below (plans/TextStats.scala). Extracting different fields in
+    * one projection evaluates the struct ONCE per row (semantically
+    * equal instances collapse under codegen subexpression
+    * elimination); the composed formulations are kept as the
+    * NativeExprSpec equivalence oracles. */
+  private def stats(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.TextStats(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  def tokenCount(c: Column): Column = stats(c)("n_tokens").cast("int")
+
+  private[graft] def tokenCountComposed(c: Column): Column = size(tokens(c))
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
@@ -35,11 +47,15 @@ object Text {
     aggregate(transform(toks, classifierWeight _), lit(0L), (acc, x) => acc + x)
 
   /** Count of stopword tokens (lowercased). */
-  def stopwordCount(c: Column): Column =
+  def stopwordCount(c: Column): Column = stats(c)("n_stop").cast("int")
+
+  private[graft] def stopwordCountComposed(c: Column): Column =
     size(filter(tokens(lower(c)), w => w.isin(Stopwords: _*)))
 
   /** Characters that are neither lowercase letters, digits nor spaces. */
-  def punctCount(c: Column): Column =
+  def punctCount(c: Column): Column = stats(c)("n_punct").cast("int")
+
+  private[graft] def punctCountComposed(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^a-z0-9 ]", ""))
 
   /** Composite quality score in [0,1]: stopword density, punctuation

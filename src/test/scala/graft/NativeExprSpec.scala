@@ -73,6 +73,34 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rows(native(edges)) == rows(composed(edges)))
   }
 
+  test("native TextStats equals the composed token/stopword/punct counters") {
+    import spark.implicits._
+    import graft.functions.Text
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 4).map(r.get).toList)
+        .sortBy(_.head.toString).toSeq
+    def native(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), Text.tokenCount(col("text")),
+        Text.stopwordCount(col("text")), Text.punctCount(col("text")))
+    def composed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), Text.tokenCountComposed(col("text")),
+        Text.stopwordCountComposed(col("text")), Text.punctCountComposed(col("text")))
+    val corpus = Tables.table(spark, sf, "documents").limit(300)
+      .select(col("doc_id").as("id"), col("text"))
+    assert(rows(native(corpus)) == rows(composed(corpus)))
+    // edges: raw-vs-lowered token streams (uppercase stopwords), the
+    // uppercase-is-punct rule, unicode incl. a supplementary code
+    // point (one punct, not two), empty/whitespace-only strings
+    val edges = Seq(
+      "", " ", "\t \n", "The THE the tHe", "A AND OF TO IN a and",
+      "UPPER lower 123 !?", "über café 北京", "emoji 😀 end",
+      "the  a   and", " in ", "of.of,of", "a#b c.d e f").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    assert(rows(native(edges)) == rows(composed(edges)))
+    // the plans-side stopword list cannot drift from Text.Stopwords
+    assert(Text.Stopwords == Seq("the", "a", "and", "of", "to", "in"))
+  }
+
   test("native CosineSim is bit-identical to the composed double fold") {
     val emb = Tables.table(spark, sf, "embeddings").limit(100)
     val pairs = emb.as("a").crossJoin(emb.as("b"))
