@@ -1252,10 +1252,10 @@ object DocQueries {
          |         ELSE 'changed' END AS status
          |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          |SELECT source,
-         |  SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
-         |  SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
-         |  SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
-         |  SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+         |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "d16_contamination" ->

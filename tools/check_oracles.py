@@ -13,6 +13,7 @@ import sys
 
 import duckdb
 import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -48,7 +49,23 @@ def main():
             dcols = sorted(duck_tbl.column_names)
             duck_rows = [tuple(norm(r[c]) for c in dcols)
                          for r in duck_tbl.to_pylist()]
-            if cols != dcols:
+            # The driver hashes TYPED values, so a DuckDB HUGEINT
+            # (bare SUM over integers -> arrow decimal128) mismatches a
+            # Spark int64 even when every value is equal; Python's
+            # int == Decimal comparison below would hide that (d39/q58
+            # defect class). Surface it as a hard type failure.
+            ducktypes = {f.name: f.type for f in duck_tbl.schema}
+            sparktypes = {f.name: f.type for f in spark_tbl.schema}
+            tmism = [c for c in dcols
+                     if c in sparktypes
+                     and pat.is_decimal(ducktypes[c])
+                     and not pat.is_decimal(sparktypes[c])]
+            if tmism:
+                print(f"FAIL {name}: oracle decimal128 vs spark "
+                      f"{[(c, str(sparktypes[c])) for c in tmism]} — "
+                      "CAST the oracle aggregate (AS BIGINT/DOUBLE)")
+                n_bad += 1
+            elif cols != dcols:
                 print(f"FAIL {name}: columns {cols} vs {dcols}")
                 n_bad += 1
             elif spark_rows != duck_rows:
