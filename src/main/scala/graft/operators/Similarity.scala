@@ -287,17 +287,35 @@ object Similarity {
   /** The occupancy-held SemDeDup cell map: (vec_id, cell) for every
     * corpus vector, cell = argmax-cosine bootstrap centroid (highest
     * score, lowest cid on ties — bit-identical to the oracles'
-    * ROW_NUMBER ORDER BY cs DESC, cid), repartitioned on cell so every
-    * consumer shares one canonical exchange. Assignment is a broadcast
+    * ROW_NUMBER ORDER BY cs DESC, cid). Assignment is a broadcast
     * join against the ≤4096-row centroid side with a map-side max_by
     * argmax — n·nlist score rows collapse to n in the partial
-    * aggregate, nothing wide shuffles. */
-  private[graft] def semCells(corpus: DataFrame, nlist: Int = 0): DataFrame = {
-    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
-    // centroids = first nlist vectors; vec_ids are dense from 0 (the
-    // bootCentroids orderBy/limit rule expressed as a pushable filter)
-    val cents = corpus.filter(col("vec_id") < nl)
+    * aggregate, nothing wide shuffles. NOT pre-partitioned on cell:
+    * each consumer decides its own exchange (semDedup repartitions so
+    * the self-join shares one canonical exchange; diversitySample
+    * lets the window insert the exchange so its group limit can run
+    * partial, upstream of it).
+    *
+    * `knownN` short-circuits the corpus count the auto-nlist rule
+    * needs, so composed operators (semDedup then diversitySample over
+    * one corpus) count once, not per call. */
+  private[graft] def semCells(corpus: DataFrame, nlist: Int = 0,
+                              knownN: Long = -1L): DataFrame = {
+    val nl = if (nlist > 0) nlist
+             else autoNlist(if (knownN >= 0) knownN else corpus.count())
+    // centroids = first nlist vectors by id. For dense ids 0..n-1 (the
+    // in-repo tables) the rule collapses to a pushable vec_id < nl
+    // filter; the guard is EXACT — ids are unique, so the filter
+    // returns nl rows iff {0..nl-1} are all present — and an arbitrary
+    // (filtered / offset-id) corpus falls back to the orderBy/limit
+    // bootstrap instead of silently assigning against a short or empty
+    // centroid set.
+    val fast = corpus.filter(col("vec_id") < nl)
       .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+    val cents =
+      if (fast.count() == nl) fast
+      else corpus.orderBy("vec_id").limit(nl)
+        .select(col("vec_id").as("cid"), col("embedding").as("centv"))
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -305,7 +323,6 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("vec_id"), (-col("m")("ncid")).as("cell"))
-      .repartition(col("cell"))
   }
 
   /** Cluster-level diversity sampling (e18): keep at most `k` vectors
@@ -315,11 +332,14 @@ object Similarity {
     * runs AFTER semDedup removed near-duplicates: a cell that holds
     * thousands of routine variants contributes k representatives, a
     * rare cell keeps everything. rank ≤ k over a literal k plans as
-    * WindowGroupLimit, so each task keeps ≤ k rows per cell BEFORE the
-    * cell exchange — a million-vector cell ships k rows per input
+    * WindowGroupLimit, and because the cell map arrives unpartitioned
+    * the window's own exchange carries the partial mode: each task
+    * keeps ≤ k rows per cell BEFORE the cell shuffle (plan-gated in
+    * PlanSpec), so a million-vector cell ships k rows per input
     * partition, never the cell. */
-  def diversitySample(corpus: DataFrame, k: Int, nlist: Int = 0): DataFrame = {
-    val cells = semCells(corpus, nlist)
+  def diversitySample(corpus: DataFrame, k: Int, nlist: Int = 0,
+                      knownN: Long = -1L): DataFrame = {
+    val cells = semCells(corpus, nlist, knownN)
     val h = pmod(col("vec_id") * lit(2654435761L), lit(2147483647L))
     val w = Window.partitionBy("cell").orderBy(h.asc, col("vec_id").asc)
     cells.withColumn("rank", row_number().over(w))
@@ -327,8 +347,11 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rank"))
   }
 
-  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 0): DataFrame = {
-    val cells = semCells(corpus, nlist)
+  def semDedup(corpus: DataFrame, minCos: Double, nlist: Int = 0,
+               knownN: Long = -1L): DataFrame = {
+    // the self-join's two sides are canonically identical, so the
+    // explicit cell repartition is executed once and stage-reused
+    val cells = semCells(corpus, nlist, knownN).repartition(col("cell"))
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))

@@ -33,7 +33,12 @@ object DocQueries {
           length(col("text")).as("n_chars"))
         .select(col("doc_id"), col("n_tokens"),
           (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
-          (col("n_punct").cast("double") / col("n_chars").cast("double")).as("punct_ratio"))
+          // n_chars = 0 (empty doc) must not hit 0/0: Spark's non-ANSI
+          // double division yields NULL while DuckDB yields NaN (which
+          // sorts ABOVE all reals) — pin both engines to 0.0
+          when(col("n_chars") === 0, lit(0.0))
+            .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
+            .as("punct_ratio"))
         .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("punct_ratio"),
           Text.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("score"))
         .orderBy("doc_id")
@@ -969,7 +974,8 @@ object DocQueries {
         .select(col("doc_id"),
           Text.qualityScore(col("n_tokens"),
             col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType),
-            col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType))
+            when(col("n_chars") === 0, lit(0.0))
+              .otherwise(col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType)))
             .as("score"))
       val clusters = Dedup.connectedComponents(Dedup.simhashNearDups(docs))
         .select(col("id").as("doc_id"), col("cluster"))
@@ -1189,7 +1195,7 @@ object DocQueries {
        |  FROM (
        |    SELECT doc_id, n_tokens,
        |      CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
-       |      CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio
+       |      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS punct_ratio
        |    FROM (
        |      SELECT doc_id,
        |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -1277,7 +1283,7 @@ object DocQueries {
         |FROM (
         |  SELECT doc_id, n_tokens,
         |    CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
-        |    CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio
+        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS punct_ratio
         |  FROM (
         |    SELECT doc_id,
         |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -33,13 +33,22 @@ object Tables {
     if (name != "events") df
     else df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ =>
-        // NTZ→LTZ cast interprets the naive value in the session zone;
-        // the engine pins UTC (Engine.configure), matching DuckDB's
-        // naive-as-is epoch_us
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive micros → epoch nanos by NTZ field arithmetic: a
+        // timestampdiff between two NTZ values never consults the
+        // session zone, so the normalization is identical from any
+        // session (an NTZ→LTZ cast here would silently shift every ts
+        // by the local offset outside the Engine.configure UTC pin;
+        // DuckDB's epoch_us(ts) is the same naive-as-is rule)
         df.withColumn("ts",
-          org.apache.spark.sql.functions.unix_micros(
-            df.col("ts").cast(org.apache.spark.sql.types.TimestampType)) *
+          org.apache.spark.sql.functions.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") *
+            org.apache.spark.sql.functions.lit(1000L))
+      case _ =>
+        // true instant (isAdjustedToUTC parquet timestamp): epoch
+        // extraction is zone-free by definition
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(df.col("ts")) *
             org.apache.spark.sql.functions.lit(1000L))
     }
   }

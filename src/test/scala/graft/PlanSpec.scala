@@ -489,8 +489,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("e18: per-cell diversity cap is WindowGroupLimit over the cell exchange") {
     val p = plan("e18_cell_diversity_sample")
-    assert(p.contains("WindowGroupLimit"),
+    // the cell map arrives unpartitioned, so the window inserts the
+    // cell exchange itself and the group limit runs in BOTH modes:
+    // Partial below the exchange (each task ships <= k rows per cell)
+    // and Final above it
+    assert(p.contains("row_number(), 8, Partial"),
       "rank<=k must plan as a partial top-k below the cell shuffle")
+    assert(p.contains("row_number(), 8, Final"),
+      "expected the final group limit above the cell exchange")
     assert(!p.contains("CartesianProduct"),
       "centroid assignment must be a broadcast join, not a cartesian")
   }

@@ -273,4 +273,26 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(auto.nonEmpty && auto == explicit)
   }
+
+  test("semdedup: non-dense vec_ids fall back to the orderBy/limit bootstrap") {
+    // an offset-id corpus (a filtered view, a re-keyed shard) must
+    // dedup to the SAME set as the dense original, shifted — the
+    // vec_id < nlist fast path alone would see zero centroids here
+    // and silently keep everything
+    val off = 1000000L
+    val dense = Similarity.semDedup(emb, minCos = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val shifted = Similarity.semDedup(
+        emb.withColumn("vec_id", col("vec_id") + off), minCos = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(shifted == dense.map(_ + off))
+  }
+
+  test("semcells: knownN short-circuits the corpus count, same result") {
+    val n = emb.count()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.diversitySample(emb, k = 8, knownN = n)) ==
+      key(Similarity.diversitySample(emb, k = 8)))
+  }
 }

@@ -229,4 +229,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(ddl.contains(s"${SchemaConverter.MvPos} INT"))
     assert(ddl.contains("MV STRING"))
   }
+
+  test("events.ts normalization is session-timezone independent") {
+    // the NTZ epoch extraction must be pure field arithmetic — a
+    // NTZ->LTZ cast would shift every ts by the local offset when the
+    // session is not pinned to UTC (Engine.configure pins it, but
+    // Tables.table is public API callable from any session)
+    import org.apache.spark.sql.functions.{min, max}
+    val ref = Tables.table(spark, sf, "events")
+      .agg(min("ts"), max("ts")).collect()(0)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = Tables.table(spark, sf, "events")
+        .agg(min("ts"), max("ts")).collect()(0)
+      assert(shifted == ref,
+        s"ts drifted with session timezone: $shifted vs $ref")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
 }
