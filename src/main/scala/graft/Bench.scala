@@ -96,6 +96,13 @@ object Bench {
   // the artifact, unconsulted.
   private val RatioCap = 12.0
   private val OverheadFloor = 0.15 // sec; fixed per-query session cost
+  // A smaller-SF run should never beat its big-SF sibling by more than
+  // noise: the small suite runs FIRST, so a small row well above its
+  // big row is C2/codegen warmup recorded as data (round 6 shipped
+  // d32 at 2.67 s sf0.01 vs 0.40 s sf0.1 — an inverted row the >12×
+  // gate could not see). 1.5× over the big row, floors applied, flags
+  // it for a warm isolated re-measure.
+  private val InvertedCap = 1.5
 
   /** Queries whose big-SF suite time is implausible against their
     * small-SF time get one isolated adaptive re-measure on the
@@ -149,19 +156,58 @@ object Bench {
     val outliers = remeasureOutliers(spark, sfDir, suite, small)
     val results = suite ++ outliers.map { case (n, (s, iso)) => n -> math.min(s, iso) }
     val total = results.values.sum
-    val outlierJson =
-      if (outliers.isEmpty) ""
+
+    // inverted rows: the small suite ran first (cold), so any small row
+    // beyond InvertedCap× its (spliced) big row gets one warm isolated
+    // re-measure at the small SF; both numbers are recorded
+    val outliersSmall = small.keys.toSeq.sorted.flatMap { name =>
+      results.get(name).collect {
+        case b if small(name) > math.max(b, OverheadFloor) * InvertedCap =>
+          System.err.println(
+            f"[bench] $name: small-SF ${small(name)}%.2f s exceeds its big-SF " +
+              f"${b}%.2f s — warmup artifact, isolated re-measure")
+          name -> (small(name), timeQuery(spark, smallDir.get, name))
+      }
+    }.toMap
+    val smallFinal = small ++
+      outliersSmall.map { case (n, (s, iso)) => n -> math.min(s, iso) }
+
+    // optional third pass one decade UP (SPARK_GRAFT_SF1_DIR, e.g. the
+    // GenData output): runs last, on the warmest JVM, so the committed
+    // artifact carries the per-query sf0.1 -> sf1 scaling table the
+    // round reports — driver-visible, not builder-asserted
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    val sf1Json = sf1Dir.fold("") { dir =>
+      val s1 = timeSuite(spark, dir)
+      val out1 = remeasureOutliers(spark, dir, s1, results)
+      val r1 = s1 ++ out1.map { case (n, (s, iso)) => n -> math.min(s, iso) }
+      val outJson =
+        if (out1.isEmpty) ""
+        else {
+          val body = out1.toSeq.sortBy(_._1).map { case (n, (s, iso)) =>
+            "\"" + n + "\":{\"suite\":" + s + ",\"isolated\":" + iso + "}"
+          }.mkString("{", ",", "}")
+          s""","outliers_sf1":$body"""
+        }
+      s""","sf1_dir":"$dir","total_sf1":${r1.values.sum},"queries_sf1":${js(r1)}$outJson"""
+    }
+
+    def outlierBlock(key: String, m: Map[String, (Double, Double)]): String =
+      if (m.isEmpty) ""
       else {
-        val body = outliers.toSeq.sortBy(_._1).map { case (n, (s, iso)) =>
+        val body = m.toSeq.sortBy(_._1).map { case (n, (s, iso)) =>
           "\"" + n + "\":{\"suite\":" + s + ",\"isolated\":" + iso + "}"
         }.mkString("{", ",", "}")
-        s""","outliers":$body"""
+        s""","$key":$body"""
       }
+    val outlierJson = outlierBlock("outliers", outliers) +
+      outlierBlock("outliers_small", outliersSmall)
     val extra =
       if (small.isEmpty) ""
-      else s""","sf_small":"${smallDir.get}","total_small":${small.values.sum},"queries_small":${js(small)}"""
+      else s""","sf_small":"${smallDir.get}","total_small":${smallFinal.values.sum},"queries_small":${js(smallFinal)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir","codegen_fallback":"disallowed"$outlierJson$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir","codegen_fallback":"disallowed"$outlierJson$extra$sf1Json}"""
     println(line)
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
