@@ -579,7 +579,18 @@ object DocQueries {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
+          if (id % 2 == 0) javax.imageio.ImageIO.write(img, "jpg", bos)
+          else {
+            // odd ids encode PROGRESSIVE (SOF2) — most real crawl
+            // JPEGs are; the decoder handles both coding processes
+            val wr = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpg").next()
+            val p = wr.getDefaultWriteParam
+            p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+            wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+            wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+            wr.dispose()
+          }
           (id, bos.toByteArray)
         }
       graft.operators.Multimodal.decodeJpegImages(media)

@@ -128,11 +128,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxDiff <= 32, s"max channel divergence $maxDiff too high")
   }
 
-  test("JPEG decoder rejects progressive streams instead of misdecoding") {
-    val (w, h) = (16, 16)
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, x * 16 + y)
+  /** Encode through ImageIO's writer with progressive mode on (SOF2,
+    * the JDK's default spectral-selection + successive-approximation
+    * scan script). */
+  private def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
@@ -140,8 +139,91 @@ class MultimodalSpec extends AnyFunSuite {
     writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
     writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
     writer.dispose()
-    assert(JpegCodec.decode(bos.toByteArray).isEmpty,
-      "progressive JPEG must be rejected, not misdecoded")
+    bos.toByteArray
+  }
+
+  test("JPEG interop: progressive color decode matches the JVM's reader") {
+    // the JDK writer's progressive scan script exercises the full
+    // annex-G surface: interleaved DC first + refinement scans,
+    // per-component AC spectral bands, AC successive-approximation
+    // refinements with EOB runs
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 128 + (80 * math.sin(x / 9.0)).toInt
+      val g = 128 + (80 * math.cos(y / 7.0)).toInt
+      val b = 128 + (80 * math.sin((x + y) / 11.0)).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val payload = writeProgressive(img)
+    // really SOF2: a baseline stream here would test nothing
+    assert(payload.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "writer emitted SOF2")
+    val reference = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val got = JpegCodec.decode(payload)
+    assert(got.isDefined, "must decode ImageIO's progressive color JPEG")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    var sumDiff = 0L
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ours = d.rgb((y * w + x) * 3 + c) & 0xff
+      val ref = (reference.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      sumDiff += math.abs(ours - ref)
+      maxDiff = math.max(maxDiff, math.abs(ours - ref))
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(meanDiff <= 3.0, s"mean channel divergence $meanDiff too high")
+    assert(maxDiff <= 32, s"max channel divergence $maxDiff too high")
+  }
+
+  test("JPEG interop: progressive grayscale decode matches within IDCT tolerance") {
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 128 + (96 * math.sin(x / 6.0) * math.cos(y / 5.0)).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val payload = writeProgressive(img)
+    val reference = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val got = JpegCodec.decode(payload)
+    assert(got.isDefined, "must decode ImageIO's progressive grayscale JPEG")
+    val d = got.get
+    assert(d.width == w && d.height == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = d.rgb((y * w + x) * 3) & 0xff
+      val ref = reference.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(ours - ref))
+    }
+    assert(maxDiff <= 2, s"progressive gray decode diverges by $maxDiff levels")
+  }
+
+  test("JPEG progressive and baseline decodes of the same image agree") {
+    // same source pixels through both coding processes: the two
+    // decodes share quant tables, so they must agree to within the
+    // entropy-path differences (tiny — both reconstruct the same
+    // dequantized coefficients when the writer uses full precision)
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5) << 16) | ((y * 9) << 8) | ((x + y) * 3))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val base = JpegCodec.decode(bos.toByteArray)
+    val prog = JpegCodec.decode(writeProgressive(img))
+    assert(base.isDefined && prog.isDefined)
+    var maxDiff = 0
+    for (i <- 0 until w * h * 3)
+      maxDiff = math.max(maxDiff,
+        math.abs((base.get.rgb(i) & 0xff) - (prog.get.rgb(i) & 0xff)))
+    assert(maxDiff <= 24,
+      s"baseline and progressive reconstructions diverge by $maxDiff")
   }
 
   test("PPM codec round-trips pixels exactly") {

@@ -211,6 +211,31 @@ object NativePropertySpec extends Properties("NativeKernels") {
       true
     }
 
+  property("JPEG decode never throws on corrupted progressive streams") =
+    forAll(Gen.choose(0, 10000), Gen.choose(0, 255)) { (at, v) =>
+      // same contract through the annex-G multi-scan path: EOB-run
+      // and refinement state machines must fail closed on bit rot
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { img.setRGB(x, y, (x * 8) << 16 | (y * 8) << 8); x += 1 }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      val bytes = bos.toByteArray
+      bytes(at % bytes.length) = v.toByte
+      graft.operators.JpegCodec.decode(bytes)
+      true
+    }
+
   property("PNG decode never throws on arbitrary bytes") =
     forAll(rawBytes) { bs =>
       graft.operators.PngCodec.decode(bs.toArray)
