@@ -254,12 +254,27 @@ object Similarity {
     * makes them ≤ 32·n — linear — exactly the published SemDeDup
     * posture, where cluster count grows with the corpus (the paper
     * runs ~100k clusters). Pure-integer rule so the DuckDB oracle
-    * derives the identical nlist from count(*). Above the 4096 cap
-    * the coarse assignment (n·nlist scores) would dominate; the real
-    * 100 TB path there is a hierarchical coarse quantizer (two-level
-    * IMI / HNSW assigner), documented in SURVEY §6h. */
+    * derives the identical nlist from count(*) — the SQL derivation
+    * interpolates [[AutoNlistMinExp]]/[[AutoNlistMaxExp]], so the two
+    * sides cannot fork silently (property-checked in SimilaritySpec).
+    *
+    * Above [[FlatAssignCap]] cells the flat n·nlist assignment stops
+    * being the right plan, and [[semCells]] switches to the two-level
+    * IMI-style coarse quantizer ([[semCellsTwoLevel]]) — n·2√nlist
+    * scores, branch-bounded broadcasts. The exponent cap 24 holds
+    * target occupancy up to ~10^9 vectors (16.7M cells × 64), the
+    * honest large-corpus posture. */
+  private[graft] val AutoNlistMinExp = 4
+  private[graft] val AutoNlistMaxExp = 24
+  /** Largest nlist the flat broadcast-centroid assignment uses; above
+    * it [[semCells]] assigns hierarchically. 4096 centroids × 64-dim
+    * floats ≈ 1 MiB broadcast — far below any broadcast threshold,
+    * while n·4096 cosine rows per scan task is already the compute
+    * ceiling worth paying for oracle-exact flat Voronoi cells. */
+  private[graft] val FlatAssignCap = 4096
   private[graft] def autoNlist(n: Long): Int =
-    (4 to 12).map(1 << _).find(p => p.toLong * 64L >= n).getOrElse(4096)
+    (AutoNlistMinExp to AutoNlistMaxExp).map(1 << _)
+      .find(p => p.toLong * 64L >= n).getOrElse(1 << AutoNlistMaxExp)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
     * clustering: assign every vector to a coarse cell (centroids = the
@@ -298,26 +313,106 @@ object Similarity {
     *
     * `knownN` short-circuits the corpus count the auto-nlist rule
     * needs, so composed operators (semDedup then diversitySample over
-    * one corpus) count once, not per call. */
+    * one corpus) count once, not per call.
+    *
+    * Above [[FlatAssignCap]] centroids, assignment switches to the
+    * two-level hierarchical quantizer ([[semCellsTwoLevel]]) — the
+    * published IMI / coarse-quantizer posture for very large cell
+    * counts. Below the cap (every oracle-graded scale: the SQL flat
+    * rule holds up to 4096·64 = 262144 vectors) the two rules use the
+    * same bootstrap geometry and the flat path runs unchanged. */
   private[graft] def semCells(corpus: DataFrame, nlist: Int = 0,
                               knownN: Long = -1L): DataFrame = {
     val nl = if (nlist > 0) nlist
              else autoNlist(if (knownN >= 0) knownN else corpus.count())
-    // centroids = first nlist vectors by id. For dense ids 0..n-1 (the
-    // in-repo tables) the rule collapses to a pushable vec_id < nl
-    // filter; the guard is EXACT — ids are unique, so the filter
-    // returns nl rows iff {0..nl-1} are all present — and an arbitrary
-    // (filtered / offset-id) corpus falls back to the orderBy/limit
-    // bootstrap instead of silently assigning against a short or empty
-    // centroid set.
+    val cents = bootCentroidCols(corpus, nl)
+    if (nl <= FlatAssignCap) semCellsFlat(corpus, cents)
+    else semCellsTwoLevel(corpus, cents, nl)
+  }
+
+  /** The deterministic (cid, centv) bootstrap as a DataFrame: first
+    * `nl` vectors by id. For dense ids 0..n-1 (the in-repo tables) the
+    * rule collapses to a pushable vec_id < nl filter; the guard is
+    * EXACT — ids are unique, so the filter returns nl rows iff
+    * {0..nl-1} are all present — and an arbitrary (filtered /
+    * offset-id) corpus falls back to the orderBy/limit bootstrap
+    * instead of silently assigning against a short or empty centroid
+    * set. */
+  private[graft] def bootCentroidCols(corpus: DataFrame, nl: Int): DataFrame = {
     val fast = corpus.filter(col("vec_id") < nl)
       .select(col("vec_id").as("cid"), col("embedding").as("centv"))
-    val cents =
-      if (fast.count() == nl) fast
-      else corpus.orderBy("vec_id").limit(nl)
-        .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+    if (fast.count() == nl) fast
+    else corpus.orderBy("vec_id").limit(nl)
+      .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+  }
+
+  private[graft] def semCellsFlat(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosine(col("embedding"), col("centv")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m")("ncid")).as("cell"))
+
+  /** Two-level coarse quantizer for cell counts above
+    * [[FlatAssignCap]] — the inverted-multi-index shape FAISS-class
+    * systems use when a flat coarse scan stops scaling:
+    *
+    *  1. supers = the first ⌈√nlist⌉ (next power of two) bootstrap
+    *     centroids — a broadcast-sized table at ANY nlist ≤ 2^24;
+    *  2. every centroid joins its argmax-cosine super (branch) — an
+    *     nlist-row broadcast join, n-independent;
+    *  3. every vector finds its branch the same way (n·S scores,
+    *     collapsing map-side), then equi-joins the ~√nlist centroids
+    *     OF THAT BRANCH ONLY and takes the within-branch argmax —
+    *     n·(nlist/S) scores instead of n·nlist.
+    *
+    * Total score work is n·O(√nlist) and no broadcast ever exceeds
+    * the super table — that is what makes occupancy-held cell counts
+    * viable at 10^9+ vectors. The hierarchical cell rule equals flat
+    * Voronoi assignment whenever a vector's nearest super agrees with
+    * its nearest centroid's branch (always true for margin-separated
+    * clusters — spec-proven; the published IMI recall caveat
+    * otherwise). Ties break to the lowest sid/cid exactly like the
+    * flat rule. */
+  private[graft] def semCellsTwoLevel(corpus: DataFrame, cents: DataFrame,
+                                      nl: Int): DataFrame = {
+    val nSupers = {
+      var s = 1
+      while (s.toLong * s < nl) s <<= 1
+      s
+    }
+    // supers are the first nSupers centroids BY ID — reuse the same
+    // dense-prefix fast path the bootstrap uses (cents is tiny here
+    // relative to the corpus, so the count guard is cheap)
+    val supers = broadcast(cents.orderBy("cid").limit(nSupers)
+      .select(col("cid").as("sid"), col("centv").as("sv")))
+    // branch of every centroid: argmax cosine over supers, ties to the
+    // lowest sid; centv rides inside the argmax struct (sid is unique,
+    // so the comparison never reaches it)
+    val centBranch = cents
+      .crossJoin(supers)
+      .select(col("cid"),
+        Vectors.cosine(col("centv"), col("sv")).as("scs"),
+        (-col("sid")).as("nsid"), col("centv"))
+      .groupBy("cid")
+      .agg(max(struct(col("scs"), col("nsid"), col("centv"))).as("m"))
+      .select((-col("m")("nsid")).as("branch"), col("cid"),
+        col("m")("centv").as("centv"))
+    // branch of every vector, same rule, embedding riding the struct
+    val vecBranch = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(supers)
+      .select(col("vec_id"),
+        Vectors.cosine(col("embedding"), col("sv")).as("scs"),
+        (-col("sid")).as("nsid"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("scs"), col("nsid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), (-col("m")("nsid")).as("branch"),
+        col("m")("embedding").as("embedding"))
+    // within-branch argmax — the equi-join fans each vector out to its
+    // branch's ~√nlist centroids only
+    vecBranch.join(centBranch, "branch")
       .select(col("vec_id"), col("cid"),
         Vectors.cosine(col("embedding"), col("centv")).as("cs"))
       .groupBy("vec_id")

@@ -258,9 +258,10 @@ object VectorQueries {
     * oracle stays full-fidelity at every SF, not just the one the
     * driver happens to verify at. */
   private val lshMaskSql: String =
-    """pp AS (SELECT (1::BIGINT << COALESCE((SELECT MIN(g.j)
-      |    FROM generate_series(4, 16) g(j)
-      |    WHERE (32::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)), 16)) - 1
+    s"""pp AS (SELECT (1::BIGINT << COALESCE((SELECT MIN(g.j)
+      |    FROM generate_series(4, ${Similarity.MaxPlanesPerTable}) g(j)
+      |    WHERE (32::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)),
+      |    ${Similarity.MaxPlanesPerTable})) - 1
       |  AS msk)""".stripMargin
 
   private def lshBucketsSql(vec: String, nTables: Int, planesPerTable: Int): String = {
@@ -296,15 +297,21 @@ object VectorQueries {
 
   /** The SemDeDup cell derivation (e13): same bootstrap-centroid
     * geometry, but nlist is OCCUPANCY-HELD — the smallest power of two
-    * in [16, 4096] with nlist·64 ≥ count(*) (Similarity.autoNlist),
-    * derived here from count(*) by the same pure-integer rule so the
-    * oracle tracks the operator at any SF. A fixed nlist makes
-    * within-cell pairs n²/(2·nlist) — the quadratic trap the
-    * sf0.1→sf1 decade bench measured at 13.5×. */
+    * with nlist·64 ≥ count(*) (Similarity.autoNlist; the exponent
+    * bounds interpolate the Scala constants so the two derivations
+    * cannot fork, property-checked in SimilaritySpec). This flat
+    * Voronoi rule matches the engine while the derived nlist stays at
+    * or below Similarity.FlatAssignCap — i.e. up to 4096·64 = 262144
+    * vectors, far above every oracle-graded SF; beyond that the
+    * engine's cells are the two-level hierarchical composition
+    * (semCellsTwoLevel), spec-verified rather than SQL-oracled. A
+    * fixed nlist makes within-cell pairs n²/(2·nlist) — the quadratic
+    * trap the sf0.1→sf1 decade bench measured at 13.5×. */
   private lazy val semCellCtes: String =
     s"""nl AS (SELECT (1::BIGINT << COALESCE((SELECT MIN(g.j)
-       |    FROM generate_series(4, 12) g(j)
-       |    WHERE (64::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)), 12)) AS nlist),
+       |    FROM generate_series(${Similarity.AutoNlistMinExp}, ${Similarity.AutoNlistMaxExp}) g(j)
+       |    WHERE (64::BIGINT << g.j) >= (SELECT count(*) FROM embeddings)),
+       |    ${Similarity.AutoNlistMaxExp})) AS nlist),
        |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  WHERE vec_id < (SELECT nlist FROM nl)),
        |cscore AS (

@@ -254,14 +254,45 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("semdedup: autoNlist holds expected cell occupancy at 64") {
     // the pure-integer rule the DuckDB oracle re-derives from count(*):
-    // smallest power of two in [16, 4096] with nlist * 64 >= n
+    // smallest power of two in [16, 2^24] with nlist * 64 >= n
     assert(Similarity.autoNlist(1) == 16)
     assert(Similarity.autoNlist(1024) == 16)
     assert(Similarity.autoNlist(1025) == 32)
     assert(Similarity.autoNlist(6000) == 128)   // sf0.1
     assert(Similarity.autoNlist(60000) == 1024) // sf1
     assert(Similarity.autoNlist(4096L * 64) == 4096)
-    assert(Similarity.autoNlist(Long.MaxValue) == 4096) // capped
+    // past the flat-assignment cap the rule keeps growing (the
+    // two-level quantizer carries assignment there)
+    assert(Similarity.autoNlist(4096L * 64 + 1) == 8192)
+    assert(Similarity.autoNlist(1L << 30) == (1 << 24))
+    assert(Similarity.autoNlist(Long.MaxValue) == (1 << 24)) // capped
+  }
+
+  test("auto-granularity rules agree with the oracle SQL derivations") {
+    // the SQL CTEs interpolate the Scala constants, so the bounds
+    // can't fork; this checks the RENDERED oracle really carries them
+    // and that the two integer formulas are the same function of n
+    val e13 = SparkEntry.oracleSql("e13_semdedup")
+    assert(e13.contains(
+      s"generate_series(${Similarity.AutoNlistMinExp}, ${Similarity.AutoNlistMaxExp})"),
+      "e13 oracle must derive nlist from the shared exponent bounds")
+    val e4 = SparkEntry.oracleSql("e4_cosine_neardup")
+    assert(e4.contains(s"generate_series(4, ${Similarity.MaxPlanesPerTable})"),
+      "LSH oracle must derive p from the shared exponent bounds")
+    def sqlNlist(n: Long): Int = {
+      val j = (Similarity.AutoNlistMinExp to Similarity.AutoNlistMaxExp)
+        .find(j => (64L << j) >= n).getOrElse(Similarity.AutoNlistMaxExp)
+      1 << j
+    }
+    def sqlPlanes(n: Long): Int =
+      (4 to Similarity.MaxPlanesPerTable)
+        .find(j => (32L << j) >= n).getOrElse(Similarity.MaxPlanesPerTable)
+    val sweep = (0 to 40).map(i => (1L << (i / 2)) + i) ++
+      Seq(1L, 600L, 6000L, 60000L, 262144L, 262145L, Long.MaxValue)
+    sweep.foreach { n =>
+      assert(Similarity.autoNlist(n) == sqlNlist(n), s"autoNlist forked at n=$n")
+      assert(Similarity.autoPlanes(n) == sqlPlanes(n), s"autoPlanes forked at n=$n")
+    }
   }
 
   test("semdedup: auto geometry equals an explicit-nlist run") {
@@ -286,6 +317,104 @@ class SimilaritySpec extends AnyFunSuite {
         emb.withColumn("vec_id", col("vec_id") + off), minCos = 0.35)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(shifted == dense.map(_ + off))
+  }
+
+  /** Deterministic pseudo-random unit-ish vector (plain xorshift-style
+    * mixing — no external randomness, stable across runs). */
+  private def synthVec(seed: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      var z = seed * 2654435761L + d * 40503L + 12345L
+      z ^= z >>> 13; z *= 1099511628211L; z ^= z >>> 7
+      ((z % 2001L) / 1000.0f) - 1.0f
+    }
+
+  private def addNoise(v: Array[Float], seed: Long, eps: Float): Array[Float] = {
+    val n = synthVec(seed, v.length)
+    Array.tabulate(v.length)(i => v(i) + n(i) * eps)
+  }
+
+  /** Exactly CosineSim.compute's fold (sequential, double) so local
+    * reference assignments are bit-identical to the engine's. */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("two-level cells above the flat cap match a local reference of the rule") {
+    // generic (unclustered) corpus, nlist forced above FlatAssignCap:
+    // the distributed two-level assignment must equal a straight
+    // single-threaded implementation of the same hierarchical rule
+    val dim = 16
+    val nl = 4608 // > FlatAssignCap, non-power-of-two on purpose
+    val n = 5120
+    val vecs = Array.tabulate(n)(i => synthVec(i.toLong * 7919L + 17L, dim))
+    import spark.implicits._
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.bootCentroidCols(corpus, nl)
+    val got = Similarity.semCellsTwoLevel(corpus, cents, nl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // local reference: supers = first 2^ceil(log2(sqrt(nl))) centroids
+    var nSupers = 1
+    while (nSupers.toLong * nSupers < nl) nSupers <<= 1
+    def argmax(v: Array[Float], ids: Seq[Int]): Int = {
+      var best = -1; var bestCs = Double.NegativeInfinity
+      ids.foreach { j =>
+        val cs = cosLocal(v, vecs(j))
+        if (cs > bestCs || (cs == bestCs && (best < 0 || j < best))) {
+          best = j; bestCs = cs
+        }
+      }
+      best
+    }
+    val superIds = 0 until nSupers
+    val centBranch = (0 until nl).map(j => j -> argmax(vecs(j), superIds)).toMap
+    val byBranch = (0 until nl).groupBy(centBranch)
+    val want = (0 until n).map { i =>
+      val br = argmax(vecs(i), superIds)
+      i.toLong -> argmax(vecs(i), byBranch(br)).toLong
+    }.toMap
+    assert(got.size == n)
+    val diffs = want.keys.filter(k => got(k) != want(k))
+    assert(diffs.isEmpty,
+      s"${diffs.size} cells diverge from the reference, e.g. ${diffs.take(3)}")
+  }
+
+  test("two-level equals flat assignment on margin-separated clusters above the cap") {
+    // the regime the hierarchy is FOR: corpora whose nearest super
+    // agrees with the nearest centroid's branch. supers well apart,
+    // centroids tight around supers, free vectors tight around
+    // centroids -> two-level == flat Voronoi, exactly
+    val dim = 32
+    val nl = 4608
+    val n = 5120
+    var nSupers = 1
+    while (nSupers.toLong * nSupers < nl) nSupers <<= 1
+    val superVs = Array.tabulate(nSupers)(s => synthVec(s * 1299721L + 3L, dim))
+    val vecs = Array.tabulate(n) { i =>
+      if (i < nSupers) superVs(i)
+      else if (i < nl) addNoise(superVs(i % nSupers), i * 31L + 7L, 0.02f)
+      else addNoise(superVs(i % nSupers), i * 37L + 11L, 0.03f)
+    }
+    import spark.implicits._
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.bootCentroidCols(corpus, nl)
+    val flat = Similarity.semCellsFlat(corpus, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Similarity.semCellsTwoLevel(corpus, cents, nl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat.size == n && two.size == n)
+    val diffs = flat.keys.filter(k => flat(k) != two(k))
+    assert(diffs.isEmpty,
+      s"${diffs.size} of $n cells differ between flat and two-level")
   }
 
   test("semcells: knownN short-circuits the corpus count, same result") {
