@@ -239,6 +239,21 @@ object VectorQueries {
     "e18_cell_diversity_sample" -> q { (s, d) =>
       Similarity.diversitySample(table(s, d, "embeddings"), k = 8)
         .orderBy("cell", "rank")
+    },
+
+    // two-level (IMI-style) hierarchical cell assignment (e19): the
+    // coarse quantizer that carries occupancy-held cell counts past
+    // Similarity.FlatAssignCap, where a flat n·nlist broadcast argmax
+    // stops being the right plan. e13/e18 only reach that path above
+    // 262144 vectors, so this query FORCES the hierarchy at
+    // nlist = 256 (16 supers) — the full rule (super argmax, centroid
+    // branching, within-branch argmax, all ties to the lowest id) is
+    // driver-hash-oracled at every SF instead of only spec-verified
+    "e19_two_level_cells" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.semCellsTwoLevel(emb,
+          Similarity.bootCentroidCols(emb, 256), 256)
+        .orderBy("vec_id")
     }
   )
 
@@ -277,11 +292,15 @@ object VectorQueries {
     buckets.map(b => s"($b)").mkString("[", ", ", "]")
   }
 
-  private lazy val cellCosInSql: String =
-    """list_aggregate(list_transform(list_zip(e.embedding, cc.ce),
-      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-      |      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
-      |       * sqrt(list_aggregate(list_transform(cc.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+  /** Cosine between two list columns, folding sequentially in double —
+    * bit-identical to the native CosineSim fold. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(list_zip($a, $b),
+       |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+       |      / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+       |       * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  private lazy val cellCosInSql: String = cosSql("e.embedding", "cc.ce")
 
   /** The IVF cell derivation (bootstrap centroids → per-vector cosine
     * scores → argmax cell), shared by the ANN oracles (e3/e11) — the
@@ -761,7 +780,34 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY cell
          |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rank
          |  FROM cell) t
-         |WHERE rank <= 8 ORDER BY cell, rank""".stripMargin
+         |WHERE rank <= 8 ORDER BY cell, rank""".stripMargin,
+
+    // the two-level hierarchical rule, stated in SQL: supers = first
+    // 16 (= ceil(sqrt(256)) next power of two) of the 256 bootstrap
+    // centroids; every centroid and every vector joins its argmax-
+    // cosine super (ties to the lowest sid); cell = argmax centroid
+    // WITHIN the vector's branch (ties to the lowest cid) — exactly
+    // Similarity.semCellsTwoLevel's three stages
+    "e19_two_level_cells" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 256),
+         |sup AS (SELECT cid AS sid, ce AS sv FROM cents WHERE cid < 16),
+         |cbr AS (SELECT cid, ce, sid AS branch FROM (
+         |  SELECT cc.cid, cc.ce, sp.sid,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.cid
+         |      ORDER BY ${cosSql("cc.ce", "sp.sv")} DESC, sp.sid) AS rn
+         |  FROM cents cc CROSS JOIN sup sp) t WHERE rn = 1),
+         |vbr AS (SELECT vec_id, embedding, sid AS branch FROM (
+         |  SELECT e.vec_id, e.embedding, sp.sid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "sp.sv")} DESC, sp.sid) AS rn
+         |  FROM embeddings e CROSS JOIN sup sp) t WHERE rn = 1)
+         |SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cid AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM vbr v JOIN cbr c ON v.branch = c.branch) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 
   /** Shared CTE chain producing the LSH-blocked near-dup `pairs`

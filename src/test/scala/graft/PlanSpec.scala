@@ -501,6 +501,19 @@ class PlanSpec extends AnyFunSuite {
       "centroid assignment must be a broadcast join, not a cartesian")
   }
 
+  test("e19: two-level assignment broadcasts supers, equi-joins branches") {
+    val p = plan("e19_two_level_cells")
+    assert(!p.contains("CartesianProduct"),
+      "hierarchical assignment must never cartesian the corpus")
+    // the super argmax stages are broadcast crossJoins of the tiny
+    // super table; the within-branch stage is a branch equi-join whose
+    // exchange is what bounds per-vector fan-out to the branch size
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "supers must broadcast")
+    assert(p.contains("hashpartitioning(branch"),
+      "within-branch argmax must ride a branch equi-join exchange")
+  }
+
   test("d39: the snapshot diff joins fingerprints, never text") {
     val p = plan("d39_corpus_diff")
     assert(!p.contains("CartesianProduct"))
