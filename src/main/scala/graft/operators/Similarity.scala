@@ -570,6 +570,14 @@ object Similarity {
   }
 
   /** Corpus cell assignment for the cosine variants. */
+  /** Per-row cell id (1-based, first on ties) against a literal
+    * centroid matrix — the probe-family assignment rule as a single
+    * stateless Column, shared with the streaming router
+    * (`Pipelines.streamCellRoute`). Janino-bounded like every
+    * inlined-literal centroid expression: keep nlist ≲ 128. */
+  private[graft] def cellAssignExpr(cents: Array[Array[Double]])(v: Column): Column =
+    cellOf(centScoresFor(cents)(v))
+
   private def cellAssign(corpus: DataFrame,
                          centScores: Column => Column): DataFrame =
     corpus

@@ -351,6 +351,25 @@ object Pipelines {
       .filter(col("adc") <= maxAdc)
   }
 
+  /** Semantic cell routing of an embedding stream against a PERSISTED
+    * IVF index (`Similarity.writeIvfIndex` layout): each arriving
+    * vector gets the argmax-cosine cell of the index's `centroids/`
+    * table — the ingest-side router that directs every vector to its
+    * cell's partition before it lands next to its neighbors (the
+    * streaming twin of the batch cell-assignment geometry e3/e13/e19
+    * share). STATELESS by construction: the centroids are a bounded
+    * one-time collect baked into the projection as literals (the
+    * probe-family expression — keep nlist ≲ 128, the documented
+    * Janino bound), so there is no per-batch static-side re-scan, no
+    * state store, and a replayed epoch routes identically. */
+  def streamCellRoute(stream: DataFrame, indexPath: String): DataFrame = {
+    val cents = stream.sparkSession.read.parquet(s"$indexPath/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    stream.select(col("vec_id"),
+      graft.operators.Similarity.cellAssignExpr(cents)(col("embedding")).as("cell"))
+  }
+
   /** The KSQL TABLE materialization over a CDC stream: latest record
     * per key, continuously updated (use OutputMode.Update). State is
     * ONE small row per key (max_by keeps the argmax struct), so it

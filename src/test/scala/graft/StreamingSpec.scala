@@ -628,4 +628,36 @@ class StreamingSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/out").orderBy("RECID").collect()
     assert(back.map(_.getString(1)).toSeq == Seq("v1", "v2"))
   }
+
+  test("stream cell route matches the persisted index assignment exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    graft.operators.Similarity.writeIvfIndex(emb, s"$dir/idx")
+    // ground truth: the cells table the index build itself wrote
+    val want = spark.read.parquet(s"$dir/idx/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Pipelines.streamCellRoute(
+        in.toDS().toDF("vec_id", "embedding"), s"$dir/idx")
+      .writeStream.format("memory").queryName("cell_route_out")
+      .outputMode("append").start()
+    in.addData(rows.take(40).toIndexedSeq)
+    q.processAllAvailable()
+    // replay the same epoch content in a later batch: stateless router
+    // must produce the identical decisions
+    in.addData(rows.take(10).toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("cell_route_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    q.stop()
+    assert(got.length == 50)
+    got.foreach { case (id, cell) =>
+      assert(cell == want(id), s"vec $id routed to $cell, index says ${want(id)}")
+    }
+  }
 }
