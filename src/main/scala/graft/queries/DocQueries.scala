@@ -1065,6 +1065,150 @@ object DocQueries {
           sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
           sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
         .orderBy("source")
+    },
+
+    // ---- SFT / chat-data curation (d40-d43): the post-pretraining
+    // data family — instruction corpora arrive as multi-turn
+    // conversations, and the engine's jobs are template rendering with
+    // loss-mask spans, structural validation, prompt-level dedup and
+    // batch-shape planning. Conversations are synthesized
+    // deterministically from the documents table (the d19/d23/d30
+    // pattern): tokens chunk into turns of 8, roles alternate
+    // user/assistant, so every query below is a FULL oracle. --------
+
+    // chat-template rendering with loss-mask offsets (d40): each turn
+    // renders as "<|role|>\n" + body + "\n" and the trainer needs the
+    // char span of every assistant body (the only tokens that take
+    // loss). All offsets are exact integer arithmetic computed IN-ROW
+    // (per-turn lengths -> prefix sums over the lens array), so the
+    // whole query is one narrow projection + explode — zero shuffles
+    // before the final sort, scan-speed at 100 TB. Marker lengths: 5
+    // chars of frame + len(role) (user=9, assistant=14), +1 trailing
+    // newline per turn.
+    "d40_chat_render" -> q { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val t = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          least(lit(6L), greatest(lit(1L),
+            expr("(size(toks) + 7) div 8"))).as("n_turns"))
+        .select(col("doc_id"), col("n_turns"),
+          transform(sequence(lit(0L), col("n_turns") - 1), j =>
+            length(array_join(
+              slice(col("toks"), (j * 8 + 1).cast("int"), lit(8)), " "))
+              .cast(LongType)).as("lens"))
+      t.select(col("doc_id"), col("lens"),
+          explode(sequence(lit(0L), col("n_turns") - 1)).as("turn_idx"))
+        .select(col("doc_id"), col("turn_idx"),
+          when(col("turn_idx") % 2 === 0, "user").otherwise("assistant")
+            .as("role"),
+          element_at(col("lens"), (col("turn_idx") + 1).cast("int"))
+            .as("body_len"),
+          (aggregate(slice(col("lens"), lit(1), col("turn_idx").cast("int")),
+            lit(0L), (a, x) => a + x)
+            + expr("9 * ((turn_idx + 1) div 2) + 14 * (turn_idx div 2)")
+            + col("turn_idx")).as("start_off"))
+        .select(col("doc_id"), col("turn_idx"), col("role"), col("body_len"),
+          col("start_off"),
+          (col("start_off") + length(col("role")) + 5).cast(LongType)
+            .as("body_start"),
+          (col("start_off") + length(col("role")) + 5 + col("body_len"))
+            .cast(LongType).as("body_end"),
+          when(col("role") === "assistant", 1L).otherwise(0L).as("in_loss"))
+        .orderBy("doc_id", "turn_idx")
+    },
+
+    // conversation-structure validation (d41): the screen every SFT
+    // pipeline runs before training — roles must start at user,
+    // alternate strictly, end at assistant, with no empty turns and at
+    // least one exchange. Defects are injected deterministically
+    // (doc_id%13 swaps all roles, %17 forces turn 1 to 'user' making a
+    // consecutive pair, %19 empties the last turn) so the screen has
+    // real positives to catch. Roles/bodies build and fold IN-ROW —
+    // zero shuffles before the final sort.
+    "d41_turn_validate" -> q { (s, d) =>
+      val t = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          least(lit(6L), greatest(lit(1L),
+            expr("(size(toks) + 7) div 8"))).as("n_turns"))
+      val roles = transform(sequence(lit(0L), col("n_turns") - 1), i =>
+        when(col("doc_id") % 17 === 0 && i === 1, lit("user"))
+          .otherwise(when(
+            when(col("doc_id") % 13 === 0, (i + 1) % 2).otherwise(i % 2) === 0,
+            "user").otherwise("assistant")))
+      val bodies = transform(sequence(lit(0L), col("n_turns") - 1), i =>
+        when(col("doc_id") % 19 === 0 && i === col("n_turns") - 1, lit(""))
+          .otherwise(array_join(
+            slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+      t.select(col("doc_id"), col("n_turns"),
+          roles.as("roles"), bodies.as("bodies"))
+        .select(col("doc_id"), col("n_turns"),
+          when(element_at(col("roles"), 1) === "user", 1L).otherwise(0L)
+            .as("first_user"),
+          when(col("n_turns") < 2 || size(filter(
+            sequence(lit(0L), col("n_turns") - 2), i =>
+              element_at(col("roles"), (i + 1).cast("int")) ===
+                element_at(col("roles"), (i + 2).cast("int")))) === 0, 1L)
+            .otherwise(0L).as("alternation_ok"),
+          when(size(filter(col("bodies"), b => b === "")) === 0, 1L)
+            .otherwise(0L).as("no_empty"),
+          when(element_at(col("roles"), col("n_turns").cast("int"))
+            === "assistant", 1L).otherwise(0L).as("ends_assistant"))
+        .select(col("doc_id"), col("n_turns"), col("first_user"),
+          col("alternation_ok"), col("no_empty"), col("ends_assistant"),
+          (col("first_user") * col("alternation_ok") * col("no_empty")
+            * col("ends_assistant")
+            * when(col("n_turns") >= 2, 1L).otherwise(0L)).as("valid"))
+        .orderBy("doc_id")
+    },
+
+    // prompt-level dedup (d42): instruction corpora are deduplicated
+    // by the PROMPT (the first user turn), not the whole conversation
+    // — the same question answered twice trains the answer twice.
+    // Key = the d8 polynomial fingerprint of the normalized first
+    // turn; keep the earliest conversation. The d4 shape: 8-byte keys
+    // through one keyed agg, text never shuffles.
+    "d42_prompt_dedup" -> q { (s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.fingerprint(
+            array_join(slice(Text.tokens(col("text")), 1, 8), " "))
+            .as("prompt_fp"))
+        .groupBy("prompt_fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_convs"))
+        .orderBy("prompt_fp")
+    },
+
+    // length-bucket batch planning (d43): pad-to-power-of-two bucketing
+    // — the trainer pads every sequence in a batch to the bucket
+    // capacity, so the padding-waste report per bucket is what decides
+    // the bucket boundaries and the packing strategy (vs d28's
+    // concat-packing). Capacity ladder is a pure CASE ladder (the
+    // repo's log-free rule: no float log2 whose ulp could fork the
+    // bucket at an exact power), over-4096 sequences truncate and are
+    // counted. One narrow projection + an 8-row agg; one double
+    // division for utilization at the very end.
+    "d43_length_buckets" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+      val capacity = caps.foldRight(lit(4096L): org.apache.spark.sql.Column)(
+        (c, acc) => when(col("n") <= c, lit(c)).otherwise(acc))
+      table(s, d, "documents")
+        .select(Text.tokenCount(col("text")).cast(LongType).as("n"))
+        .select(col("n"), capacity.as("capacity"),
+          least(col("n"), lit(4096L)).as("kept"))
+        .groupBy("capacity")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("sum_tokens"),
+          sum(col("capacity") - col("kept")).as("n_pad"),
+          sum(when(col("n") > 4096L, 1L).otherwise(0L)).as("n_truncated"))
+        .select(col("capacity"), col("n_docs"), col("sum_tokens"),
+          col("n_pad"), col("n_truncated"),
+          (col("sum_tokens").cast(DoubleType)
+            / (col("n_docs") * col("capacity")).cast(DoubleType))
+            .as("utilization"))
+        .orderBy("capacity")
     }
   )
 
@@ -1227,6 +1371,15 @@ object DocQueries {
   /** The d8 content-fingerprint fold over an arbitrary text
     * expression — shared by the d39 oracle's two synthesized snapshot
     * versions so it can never drift from Text.fingerprint. */
+  /** Shared d40/d41 conversation-synthesis CTE: tokens chunk into turns
+    * of 8, at most 6 turns, n_turns ≥ 1 (the Spark side's `(size+7)
+    * div 8` clamped the same way). */
+  private val chatTurnsCte: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CAST(least(6, greatest(1, (len(regexp_split_to_array(trim(text), '\s+')) + 7) // 8)) AS BIGINT) AS n_turns
+      |  FROM documents)""".stripMargin
+
   private def fpSql(textExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(regexp_split_to_array(substring(lower($textExpr), 1, 64), ''),
@@ -1274,6 +1427,77 @@ object DocQueries {
          |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
          |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "d40_chat_render" ->
+      s"""WITH $chatTurnsCte,
+         |l AS (
+         |  SELECT doc_id, n_turns,
+         |    list_transform(generate_series(0, n_turns - 1),
+         |      j -> CAST(length(array_to_string(toks[j*8+1:j*8+8], ' ')) AS BIGINT)) AS lens
+         |  FROM t),
+         |r AS (SELECT doc_id, lens, unnest(generate_series(0, n_turns - 1)) AS turn_idx FROM l)
+         |SELECT doc_id, turn_idx, role, body_len, start_off,
+         |  CAST(start_off + mlen AS BIGINT) AS body_start,
+         |  CAST(start_off + mlen + body_len AS BIGINT) AS body_end,
+         |  CAST(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS in_loss
+         |FROM (
+         |  SELECT doc_id, turn_idx,
+         |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         |    CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END AS mlen,
+         |    lens[CAST(turn_idx + 1 AS INTEGER)] AS body_len,
+         |    CAST(COALESCE(list_sum(lens[1:CAST(turn_idx AS INTEGER)]), 0)
+         |      + 9*((turn_idx+1)//2) + 14*(turn_idx//2) + turn_idx AS BIGINT) AS start_off
+         |  FROM r) x
+         |ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "d41_turn_validate" ->
+      s"""WITH $chatTurnsCte,
+         |v AS (
+         |  SELECT doc_id, n_turns,
+         |    list_transform(generate_series(0, n_turns - 1), i ->
+         |      CASE WHEN doc_id % 17 = 0 AND i = 1 THEN 'user'
+         |           WHEN (CASE WHEN doc_id % 13 = 0 THEN (i+1)%2 ELSE i%2 END) = 0 THEN 'user'
+         |           ELSE 'assistant' END) AS roles,
+         |    list_transform(generate_series(0, n_turns - 1), i ->
+         |      CASE WHEN doc_id % 19 = 0 AND i = n_turns - 1 THEN ''
+         |           ELSE array_to_string(toks[i*8+1:i*8+8], ' ') END) AS bodies
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, n_turns,
+         |    CASE WHEN roles[1] = 'user' THEN 1 ELSE 0 END AS first_user,
+         |    CASE WHEN n_turns < 2 OR len(list_filter(generate_series(0, n_turns - 2),
+         |        i -> roles[CAST(i+1 AS INTEGER)] = roles[CAST(i+2 AS INTEGER)])) = 0
+         |      THEN 1 ELSE 0 END AS alternation_ok,
+         |    CASE WHEN len(list_filter(bodies, b -> b = '')) = 0 THEN 1 ELSE 0 END AS no_empty,
+         |    CASE WHEN roles[CAST(n_turns AS INTEGER)] = 'assistant' THEN 1 ELSE 0 END AS ends_assistant
+         |  FROM v)
+         |SELECT doc_id, n_turns,
+         |  CAST(first_user AS BIGINT) AS first_user,
+         |  CAST(alternation_ok AS BIGINT) AS alternation_ok,
+         |  CAST(no_empty AS BIGINT) AS no_empty,
+         |  CAST(ends_assistant AS BIGINT) AS ends_assistant,
+         |  CAST(first_user * alternation_ok * no_empty * ends_assistant
+         |    * (CASE WHEN n_turns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS valid
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "d42_prompt_dedup" ->
+      s"""SELECT ${fpSql("array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')")} AS prompt_fp,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_convs
+         |FROM documents GROUP BY prompt_fp ORDER BY prompt_fp""".stripMargin,
+
+    "d43_length_buckets" ->
+      """WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+        |b AS (SELECT n,
+        |    CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |         WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048 ELSE 4096 END AS BIGINT) AS capacity,
+        |    least(n, 4096) AS kept FROM t)
+        |SELECT capacity, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(capacity - kept) AS BIGINT) AS n_pad,
+        |  CAST(SUM(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) * capacity AS DOUBLE) AS utilization
+        |FROM b GROUP BY capacity ORDER BY capacity""".stripMargin,
 
     "d16_contamination" ->
       s"""WITH fp AS ($winnowFpSql),
