@@ -723,6 +723,54 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
+  /** Index-health report — the rebuild trigger every production ANN
+    * deployment monitors: per cell, how many vectors it holds (share
+    * of the corpus) and how far the cell's TRUE mean has drifted from
+    * the centroid the index was built with (drift = 1 − cosine). A
+    * fresh index reports near-zero drift; as the corpus grows via
+    * [[appendToIvfIndex]]-style ingest without retraining, drift and
+    * occupancy skew climb until a rebuild pays for itself.
+    *
+    * Scale shape: assignment is the narrow literal-centroid projection
+    * shared with every IVF variant; the mean aggregation carries ONE
+    * long of state per (cell, dim) (the [[lloydRefine]] fixed-point
+    * trick, bit-deterministic under any partitioning — so the report
+    * is fully oracle-verifiable); everything after the agg is `nlist`
+    * rows. Cells that captured nothing report their seed unchanged
+    * (drift 0). */
+  def centroidDrift(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = bootCentroids(corpus, nlist)
+    val assigned = cellAssign(corpus, centScoresFor(cents))
+    val means = assigned
+      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "val")))
+      .select(col("cell"), col("pos"),
+        floor(col("val").cast("double") * lit(MeanScale)).as("fx"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("fx")).cast("double") / lit(MeanScale) /
+          count(lit(1)).cast("double")).as("m"))
+    val cellMeans = means.groupBy("cell")
+      .agg(max(col("n")).as("n_assigned"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean_vec"))
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val total = corpus.agg(count(lit(1)).as("t"))
+    centsDf.join(cellMeans, Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        (coalesce(col("n_assigned"), lit(0L)).cast("double") /
+          col("t").cast("double")).as("share"),
+        when(col("n_assigned").isNull, lit(0.0))
+          .otherwise(lit(1.0) - Vectors.cosine(col("mean_vec"), col("centroid")))
+          .as("drift"))
+      .orderBy("cell")
+  }
+
   /** Persist the IVF index as TABLES — the Spark-native index
     * lifecycle: an index is data, not a sidecar file format.
     * `centroids/` holds (cid, centroid); `cells/` holds the corpus

@@ -254,6 +254,16 @@ object VectorQueries {
       Similarity.semCellsTwoLevel(emb,
           Similarity.bootCentroidCols(emb, 256), 256)
         .orderBy("vec_id")
+    },
+
+    // index-health report (e20): per-cell occupancy share + drift of
+    // the true cell mean away from the built centroid (1 − cosine) —
+    // the rebuild trigger monitored over an index maintained by e11-
+    // style appends without retraining. Means ride the e5 fixed-point
+    // long-sum trick (O(1) state per (cell, dim), bit-deterministic
+    // under any partitioning), so the whole report is a FULL oracle.
+    "e20_centroid_drift" -> q { (s, d) =>
+      Similarity.centroidDrift(table(s, d, "embeddings"))
     }
   )
 
@@ -807,7 +817,34 @@ object VectorQueries {
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${cosSql("v.embedding", "c.ce")} DESC, c.cid) AS rn
          |  FROM vbr v JOIN cbr c ON v.branch = c.branch) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the e3 cell chain + the e5 fixed-point mean derivation, reported
+    // per cell instead of refined: occupancy + 1 − cos(mean, centroid)
+    "e20_centroid_drift" ->
+      s"""WITH cents0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cs0 AS (SELECT e.vec_id, e.embedding, cc.cid, ${cosSql("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cents0 cc),
+         |cell0 AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT vec_id, embedding, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cs0) t WHERE rn = 1),
+         |means AS (
+         |  SELECT cell, g.pos, COUNT(*) AS n,
+         |    CAST(SUM(CAST(floor(CAST(embedding[g.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM cell0 CROSS JOIN range(1, 65) g(pos)
+         |  GROUP BY cell, g.pos),
+         |cm AS (SELECT cell, CAST(MAX(n) AS BIGINT) AS n_assigned,
+         |    list(m ORDER BY pos) AS mv FROM means GROUP BY cell),
+         |tot AS (SELECT COUNT(*) AS t FROM embeddings)
+         |SELECT cc.cid + 1 AS cell,
+         |  COALESCE(cm.n_assigned, 0) AS n_assigned,
+         |  CAST(COALESCE(cm.n_assigned, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share,
+         |  CASE WHEN cm.cell IS NULL THEN 0.0
+         |       ELSE 1.0 - ${cosSql("cm.mv", "cc.ce")} END AS drift
+         |FROM cents0 cc LEFT JOIN cm ON cm.cell = cc.cid CROSS JOIN tot
+         |ORDER BY cell""".stripMargin
   )
 
   /** Shared CTE chain producing the LSH-blocked near-dup `pairs`

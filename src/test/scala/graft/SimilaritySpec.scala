@@ -424,4 +424,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(key(Similarity.diversitySample(emb, k = 8, knownN = n)) ==
       key(Similarity.diversitySample(emb, k = 8)))
   }
+
+  test("centroid drift: report matches a local re-derivation on a skewed corpus") {
+    import spark.implicits._
+    // 2 bootstrap centroids (vec_id 0 -> x-axis, 1 -> y-axis), then a
+    // cluster of x-like vectors DRIFTED toward y: cell 1's true mean
+    // pulls away from its built centroid, cell 2 keeps only its seed
+    val dim = 4
+    def v(xs: Double*) = xs.map(_.toFloat).toArray ++ Array.fill(dim - xs.length)(0f)
+    val rows = Seq(
+      0L -> v(1.0, 0.0), 1L -> v(0.0, 1.0),
+      2L -> v(1.0, 0.4), 3L -> v(1.0, 0.45), 4L -> v(1.0, 0.35))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidDrift(corpus, nlist = 2).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_assigned"), r.getAs[Double]("share"), r.getAs[Double]("drift"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 4L && out(2L)._1 == 1L, s"occupancy: $out")
+    assert(math.abs(out(1L)._2 - 0.8) < 1e-12 && math.abs(out(2L)._2 - 0.2) < 1e-12)
+    // local re-derivation with the same fixed-point mean
+    val members = rows.filter(p => Set(0L, 2L, 3L, 4L)(p._1)).map(_._2)
+    val mean = (0 until dim).map { d =>
+      members.map(m => math.floor(m(d).toDouble * 1e6)).sum / 1e6 / members.size
+    }
+    val cent = rows.head._2.map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(out(1L)._3 - (1.0 - cos(mean, cent))) < 1e-12,
+      s"drift ${out(1L)._3} vs local ${1.0 - cos(mean, cent)}")
+    // the seed-only cell reports zero drift: nothing but its own seed
+    assert(out(2L)._3 == 0.0 || out(2L)._3 < 1e-12)
+  }
 }
