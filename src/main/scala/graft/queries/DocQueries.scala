@@ -1144,22 +1144,11 @@ object DocQueries {
       t.select(col("doc_id"), col("n_turns"),
           roles.as("roles"), bodies.as("bodies"))
         .select(col("doc_id"), col("n_turns"),
-          when(element_at(col("roles"), 1) === "user", 1L).otherwise(0L)
-            .as("first_user"),
-          when(col("n_turns") < 2 || size(filter(
-            sequence(lit(0L), col("n_turns") - 2), i =>
-              element_at(col("roles"), (i + 1).cast("int")) ===
-                element_at(col("roles"), (i + 2).cast("int")))) === 0, 1L)
-            .otherwise(0L).as("alternation_ok"),
-          when(size(filter(col("bodies"), b => b === "")) === 0, 1L)
-            .otherwise(0L).as("no_empty"),
-          when(element_at(col("roles"), col("n_turns").cast("int"))
-            === "assistant", 1L).otherwise(0L).as("ends_assistant"))
-        .select(col("doc_id"), col("n_turns"), col("first_user"),
-          col("alternation_ok"), col("no_empty"), col("ends_assistant"),
-          (col("first_user") * col("alternation_ok") * col("no_empty")
-            * col("ends_assistant")
-            * when(col("n_turns") >= 2, 1L).otherwise(0L)).as("valid"))
+          graft.functions.Chat.firstUser(col("roles")).as("first_user"),
+          graft.functions.Chat.alternationOk(col("roles")).as("alternation_ok"),
+          graft.functions.Chat.noEmpty(col("bodies")).as("no_empty"),
+          graft.functions.Chat.endsAssistant(col("roles")).as("ends_assistant"),
+          graft.functions.Chat.valid(col("roles"), col("bodies")).as("valid"))
         .orderBy("doc_id")
     },
 

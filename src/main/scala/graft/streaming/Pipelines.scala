@@ -327,6 +327,21 @@ object Pipelines {
       .filter(col("logit") >= minLogit)
   }
 
+  /** Ingest-time conversation-structure screen (the d41 batch gate's
+    * streaming twin): arriving conversations carry (roles, bodies)
+    * array columns and structurally broken rows DROP before landing —
+    * wrong opening role, broken alternation, empty turns, trailing
+    * user turn, or no full exchange. Completely STATELESS and
+    * shuffle-free (every predicate is an in-row array fold — no
+    * explode, no join, no aggregation state), so it composes with any
+    * sink and replayed micro-batches decide identically (the
+    * idempotent exactly-once sink's requirement). ONE shared
+    * `graft.functions.Chat` definition with the batch screen, so the
+    * two gates can never drift. */
+  def streamTurnValidate(stream: DataFrame): DataFrame =
+    stream.filter(
+      graft.functions.Chat.valid(col("roles"), col("bodies")) === 1L)
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

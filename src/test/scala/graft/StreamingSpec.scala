@@ -660,4 +660,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(cell == want(id), s"vec $id routed to $cell, index says ${want(id)}")
     }
   }
+
+  test("streamTurnValidate: drops each structural defect, keeps valid conversations, replays identically") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val convs = Seq(
+      // (id, roles, bodies, expect-keep)
+      (1L, Seq("user", "assistant"), Seq("hi", "hello"), true),
+      (2L, Seq("user", "assistant", "user", "assistant"),
+        Seq("q1", "a1", "q2", "a2"), true),
+      (3L, Seq("assistant", "user"), Seq("hello", "hi"), false),        // wrong opener
+      (4L, Seq("user", "user", "assistant"), Seq("a", "b", "c"), false), // broken alternation
+      (5L, Seq("user", "assistant"), Seq("hi", ""), false),              // empty turn
+      (6L, Seq("user", "assistant", "user"), Seq("q", "a", "q2"), false),// trailing user
+      (7L, Seq("user"), Seq("alone"), false))                            // no exchange
+    val in = MemoryStream[(Long, Seq[String], Seq[String])]
+    val stream = in.toDF().toDF("conv_id", "roles", "bodies")
+    val q = Pipelines.streamTurnValidate(stream)
+      .writeStream.format("memory").queryName("turn_validate_out")
+      .outputMode("append").start()
+    in.addData(convs.map(c => (c._1, c._2, c._3)): _*)
+    q.processAllAvailable()
+    val kept1 = spark.table("turn_validate_out").collect()
+      .map(_.getAs[Long]("conv_id")).toSeq
+    assert(kept1.sorted == convs.filter(_._4).map(_._1),
+      s"stream gate kept $kept1")
+    // batch gate over the same rows through the SAME shared definition
+    val batchKept = convs.map(c => (c._1, c._2, c._3))
+      .toDF("conv_id", "roles", "bodies")
+      .filter(graft.functions.Chat.valid(org.apache.spark.sql.functions.col("roles"),
+        org.apache.spark.sql.functions.col("bodies")) === 1L)
+      .collect().map(_.getAs[Long]("conv_id")).toSeq
+    assert(kept1.sorted == batchKept.sorted, "stream and batch gates agree")
+    // replay the same rows: a stateless deterministic gate makes the
+    // identical decisions (what idempotent sink recovery requires)
+    in.addData(convs.map(c => (c._1, c._2, c._3)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("turn_validate_out").collect()
+      .map(_.getAs[Long]("conv_id")).toSeq
+    assert(all.sorted == (kept1 ++ kept1).sorted, "replayed epoch decided identically")
+  }
 }
