@@ -529,4 +529,36 @@ class PlanSpec extends AnyFunSuite {
       "the per-source stats side must broadcast into the corpus scan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d40/d41: chat render and validation are narrow maps — no key shuffle") {
+    // the in-row prefix-sum / array-fold claim, gated: the only
+    // exchanges allowed are the final sort's range partitioning
+    Seq("d40_chat_render", "d41_turn_validate").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name must stay a pure per-row map (sort-only exchanges)")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("d42: prompt dedup shuffles 8-byte fingerprints, never text") {
+    val p = plan("d42_prompt_dedup")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exchanges.contains("prompt_fp"), "agg must key on the fingerprint")
+    assert(!exchanges.contains("text"), "raw text must never cross a shuffle")
+    // map-side combine: a partial aggregate runs before the exchange
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("e20: drift means aggregate partially before the cell exchange; cents broadcast") {
+    val p = plan("e20_centroid_drift")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the nlist-row joins at the tail must broadcast")
+    // the (cell, pos) mean state is ONE long per group: partial agg
+    // below the exchange keeps the embedding payload out of the shuffle
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("embedding") || !exchanges.contains("ce"),
+      "raw embeddings must not cross the mean shuffle")
+  }
 }
