@@ -1169,6 +1169,48 @@ object DocQueries {
         .orderBy("prompt_fp")
     },
 
+    // preference-pair construction (d44): the DPO/RLHF dataset builder
+    // — within every duplicate-prompt group (the d42 key), the highest-
+    // quality conversation becomes `chosen` and the lowest becomes
+    // `rejected` (ties: lowest id wins chosen, highest id takes
+    // rejected, so an all-tie group still yields a distinct pair).
+    // Quality is the d2 score (hash-proven bit-equal doubles, so the
+    // cross-engine argmax/argmin can never disagree — the d37 lesson).
+    // One keyed agg over 16-byte (fp, score) rows with two struct
+    // extremes as the ENTIRE group state — no per-group member
+    // buffering, text never shuffles.
+    "d44_preference_pairs" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val scored = docs
+        .select(col("doc_id"), col("text"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordCount(col("text")).as("n_stop"),
+          Text.punctCount(col("text")).as("n_punct"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), col("text"), col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+            .as("stop_ratio"),
+          when(col("n_chars") === 0, lit(0.0))
+            .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
+            .as("punct_ratio"))
+        .select(col("doc_id"),
+          Text.fingerprint(
+            array_join(slice(Text.tokens(col("text")), 1, 8), " "))
+            .as("prompt_fp"),
+          Text.qualityScore(col("n_tokens"), col("stop_ratio"),
+            col("punct_ratio")).as("score"))
+      scored.groupBy("prompt_fp")
+        .agg(count(lit(1)).as("n_convs"),
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("c"),
+          min(struct(col("score"), (-col("doc_id")).as("nid"))).as("r"))
+        .filter(col("n_convs") >= 2)
+        .select(col("prompt_fp"), col("n_convs"),
+          (-col("c")("nid")).as("chosen_id"),
+          (-col("r")("nid")).as("rejected_id"),
+          (col("c")("score") - col("r")("score")).as("score_gap"))
+        .orderBy("prompt_fp")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -1473,6 +1515,39 @@ object DocQueries {
       s"""SELECT ${fpSql("array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')")} AS prompt_fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_convs
          |FROM documents GROUP BY prompt_fp ORDER BY prompt_fp""".stripMargin,
+
+    "d44_preference_pairs" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, prompt_fp,
+         |    0.4*stop_ratio + 0.3*(1.0 - punct_ratio)
+         |      + 0.3*least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS score
+         |  FROM (
+         |    SELECT doc_id, prompt_fp, n_tokens,
+         |      CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS punct_ratio
+         |    FROM (
+         |      SELECT doc_id,
+         |        ${fpSql("array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')")} AS prompt_fp,
+         |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |          w -> w IN ('the','a','and','of','to','in'))) AS n_stop,
+         |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+         |        length(text) AS n_chars
+         |      FROM documents) x) y),
+         |g AS (SELECT prompt_fp, COUNT(*) AS n_convs FROM sc
+         |  GROUP BY prompt_fp HAVING COUNT(*) >= 2),
+         |ch AS (SELECT prompt_fp, doc_id AS chosen_id, score AS cscore FROM (
+         |  SELECT prompt_fp, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY prompt_fp ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc) t WHERE rn = 1),
+         |rj AS (SELECT prompt_fp, doc_id AS rejected_id, score AS rscore FROM (
+         |  SELECT prompt_fp, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY prompt_fp ORDER BY score ASC, doc_id DESC) AS rn
+         |  FROM sc) t WHERE rn = 1)
+         |SELECT g.prompt_fp, g.n_convs, ch.chosen_id, rj.rejected_id,
+         |  ch.cscore - rj.rscore AS score_gap
+         |FROM g JOIN ch USING (prompt_fp) JOIN rj USING (prompt_fp)
+         |ORDER BY prompt_fp""".stripMargin,
 
     "d43_length_buckets" ->
       """WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),

@@ -108,4 +108,31 @@ class ChatCurationSpec extends AnyFunSuite {
       assert(u > 0.0 && u <= 1.0, s"bucket $c utilization $u")
     }
   }
+
+  test("d44: preference pairs pick quality extremes within duplicate-prompt groups") {
+    val pairs = SparkEntry.queries("d44_preference_pairs")(spark, sf).collect()
+    val scores = SparkEntry.queries("d2_quality_score")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val docs = corpus
+    val groups = docs.groupBy { case (_, t) => turnsOf(t).head.toLowerCase.take(64) }
+      .values.filter(_.size >= 2).toSeq
+    assert(pairs.length == groups.size,
+      s"one pair per multi-member prompt group: ${pairs.length} vs ${groups.size}")
+    pairs.foreach { r =>
+      val c = r.getAs[Long]("chosen_id")
+      val j = r.getAs[Long]("rejected_id")
+      assert(c != j, "chosen and rejected must differ")
+      assert(scores(c) >= scores(j), s"chosen $c outscores rejected $j")
+      assert(r.getAs[Double]("score_gap") == scores(c) - scores(j))
+    }
+    // argmax/argmin agree with a local recomputation, including ties
+    val expected = groups.map { g =>
+      val members = g.keys.toSeq
+      val chosen = members.minBy(id => (-scores(id), id))
+      val rejected = members.minBy(id => (scores(id), -id))
+      (chosen, rejected)
+    }.toSet
+    assert(pairs.map(r => (r.getAs[Long]("chosen_id"),
+      r.getAs[Long]("rejected_id"))).toSet == expected)
+  }
 }
