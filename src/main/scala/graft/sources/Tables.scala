@@ -140,6 +140,52 @@ object Tables {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Z-order (Morton) clustered parquet layout: the bits of each
+    * clustering column's min/max-normalized 16-bit rank interleave
+    * into one Morton code, and the write range-partitions + sorts on
+    * it — so every output file covers a NARROW range of EVERY
+    * clustering dimension at once, and a predicate on ANY one of them
+    * prunes most files through parquet min/max stats. A single-column
+    * sort gives file-skipping on that column only; at 100 TB a corpus
+    * queried by several independent dimensions (time AND tenant,
+    * orderkey AND partkey) needs the multi-dimensional layout.
+    *
+    * Normalization stats ride a broadcast 1-row aggregate (no driver
+    * action); the Morton code is 16·k bits of pure integer bit math
+    * (codegen-friendly, no UDF); `repartitionByRange` samples the code
+    * for balanced files. Degenerate dimensions (min = max) contribute
+    * zero bits instead of dividing by zero. The helper `__z`/stat
+    * columns never reach the files. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    nFiles: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = zCols.size
+    require(k >= 2 && k <= 4, "z-ordering clusters 2-4 dimensions")
+    require(zCols.forall(df.columns.contains), s"missing z column in $zCols")
+    val stats = df.agg(
+      min(col(zCols.head).cast("double")).as(s"__mn_${zCols.head}"),
+      zCols.tail.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+        :+ max(col(zCols.head).cast("double")).as(s"__mx_${zCols.head}"): _*)
+    val norm = zCols.map { c =>
+      val (mn, mx) = (col(s"__mn_$c"), col(s"__mx_$c"))
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(65535L), greatest(lit(0L),
+          floor((col(c).cast("double") - mn) / (mx - mn) * 65535.0)
+            .cast("long"))))
+    }
+    val z = (for { d <- 0 until k; i <- 0 until 16 } yield
+      shiftleft(shiftright(norm(d), i).bitwiseAND(lit(1L)), i * k + d))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files
     * by `key` and sorted within each. Two tables bucketed the same way
     * join WITHOUT a shuffle (the scan already satisfies the join's

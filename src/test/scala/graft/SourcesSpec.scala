@@ -247,4 +247,38 @@ class SourcesSpec extends AnyFunSuite {
         s"ts drifted with session timezone: $shifted vs $ref")
     } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
+
+  test("z-order layout: every file is narrow in BOTH dimensions at once") {
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    Tables.writeZOrdered(li, s"$dir/z", Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    // the single-dimension baseline: same file count, sorted on the
+    // first dimension only
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/x")
+    def avgFileRange(p: String, c: String): Double =
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c).cast("double")) - min(col(c).cast("double"))).as("r"))
+        .agg(avg(col("r"))).collect()(0).getDouble(0)
+    def fullRange(c: String): Double = li
+      .agg((max(col(c).cast("double")) - min(col(c).cast("double"))).as("r"))
+      .collect()(0).getDouble(0)
+    // z-order: BOTH dimensions are narrow per file (the 4x4 grid);
+    // the x-sort baseline leaves the second dimension at ~full width
+    assert(avgFileRange(s"$dir/z", "l_orderkey") < 0.6 * fullRange("l_orderkey"),
+      "z files must be narrow in the first dimension")
+    assert(avgFileRange(s"$dir/z", "l_partkey") < 0.6 * fullRange("l_partkey"),
+      "z files must be narrow in the second dimension")
+    assert(avgFileRange(s"$dir/x", "l_partkey") > 0.8 * fullRange("l_partkey"),
+      "fixture check: the single-sort baseline should NOT skip on dim 2")
+    // the layout is a re-arrangement, not a transformation: helper
+    // columns are gone and the multiset of rows is unchanged
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.columns.sorted.toSeq == li.columns.sorted.toSeq)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
 }
