@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Chat {
 
+  /** Prompt identity: the d8 polynomial fingerprint of the normalized
+    * first user turn (first 8 whitespace tokens) — ONE definition
+    * shared by the batch dedup (`d42_prompt_dedup`), the preference-
+    * pair builder (`d44_preference_pairs`) and the ingest-time screen
+    * (`Pipelines.streamPromptScreen`). */
+  def promptFingerprint(text: Column): Column =
+    Text.fingerprint(array_join(slice(Text.tokens(text), 1, 8), " "))
+
   /** The conversation opens with the user. */
   def firstUser(roles: Column): Column =
     when(element_at(roles, 1) === "user", 1L).otherwise(0L)

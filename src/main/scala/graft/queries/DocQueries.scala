@@ -1161,9 +1161,7 @@ object DocQueries {
     "d42_prompt_dedup" -> q { (s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"),
-          Text.fingerprint(
-            array_join(slice(Text.tokens(col("text")), 1, 8), " "))
-            .as("prompt_fp"))
+          graft.functions.Chat.promptFingerprint(col("text")).as("prompt_fp"))
         .groupBy("prompt_fp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_convs"))
         .orderBy("prompt_fp")
@@ -1194,9 +1192,7 @@ object DocQueries {
             .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
             .as("punct_ratio"))
         .select(col("doc_id"),
-          Text.fingerprint(
-            array_join(slice(Text.tokens(col("text")), 1, 8), " "))
-            .as("prompt_fp"),
+          graft.functions.Chat.promptFingerprint(col("text")).as("prompt_fp"),
           Text.qualityScore(col("n_tokens"), col("stop_ratio"),
             col("punct_ratio")).as("score"))
       scored.groupBy("prompt_fp")

@@ -342,6 +342,24 @@ object Pipelines {
     stream.filter(
       graft.functions.Chat.valid(col("roles"), col("bodies")) === 1L)
 
+  /** Ingest-time duplicate-prompt screen (the d42 batch dedup's
+    * streaming twin): arriving conversations fingerprint their first
+    * user turn with the SAME shared `Chat.promptFingerprint`
+    * expression the batch dedup keys on, then equi-join a STATIC
+    * reference prompt table (d42's output, or any (prompt_fp, keep_id)
+    * table) — a question the corpus already answers is flagged at
+    * ingest, before it lands. Stream-static and STATELESS: only 8-byte
+    * fingerprints join, text never shuffles, and replayed micro-
+    * batches decide identically. Emits one (in_id, ref_id) row per
+    * contaminated arrival. */
+  def streamPromptScreen(stream: DataFrame, refPrompts: DataFrame): DataFrame =
+    stream
+      .withColumn("prompt_fp",
+        graft.functions.Chat.promptFingerprint(col("text")))
+      .join(refPrompts.select(col("prompt_fp"),
+        col("keep_id").as("ref_id")).distinct(), "prompt_fp")
+      .select(col("doc_id").as("in_id"), col("ref_id"), col("prompt_fp"))
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

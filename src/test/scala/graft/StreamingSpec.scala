@@ -701,4 +701,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("conv_id")).toSeq
     assert(all.sorted == (kept1 ++ kept1).sorted, "replayed epoch decided identically")
   }
+
+  test("streamPromptScreen: flags exactly the arrivals whose prompt the corpus already answers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ref = SparkEntry.queries("d42_prompt_dedup")(spark, sf)
+    val corpusDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // arrivals: two with prompts lifted from real corpus docs (one
+    // verbatim, one with a changed TAIL — same first 8 tokens, so the
+    // prompt still matches), one genuinely novel
+    val dup = corpusDocs.head
+    val tailEdit = corpusDocs(1)
+    val arrivals = Seq(
+      (9001L, dup._2),
+      (9002L, tailEdit._2 + " entirely different continuation of the answer"),
+      (9003L, "completely novel question nobody in the corpus ever asked before today"))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Pipelines.streamPromptScreen(stream, ref)
+      .writeStream.format("memory").queryName("prompt_screen_out")
+      .outputMode("append").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("prompt_screen_out").collect()
+      .map(r => r.getAs[Long]("in_id") -> r.getAs[Long]("ref_id")).toMap
+    assert(flagged.keySet == Set(9001L, 9002L),
+      s"verbatim and tail-edited prompts flag, the novel one passes: $flagged")
+    // the ref id is the group keeper d42 chose for that prompt
+    val keepers = ref.collect()
+      .map(r => r.getAs[Long]("prompt_fp") -> r.getAs[Long]("keep_id")).toMap
+    flagged.values.foreach(rid => assert(keepers.values.exists(_ == rid)))
+  }
 }
