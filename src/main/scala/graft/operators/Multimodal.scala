@@ -845,6 +845,105 @@ object PngCodec {
   }
 }
 
+/** Windows BMP codec — pure JVM, written against the published
+  * BITMAPFILEHEADER + BITMAPINFOHEADER (V3) layout, the uncompressed
+  * DIB form real crawls carry. The encoder emits the canonical 24-bit
+  * bottom-up BI_RGB layout with 4-byte row padding; the decoder
+  * additionally accepts 32-bit BGRX, 8-bit palettized and top-down
+  * (negative height) images, and REJECTS compressed (BI_RLE and
+  * BI_BITFIELDS) or 1/4/16-bit payloads rather than misdecoding them
+  * (the codec-family rule). Interop-proven in MultimodalSpec against
+  * the JDK's independent ImageIO BMP plugin in BOTH directions.
+  */
+object BmpCodec {
+
+  /** Encode raw interleaved RGB as a 24-bit bottom-up BI_RGB BMP. */
+  def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val stride = (width * 3 + 3) & ~3
+    val dataSize = stride * height
+    val out = new Array[Byte](54 + dataSize)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v & 0xffff); p16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54 + dataSize); p32(10, 54)
+    p32(14, 40); p32(18, width); p32(22, height)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, dataSize)
+    p32(38, 2835); p32(42, 2835) // 72 dpi, by convention
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val s = (srcRow * width + x) * 3
+        val d = 54 + y * stride + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a BMP payload to an RGB [[PpmCodec.Image]]; None on
+    * malformed, truncated, compressed or unsupported-depth input
+    * (null-not-fail, the codec-family rule). */
+  def decode(payload: Array[Byte]): Option[PpmCodec.Image] = {
+    if (payload == null || payload.length < 54) return None
+    if (payload(0) != 'B' || payload(1) != 'M') return None
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    val dataOff = u32(10)
+    val hdrSize = u32(14)
+    if (hdrSize < 40 || 14 + hdrSize > payload.length) return None // V3+ only
+    val width = u32(18).toInt
+    val rawH = u32(22).toInt
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    if (width <= 0 || width > PpmCodec.MaxDim ||
+      height <= 0 || height > PpmCodec.MaxDim) return None
+    if (u16(26) != 1) return None // planes
+    val bpp = u16(28)
+    if (u32(30) != 0) return None // BI_RGB only — never misdecode RLE/bitfields
+    if (bpp != 24 && bpp != 32 && bpp != 8) return None
+    val palOff = 14 + hdrSize.toInt
+    val clrUsed = u32(46).toInt
+    val palN = if (bpp == 8) (if (clrUsed > 0) clrUsed else 256) else 0
+    if (palN > 256 || palOff + 4L * palN > payload.length) return None
+    val stride = ((width * bpp / 8) + 3) & ~3
+    if (dataOff < 14 + hdrSize || dataOff.toInt < 0 ||
+      dataOff + stride.toLong * height > payload.length) return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val dstRow = if (topDown) y else height - 1 - y
+      val ro = dataOff.toInt + y * stride
+      var x = 0
+      while (x < width) {
+        val d = (dstRow * width + x) * 3
+        bpp match {
+          case 24 =>
+            val s = ro + x * 3
+            rgb(d) = payload(s + 2); rgb(d + 1) = payload(s + 1); rgb(d + 2) = payload(s)
+          case 32 =>
+            val s = ro + x * 4
+            rgb(d) = payload(s + 2); rgb(d + 1) = payload(s + 1); rgb(d + 2) = payload(s)
+          case 8 =>
+            val idx = payload(ro + x) & 0xff
+            if (idx >= palN) return None
+            val s = palOff + idx * 4
+            rgb(d) = payload(s + 2); rgb(d + 1) = payload(s + 1); rgb(d + 2) = payload(s)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(PpmCodec.Image(width, height, rgb))
+  }
+}
+
 /** Multimodal-column plumbing (SURVEY §2c `m1_binary_meta`,
   * `m2_image_decode`, `m3_audio_decode`).
   *
@@ -882,6 +981,12 @@ object Multimodal {
     * chunk/CRC/filter layer from scratch ([[PngCodec]]). */
   def decodePngImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
     decodeImagesWith(media, PngCodec.decode)
+
+  /** [[decodeImages]] for BMP payloads: the uncompressed Windows DIB
+    * form ([[BmpCodec]] — 24/32-bit and palettized, padding and both
+    * row orders; interop-proven against the JDK's ImageIO plugin). */
+  def decodeBmpImages(media: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] =
+    decodeImagesWith(media, BmpCodec.decode)
 
   /** [[decodeImages]] for baseline JPEG payloads ([[JpegCodec]] — the
     * from-scratch Huffman/IDCT decoder; interop-proven, not oracled,

@@ -667,6 +667,36 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL uncompressed-DIB image decode: Windows BMP payloads (the
+    // from-scratch BmpCodec — 24-bit bottom-up BI_RGB) decode per
+    // partition into the same channel statistics as every other image
+    // path. Width 13 makes each row 39 bytes → stride 40, so the
+    // 4-byte row padding AND the bottom-up BGR flip are both on the
+    // oracle-checked path. Oracle = the pixel generation formula: the
+    // whole encode→pad→flip→decode loop is what's verified.
+    "m11_bmp_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (13, 9)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            rgb(i * 3) = ((id * 5 + i * 7) % 256).toByte
+            rgb(i * 3 + 1) = ((id * 9 + i * 3) % 256).toByte
+            rgb(i * 3 + 2) = ((id * 11 + i * 13) % 256).toByte
+            i += 1
+          }
+          (id, graft.operators.BmpCodec.encode(w, h, rgb))
+        }
+      graft.operators.Multimodal.decodeBmpImages(media)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    },
+
     // URL canonicalization + dedup: the crawl-pipeline step BEFORE any
     // text dedup — the same page re-crawled through different tracking
     // links must collapse first. URLs are synthesized deterministically
@@ -1961,6 +1991,18 @@ object DocQueries {
          |  ${mean(3, 5)} AS mean_r,
          |  ${mean(7, 1)} AS mean_g,
          |  ${mean(11, 9)} AS mean_b
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    "m11_bmp_decode" -> {
+      def mean(a: Int, b: Int) =
+        s"list_aggregate(list_transform(generate_series(0, 116), " +
+          s"p -> CAST((s_suppkey*$a + p*$b) % 256 AS DOUBLE)), 'avg')"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(13 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+         |  ${mean(5, 7)} AS mean_r,
+         |  ${mean(9, 3)} AS mean_g,
+         |  ${mean(11, 13)} AS mean_b
          |FROM supplier ORDER BY id""".stripMargin
     },
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
+import graft.operators.{BmpCodec, GifCodec, JpegCodec, Multimodal, PngCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTest._
@@ -480,5 +480,119 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok.map(_.peak_y.get).toSeq == Seq(0, 20, 40))
     val bad = out.filter(_.id == 2L)
     assert(bad.length == 1 && bad(0).frame_idx.isEmpty && bad(0).byte_len == 3)
+  }
+
+  test("BMP codec round-trips pixels exactly across padded widths and both parities") {
+    // widths 1..8 sweep every row-padding residue (w*3 mod 4); heights
+    // cover even/odd so the bottom-up flip is exercised asymmetrically
+    for (w <- 1 to 8; h <- Seq(1, 2, 5)) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 29 + w * 7 + h) % 256).toByte)
+      val got = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+      assert(got.isDefined, s"roundtrip failed at ${w}x$h")
+      assert(got.get.width == w && got.get.height == h)
+      assert(got.get.rgb.toSeq == rgb.toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("BMP interop: both directions against the JVM's independent ImageIO plugin") {
+    val (w, h) = (21, 9)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31 + y * 5) % 256) << 16 |
+        ((x * 3 + y * 53) % 256) << 8 | ((x * 11 + y * 23) % 256))
+    // ImageIO writes, we decode — pixel-exact
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val d = BmpCodec.decode(bos.toByteArray).getOrElse(fail("must decode ImageIO BMP"))
+    assert(d.width == w && d.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert((d.rgb(p) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (d.rgb(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (d.rgb(p + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y) differs (their write)")
+    }
+    // we write, ImageIO decodes — pixel-exact the other way
+    val rgbFlat = Array.tabulate[Byte](w * h * 3) { i =>
+      val (pix, c) = (i / 3, i % 3)
+      ((pix * 37 + c * 85 + 11) % 256).toByte
+    }
+    val ours = BmpCodec.encode(w, h, rgbFlat)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(back != null && back.getWidth == w && back.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val rgb = back.getRGB(x, y)
+      assert((rgbFlat(p) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (rgbFlat(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (rgbFlat(p + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y) differs (our write)")
+    }
+  }
+
+  test("BMP decode handles top-down, 32-bit and palettized forms; rejects never misdecodes") {
+    val base = {
+      val rgb = Array.tabulate[Byte](4 * 3 * 3)(i => ((i * 19 + 3) % 256).toByte)
+      BmpCodec.encode(4, 3, rgb)
+    }
+    // top-down: negate the height field; rows arrive in natural order,
+    // so the decoded image is the bottom-up one flipped vertically
+    val td = base.clone()
+    val negH = -3
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte; td(25) = ((negH >> 24) & 0xff).toByte
+    val up = BmpCodec.decode(base).get
+    val down = BmpCodec.decode(td).get
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert(down.rgb(((2 - y) * 4 + x) * 3 + c) == up.rgb((y * 4 + x) * 3 + c),
+        "top-down must be the vertical flip of bottom-up")
+    // rejects: compression flag, unsupported depth, truncation — and a
+    // corruption sweep must never throw (decode is total)
+    val rle = base.clone(); rle(30) = 1
+    assert(BmpCodec.decode(rle).isEmpty, "BI_RLE8 must be rejected, not misdecoded")
+    val b16 = base.clone(); b16(28) = 16
+    assert(BmpCodec.decode(b16).isEmpty, "16bpp must be rejected")
+    assert(BmpCodec.decode(base.take(53)).isEmpty)
+    assert(BmpCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    for (i <- base.indices by 7) {
+      val c = base.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      BmpCodec.decode(c) // must not throw; None or a decoded image both fine
+    }
+    // hand-built 8-bit palettized image: 2x2, palette[0]=red, [1]=green
+    val pal8 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def p16(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def p32(v: Int) = { p16(v & 0xffff); p16(v >>> 16) }
+      bos.write('B'); bos.write('M'); p32(54 + 8 + 8 + 8); p32(0)
+      p32(54 + 8) // data offset: after header + 2-entry palette
+      p32(40); p32(2); p32(2); p16(1); p16(8); p32(0); p32(8)
+      p32(0); p32(0); p32(2); p32(0) // biClrUsed = 2
+      bos.write(Array[Byte](0, 0, -1, 0)) // palette 0: BGRX = red
+      bos.write(Array[Byte](0, -1, 0, 0)) // palette 1: green
+      bos.write(Array[Byte](0, 1, 0, 0)) // bottom row: red, green (+pad)
+      bos.write(Array[Byte](1, 0, 0, 0)) // top row: green, red (+pad)
+      bos.toByteArray
+    }
+    val p8 = BmpCodec.decode(pal8).getOrElse(fail("palettized BMP must decode"))
+    assert(p8.width == 2 && p8.height == 2)
+    def px(img: PpmCodec.Image, x: Int, y: Int) =
+      (0 until 3).map(c => img.rgb((y * img.width + x) * 3 + c) & 0xff)
+    assert(px(p8, 0, 0) == Seq(0, 255, 0) && px(p8, 1, 0) == Seq(255, 0, 0))
+    assert(px(p8, 0, 1) == Seq(255, 0, 0) && px(p8, 1, 1) == Seq(0, 255, 0))
+    // hand-built 32-bit BGRX image: 2x1 (stride needs no pad at 32bpp)
+    val b32 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def p16(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def p32(v: Int) = { p16(v & 0xffff); p16(v >>> 16) }
+      bos.write('B'); bos.write('M'); p32(54 + 8); p32(0); p32(54)
+      p32(40); p32(2); p32(1); p16(1); p16(32); p32(0); p32(8)
+      p32(0); p32(0); p32(0); p32(0)
+      bos.write(Array[Byte](10, 20, 30, 0)) // BGRX -> rgb (30,20,10)
+      bos.write(Array[Byte](40, 50, 60, 0)) // BGRX -> rgb (60,50,40)
+      bos.toByteArray
+    }
+    val d32 = BmpCodec.decode(b32).getOrElse(fail("32-bit BMP must decode"))
+    assert(d32.width == 2 && d32.height == 1)
+    assert(px(d32, 0, 0) == Seq(30, 20, 10) && px(d32, 1, 0) == Seq(60, 50, 40))
   }
 }
