@@ -185,11 +185,108 @@ object WavCodec {
       "data".getBytes("US-ASCII") ++ le32(ulaw.length) ++ ulaw
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) from the IMA Digital
+    * Audio Focus Group's 1992 recommended practice — the 4-bit
+    * differential codec WAV carries as format tag 0x11. */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** IMA ADPCM step-index adjustment per 3-bit magnitude. */
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM state update shared verbatim by the encoder and the
+    * decoder (the codec is a mirrored state machine — the encoder runs
+    * the DECODER's reconstruction so both sides track identically).
+    * Returns (newPred, newIndex) for a 4-bit code. */
+  @inline private def adpcmReconstruct(code: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = AdpcmStepTable(index)
+    var diff = step >> 3
+    if ((code & 1) != 0) diff += step >> 2
+    if ((code & 2) != 0) diff += step >> 1
+    if ((code & 4) != 0) diff += step
+    var p = pred + (if ((code & 8) != 0) -diff else diff)
+    if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+    var ix = index + AdpcmIndexTable(code & 7)
+    if (ix < 0) ix = 0 else if (ix > 88) ix = 88
+    (p, ix)
+  }
+
+  /** Encode 16-bit mono PCM as an IMA ADPCM WAV (format tag 0x11) —
+    * 4 bits on the wire per 16-bit sample. Block layout per the spec:
+    * each `blockAlign`-byte block opens with a 4-byte header (initial
+    * predictor as a verbatim int16, step index, reserved 0) followed
+    * by packed nibbles LOW-FIRST; a block carries
+    * `(blockAlign-4)*2 + 1` samples (the header predictor IS sample
+    * one). The final block pads by holding the predictor (code 0
+    * nibbles); the `fact` chunk records the true sample count so
+    * decoders trim the pad. The step index carries ACROSS blocks (the
+    * header re-seeds the predictor exactly but keeps the adapted
+    * step), as real encoders do. */
+  def encodeAdpcm(sampleRate: Int, samples: Array[Short],
+                  blockAlign: Int = 256): Array[Byte] = {
+    require(samples.nonEmpty && samples.length <= MaxSamples,
+      "sample count out of range")
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign must be a multiple of 4, >= 8; got $blockAlign")
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var index = 0
+    var o = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      var pred = samples(o).toInt
+      data(base) = (pred & 0xff).toByte
+      data(base + 1) = ((pred >> 8) & 0xff).toByte
+      data(base + 2) = index.toByte
+      data(base + 3) = 0
+      o += 1
+      var i = 0
+      val nNib = (blockAlign - 4) * 2
+      while (i < nNib) {
+        val s = if (o < samples.length) { val v = samples(o).toInt; o += 1; v }
+                else pred // pad nibbles hold the predictor (code 0)
+        val step = AdpcmStepTable(index)
+        var delta = s - pred
+        var code = 0
+        if (delta < 0) { code = 8; delta = -delta }
+        if (delta >= step) { code |= 4; delta -= step }
+        if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) code |= 1
+        val (p2, ix2) = adpcmReconstruct(code, pred, index)
+        pred = p2; index = ix2
+        val pos = base + 4 + (i >> 1)
+        if ((i & 1) == 0) data(pos) = (code & 0xf).toByte
+        else data(pos) = (data(pos) | (code << 4)).toByte
+        i += 1
+      }
+      b += 1
+    }
+    val byteRate = (sampleRate.toLong * blockAlign / spb).toInt
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 28 + 12 + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++
+      le16(0x11) ++ le16(1) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(spb) ++
+      "fact".getBytes("US-ASCII") ++ le32(4) ++ le32(samples.length) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
   /** Decode a WAV payload; None on anything malformed or unsupported
     * (null-not-fail, the engine's KSQL-style semantics). Walks the
     * chunk list properly — extra chunks (LIST/INFO/cue) are skipped,
-    * `fmt ` must declare mono 16-bit PCM (tag 1) or 8-bit G.711 µ-law
-    * (tag 7, expanded through [[ulawDecode8]]) before `data` is
+    * `fmt ` must declare mono 16-bit PCM (tag 1), 8-bit G.711 µ-law
+    * (tag 7, expanded through [[ulawDecode8]]) or 4-bit IMA ADPCM
+    * (tag 0x11, the mirrored state machine of [[encodeAdpcm]], with
+    * the `fact` chunk trimming final-block padding) before `data` is
     * accepted. */
   def decode(payload: Array[Byte]): Option[Audio] = {
     if (payload == null || payload.length < 44) return None
@@ -204,23 +301,72 @@ object WavCodec {
     var pos = 12
     var rate = -1
     var fmtTag = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
+    var factSamples = -1L
     while (pos + 8 <= payload.length) {
       val size = u32(pos + 4)
       if (size > payload.length - pos - 8) return None
       val body = pos + 8
       if (ascii(pos, "fmt ")) {
         if (size < 16) return None
-        // mono PCM16 (tag 1) or mono µ-law 8-bit (tag 7) — anything
-        // else is unsupported, not data
+        // mono PCM16 (tag 1), mono µ-law 8-bit (tag 7) or mono IMA
+        // ADPCM 4-bit (tag 0x11) — anything else is unsupported, not
+        // data
         val tag = u16(body)
         val bits = u16(body + 14)
         if (u16(body + 2) != 1 || !((tag == 1 && bits == 16) ||
-          (tag == 7 && bits == 8))) return None
+          (tag == 7 && bits == 8) || (tag == 0x11 && bits == 4))) return None
+        if (tag == 0x11) {
+          // the ADPCM fmt extension (cbSize >= 2) must declare the
+          // per-block sample count consistent with blockAlign
+          if (size < 20 || u16(body + 16) < 2) return None
+          blockAlign = u16(body + 12)
+          samplesPerBlock = u16(body + 18)
+          if (blockAlign < 8 ||
+            samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
+        }
         val r = u32(body + 4)
         if (r <= 0 || r > Int.MaxValue) return None
         rate = r.toInt
         fmtTag = tag
+      } else if (ascii(pos, "fact")) {
+        if (size >= 4) factSamples = u32(body)
       } else if (ascii(pos, "data")) {
+        if (fmtTag == 0x11) { // IMA ADPCM: block-structured nibbles
+          if (size % blockAlign != 0) return None
+          val nBlocks = (size / blockAlign).toInt
+          val cap = nBlocks.toLong * samplesPerBlock
+          if (cap > MaxSamples) return None
+          val total = if (factSamples >= 0) factSamples else cap
+          if (total > cap) return None
+          val out = new Array[Short](total.toInt)
+          var o = 0
+          var b = 0
+          while (b < nBlocks && o < total) {
+            val base = body + b * blockAlign
+            var pred = ((payload(base) & 0xff) |
+              (payload(base + 1) << 8)).toShort.toInt
+            var index = payload(base + 2) & 0xff
+            if (index > 88) return None
+            out(o) = pred.toShort
+            o += 1
+            var i = 0
+            val nNib = (blockAlign - 4) * 2
+            while (i < nNib && o < total) {
+              val byt = payload(base + 4 + (i >> 1)) & 0xff
+              val code = if ((i & 1) == 0) byt & 0xf else byt >> 4
+              val (p2, ix2) = adpcmReconstruct(code, pred, index)
+              pred = p2; index = ix2
+              out(o) = pred.toShort
+              o += 1
+              i += 1
+            }
+            b += 1
+          }
+          if (o < total) return None // fact promised more than data holds
+          return Some(Audio(rate, out))
+        }
         if (fmtTag == 7) { // µ-law: one byte per sample, expand
           if (size > MaxSamples) return None
           val n = size.toInt

@@ -697,6 +697,38 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // REAL COMPRESSED audio decode #2: IMA ADPCM WAVs (format tag
+    // 0x11 — 4 differential bits on the wire per 16-bit sample, the
+    // block-structured adaptive codec). The payloads are ramps with
+    // slope ∈ {0,±1,±3,±4}: at step index 0 (step=7) the greedy
+    // quantizer hits those deltas EXACTLY and the index adjustment
+    // clamps at 0, so decode reproduces every sample bit-exactly and
+    // the oracle checks FULL sample fidelity in closed form — the
+    // container walk, fact-chunk trim, per-block predictor re-seed,
+    // low-nibble-first unpack, the 3-bit diff composition and the
+    // sign bit are all on the hash-checked path. The adaptive
+    // (step-growth) path is spec-proven in MultimodalSpec (SNR +
+    // independent straight-line reference decode). blockAlign 32 →
+    // 57 samples/block, so every id spans 2-6 blocks with a padded
+    // final block the fact count must trim.
+    "m12_adpcm_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val slope = Array(0, 1, 3, 4, -1, -3, -4)((id % 7).toInt)
+          val a = (id * 37 % 1000).toInt - 500
+          val n = (100 + (id % 5) * 57).toInt
+          val pcm = Array.tabulate[Short](n)(i => (a + slope * i).toShort)
+          (id, graft.operators.WavCodec.encodeAdpcm(16000, pcm, blockAlign = 32))
+        }
+      graft.operators.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .orderBy("id")
+    },
+
     // URL canonicalization + dedup: the crawl-pipeline step BEFORE any
     // text dedup — the same page re-crawled through different tracking
     // links must collapse first. URLs are synthesized deterministically
@@ -2003,6 +2035,25 @@ object DocQueries {
          |  ${mean(5, 7)} AS mean_r,
          |  ${mean(9, 3)} AS mean_g,
          |  ${mean(11, 13)} AS mean_b
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // FULL sample-fidelity oracle: the ramp generation formula —
+    // sample i = a + slope*i — is exactly what IMA ADPCM reconstructs
+    // for slopes in {0,±1,±3,±4} at step index 0 (see the query
+    // comment), so mean|s| and peak|s| replicate closed-form
+    "m12_adpcm_decode" -> {
+      val n = "(100 + (s_suppkey % 5) * 57)"
+      val a = "((s_suppkey * 37) % 1000 - 500)"
+      val sl = "(([0,1,3,4,-1,-3,-4])[(s_suppkey % 7) + 1])"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST($n AS DOUBLE) * 1000.0 / 16000 AS duration_ms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> abs($a + $sl * i)), 'sum') AS DOUBLE) / $n AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, $n - 1),
+         |    i -> abs($a + $sl * i))) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     },
 

@@ -595,4 +595,120 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d32.width == 2 && d32.height == 1)
     assert(px(d32, 0, 0) == Seq(30, 20, 10) && px(d32, 1, 0) == Seq(60, 50, 40))
   }
+
+  test("IMA ADPCM reconstructs slope-{0,±1,±3,±4} ramps bit-exactly (the m12 oracle contract)") {
+    for (slope <- Seq(0, 1, 3, 4, -1, -3, -4); a <- Seq(-500, 0, 77, 499)) {
+      val n = 271 // spans 5 blocks at blockAlign 32 (57 samples/block)
+      val pcm = Array.tabulate[Short](n)(i => (a + slope * i).toShort)
+      val got = WavCodec.decode(WavCodec.encodeAdpcm(16000, pcm, blockAlign = 32))
+        .getOrElse(fail(s"slope $slope must decode"))
+      assert(got.sampleRate == 16000)
+      assert(got.samples.toSeq == pcm.toSeq, s"slope=$slope a=$a")
+    }
+  }
+
+  test("IMA ADPCM sine roundtrip SNR exceeds 20 dB (the adaptive path)") {
+    val n = 4000
+    val sig = Array.tabulate[Short](n)(i =>
+      (8000 * math.sin(2 * math.Pi * 440 * i / 8000)).toShort)
+    val out = WavCodec.decode(WavCodec.encodeAdpcm(8000, sig)).get.samples
+    assert(out.length == n)
+    var sp = 0.0; var np = 0.0
+    for (i <- 0 until n) {
+      sp += sig(i).toDouble * sig(i)
+      val e = out(i).toDouble - sig(i)
+      np += e * e
+    }
+    val snr = 10 * math.log10(sp / np)
+    assert(snr > 20, s"SNR $snr dB")
+  }
+
+  test("IMA ADPCM decode agrees with an independent straight-line reference on arbitrary codes") {
+    // hand-build a 2-block tag-0x11 WAV with pseudo-random nibbles and
+    // decode it BOTH with WavCodec and with a reference state machine
+    // typed here directly from the IMA recommended practice
+    val blockAlign = 16 // 25 samples per block
+    val nib = (blockAlign - 4) * 2
+    val codes = Array.tabulate(2 * nib)(i => (i * 7 + i * i * 3 + 5) % 16)
+    val preds = Array(1234, -876)
+    val idxs = Array(0, 37)
+    val data = new Array[Byte](2 * blockAlign)
+    for (b <- 0 to 1) {
+      data(b * blockAlign) = (preds(b) & 0xff).toByte
+      data(b * blockAlign + 1) = ((preds(b) >> 8) & 0xff).toByte
+      data(b * blockAlign + 2) = idxs(b).toByte
+      for (i <- 0 until nib) {
+        val c = codes(b * nib + i)
+        val pos = b * blockAlign + 4 + (i >> 1)
+        if ((i & 1) == 0) data(pos) = (c & 0xf).toByte
+        else data(pos) = (data(pos) | (c << 4)).toByte
+      }
+    }
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val spb = (blockAlign - 4) * 2 + 1
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 28 + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(20) ++
+      le16(0x11) ++ le16(1) ++ le32(8000) ++ le32(8000 * blockAlign / spb) ++
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(spb) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    // reference: bit-serial diff accumulation per the published spec,
+    // written as an index-walking loop independent of the codec
+    val step = Vector(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+      1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+      3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+      10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+      24623, 27086, 29794, 32767)
+    val expect = scala.collection.mutable.ArrayBuffer[Short]()
+    for (b <- 0 to 1) {
+      var pred = preds(b)
+      var ix = idxs(b)
+      expect += pred.toShort
+      for (i <- 0 until nib) {
+        val c = codes(b * nib + i)
+        val st = step(ix)
+        var d = st >> 3
+        for (bit <- 0 to 2) if ((c & (1 << bit)) != 0) d += st >> (2 - bit)
+        pred += (if ((c & 8) != 0) -d else d)
+        pred = math.max(-32768, math.min(32767, pred))
+        ix = math.max(0, math.min(88, ix + Vector(-1, -1, -1, -1, 2, 4, 6, 8)(c & 7)))
+        expect += pred.toShort
+      }
+    }
+    val got = WavCodec.decode(wav).getOrElse(fail("hand-built ADPCM WAV must decode"))
+    assert(got.samples.toSeq == expect.toSeq)
+  }
+
+  test("IMA ADPCM fact trims padding, tracks jumps, and rejects malformed streams") {
+    // 60 samples at spb 57 -> 2 blocks, 54 pad nibbles trimmed by fact
+    val pcm = Array.tabulate[Short](60)(i => (i * 11 - 300).toShort)
+    val wav = WavCodec.encodeAdpcm(8000, pcm, blockAlign = 32)
+    assert(WavCodec.decode(wav).get.samples.length == 60)
+    // a 0 -> 20000 step: the index adaptation must climb to the jump
+    // within a few dozen samples (step grows up to 8 indices/code)
+    val jump = Array.tabulate[Short](200)(i => if (i < 50) 0 else 20000)
+    val tracked = WavCodec.decode(WavCodec.encodeAdpcm(8000, jump)).get.samples
+    assert((50 until 90).exists(i => tracked(i) > 15000), "adaptation must reach the jump")
+    assert((150 until 200).forall(i => math.abs(tracked(i) - 20000) < 500),
+      "steady state must re-converge")
+    // malformed: truncated data, fact > capacity, bad samplesPerBlock,
+    // bad header step index, data not block-aligned
+    assert(WavCodec.decode(wav.dropRight(3)).isEmpty, "torn final block")
+    val overFact = wav.clone()
+    overFact(wav.indexOfSlice("fact".getBytes) + 8) = 200.toByte // 60 -> 200 > 114 cap
+    assert(WavCodec.decode(overFact).isEmpty, "fact beyond capacity")
+    val badSpb = wav.clone()
+    badSpb(wav.indexOfSlice("fmt ".getBytes) + 8 + 18) = 56.toByte
+    assert(WavCodec.decode(badSpb).isEmpty, "inconsistent samples/block")
+    val badIdx = wav.clone()
+    badIdx(wav.indexOfSlice("data".getBytes) + 8 + 2) = 90.toByte
+    assert(WavCodec.decode(badIdx).isEmpty, "header step index > 88")
+    // totality on garbage
+    assert(WavCodec.decode(Array.tabulate[Byte](300)(i => (i * 37).toByte)).isEmpty)
+  }
 }
