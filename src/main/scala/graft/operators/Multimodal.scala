@@ -1033,6 +1033,59 @@ object BmpCodec {
     out
   }
 
+  /** Encode palette indices as an 8-bit BI_RLE8 BMP (compression 1,
+    * bottom-up — the only row order RLE BMPs allow). The encoder emits
+    * encoded-mode runs only (count, index — runs clamp at 255), an EOL
+    * escape after every row and the EOF escape at the end; the decoder
+    * additionally accepts absolute mode and delta escapes, which real
+    * writers (ImageIO included) interleave. `indices` is top-down
+    * raster order, like [[encode]]'s rgb. */
+  def encodeRle8(width: Int, height: Int, indices: Array[Byte],
+                 palette: Array[Int]): Array[Byte] = {
+    require(indices.length == width * height, "indices must be w*h bytes")
+    require(palette.nonEmpty && palette.length <= 256, "palette must be 1..256 entries")
+    val data = new java.io.ByteArrayOutputStream()
+    var y = height - 1 // bottom-up: last raster row is written first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = indices(y * width + x)
+        var run = 1
+        while (x + run < width && run < 255 && indices(y * width + x + run) == v) run += 1
+        data.write(run); data.write(v & 0xff)
+        x += run
+      }
+      data.write(0); data.write(if (y == 0) 1 else 0) // EOL / final EOF
+      y -= 1
+    }
+    val rle = data.toByteArray
+    val palN = palette.length
+    val dataOff = 54 + 4 * palN
+    val out = new Array[Byte](dataOff + rle.length)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v & 0xffff); p16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, dataOff)
+    p32(14, 40); p32(18, width); p32(22, height)
+    p16(26, 1); p16(28, 8); p32(30, 1) // BI_RLE8
+    p32(34, rle.length)
+    p32(38, 2835); p32(42, 2835)
+    p32(46, palN); p32(50, 0)
+    var c = 0
+    while (c < palN) {
+      val o = 54 + c * 4
+      out(o) = (palette(c) & 0xff).toByte // blue
+      out(o + 1) = ((palette(c) >> 8) & 0xff).toByte
+      out(o + 2) = ((palette(c) >> 16) & 0xff).toByte
+      out(o + 3) = 0
+      c += 1
+    }
+    System.arraycopy(rle, 0, out, dataOff, rle.length)
+    out
+  }
+
   /** Decode a BMP payload to an RGB [[PpmCodec.Image]]; None on
     * malformed, truncated, compressed or unsupported-depth input
     * (null-not-fail, the codec-family rule). */
@@ -1052,12 +1105,71 @@ object BmpCodec {
       height <= 0 || height > PpmCodec.MaxDim) return None
     if (u16(26) != 1) return None // planes
     val bpp = u16(28)
-    if (u32(30) != 0) return None // BI_RGB only — never misdecode RLE/bitfields
+    val compression = u32(30)
+    // BI_RGB (0) or BI_RLE8 (1, 8-bit only) — bitfields/RLE4/JPEG/PNG
+    // embeddings are rejected, never misdecoded
+    if (compression != 0 && !(compression == 1 && bpp == 8)) return None
     if (bpp != 24 && bpp != 32 && bpp != 8) return None
     val palOff = 14 + hdrSize.toInt
     val clrUsed = u32(46).toInt
     val palN = if (bpp == 8) (if (clrUsed > 0) clrUsed else 256) else 0
     if (palN > 256 || palOff + 4L * palN > payload.length) return None
+    if (compression == 1) {
+      // RLE8 is bottom-up only (the spec gives delta escapes positive
+      // dy, meaningless top-down)
+      if (topDown) return None
+      if (dataOff < palOff + 4L * palN || dataOff >= payload.length) return None
+      val idx = new Array[Byte](width * height) // uncovered pixels -> index 0
+      var x = 0
+      var y = 0 // 0 = BOTTOM row, per RLE coordinate space
+      var p = dataOff.toInt
+      var done = false
+      while (!done) {
+        if (p + 2 > payload.length) return None // torn stream: no EOF seen
+        val n = payload(p) & 0xff
+        val v = payload(p + 1) & 0xff
+        p += 2
+        if (n > 0) { // encoded run
+          if (y >= height || x + n > width || v >= palN) return None
+          java.util.Arrays.fill(idx, y * width + x, y * width + x + n, v.toByte)
+          x += n
+        } else v match {
+          case 0 => x = 0; y += 1; if (y > height) return None // EOL
+          case 1 => done = true // EOF
+          case 2 => // delta: unsigned (dx, dy) move
+            if (p + 2 > payload.length) return None
+            x += payload(p) & 0xff; y += payload(p + 1) & 0xff
+            p += 2
+            if (x > width || y > height) return None
+          case n2 => // absolute mode: n2 literal indices, word-aligned
+            val pad = n2 & 1
+            if (p + n2 + pad > payload.length) return None
+            if (y >= height || x + n2 > width) return None
+            var i = 0
+            while (i < n2) {
+              val iv = payload(p + i) & 0xff
+              if (iv >= palN) return None
+              idx(y * width + x + i) = iv.toByte
+              i += 1
+            }
+            x += n2; p += n2 + pad
+        }
+      }
+      val rgb = new Array[Byte](width * height * 3)
+      var yy = 0
+      while (yy < height) {
+        val dstRow = height - 1 - yy // RLE row 0 is the bottom raster row
+        var xx = 0
+        while (xx < width) {
+          val s = palOff + (idx(yy * width + xx) & 0xff) * 4
+          val d = (dstRow * width + xx) * 3
+          rgb(d) = payload(s + 2); rgb(d + 1) = payload(s + 1); rgb(d + 2) = payload(s)
+          xx += 1
+        }
+        yy += 1
+      }
+      return Some(PpmCodec.Image(width, height, rgb))
+    }
     val stride = ((width * bpp / 8) + 3) & ~3
     if (dataOff < 14 + hdrSize || dataOff.toInt < 0 ||
       dataOff + stride.toLong * height > payload.length) return None

@@ -667,13 +667,13 @@ object DocQueries {
         .orderBy("id")
     },
 
-    // REAL uncompressed-DIB image decode: Windows BMP payloads (the
-    // from-scratch BmpCodec — 24-bit bottom-up BI_RGB) decode per
-    // partition into the same channel statistics as every other image
-    // path. Width 13 makes each row 39 bytes → stride 40, so the
-    // 4-byte row padding AND the bottom-up BGR flip are both on the
-    // oracle-checked path. Oracle = the pixel generation formula: the
-    // whole encode→pad→flip→decode loop is what's verified.
+    // REAL Windows-DIB image decode: even ids encode 24-bit bottom-up
+    // BI_RGB (width 13 → stride 40, so 4-byte row padding and the
+    // bottom-up BGR flip are oracle-checked); odd ids encode the SAME
+    // pixels as 8-bit BI_RLE8 (compression 1 — run-length escapes,
+    // EOL/EOF, palette resolve) with a per-pixel palette, so both
+    // compression paths land on one unchanged generation-formula
+    // oracle. RLE8 interop with ImageIO is spec-proven both ways.
     "m11_bmp_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
@@ -688,7 +688,15 @@ object DocQueries {
             rgb(i * 3 + 2) = ((id * 11 + i * 13) % 256).toByte
             i += 1
           }
-          (id, graft.operators.BmpCodec.encode(w, h, rgb))
+          if (id % 2 == 0) (id, graft.operators.BmpCodec.encode(w, h, rgb))
+          else {
+            // palette entry p = pixel p's color; 117 pixels < 256
+            val pal = Array.tabulate(w * h)(p =>
+              ((rgb(p * 3) & 0xff) << 16) | ((rgb(p * 3 + 1) & 0xff) << 8) |
+                (rgb(p * 3 + 2) & 0xff))
+            val idx = Array.tabulate[Byte](w * h)(p => p.toByte)
+            (id, graft.operators.BmpCodec.encodeRle8(w, h, idx, pal))
+          }
         }
       graft.operators.Multimodal.decodeBmpImages(media)
         .toDF()

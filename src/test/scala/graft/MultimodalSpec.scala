@@ -596,6 +596,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px(d32, 0, 0) == Seq(30, 20, 10) && px(d32, 1, 0) == Seq(60, 50, 40))
   }
 
+  test("BMP RLE8 roundtrips pixel-exactly and actually compresses runs") {
+    def px(img: PpmCodec.Image, x: Int, y: Int) =
+      (0 to 2).map(c => img.rgb((y * img.width + x) * 3 + c) & 0xff)
+    val (w, h) = (19, 7)
+    val palette = Array.tabulate(256)(c =>
+      (((c * 5 + 3) % 256) << 16) | (((c * 7 + 11) % 256) << 8) | ((c * 3 + 1) % 256))
+    val idx = Array.tabulate[Byte](w * h)(i => ((i / 8) % 4).toByte) // blocky runs
+    val bmp = BmpCodec.encodeRle8(w, h, idx, palette)
+    val img = BmpCodec.decode(bmp).getOrElse(fail("RLE8 must decode"))
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = palette(idx(y * w + x) & 0xff)
+      assert(px(img, x, y) == Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff))
+    }
+    // blocky content must beat the raw 8-bit padded-stride data size
+    assert(bmp.length - (54 + 1024) < ((w + 3) & ~3) * h, "RLE must compress")
+  }
+
+  test("BMP RLE8 interop: ImageIO reads our stream and we read ImageIO's") {
+    def px(img: PpmCodec.Image, x: Int, y: Int) =
+      (0 to 2).map(c => img.rgb((y * img.width + x) * 3 + c) & 0xff)
+    val (w, h) = (23, 9)
+    val palette = Array.tabulate(256)(c =>
+      (((c * 11) % 256) << 16) | (((c * 3 + 7) % 256) << 8) | ((c * 13 + 5) % 256))
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 31 / 16) % 256).toByte)
+    // ours -> their reader
+    val ours = BmpCodec.encodeRle8(w, h, idx, palette)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(theirs != null, "ImageIO must accept our RLE8 BMP")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((theirs.getRGB(x, y) & 0xffffff) == palette(idx(y * w + x) & 0xff),
+        s"ImageIO pixel ($x,$y)")
+    // their writer -> our decoder
+    val rs = Array.tabulate[Byte](256)(c => ((palette(c) >> 16) & 0xff).toByte)
+    val gs = Array.tabulate[Byte](256)(c => ((palette(c) >> 8) & 0xff).toByte)
+    val bs = Array.tabulate[Byte](256)(c => (palette(c) & 0xff).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, idx(y * w + x) & 0xff)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("BI_RLE8")
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    wr.dispose()
+    val dec = BmpCodec.decode(bos.toByteArray)
+      .getOrElse(fail("ImageIO's RLE8 BMP must decode"))
+    assert(dec.width == w && dec.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = palette(idx(y * w + x) & 0xff)
+      assert(px(dec, x, y) == Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff),
+        s"our pixel ($x,$y)")
+    }
+  }
+
+  test("BMP RLE8 rejects torn/overrunning/out-of-palette streams") {
+    val palette = Array.tabulate(16)(c => c * 0x111111)
+    val idx = Array.tabulate[Byte](5 * 3)(i => (i % 4).toByte)
+    val good = BmpCodec.encodeRle8(5, 3, idx, palette)
+    assert(BmpCodec.decode(good).isDefined)
+    assert(BmpCodec.decode(good.dropRight(2)).isEmpty, "missing EOF escape")
+    // a run longer than the row: count byte 200 on a width-5 image
+    val overrun = good.clone()
+    overrun(54 + 4 * 16) = 200.toByte
+    assert(BmpCodec.decode(overrun).isEmpty, "run past row end")
+    // run index beyond the declared palette (16 entries)
+    val badIdx = good.clone()
+    badIdx(54 + 4 * 16 + 1) = 99.toByte
+    assert(BmpCodec.decode(badIdx).isEmpty, "index outside palette")
+    // RLE + top-down (negative height) is contradictory
+    val topDown = good.clone()
+    val negH = -3
+    topDown(22) = (negH & 0xff).toByte; topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    assert(BmpCodec.decode(topDown).isEmpty, "top-down RLE")
+  }
+
   test("IMA ADPCM reconstructs slope-{0,±1,±3,±4} ramps bit-exactly (the m12 oracle contract)") {
     for (slope <- Seq(0, 1, 3, 4, -1, -3, -4); a <- Seq(-500, 0, 77, 499)) {
       val n = 271 // spans 5 blocks at blockAlign 32 (57 samples/block)
