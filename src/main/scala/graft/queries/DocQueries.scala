@@ -1277,6 +1277,21 @@ object DocQueries {
         .orderBy("prompt_fp")
     },
 
+    // distributed BPE tokenizer TRAINING (Sennrich 2016): learn the
+    // first 10 merges over the documents corpus. One corpus-sized
+    // word-frequency agg (map-side combine — the shuffle carries the
+    // DISTINCT-word dict, not the text), then every round runs on the
+    // dict alone: pair-explode + sum + a 1-row argmax to the driver,
+    // the d20 driver-loop shape. Deterministic tie-break (count desc,
+    // then lexicographic), so the merge table is reproducible under
+    // any partitioning — spec-proven equal to an independent local
+    // reference trainer; no SQL oracle (iterative argmax-dependent
+    // rewriting is not expressible as a fixed DuckDB query), so the
+    // driver records the rows-only check.
+    "d45_bpe_train" -> q { (s, d) =>
+      graft.operators.BpeTrain.train(table(s, d, "documents"), "text", 10)
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
