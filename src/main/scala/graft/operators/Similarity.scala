@@ -491,6 +491,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-hop neighborhood expansion over the [[knnGraph]] — the
+    * neighbor-of-neighbor candidate generation graph-based retrieval
+    * and diversification run (an HNSW-style expansion expressed as
+    * set algebra): per node, the 1-hop out-degree, the count of
+    * DISTINCT nodes first reached at hop 2 (not self, not already a
+    * 1-hop neighbor), and their ratio — the graph's expansion factor,
+    * the health metric that predicts whether greedy graph search can
+    * escape a node's local bucket. Scale shape: the edge table is
+    * n·k narrow rows, localCheckpoint'd so the LSH chain runs ONCE;
+    * hop 2 is one edge-edge equi-join on the shared dst=src key plus
+    * a (src,dst) distinct and a left-anti against hop 1 — all
+    * hash-partitioned by the same narrow keys, no vector payload
+    * anywhere past the scoring join inside knnGraph. */
+  def knnExpand(corpus: DataFrame, k: Int,
+                nTables: Int = 8, planesPerTable: Int = 0,
+                dim: Int = 64): DataFrame = {
+    val edges = knnGraph(corpus, k, nTables, planesPerTable, dim)
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // reused three times: run the LSH chain once
+    val hop2 = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+    val new2 = hop2.join(edges, Seq("src", "dst"), "left_anti")
+    val deg1 = edges.groupBy("src").agg(count(lit(1)).as("n_hop1"))
+    val deg2 = new2.groupBy("src").agg(count(lit(1)).as("n_hop2_new"))
+    deg1.join(deg2, Seq("src"), "left")
+      .select(col("src"), col("n_hop1"),
+        coalesce(col("n_hop2_new"), lit(0L)).as("n_hop2_new"))
+      .withColumn("expansion",
+        col("n_hop2_new").cast("double") / col("n_hop1").cast("double"))
+      .orderBy("src")
+  }
+
   /** Fixed-point scale for deterministic centroid means: values are
     * floored to µ-units (1e-6), summed exactly as longs (associative —
     * any partitioning gives the same sum), and divided back out. A

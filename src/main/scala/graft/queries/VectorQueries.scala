@@ -123,6 +123,18 @@ object VectorQueries {
         .orderBy("src", "rank")
     },
 
+    // two-hop expansion over the e8 graph: per node, the 1-hop
+    // out-degree, the distinct nodes FIRST reached at hop 2, and the
+    // expansion factor — the neighbor-of-neighbor candidate
+    // generation graph retrieval runs, and the graph-health metric
+    // that predicts whether greedy search escapes local buckets.
+    // Edge-edge equi-join + distinct + left-anti on narrow (src,dst)
+    // keys; the e8 chain runs once (localCheckpoint); full oracle
+    // splicing the shared knn CTEs
+    "e21_knn_expand" -> q { (s, d) =>
+      Similarity.knnExpand(table(s, d, "embeddings"), k = 5)
+    },
+
     // product-quantization ANN with asymmetric-distance scoring: the
     // memory-compression scale path (8 one-byte codes per vector
     // instead of 64 floats on the scan side); full oracle — codebooks
@@ -349,6 +361,32 @@ object VectorQueries {
        |cell AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |  FROM cscore) t WHERE rn = 1)""".stripMargin
+
+  /** The e8 k-NN-graph derivation (banded LSH candidates → exact
+    * cosine → per-src top-5), shared by e8 and e21. Ends in the `knn`
+    * CTE with columns (src, rank, dst, cos). */
+  private lazy val knnGraphCtes: String = {
+    val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
+    s"""$lshMaskSql,
+       |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
+       |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
+       |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+       |    x.embedding AS ae, y.embedding AS be
+       |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |    AND x.vec_id <> y.vec_id),
+       |scored AS (
+       |  SELECT src, dst,
+       |    list_aggregate(list_transform(list_zip(ae, be),
+       |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+       |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
+       |  FROM cand),
+       |knn AS (SELECT src, rank, dst, cos FROM (
+       |  SELECT src, dst, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5)""".stripMargin
+  }
 
   /** The IVF-SQ8 derivation (cells → probes → per-dim min/max stats →
     * 8-bit codes → midpoint-reconstruction inner products), shared by
@@ -639,28 +677,29 @@ object VectorQueries {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
 
-    "e8_knn_graph" -> {
-      val tbls = (0 until 8).map(t => s"($t)").mkString(", ")
-      s"""WITH $lshMaskSql,
-         |base AS (SELECT vec_id, embedding, ${lshBucketsSql("embedding", 8, 16)} AS bks FROM embeddings),
-         |b AS (SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] & pp.msk AS bucket
-         |      FROM base CROSS JOIN (VALUES $tbls) t(tbl) CROSS JOIN pp),
-         |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
-         |    x.embedding AS ae, y.embedding AS be
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.vec_id <> y.vec_id),
-         |scored AS (
-         |  SELECT src, dst,
-         |    list_aggregate(list_transform(list_zip(ae, be),
-         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
-         |      / (sqrt(${sumSq("ae")}) * sqrt(${sumSq("be")})) AS cos
-         |  FROM cand)
-         |SELECT src, rank, dst, cos FROM (
-         |  SELECT src, dst, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 5 ORDER BY src, rank""".stripMargin
-    },
+    "e8_knn_graph" ->
+      s"""WITH $knnGraphCtes
+         |SELECT src, rank, dst, cos FROM knn ORDER BY src, rank""".stripMargin,
+
+    // the e8 chain spliced verbatim, then pure set algebra on the
+    // narrow edge list: 2-hop join, first-reached-at-2 anti-join,
+    // per-src degree counts, one double division
+    "e21_knn_expand" ->
+      s"""WITH $knnGraphCtes,
+         |hop1 AS (SELECT src, dst FROM knn),
+         |hop2 AS (SELECT DISTINCT e1.src AS src, e2.dst AS dst
+         |  FROM hop1 e1 JOIN hop1 e2 ON e1.dst = e2.src
+         |  WHERE e1.src <> e2.dst),
+         |new2 AS (SELECT h2.src, h2.dst FROM hop2 h2
+         |  LEFT JOIN hop1 h1 ON h1.src = h2.src AND h1.dst = h2.dst
+         |  WHERE h1.src IS NULL),
+         |d1 AS (SELECT src, COUNT(*) AS n_hop1 FROM hop1 GROUP BY src),
+         |d2 AS (SELECT src, COUNT(*) AS n_hop2_new FROM new2 GROUP BY src)
+         |SELECT d1.src, d1.n_hop1,
+         |  COALESCE(d2.n_hop2_new, 0) AS n_hop2_new,
+         |  CAST(COALESCE(d2.n_hop2_new, 0) AS DOUBLE) / CAST(d1.n_hop1 AS DOUBLE) AS expansion
+         |FROM d1 LEFT JOIN d2 ON d2.src = d1.src
+         |ORDER BY d1.src""".stripMargin,
 
     "e4_cosine_neardup" ->
       s"""WITH $lshPairsSql

@@ -561,4 +561,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.contains("embedding") || !exchanges.contains("ce"),
       "raw embeddings must not cross the mean shuffle")
   }
+
+  test("e21: 2-hop expansion joins narrow edge keys — no cartesian, no vector payload") {
+    val p = plan("e21_knn_expand")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "hop-2 must be an equi-join on dst=src, not a nested loop")
+    // everything past the checkpointed edge list is (src,dst) algebra:
+    // no embedding column may appear in any exchange above it
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("embedding"),
+      "vector payload must not cross the expansion shuffles")
+  }
 }
