@@ -360,6 +360,35 @@ object Pipelines {
         col("keep_id").as("ref_id")).distinct(), "prompt_fp")
       .select(col("doc_id").as("in_id"), col("ref_id"), col("prompt_fp"))
 
+  /** Ingest-time subword tokenization with a TRAINED merge table
+    * (d45_bpe_train's output, rank-ordered): each arriving document
+    * tokenizes word-by-word through `BpeTrain.encode` and reports its
+    * subword count and chars-per-subword compression — the streaming
+    * twin of applying the learned vocabulary, the first
+    * tokenization-dependent stat a training-data ingest pipeline
+    * needs (length buckets, packing plans, token budgets). STATELESS
+    * narrow map: the merge list is a small driver-side value shipped
+    * with the task closure, so the stream runs at scan speed with
+    * zero shuffles and no watermark state. */
+  def streamBpeTokenize(stream: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+").filter(_.nonEmpty)
+          var n = 0
+          words.foreach(w => n += graft.operators.BpeTrain.encode(w, merges).length)
+          val chars = if (text == null) 0 else text.length
+          (id, n, chars, if (n == 0) 0.0 else chars.toDouble / n)
+        }
+      }
+      .toDF("doc_id", "n_subwords", "n_chars", "chars_per_subword")
+  }
+
   /** Incremental ANN screening: arriving query vectors score against a
     * STATIC PQ-encoded corpus — the streaming twin of the batch
     * `e7_pq_adc` query. Stream-static and STATELESS: each arriving

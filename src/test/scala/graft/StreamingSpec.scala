@@ -734,4 +734,41 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("prompt_fp") -> r.getAs[Long]("keep_id")).toMap
     flagged.values.foreach(rid => assert(keepers.values.exists(_ == rid)))
   }
+
+  test("streamBpeTokenize: arrivals tokenize exactly as the batch encoder with the trained merges") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val trainDocs = Seq(
+      "low low low low lower lower newest newest newest newest",
+      "newest newest widest widest widest new new nest").toDF("text")
+    val merges = graft.operators.BpeTrain.train(trainDocs, "text", 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val arrivals = Seq(
+      (1L, "the newest lower nest"),
+      (2L, "widest new low"),
+      (3L, ""),
+      (4L, "unseen zebra words"))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamBpeTokenize(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_tok_out")
+      .outputMode("append").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpe_tok_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_subwords"), r.getAs[Int]("n_chars")))).toMap
+    // the independent expectation: encode each word with the same
+    // rank-ordered merges, batch-side
+    val expect = arrivals.map { case (id, text) =>
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      id -> ((words.map(w => graft.operators.BpeTrain.encode(w, merges).length).sum,
+        text.length))
+    }.toMap
+    assert(got == expect)
+    // trained merges must actually compress: "newest" was the most
+    // frequent training word, so its subword count beats char-level
+    assert(graft.operators.BpeTrain.encode("newest", merges).length <
+      "newest".length + 1)
+  }
 }
