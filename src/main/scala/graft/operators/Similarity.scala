@@ -526,6 +526,58 @@ object Similarity {
       .orderBy("src")
   }
 
+  /** Greedy BEAM SEARCH over the [[knnGraph]] — the search half of
+    * graph-based ANN (the HNSW/NSG navigation loop, expressed as a
+    * fixed number of expand-score-prune rounds): every query starts a
+    * frontier at `entryId`, each round unions the frontier with its
+    * out-neighbors, scores candidates by exact cosine against the
+    * query, and keeps the top-`beam`; after `rounds` rounds the
+    * frontier IS the result (rank + cos). Deterministic: ties break
+    * (cos desc, node asc), so the walk is oracle-reproducible.
+    *
+    * Scale shape: the frontier is queries×beam rows — broadcast on
+    * BOTH joins every round (frontier→edges to expand, candidates→
+    * corpus to score), so no round shuffles the edge list or the
+    * vectors; the corpus-sized work is the probe scans, which
+    * bucketing/z-order on (src | vec_id) would prune to point reads
+    * on a real deployment. The edge list is localCheckpoint'd so the
+    * LSH chain runs once, not once per round. Self-retrieval is
+    * allowed (a corpus member navigating to itself is the
+    * connectivity sanity signal, cos = 1). */
+  def graphSearch(corpus: DataFrame, queries: DataFrame, beam: Int,
+                  rounds: Int, entryId: Long = 0L, k: Int = 5,
+                  nTables: Int = 8, planesPerTable: Int = 0,
+                  dim: Int = 64): DataFrame = {
+    require(beam > 0 && rounds > 0, "beam and rounds must be positive")
+    val edges = knnGraph(corpus, k, nTables, planesPerTable, dim)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val e = corpus.select(col("vec_id").as("node"), col("embedding").as("ce"))
+    val q0 = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    var frontier = q0.select(col("q_id"), lit(entryId).as("node"))
+    var result: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val expanded = broadcast(frontier)
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node"))
+        .union(frontier.select(col("q_id"), col("node")))
+        .dropDuplicates("q_id", "node")
+      val scored = broadcast(expanded)
+        .join(e, "node")
+        .join(broadcast(q0), "q_id")
+        .select(col("q_id"), col("node"),
+          Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("node"))
+      result = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= beam)
+      frontier = result.select(col("q_id"), col("node"))
+      r += 1
+    }
+    result.select(col("q_id"), col("rank"), col("node"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Fixed-point scale for deterministic centroid means: values are
     * floored to µ-units (1e-6), summed exactly as longs (associative —
     * any partitioning gives the same sum), and divided back out. A

@@ -135,6 +135,19 @@ object VectorQueries {
       Similarity.knnExpand(table(s, d, "embeddings"), k = 5)
     },
 
+    // greedy beam search over the e8 graph — the SEARCH half of
+    // graph-based ANN (HNSW/NSG navigation as fixed expand-score-
+    // prune rounds): frontier starts at the entry node, 3 rounds of
+    // union-with-out-neighbors → exact-cosine score → top-4 keep.
+    // The frontier is queries×beam rows, broadcast on BOTH per-round
+    // joins, so no round shuffles edges or vectors; full oracle with
+    // the 3 rounds unrolled over the shared knn CTEs
+    "e22_graph_search" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.graphSearch(emb, emb.filter(col("vec_id") < 5),
+        beam = 4, rounds = 3)
+    },
+
     // product-quantization ANN with asymmetric-distance scoring: the
     // memory-compression scale path (8 one-byte codes per vector
     // instead of 64 floats on the scan side); full oracle — codebooks
@@ -680,6 +693,33 @@ object VectorQueries {
     "e8_knn_graph" ->
       s"""WITH $knnGraphCtes
          |SELECT src, rank, dst, cos FROM knn ORDER BY src, rank""".stripMargin,
+
+    // the e8 chain + the 3 beam rounds unrolled: candidates = frontier
+    // ∪ out-neighbors, the e1 cosine fold, ROW_NUMBER top-4 — each
+    // round a mechanical CTE triple
+    "e22_graph_search" -> {
+      def cosf(a: String, b: String) =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
+          s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT DISTINCT q_id, node FROM (
+           |  SELECT p.q_id, k.dst AS node FROM f${r - 1} p JOIN knn k ON k.src = p.node
+           |  UNION ALL SELECT q_id, node FROM f${r - 1}) t),
+           |s$r AS (SELECT c.q_id, c.node, ${cosf("qs.qe", "e.embedding")} AS cos
+           |  FROM c$r c JOIN embeddings e ON e.vec_id = c.node
+           |  JOIN qs ON qs.q_id = c.q_id),
+           |f$r AS (SELECT q_id, node, cos, rn FROM (
+           |  SELECT q_id, node, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+           |  FROM s$r) t WHERE rn <= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnGraphCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
+         |$rounds
+         |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin
+    },
 
     // the e8 chain spliced verbatim, then pure set algebra on the
     // narrow edge list: 2-hop join, first-reached-at-2 anti-join,

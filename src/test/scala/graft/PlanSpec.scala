@@ -573,4 +573,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.contains("embedding"),
       "vector payload must not cross the expansion shuffles")
   }
+
+  test("e22: every beam round broadcasts the frontier — edges and vectors never shuffle for it") {
+    val p = plan("e22_graph_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "frontier joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no round may sort-merge the edge or vector side against the tiny frontier")
+  }
 }

@@ -456,4 +456,31 @@ class SimilaritySpec extends AnyFunSuite {
     // the seed-only cell reports zero drift: nothing but its own seed
     assert(out(2L)._3 == 0.0 || out(2L)._3 < 1e-12)
   }
+
+  test("graph search: beam structure, self-navigation, and partition invariance") {
+    val out = Similarity.graphSearch(emb, queries, beam = 4, rounds = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length).toSeq)
+      assert(rows.length <= 4)
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"q$qid not ranked")
+    }
+    // query 0 IS the entry node: it must navigate to itself at rank 1
+    val q0top = byQ(0L).minBy(_.getAs[Int]("rank"))
+    assert(q0top.getAs[Long]("node") == 0L && q0top.getAs[Double]("cos") > 1.0 - 1e-9)
+    // the walk is deterministic under a different input partitioning
+    val again = Similarity.graphSearch(emb.repartition(13), queries, beam = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    // more rounds can only improve (or hold) the best-found cosine
+    val deeper = Similarity.graphSearch(emb, queries, beam = 4, rounds = 4).collect()
+    val best3 = byQ.map { case (q, rs) => q -> rs.map(_.getAs[Double]("cos")).max }
+    deeper.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Double]("cos")).max >= best3(q) - 1e-12,
+        s"greedy frontier regressed for q$q")
+    }
+  }
 }
