@@ -1438,6 +1438,58 @@ object Multimodal {
     }
   }
 
+  /** Typed analysis stats of a decoded audio payload (beyond the
+    * decode-level features): zero-crossing count (the cheap
+    * pitch/voicing proxy), RMS energy, and the near-silence ratio —
+    * the screens an audio training-data pipeline runs to drop dead
+    * air and tone-like degenerate clips. All three accumulate in
+    * exact integer state (squares fit a Long far under 2^53·, counts
+    * are ints), so every value is bit-deterministic and
+    * oracle-checkable: the only floating steps are one division and
+    * one IEEE sqrt at the very end. */
+  final case class AudioStats(
+      id: Long, byte_len: Int, n_samples: Option[Int],
+      zero_crossings: Option[Long], rms: Option[Double],
+      silence_ratio: Option[Double])
+
+  /** Near-silence threshold: 1% of full scale. */
+  private val SilenceAbs = 328
+
+  /** Per-partition audio ANALYSIS over (id, wavPayload) rows — decode
+    * (any [[WavCodec]] format: PCM16, µ-law, IMA ADPCM) then one pass
+    * of integer folds. A crossing is a strict sign flip
+    * (s(i-1)·s(i) < 0 — zero samples never count, the deterministic
+    * convention the oracle mirrors). */
+  def audioStats(media: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val len = if (payload == null) 0 else payload.length
+        WavCodec.decode(payload) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val n = a.samples.length
+            var sq = 0L
+            var zc = 0L
+            var quiet = 0L
+            var i = 0
+            while (i < n) {
+              val v = a.samples(i).toLong
+              sq += v * v
+              if (math.abs(v) < SilenceAbs) quiet += 1
+              if (i > 0 && a.samples(i - 1).toLong * v < 0) zc += 1
+              i += 1
+            }
+            AudioStats(id, len, Some(n), Some(zc),
+              Some(math.sqrt(sq.toDouble / n)), Some(quiet.toDouble / n))
+          case Some(_) =>
+            AudioStats(id, len, Some(0), None, None, None)
+          case None =>
+            AudioStats(id, len, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** Typed features of one SAMPLED video frame; a malformed payload
     * yields a single row with null frame fields (null-not-fail). */
   final case class VideoFrameFeatures(

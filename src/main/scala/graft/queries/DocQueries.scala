@@ -642,6 +642,35 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // audio ANALYSIS beyond decode: zero-crossing count (the cheap
+    // pitch/voicing proxy), RMS energy and the near-silence ratio —
+    // the dead-air / degenerate-clip screens an audio pipeline runs
+    // first. Payloads are square waves with id-dependent amplitude
+    // and half-period, so every stat is integer-exact and the oracle
+    // replicates the whole sample formula + folds in SQL; the only
+    // float steps are one division and one IEEE sqrt (both
+    // correctly-rounded, engine-identical). Amplitudes below the 1%
+    // silence threshold make whole rows silent — that branch is on
+    // the hash-checked path too.
+    "m13_audio_stats" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val n = (400 + (id % 3) * 100).toInt
+          val half = (4 + (id % 5)).toInt
+          val a = (id * 13 % 1000).toInt
+          val pcm = Array.tabulate[Short](n)(i =>
+            (if ((i / half) % 2 == 0) a else -a).toShort)
+          (id, graft.operators.WavCodec.encode(8000, pcm))
+        }
+      graft.operators.Multimodal.audioStats(media)
+        .toDF()
+        .select(col("id"), col("n_samples"), col("zero_crossings"),
+          col("rms"), col("silence_ratio"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED image decode: GIF87a payloads (variable-width
     // LZW over palette indices — the from-scratch GifCodec) decode per
     // partition and yield the same channel statistics as the PPM path.
@@ -2031,6 +2060,28 @@ object DocQueries {
          |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the square-wave sample formula replicated in SQL; strict
+    // sign-flip crossings, exact integer square/count folds, one
+    // division + one IEEE sqrt at the end
+    "m13_audio_stats" -> {
+      val n = "(400 + (s_suppkey % 3) * 100)"
+      val half = "(4 + (s_suppkey % 5))"
+      val a = "((s_suppkey * 13) % 1000)"
+      def smp(i: String) = s"(CASE WHEN (($i // $half) % 2) = 0 THEN $a ELSE -$a END)"
+      s"""SELECT s_suppkey AS id,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST(list_aggregate(list_transform(generate_series(1, $n - 1),
+         |    i -> CASE WHEN ${smp("(i-1)")} * ${smp("i")} < 0 THEN 1 ELSE 0 END),
+         |    'sum') AS BIGINT) AS zero_crossings,
+         |  sqrt(CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> CAST(${smp("i")} AS BIGINT) * ${smp("i")}), 'sum') AS DOUBLE)
+         |    / $n) AS rms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> CASE WHEN abs(${smp("i")}) < 328 THEN 1 ELSE 0 END), 'sum')
+         |    AS DOUBLE) / $n AS silence_ratio
          |FROM supplier ORDER BY id""".stripMargin
     },
 

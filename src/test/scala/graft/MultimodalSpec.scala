@@ -677,6 +677,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BmpCodec.decode(topDown).isEmpty, "top-down RLE")
   }
 
+  test("audioStats: crossings, RMS and silence fold exactly; all WAV formats feed it") {
+    import spark.implicits._
+    // square wave amp 1000, half-period 5, 100 samples (PCM16);
+    // a constant ramp via ADPCM; a silent clip via µ-law byte 0xFF
+    val sq = Array.tabulate[Short](100)(i => (if ((i / 5) % 2 == 0) 1000 else -1000).toShort)
+    val media = Seq(
+      (1L, WavCodec.encode(8000, sq)),
+      (2L, WavCodec.encodeAdpcm(8000, Array.tabulate[Short](60)(i => (500 + i).toShort))),
+      (3L, WavCodec.encodeUlaw(8000, Array.fill[Byte](50)(0xff.toByte))),
+      (4L, Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.audioStats(media).collect().map(s => s.id -> s).toMap
+    assert(out(1L).n_samples.contains(100))
+    assert(out(1L).zero_crossings.contains(19L), s"19 sign flips, got ${out(1L).zero_crossings}")
+    assert(out(1L).rms.contains(1000.0))
+    assert(out(1L).silence_ratio.contains(0.0))
+    // the ADPCM ramp (slope 1) decodes exactly: no flips, all loud
+    assert(out(2L).n_samples.contains(60) && out(2L).zero_crossings.contains(0L))
+    assert(out(2L).silence_ratio.contains(0.0))
+    // µ-law 0xFF decodes to exactly 0 -> all silent, zero RMS
+    assert(out(3L).silence_ratio.contains(1.0) && out(3L).rms.contains(0.0))
+    assert(out(3L).zero_crossings.contains(0L), "zero samples never count as crossings")
+    assert(out(4L).n_samples.isEmpty, "malformed payload nulls, never fails")
+  }
+
   test("IMA ADPCM reconstructs slope-{0,±1,±3,±4} ramps bit-exactly (the m12 oracle contract)") {
     for (slope <- Seq(0, 1, 3, 4, -1, -3, -4); a <- Seq(-500, 0, 77, 499)) {
       val n = 271 // spans 5 blocks at blockAlign 32 (57 samples/block)
