@@ -1438,6 +1438,48 @@ object Multimodal {
     }
   }
 
+  /** One frame-boundary row of the scene-change report: the mean
+    * absolute luma difference against the previous frame and the cut
+    * verdict. Malformed payloads yield one row with null fields. */
+  final case class SceneBoundary(
+      id: Long, frame_idx: Option[Int], mad: Option[Double],
+      is_cut: Option[Boolean])
+
+  /** Scene-change detection over Y4M payloads — the shot-boundary
+    * pass a video training-data pipeline runs before sampling frames
+    * (one frame per SHOT beats one frame per N: m4's stride sampler
+    * oversamples static shots and misses short ones). Per consecutive
+    * frame pair: mean absolute luma difference, folded in exact
+    * integer sums (≤ 255·pixels per frame, far inside Long) with ONE
+    * division at the end — bit-deterministic and oracle-checkable. A
+    * boundary is a cut when mad >= threshold. mapPartitions batch
+    * shape; a 1-frame video yields no boundary rows. */
+  def sceneChanges(media: Dataset[(Long, Array[Byte])],
+                   threshold: Double): Dataset[SceneBoundary] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        Y4mCodec.decode(payload) match {
+          case Some(v) if v.frames.length >= 1 =>
+            val n = v.width * v.height
+            (1 until v.frames.length).iterator.map { f =>
+              val a = v.luma(f - 1)
+              val b = v.luma(f)
+              var sum = 0L
+              var i = 0
+              while (i < n) {
+                sum += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+                i += 1
+              }
+              val mad = sum.toDouble / n
+              SceneBoundary(id, Some(f), Some(mad), Some(mad >= threshold))
+            }
+          case _ => Iterator.single(SceneBoundary(id, None, None, None))
+        }
+      }
+    }
+  }
+
   /** Typed analysis stats of a decoded audio payload (beyond the
     * decode-level features): zero-crossing count (the cheap
     * pitch/voicing proxy), RMS energy, and the near-silence ratio —

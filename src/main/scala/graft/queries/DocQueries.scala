@@ -642,6 +642,34 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // video scene-change detection over Y4M: per consecutive-frame
+    // boundary, the mean absolute luma difference and the cut verdict
+    // — the shot-boundary pass a video pipeline runs BEFORE frame
+    // sampling (one frame per shot beats one per N). Payloads carry 6
+    // mono frames whose base pattern jumps every S(id) frames:
+    // within-scene neighbors are identical (mad 0), scene boundaries
+    // jump by ≥101 per pixel, so threshold 1.0 cuts exactly at scene
+    // edges. Integer |diff| sums with one division — the oracle
+    // replicates the whole per-pixel formula and fold in SQL.
+    "m14_scene_change" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h, nf) = (8, 4, 6)
+          val scene = (2 + id % 3).toInt
+          val frames = Array.tabulate(nf) { f =>
+            Array.tabulate[Byte](w * h)(p =>
+              ((id * 7 + (f / scene) * 101 + p * 3) % 256).toByte)
+          }
+          (id, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames))
+        }
+      graft.operators.Multimodal.sceneChanges(media, threshold = 1.0)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("mad"), col("is_cut"))
+        .orderBy("id", "frame_idx")
+    },
+
     // audio ANALYSIS beyond decode: zero-crossing count (the cheap
     // pitch/voicing proxy), RMS energy and the near-silence ratio —
     // the dead-air / degenerate-clip screens an audio pipeline runs
@@ -2061,6 +2089,21 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the per-pixel luma formula and the |diff| fold replicated in
+    // SQL per (id, boundary): frame f pixel p = (id*7 + (f//S)*101 +
+    // p*3) % 256, S = 2 + id%3
+    "m14_scene_change" -> {
+      val scene = "(2 + s_suppkey % 3)"
+      def lum(f: String) = s"((s_suppkey * 7 + ($f // $scene) * 101 + p * 3) % 256)"
+      s"""SELECT s_suppkey AS id, f AS frame_idx,
+         |  CAST(list_aggregate(list_transform(generate_series(0, 31),
+         |    p -> abs(${lum("f")} - ${lum("(f - 1)")})), 'sum') AS DOUBLE) / 32 AS mad,
+         |  (CAST(list_aggregate(list_transform(generate_series(0, 31),
+         |    p -> abs(${lum("f")} - ${lum("(f - 1)")})), 'sum') AS DOUBLE) / 32) >= 1.0 AS is_cut
+         |FROM supplier CROSS JOIN (SELECT CAST(unnest(generate_series(1, 5)) AS INTEGER) AS f)
+         |ORDER BY id, frame_idx""".stripMargin
     },
 
     // the square-wave sample formula replicated in SQL; strict

@@ -677,6 +677,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BmpCodec.decode(topDown).isEmpty, "top-down RLE")
   }
 
+  test("sceneChanges: cuts land on frame jumps; 1-frame and malformed payloads degrade cleanly") {
+    import spark.implicits._
+    val (w, h) = (4, 2)
+    def flat(v: Int) = Array.fill[Byte](w * h)(v.toByte)
+    val media = Seq(
+      // two identical frames, then a +80 jump: one boundary quiet, one cut
+      (1L, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono",
+        Array(flat(10), flat(10), flat(90)))),
+      (2L, graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", Array(flat(33)))),
+      (3L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.sceneChanges(media, threshold = 8.0).collect()
+    val byId = out.groupBy(_.id)
+    val b1 = byId(1L).sortBy(_.frame_idx.get)
+    assert(b1.map(_.frame_idx.get).toSeq == Seq(1, 2))
+    assert(b1(0).mad.contains(0.0) && b1(0).is_cut.contains(false))
+    assert(b1(1).mad.contains(80.0) && b1(1).is_cut.contains(true))
+    assert(!byId.contains(2L), "a 1-frame video has no boundaries")
+    assert(byId(3L).head.frame_idx.isEmpty, "malformed payload nulls, never fails")
+  }
+
   test("audioStats: crossings, RMS and silence fold exactly; all WAV formats feed it") {
     import spark.implicits._
     // square wave amp 1000, half-period 5, 100 samples (PCM16);
