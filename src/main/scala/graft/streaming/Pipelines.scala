@@ -360,6 +360,27 @@ object Pipelines {
         col("keep_id").as("ref_id")).distinct(), "prompt_fp")
       .select(col("doc_id").as("in_id"), col("ref_id"), col("prompt_fp"))
 
+  /** Ingest-time audio screening: arriving (doc_id, payload) WAV rows
+    * decode through the full [[graft.operators.WavCodec]] family
+    * (PCM16 / µ-law / IMA ADPCM) and keep only clips that are loud
+    * enough and awake enough — the dead-air drop an audio ingest
+    * pipeline runs FIRST, before any expensive featurization.
+    * STATELESS narrow map (the m13 analysis fold per row, zero
+    * shuffles, no watermark state); malformed payloads surface with
+    * keep=false and null stats rather than failing the stream. */
+  def streamAudioScreen(stream: DataFrame, minRms: Double,
+                        maxSilenceRatio: Double): DataFrame = {
+    import stream.sparkSession.implicits._
+    graft.operators.Multimodal
+      .audioStats(stream.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])])
+      .toDF()
+      .select(col("id").as("doc_id"), col("n_samples"), col("rms"),
+        col("silence_ratio"),
+        (col("rms").isNotNull && col("rms") >= minRms &&
+          col("silence_ratio") <= maxSilenceRatio).as("keep"))
+  }
+
   /** Ingest-time subword tokenization with a TRAINED merge table
     * (d45_bpe_train's output, rank-ordered): each arriving document
     * tokenizes word-by-word through `BpeTrain.encode` and reports its

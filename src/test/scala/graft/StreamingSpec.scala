@@ -735,6 +735,29 @@ class StreamingSpec extends AnyFunSuite {
     flagged.values.foreach(rid => assert(keepers.values.exists(_ == rid)))
   }
 
+  test("streamAudioScreen: loud clips pass, silence and garbage drop, stream stays up") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.WavCodec
+    val loud = WavCodec.encode(8000,
+      Array.tabulate[Short](200)(i => (if ((i / 4) % 2 == 0) 5000 else -5000).toShort))
+    val silent = WavCodec.encodeUlaw(8000, Array.fill[Byte](100)(0xff.toByte))
+    val quietAdpcm = WavCodec.encodeAdpcm(8000, Array.fill[Short](80)(100))
+    val garbage = Array[Byte](1, 2, 3, 4)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Pipelines.streamAudioScreen(
+      in.toDF().toDF("doc_id", "payload"), minRms = 500.0, maxSilenceRatio = 0.5)
+      .writeStream.format("memory").queryName("audio_screen_out")
+      .outputMode("append").start()
+    in.addData(Seq((1L, loud), (2L, silent), (3L, quietAdpcm), (4L, garbage)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("audio_screen_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
+      s"screen verdicts: $got")
+  }
+
   test("streamBpeTokenize: arrivals tokenize exactly as the batch encoder with the trained merges") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
