@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -196,4 +198,153 @@ object Tables {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(tableName)
+
+  // ---- Avro Object Container Files ---------------------------------
+  // The spark-avro DataSource module is absent from this environment,
+  // but avro-core ships on Spark's own classpath — so the engine
+  // carries its own plumbing: schema mapping both ways, per-partition
+  // container writes, parallel container reads. Supported column
+  // types: the primitive family + arrays of primitives (embeddings);
+  // anything else is rejected at write time, never mis-mapped.
+
+  private def avroType(dt: org.apache.spark.sql.types.DataType): org.apache.avro.Schema = {
+    import org.apache.avro.Schema.{create, createArray}
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => create(org.apache.avro.Schema.Type.LONG)
+      case IntegerType => create(org.apache.avro.Schema.Type.INT)
+      case DoubleType  => create(org.apache.avro.Schema.Type.DOUBLE)
+      case FloatType   => create(org.apache.avro.Schema.Type.FLOAT)
+      case BooleanType => create(org.apache.avro.Schema.Type.BOOLEAN)
+      case StringType  => create(org.apache.avro.Schema.Type.STRING)
+      case BinaryType  => create(org.apache.avro.Schema.Type.BYTES)
+      case ArrayType(e, _) => createArray(avroType(e))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Spark type for Avro write: $other")
+    }
+  }
+
+  private def avroSchema(st: StructType): org.apache.avro.Schema = {
+    val fields = new java.util.ArrayList[org.apache.avro.Schema.Field]()
+    st.fields.foreach { f =>
+      val base = avroType(f.dataType)
+      // null default is only legal when null leads the union
+      val fld =
+        if (f.nullable) new org.apache.avro.Schema.Field(f.name,
+          org.apache.avro.Schema.createUnion(
+            org.apache.avro.Schema.create(org.apache.avro.Schema.Type.NULL), base),
+          null, org.apache.avro.Schema.Field.NULL_DEFAULT_VALUE)
+        else new org.apache.avro.Schema.Field(f.name, base)
+      fields.add(fld)
+    }
+    val rec = org.apache.avro.Schema.createRecord("row", null, "graft", false)
+    rec.setFields(fields)
+    rec
+  }
+
+  private def sparkType(s: org.apache.avro.Schema): org.apache.spark.sql.types.DataType = {
+    import org.apache.avro.Schema.Type._
+    import org.apache.spark.sql.types._
+    val nonNull = if (s.getType == UNION)
+      s.getTypes.asScala.filterNot(_.getType == NULL).head else s
+    nonNull.getType match {
+      case LONG    => LongType
+      case INT     => IntegerType
+      case DOUBLE  => DoubleType
+      case FLOAT   => FloatType
+      case BOOLEAN => BooleanType
+      case STRING  => StringType
+      case BYTES   => BinaryType
+      case ARRAY   => ArrayType(sparkType(nonNull.getElementType))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro type for read: $other")
+    }
+  }
+
+  private def toAvroValue(v: Any): Any = v match {
+    case null              => null
+    case s: String         => s
+    case b: Array[Byte]    => java.nio.ByteBuffer.wrap(b)
+    case seq: scala.collection.Seq[_] =>
+      val l = new java.util.ArrayList[Any](seq.length)
+      seq.foreach(x => l.add(toAvroValue(x)))
+      l
+    case other => other // boxed primitives pass through
+  }
+
+  private def fromAvroValue(v: Any): Any = v match {
+    case null                      => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer   =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case l: java.util.List[_]      =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[Any]
+      l.forEach(x => b += fromAvroValue(x))
+      b.toSeq
+    case other => other
+  }
+
+  /** Write a DataFrame as a directory of Avro Object Container Files,
+    * one `part-NNNNN.avro` per non-empty partition (deflate-coded) —
+    * the interchange write for consumers outside the parquet world. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val schemaStr = avroSchema(df.schema).toString
+    val nCols = df.schema.length
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    dir.listFiles().filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val sch = new org.apache.avro.Schema.Parser().parse(schemaStr)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(sch, new java.io.File(path, f"part-$pid%05d.avro"))
+        try it.foreach { row =>
+          val rec = new org.apache.avro.generic.GenericData.Record(sch)
+          var i = 0
+          while (i < nCols) {
+            rec.put(i, toAvroValue(row.get(i)))
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close()
+      }
+    }
+  }
+
+  /** Read a [[writeAvro]] directory back as a DataFrame: schema from
+    * one container header on the driver, then the files decode in
+    * parallel (one task per container — the Avro analog of the
+    * binaryFile corpus read). */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .avro containers under $path")
+    val header = new org.apache.avro.file.DataFileReader(
+      new java.io.File(files.head),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val avroSch = try header.getSchema finally header.close()
+    val st = StructType(avroSch.getFields.asScala.toSeq.map { f =>
+      org.apache.spark.sql.types.StructField(f.name(), sparkType(f.schema()),
+        f.schema().getType == org.apache.avro.Schema.Type.UNION)
+    })
+    import spark.implicits._
+    spark.createDataset(files.toSeq).flatMap { f =>
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(f),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try while (r.hasNext) {
+        val rec = r.next()
+        out += Row.fromSeq((0 until st.length).map(i => fromAvroValue(rec.get(i))))
+      } finally r.close()
+      out
+    }(Encoders.row(st))
+  }
 }

@@ -281,4 +281,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == li.count())
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
+
+  test("avro containers roundtrip primitives, arrays, binary, and nulls exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    // the supplier table: strings, longs, doubles through the container
+    val sup = Tables.table(spark, sf, "supplier")
+    Tables.writeAvro(sup, s"$dir/sup")
+    val supBack = Tables.readAvro(spark, s"$dir/sup")
+    assert(supBack.schema.map(f => (f.name, f.dataType)) ==
+      sup.schema.map(f => (f.name, f.dataType)).toSeq)
+    assert(supBack.count() == sup.count())
+    assert(supBack.exceptAll(sup).isEmpty && sup.exceptAll(supBack).isEmpty)
+    // embeddings: array<float> columns survive bit-exactly
+    val emb = Tables.table(spark, sf, "embeddings")
+    Tables.writeAvro(emb, s"$dir/emb")
+    val embBack = Tables.readAvro(spark, s"$dir/emb")
+    assert(embBack.count() == emb.count())
+    assert(embBack.exceptAll(emb).isEmpty && emb.exceptAll(embBack).isEmpty)
+    // nulls and binary: a hand-built frame with gaps
+    val mixed = Seq(
+      (1L, Option("alpha"), Option(Array[Byte](1, 2, 3))),
+      (2L, None: Option[String], None: Option[Array[Byte]]),
+      (3L, Option(""), Option(Array.empty[Byte])))
+      .toDF("id", "s", "b")
+    Tables.writeAvro(mixed, s"$dir/mixed")
+    val mixedBack = Tables.readAvro(spark, s"$dir/mixed")
+    val got = mixedBack.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), Option(r.getAs[Array[Byte]](2)).map(_.toSeq)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("alpha"), Some(Seq[Byte](1, 2, 3))),
+      (2L, None, None), (3L, Some(""), Some(Seq.empty[Byte]))))
+    // a multi-partition write produces one container per non-empty task
+    Tables.writeAvro(sup.repartition(5), s"$dir/multi")
+    val n = new java.io.File(s"$dir/multi").listFiles()
+      .count(_.getName.endsWith(".avro"))
+    assert(n == 5, s"expected 5 containers, got $n")
+    assert(Tables.readAvro(spark, s"$dir/multi").count() == sup.count())
+  }
 }
