@@ -1349,6 +1349,50 @@ object DocQueries {
       graft.operators.BpeTrain.train(table(s, d, "documents"), "text", 10)
     },
 
+    // sentence/segment-level language-MIXING detection: d3 assigns one
+    // language per document, but crawl documents interleave languages
+    // (boilerplate, quotes, spam) and a doc-level vote hides it — the
+    // standard curation screen re-runs language ID per fixed 40-token
+    // window and reports the per-doc mix: distinct non-und languages,
+    // the mixed verdict, and the deterministic majority (count desc,
+    // lang asc). Narrow explode (40-token windows re-joined as text),
+    // one (doc, lang) agg, a WindowGroupLimit argmax — text segments
+    // shuffle once, keyed by doc_id; FULL oracle re-deriving windows
+    // and the d3 marker rule per segment.
+    "d46_lang_mix" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val segLen = 40
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          // Column `/` is double division — floor+cast keeps the
+          // ceil-divide integral
+          floor((size(col("toks")) + segLen - 1) / segLen)
+            .cast("int").as("n_segments"))
+      val segs = base
+        .select(col("doc_id"), col("n_segments"),
+          explode(sequence(lit(0), col("n_segments") - 1)).as("i"), col("toks"))
+        .select(col("doc_id"),
+          Text.langId(concat_ws(" ",
+            slice(col("toks"), col("i") * segLen + 1, lit(segLen)))).as("seg_lang"))
+      val counts = segs.groupBy("doc_id", "seg_lang").agg(count(lit(1)).as("n"))
+        .filter(col("seg_lang") =!= "und")
+      val nLangs = counts.groupBy("doc_id")
+        .agg(countDistinct("seg_lang").as("n_langs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("seg_lang").asc)
+      val maj = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("seg_lang").as("majority_lang"))
+      base.select("doc_id", "n_segments")
+        .join(nLangs, Seq("doc_id"), "left")
+        .join(maj, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segments"),
+          coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+          (coalesce(col("n_langs"), lit(0L)) >= 2).as("is_mixed"),
+          coalesce(col("majority_lang"), lit("und")).as("majority_lang"))
+        .orderBy("doc_id")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -1749,6 +1793,42 @@ object DocQueries {
     "d4_dedup_exact" ->
       """SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    // 40-token windows re-joined as text, the d3 marker rule per
+    // segment, distinct non-und count + deterministic majority
+    "d46_lang_mix" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks,
+        |  CAST((len(toks) + 39) // 40 AS INTEGER) AS n_segments FROM t),
+        |ix AS (SELECT doc_id, n_segments, toks,
+        |  unnest(generate_series(0, n_segments - 1)) AS i FROM base),
+        |segs AS (SELECT doc_id,
+        |  array_to_string(toks[i*40 + 1 : i*40 + 40], ' ') AS seg FROM ix),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN c_en >= 3 AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |       WHEN c_es >= 3 AND c_es >= c_de THEN 'es'
+        |       WHEN c_de >= 3 THEN 'de' ELSE 'und' END AS seg_lang
+        |  FROM (SELECT doc_id,
+        |    len(regexp_extract_all(seg, '\b(?:the|and|of|to)\b')) AS c_en,
+        |    len(regexp_extract_all(seg, '\b(?:el|la|de|que)\b')) AS c_es,
+        |    len(regexp_extract_all(seg, '\b(?:der|die|das|und)\b')) AS c_de
+        |  FROM segs) x),
+        |nu AS (SELECT doc_id, seg_lang, COUNT(*) AS n FROM lang
+        |  WHERE seg_lang <> 'und' GROUP BY 1, 2),
+        |nl AS (SELECT doc_id, COUNT(DISTINCT seg_lang) AS n_langs FROM nu GROUP BY 1),
+        |maj AS (SELECT doc_id, seg_lang AS majority_lang FROM (
+        |  SELECT doc_id, seg_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, seg_lang) AS rn
+        |  FROM nu) r WHERE rn = 1)
+        |SELECT b.doc_id, b.n_segments,
+        |  COALESCE(nl.n_langs, 0) AS n_langs,
+        |  COALESCE(nl.n_langs, 0) >= 2 AS is_mixed,
+        |  COALESCE(maj.majority_lang, 'und') AS majority_lang
+        |FROM base b
+        |LEFT JOIN nl ON nl.doc_id = b.doc_id
+        |LEFT JOIN maj ON maj.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "d5_ngram_jaccard" ->
       s"""WITH t AS (

@@ -148,6 +148,26 @@ object VectorQueries {
         beam = 4, rounds = 3)
     },
 
+    // recall@4 of the beam search against brute force — the e12
+    // measurement loop closed for the graph index (run before/after
+    // every graph rebuild; self-occupancy in the beam costs recall
+    // honestly since the exact set excludes self)
+    "e23_graph_recall" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
+        .select(col("q_id"), col("cand_id"))
+      val g = Similarity.graphSearch(emb, qs, beam = 4, rounds = 3)
+        .select(col("q_id").as("gq"), col("node").as("gn"))
+      exact.join(g,
+          col("q_id") === col("gq") && col("cand_id") === col("gn"), "left_outer")
+        .groupBy("q_id")
+        .agg((sum(when(col("gn").isNotNull, 1L).otherwise(0L))
+          .cast(DoubleType) / lit(4.0)).as("recall_at_4"))
+        .orderBy("q_id")
+    },
+
     // product-quantization ANN with asymmetric-distance scoring: the
     // memory-compression scale path (8 one-byte codes per vector
     // instead of 64 floats on the scan side); full oracle — codebooks
@@ -399,6 +419,28 @@ object VectorQueries {
        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
        |  FROM scored) t
        |WHERE rank <= 5)""".stripMargin
+  }
+
+  /** The e22 beam rounds (3 × expand/score/prune over the `knn` CTE,
+    * beam 4), shared by e22 and e23. Expects `qs` (q_id, qe) and `f0`
+    * (q_id, node) upstream; ends in `f3` (q_id, node, cos, rn). */
+  private lazy val beamRoundsSql: String = {
+    def cosf(a: String, b: String) =
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
+        s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
+    (1 to 3).map { r =>
+      s"""c$r AS (SELECT DISTINCT q_id, node FROM (
+         |  SELECT p.q_id, k.dst AS node FROM f${r - 1} p JOIN knn k ON k.src = p.node
+         |  UNION ALL SELECT q_id, node FROM f${r - 1}) t),
+         |s$r AS (SELECT c.q_id, c.node, ${cosf("qs.qe", "e.embedding")} AS cos
+         |  FROM c$r c JOIN embeddings e ON e.vec_id = c.node
+         |  JOIN qs ON qs.q_id = c.q_id),
+         |f$r AS (SELECT q_id, node, cos, rn FROM (
+         |  SELECT q_id, node, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+         |  FROM s$r) t WHERE rn <= 4)""".stripMargin
+    }.mkString(",\n")
   }
 
   /** The IVF-SQ8 derivation (cells → probes → per-dim min/max stats →
@@ -697,28 +739,40 @@ object VectorQueries {
     // the e8 chain + the 3 beam rounds unrolled: candidates = frontier
     // ∪ out-neighbors, the e1 cosine fold, ROW_NUMBER top-4 — each
     // round a mechanical CTE triple
-    "e22_graph_search" -> {
-      def cosf(a: String, b: String) =
-        s"list_aggregate(list_transform(list_zip($a, $b), " +
-          s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
-          s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
-      val rounds = (1 to 3).map { r =>
-        s"""c$r AS (SELECT DISTINCT q_id, node FROM (
-           |  SELECT p.q_id, k.dst AS node FROM f${r - 1} p JOIN knn k ON k.src = p.node
-           |  UNION ALL SELECT q_id, node FROM f${r - 1}) t),
-           |s$r AS (SELECT c.q_id, c.node, ${cosf("qs.qe", "e.embedding")} AS cos
-           |  FROM c$r c JOIN embeddings e ON e.vec_id = c.node
-           |  JOIN qs ON qs.q_id = c.q_id),
-           |f$r AS (SELECT q_id, node, cos, rn FROM (
-           |  SELECT q_id, node, cos,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-           |  FROM s$r) t WHERE rn <= 4)""".stripMargin
-      }.mkString(",\n")
+    "e22_graph_search" ->
       s"""WITH $knnGraphCtes,
          |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
-         |$rounds
-         |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin
+         |$beamRoundsSql
+         |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
+
+    // recall@4 of the e22 beam against the e1 brute force (self
+    // excluded from the exact set — self-occupancy in the beam
+    // honestly costs recall): the e12 measurement loop closed for the
+    // graph index
+    "e23_graph_recall" -> {
+      val cosQC =
+        s"list_aggregate(list_transform(list_zip(qe, ce), " +
+          s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
+          s"/ (sqrt(${sumSq("qe")}) * sqrt(${sumSq("ce")}))"
+      s"""WITH $knnGraphCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
+         |$beamRoundsSql,
+         |cs0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+         |exact AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |    FROM (SELECT q_id, cand_id, $cosQC AS cos
+         |          FROM cs0, qs WHERE cand_id <> q_id) s) t
+         |  WHERE rank <= 4)
+         |SELECT e.q_id,
+         |  CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / 4.0 AS recall_at_4
+         |FROM exact e LEFT JOIN f3 g
+         |  ON g.q_id = e.q_id AND g.node = e.cand_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
     },
 
     // the e8 chain spliced verbatim, then pure set algebra on the
