@@ -436,4 +436,57 @@ object NativePropertySpec extends Properties("NativeKernels") {
           gad2list(f.getArray(i))))
       got == feFdRef(hex)
     }
+
+  // ---- codec totality/losslessness properties ----------------------
+
+  private val rle8Case = for {
+    w <- Gen.choose(1, 23)
+    h <- Gen.choose(1, 11)
+    palN <- Gen.choose(1, 256)
+    idx <- Gen.listOfN(w * h, Gen.choose(0, palN - 1))
+    pal <- Gen.listOfN(palN, Gen.choose(0, 0xffffff))
+  } yield (w, h, idx.map(_.toByte).toArray, pal.toArray)
+
+  property("BMP RLE8 is LOSSLESS for any indices and palette") =
+    forAll(rle8Case) { case (w, h, idx, pal) =>
+      val img = graft.operators.BmpCodec
+        .decode(graft.operators.BmpCodec.encodeRle8(w, h, idx, pal))
+      img.exists { d =>
+        d.width == w && d.height == h &&
+          (0 until w * h).forall { p =>
+            val c = pal(idx(p) & 0xff)
+            (d.rgb(p * 3) & 0xff) == ((c >> 16) & 0xff) &&
+              (d.rgb(p * 3 + 1) & 0xff) == ((c >> 8) & 0xff) &&
+              (d.rgb(p * 3 + 2) & 0xff) == (c & 0xff)
+          }
+      }
+    }
+
+  private val adpcmConst = for {
+    a <- Gen.choose(-32768, 32767)
+    n <- Gen.choose(1, 400)
+    ba <- Gen.oneOf(8, 16, 32, 256)
+  } yield (a, n, ba)
+
+  property("IMA ADPCM reconstructs ANY constant signal bit-exactly") =
+    forAll(adpcmConst) { case (a, n, ba) =>
+      val pcm = Array.fill[Short](n)(a.toShort)
+      graft.operators.WavCodec
+        .decode(graft.operators.WavCodec.encodeAdpcm(8000, pcm, ba))
+        .exists(_.samples.toSeq == pcm.toSeq)
+    }
+
+  private val adpcmAny = for {
+    n <- Gen.choose(1, 300)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (n, seed)
+
+  property("IMA ADPCM decode is total and length-exact on any encoded signal") =
+    forAll(adpcmAny) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pcm = Array.fill[Short](n)(rnd.nextInt(65536).toShort)
+      graft.operators.WavCodec
+        .decode(graft.operators.WavCodec.encodeAdpcm(16000, pcm))
+        .exists(_.samples.length == n)
+    }
 }

@@ -23,9 +23,14 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle") {
+  test("every query has an oracle (rows-only exceptions are explicit)") {
+    // iterative argmax-dependent rewriting (BPE training) has no fixed
+    // SQL formulation — d45 is spec-verified against an independent
+    // reference trainer instead (BpeSpec) and the driver records the
+    // rows-only check. Any OTHER oracle-less query still fails here.
+    val rowsOnly = Set("d45_bpe_train")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"queries missing oracle: $missing")
+    assert(missing == rowsOnly, s"queries missing oracle: ${missing -- rowsOnly}")
   }
 
   test("approx_count_distinct stays within 5% of exact") {
