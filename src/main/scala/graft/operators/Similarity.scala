@@ -526,6 +526,38 @@ object Similarity {
       .orderBy("src")
   }
 
+  /** Matryoshka (MRL-style) truncation evaluation: retrieve with only
+    * the FIRST `dims` dimensions of every embedding and report, for
+    * each truncated top-k row, its truncated and full cosines plus
+    * whether it also sits in the full-dimension top-k — the
+    * measurement that decides how far an index can truncate vectors
+    * (4× memory/bandwidth at dims=16 of 64) before recall pays. ONE
+    * corpus pass computes both folds; both ranks share one q_id
+    * exchange (two sorts, no second scan); ties (cos desc, cand asc)
+    * keep the report oracle-reproducible. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, dims: Int,
+                    k: Int): DataFrame = {
+    require(dims > 0 && k > 0, "dims and k must be positive")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"), slice(col("embedding"), 1, dims).as("qet"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), slice(col("embedding"), 1, dims).as("cet"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qet"), col("cet")).as("cos_t"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos_full"))
+    val wt = Window.partitionBy("q_id").orderBy(col("cos_t").desc, col("cand_id"))
+    val wf = Window.partitionBy("q_id").orderBy(col("cos_full").desc, col("cand_id"))
+    scored
+      .withColumn("rank_t", row_number().over(wt))
+      .withColumn("rank_full", row_number().over(wf))
+      .filter(col("rank_t") <= k)
+      .select(col("q_id"), col("rank_t"), col("cand_id"),
+        col("cos_t"), col("cos_full"), (col("rank_full") <= k).as("in_full_topk"))
+      .orderBy("q_id", "rank_t")
+  }
+
   /** Greedy BEAM SEARCH over the [[knnGraph]] — the search half of
     * graph-based ANN (the HNSW/NSG navigation loop, expressed as a
     * fixed number of expand-score-prune rounds): every query starts a

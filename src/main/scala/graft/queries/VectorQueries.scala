@@ -148,6 +148,18 @@ object VectorQueries {
         beam = 4, rounds = 3)
     },
 
+    // Matryoshka truncation evaluation (e24): retrieve with the FIRST
+    // 16 of 64 dimensions (4× narrower scan side) and report truncated
+    // + full cosines and full-top-10 membership per truncated top-10
+    // row — the measurement that decides how far an index can truncate
+    // before recall pays. One corpus pass, both folds; full oracle
+    // with list slicing
+    "e24_matryoshka" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.truncatedTopK(emb, emb.filter(col("vec_id") < 5),
+        dims = 16, k = 10)
+    },
+
     // recall@4 of the beam search against brute force — the e12
     // measurement loop closed for the graph index (run before/after
     // every graph rebuild; self-occupancy in the beam costs recall
@@ -745,6 +757,29 @@ object VectorQueries {
          |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
          |$beamRoundsSql
          |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
+
+    // the sliced and full folds over one candidate set; both ranks
+    // from the same scored CTE
+    "e24_matryoshka" -> {
+      def fold(a: String, b: String) =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
+          s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    embedding[1:16] AS qet FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce,
+         |    embedding[1:16] AS cet FROM embeddings),
+         |s AS (SELECT q_id, cand_id, ${fold("qet", "cet")} AS cos_t,
+         |    ${fold("qe", "ce")} AS cos_full
+         |  FROM c, q WHERE cand_id <> q_id),
+         |r AS (SELECT q_id, cand_id, cos_t, cos_full,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_t DESC, cand_id) AS rank_t,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, cand_id) AS rank_full
+         |  FROM s)
+         |SELECT q_id, rank_t, cand_id, cos_t, cos_full,
+         |  rank_full <= 10 AS in_full_topk
+         |FROM r WHERE rank_t <= 10 ORDER BY q_id, rank_t""".stripMargin
+    },
 
     // recall@4 of the e22 beam against the e1 brute force (self
     // excluded from the exact set — self-occupancy in the beam
