@@ -360,6 +360,38 @@ object Pipelines {
         col("keep_id").as("ref_id")).distinct(), "prompt_fp")
       .select(col("doc_id").as("in_id"), col("ref_id"), col("prompt_fp"))
 
+  /** Ingest-time language-mixing screen — the d46 report computed
+    * ENTIRELY in-row (window language votes ride a higher-order
+    * `transform` over the segment index range, distinct/majority are
+    * array folds over the tiny 4-language alphabet), so the stream is
+    * a stateless narrow projection with ZERO shuffles where the batch
+    * query needs a keyed agg + windowed argmax. Majority ties break
+    * (count desc, lang asc) exactly as d46 — spec-pinned equal to the
+    * batch report row-for-row. */
+  def streamLangMix(stream: DataFrame): DataFrame = {
+    val segLen = 40
+    val toks = graft.functions.Text.tokens(col("text"))
+    val nSeg = floor((size(toks) + segLen - 1) / segLen).cast("int")
+    val langs = transform(sequence(lit(0), nSeg - 1),
+      i => graft.functions.Text.langId(
+        concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen)))))
+    def cnt(lang: String) =
+      size(filter(col("langs"), l => l === lang))
+    stream
+      .select(col("doc_id"), langs.as("langs"))
+      .select(col("doc_id"), size(col("langs")).as("n_segments"),
+        size(array_distinct(filter(col("langs"), l => l =!= "und")))
+          .cast("long").as("n_langs"),
+        cnt("de").as("c_de"), cnt("en").as("c_en"), cnt("es").as("c_es"))
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        (col("n_langs") >= 2).as("is_mixed"),
+        when(col("c_de") > 0 && col("c_de") >= col("c_en") &&
+          col("c_de") >= col("c_es"), "de")
+          .when(col("c_en") > 0 && col("c_en") >= col("c_es"), "en")
+          .when(col("c_es") > 0, "es")
+          .otherwise("und").as("majority_lang"))
+  }
+
   /** Ingest-time audio screening: arriving (doc_id, payload) WAV rows
     * decode through the full [[graft.operators.WavCodec]] family
     * (PCM16 / µ-law / IMA ADPCM) and keep only clips that are loud

@@ -735,6 +735,31 @@ class StreamingSpec extends AnyFunSuite {
     flagged.values.foreach(rid => assert(keepers.values.exists(_ == rid)))
   }
 
+  test("streamLangMix: the in-row stream report equals the batch d46 row-for-row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val batch = SparkEntry.queries("d46_lang_mix")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_segments"), r.getAs[Long]("n_langs"),
+          r.getAs[Boolean]("is_mixed"), r.getAs[String]("majority_lang")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamLangMix(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lang_mix_out")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lang_mix_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_segments"), r.getAs[Long]("n_langs"),
+          r.getAs[Boolean]("is_mixed"), r.getAs[String]("majority_lang")))).toMap
+    assert(got.size == batch.size)
+    val diff = batch.keys.filter(k => got(k) != batch(k))
+    assert(diff.isEmpty, s"stream/batch disagree on ${diff.take(3).map(k => (k, got(k), batch(k)))}")
+  }
+
   test("streamAudioScreen: loud clips pass, silence and garbage drop, stream stays up") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
