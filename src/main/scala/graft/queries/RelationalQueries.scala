@@ -956,6 +956,47 @@ object RelationalQueries {
         .orderBy("column_name")
     },
 
+    // Count-Min-sketch heavy hitters (q61): the third classic sketch
+    // next to q27's HLL and q48's quantiles — estimate hot keys from
+    // a 3×1024-cell table instead of a full per-key aggregate (the hot
+    // list is what feeds q38's salted-skew gate at scale). Hashes are
+    // the engine-portable polyHash family with three fixed row
+    // constants, so every cell count and every min-estimate is
+    // bit-deterministic and FULLY oracled. The sketch build is one
+    // pass with map-side partial aggs into ≤3072 cells; estimation
+    // joins the distinct-key side against the broadcast-sized sketch.
+    // The exact count column is the EVALUATION harness (the e12/e23
+    // measurement-loop pattern): it proves the CMS never-undercount
+    // guarantee row by row (spec-asserted too); a deployment at
+    // 100 TB would keep only the sketch side.
+    "q61_heavy_hitters" -> q { (s, d) =>
+      val P = 2038074743L
+      val rows = Seq((0, 17L, 3L), (1, 131L, 7L), (2, 523L, 11L))
+      val li = table(s, d, "lineitem")
+        .select(col("l_suppkey").cast("string").as("key"))
+      val h = graft.functions.Native.polyHash(col("key"), P)
+      def bucket(hv: Column, a: Long, b: Long) =
+        pmod(hv * lit(a) + lit(b), lit(P)) % 1024
+      val cells = li.select(col("key"),
+        posexplode(array(rows.map { case (_, a, b) => bucket(h, a, b) }: _*))
+          .as(Seq("i", "bucket")))
+      val sketch = cells.groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = li.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      val keyBuckets = exact
+        .select(col("key"), col("exact_cnt"),
+          posexplode(array(rows.map { case (_, a, b) =>
+            bucket(graft.functions.Native.polyHash(col("key"), P), a, b)
+          }: _*)).as(Seq("i", "bucket")))
+      keyBuckets
+        .join(broadcast(sketch), Seq("i", "bucket"))
+        .groupBy("key", "exact_cnt")
+        .agg(min(col("cnt")).as("est_cnt"))
+        .select(col("key"), col("est_cnt"), col("exact_cnt"),
+          (col("est_cnt") >= col("exact_cnt")).as("never_under"))
+        .orderBy(col("est_cnt").desc, col("key").asc)
+        .limit(20)
+    },
+
     // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
     // a computed measure spanning THREE tables (revenue minus a
     // retail-cost charge), name-filtered part dim, nation broadcast.
@@ -1079,6 +1120,32 @@ object RelationalQueries {
   private val sumDisc = s"SUM($discExpr)"
 
   val oracles: Map[String, String] = Map(
+    // the CMS table and min-estimates re-derived from the embedded
+    // portable-hash constants; exact side proves never-undercount
+    "q61_heavy_hitters" -> {
+      val P = 2038074743L
+      s"""WITH li AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+         |h AS (SELECT key, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(regexp_split_to_array(key, ''),
+         |      ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a*31 + b) % $P) AS hv
+         |  FROM li),
+         |rows3(i, a, b2) AS (VALUES (0, 17, 3), (1, 131, 7), (2, 523, 11)),
+         |cells AS (SELECT r.i, ((h.hv * r.a + r.b2) % $P) % 1024 AS bucket
+         |  FROM h CROSS JOIN rows3 r),
+         |sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT key, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
+         |keys AS (SELECT DISTINCT key, hv FROM h),
+         |est AS (SELECT k.key, MIN(s.cnt) AS est_cnt
+         |  FROM keys k CROSS JOIN rows3 r
+         |  JOIN sketch s ON s.i = r.i
+         |    AND s.bucket = ((k.hv * r.a + r.b2) % $P) % 1024
+         |  GROUP BY k.key)
+         |SELECT key, est_cnt, exact_cnt, est_cnt >= exact_cnt AS never_under
+         |FROM (SELECT e.key, e.est_cnt, x.exact_cnt,
+         |    ROW_NUMBER() OVER (ORDER BY e.est_cnt DESC, e.key) AS rn
+         |  FROM est e JOIN exact x ON x.key = e.key) t
+         |WHERE rn <= 20 ORDER BY est_cnt DESC, key""".stripMargin
+    },
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -33,6 +33,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing == rowsOnly, s"queries missing oracle: ${missing -- rowsOnly}")
   }
 
+  test("count-min estimates never undercount and mostly hit exact at this width") {
+    val rows = SparkEntry.queries("q61_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Boolean]("never_under"),
+      s"CMS undercounted ${r.getAs[String]("key")}"))
+    // 1000-ish keys into 3×1024 cells: the min-of-rows estimate is
+    // EXACT unless a key collides in all three rows — most of the
+    // top-20 at sf0.001 should be collision-free
+    val exactHits = rows.count(r =>
+      r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt"))
+    assert(exactHits * 4 >= rows.length * 3,
+      s"only $exactHits/${rows.length} estimates exact — " +
+        "all-three-row collisions should be rare at this key count")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val rows = SparkEntry.queries("q27_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
