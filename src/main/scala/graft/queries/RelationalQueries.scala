@@ -970,27 +970,11 @@ object RelationalQueries {
     // guarantee row by row (spec-asserted too); a deployment at
     // 100 TB would keep only the sketch side.
     "q61_heavy_hitters" -> q { (s, d) =>
-      val P = 2038074743L
-      val rows = Seq((0, 17L, 3L), (1, 131L, 7L), (2, 523L, 11L))
       val li = table(s, d, "lineitem")
         .select(col("l_suppkey").cast("string").as("key"))
-      val h = graft.functions.Native.polyHash(col("key"), P)
-      def bucket(hv: Column, a: Long, b: Long) =
-        pmod(hv * lit(a) + lit(b), lit(P)) % 1024
-      val cells = li.select(col("key"),
-        posexplode(array(rows.map { case (_, a, b) => bucket(h, a, b) }: _*))
-          .as(Seq("i", "bucket")))
-      val sketch = cells.groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+      val sketch = graft.operators.Cms.cells(li, "key")
       val exact = li.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
-      val keyBuckets = exact
-        .select(col("key"), col("exact_cnt"),
-          posexplode(array(rows.map { case (_, a, b) =>
-            bucket(graft.functions.Native.polyHash(col("key"), P), a, b)
-          }: _*)).as(Seq("i", "bucket")))
-      keyBuckets
-        .join(broadcast(sketch), Seq("i", "bucket"))
-        .groupBy("key", "exact_cnt")
-        .agg(min(col("cnt")).as("est_cnt"))
+      graft.operators.Cms.estimates(sketch, exact, "key")
         .select(col("key"), col("est_cnt"), col("exact_cnt"),
           (col("est_cnt") >= col("exact_cnt")).as("never_under"))
         .orderBy(col("est_cnt").desc, col("key").asc)
@@ -1123,14 +1107,19 @@ object RelationalQueries {
     // the CMS table and min-estimates re-derived from the embedded
     // portable-hash constants; exact side proves never-undercount
     "q61_heavy_hitters" -> {
-      val P = 2038074743L
+      // geometry pulled from the ONE Cms definition — the oracle
+      // cannot drift from the Scala sketch
+      val P = graft.operators.Cms.P
+      val w = graft.operators.Cms.Width
+      val rows3 = graft.operators.Cms.Rows
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
       s"""WITH li AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
          |h AS (SELECT key, list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(regexp_split_to_array(key, ''),
          |      ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a*31 + b) % $P) AS hv
          |  FROM li),
-         |rows3(i, a, b2) AS (VALUES (0, 17, 3), (1, 131, 7), (2, 523, 11)),
-         |cells AS (SELECT r.i, ((h.hv * r.a + r.b2) % $P) % 1024 AS bucket
+         |rows3(i, a, b2) AS (VALUES $rows3),
+         |cells AS (SELECT r.i, ((h.hv * r.a + r.b2) % $P) % $w AS bucket
          |  FROM h CROSS JOIN rows3 r),
          |sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
          |exact AS (SELECT key, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
@@ -1138,7 +1127,7 @@ object RelationalQueries {
          |est AS (SELECT k.key, MIN(s.cnt) AS est_cnt
          |  FROM keys k CROSS JOIN rows3 r
          |  JOIN sketch s ON s.i = r.i
-         |    AND s.bucket = ((k.hv * r.a + r.b2) % $P) % 1024
+         |    AND s.bucket = ((k.hv * r.a + r.b2) % $P) % $w
          |  GROUP BY k.key)
          |SELECT key, est_cnt, exact_cnt, est_cnt >= exact_cnt AS never_under
          |FROM (SELECT e.key, e.est_cnt, x.exact_cnt,

@@ -535,4 +535,20 @@ object Pipelines {
     (batch, epochId) =>
       idempotentParquetSink(path)(
         graft.operators.Packing.sequencePack(batch, seqLen, nShards), epochId)
+
+  /** Streaming Count-Min maintenance — the q61 sketch kept fresh by
+    * an ingest stream, as a `foreachBatch` body: each micro-batch
+    * lands its OWN (i, bucket, cnt) cell table under `batch=<epoch>`
+    * (idempotent overwrite — the cells are deterministic in the batch
+    * content, so a replayed epoch rewrites identical rows and
+    * redelivery is a no-op), and `Cms.readMergedSketch` folds every
+    * epoch into the current sketch by cell ADDITION. That mergeability
+    * is the whole point of sketch maintenance at 100 TB: the global
+    * hot-key state stays KB-sized per epoch, no key-space shuffle,
+    * no read-modify-write race — epochs are independent files and the
+    * merge is associative. */
+  def cmsSketchSink(path: String, keyCol: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      idempotentParquetSink(path)(
+        graft.operators.Cms.cells(batch, keyCol), epochId)
 }

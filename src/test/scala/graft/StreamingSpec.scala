@@ -735,6 +735,44 @@ class StreamingSpec extends AnyFunSuite {
     flagged.values.foreach(rid => assert(keepers.values.exists(_ == rid)))
   }
 
+  test("cmsSketchSink: merged epoch sketches equal the one-shot sketch; replay is a no-op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cms
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val batch1 = Seq.tabulate(300)(i => s"k${i % 17}")
+    val batch2 = Seq.tabulate(200)(i => s"k${i % 23}")
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("key")
+      .writeStream.outputMode("append")
+      .foreachBatch(Pipelines.cmsSketchSink(dir, "key"))
+      .start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // merged epochs == the sketch built in one shot over all the data
+    val merged = Cms.readMergedSketch(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = Cms.cells((batch1 ++ batch2).toDF("key"), "key")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == oneShot, "cell-wise merge must equal the one-shot sketch")
+    // estimates from the merged sketch never undercount the true counts
+    val exact = (batch1 ++ batch2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Cms.estimates(Cms.readMergedSketch(spark, dir),
+        exact.keys.toSeq.toDF("key"), "key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k estimated ${est(k)} < exact $n")
+    }
+    // replaying an epoch (same id, same content) leaves the merge unchanged
+    Pipelines.cmsSketchSink(dir, "key")(batch1.toDF("key"), 0L)
+    val again = Cms.readMergedSketch(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == merged, "epoch redelivery must be a no-op")
+  }
+
   test("streamLangMix: the in-row stream report equals the batch d46 row-for-row") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
