@@ -558,6 +558,40 @@ object Similarity {
       .orderBy("q_id", "rank_t")
   }
 
+  /** Binary (1-bit-per-dimension) quantization retrieval — the far
+    * end of the e15/e24 compression ladder: each 64-dim float vector
+    * collapses to ONE 64-bit sign signature (64× narrower than
+    * floats), candidates rank by Hamming distance (a single XOR +
+    * popcount per pair — the cheapest similarity there is), and the
+    * report carries the full cosine and full-top-k membership so the
+    * recall cost of 1-bit quantization is measured, not assumed.
+    * Signatures build in-row (aggregate over the dimension range, no
+    * shuffle); ties (hamming asc, cand asc) keep the ranking
+    * oracle-reproducible. */
+  def binaryQuantTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sig = expr("aggregate(sequence(0, 63), 0L, " +
+      "(acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i), 0L))")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"), sig.as("sq"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), sig.as("sc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        expr("bit_count(sq ^ sc)").as("hamming"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos_full"))
+    val wh = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("cand_id"))
+    val wf = Window.partitionBy("q_id").orderBy(col("cos_full").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(wh))
+      .withColumn("rank_full", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("hamming"),
+        col("cos_full"), (col("rank_full") <= k).as("in_full_topk"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Greedy BEAM SEARCH over the [[knnGraph]] — the search half of
     * graph-based ANN (the HNSW/NSG navigation loop, expressed as a
     * fixed number of expand-score-prune rounds): every query starts a

@@ -160,6 +160,17 @@ object VectorQueries {
         dims = 16, k = 10)
     },
 
+    // binary quantization retrieval (e25): sign-bit signatures — ONE
+    // 64-bit word per 64-dim vector (64× narrower than floats, the
+    // far end of the e15/e24 compression ladder), Hamming ranking via
+    // a single XOR+popcount per pair, full-cosine + full-top-10
+    // membership columns measuring what 1-bit quantization costs;
+    // full oracle (bit arithmetic is exact in both engines)
+    "e25_binary_quant" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.binaryQuantTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    },
+
     // recall@4 of the beam search against brute force — the e12
     // measurement loop closed for the graph index (run before/after
     // every graph rebuild; self-occupancy in the beam costs recall
@@ -757,6 +768,37 @@ object VectorQueries {
          |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
          |$beamRoundsSql
          |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
+
+    // sign signatures summed from disjoint bit terms, xor+bit_count
+    // hamming, both ranks from one scored CTE
+    "e25_binary_quant" -> {
+      // DuckDB overflow-checks 1 << 63 on BIGINT: bit 63 is the
+      // min-long literal (the simhash-oracle convention)
+      val sig = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 63), " +
+        "i -> CASE WHEN embedding[i + 1] > 0 THEN " +
+        "(CASE WHEN i = 63 THEN (-9223372036854775807 - 1) " +
+        "ELSE (CAST(1 AS BIGINT) << i) END) " +
+        "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+      def fold(a: String, b: String) =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
+          s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, $sig AS sq
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce, $sig AS sc
+         |  FROM embeddings),
+         |s AS (SELECT q_id, cand_id, bit_count(xor(sq, sc)) AS hamming,
+         |    ${fold("qe", "ce")} AS cos_full
+         |  FROM c, q WHERE cand_id <> q_id),
+         |r AS (SELECT q_id, cand_id, hamming, cos_full,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, cand_id) AS rank,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, cand_id) AS rank_full
+         |  FROM s)
+         |SELECT q_id, rank, cand_id, CAST(hamming AS INTEGER) AS hamming,
+         |  cos_full, rank_full <= 10 AS in_full_topk
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
 
     // the sliced and full folds over one candidate set; both ranks
     // from the same scored CTE
