@@ -607,6 +607,219 @@ object GifCodec {
     * de-interlaced (the spec's 4-pass row order — what ImageIO's
     * writer emits, interop-tested); only the FIRST image of an
     * animation decodes. */
+  /** Encode an ANIMATED GIF89a: frames composite onto a logical
+    * screen at (left, top) with a Graphic Control Extension per frame
+    * carrying the disposal method and optional transparent index
+    * (-1 = none). One global palette; frames reuse [[lzwEncode]]. */
+  def encodeAnimated(screenW: Int, screenH: Int, palette: Array[Int],
+                     frames: Seq[AnimFrame]): Array[Byte] = {
+    require(palette.length == 256, "animated encoder uses a 256-entry global table")
+    require(frames.nonEmpty, "at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(screenW); u16(screenH)
+    out.write(0x80 | 7) // global table, 256 entries
+    out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.left + f.w <= screenW &&
+        f.top + f.h <= screenH, "frame rect outside the screen")
+      require(f.indices.length == f.w * f.h, "indices must be w*h")
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write(((f.disposal & 7) << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      u16(0) // delay
+      out.write(if (f.transparentIdx >= 0) f.transparentIdx else 0)
+      out.write(0) // GCE terminator
+      out.write(0x2c)
+      u16(f.left); u16(f.top); u16(f.w); u16(f.h)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // min code size
+      val lzw = lzwEncode(f.indices)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** One animated-GIF frame for [[encodeAnimated]]. */
+  final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
+                             indices: Array[Byte], disposal: Int = 0,
+                             transparentIdx: Int = -1)
+
+  /** Decode ALL frames of a (possibly animated) GIF, COMPOSED onto
+    * the logical screen per GIF89a: (left, top) placement, GCE
+    * transparency (matching indices leave the canvas untouched), and
+    * the three disposal methods — none/keep (0/1), restore-background
+    * (2, the frame rect clears to black — the deterministic stand-in
+    * for the spec's appliance-defined background), restore-previous
+    * (3). Every returned frame is a screen-sized snapshot AFTER its
+    * draw, which is what frame-dedup / scene-change consumers want.
+    * None on anything malformed (the codec-family rule). */
+  def decodeFrames(payload: Array[Byte],
+                   maxFrames: Int = 1024): Option[Seq[PpmCodec.Image]] = {
+    if (payload == null || payload.length < 13) return None
+    val magic = new String(payload, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    var pos = 6
+    def u16(): Int = {
+      val v = (payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8)
+      pos += 2; v
+    }
+    val sw = u16(); val sh = u16()
+    if (sw <= 0 || sh <= 0 || sw > MaxDim || sh > MaxDim) return None
+    val packed = payload(pos) & 0xff
+    pos += 3
+    var global: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > payload.length) return None
+      global = Array.tabulate(n) { i =>
+        ((payload(pos + 3 * i) & 0xff) << 16) |
+          ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+          (payload(pos + 3 * i + 2) & 0xff)
+      }
+      pos += 3 * n
+    }
+    val canvas = new Array[Int](sw * sh) // black until drawn
+    val frames = scala.collection.mutable.ArrayBuffer.empty[PpmCodec.Image]
+    var transparentIdx = -1
+    var disposal = 0
+    while (pos < payload.length) {
+      val block = payload(pos) & 0xff
+      pos += 1
+      if (block == 0x3b) {
+        return if (frames.nonEmpty) Some(frames.toSeq) else None
+      } else if (block == 0x21) {
+        if (pos >= payload.length) return None
+        val label = payload(pos) & 0xff
+        pos += 1
+        if (label == 0xf9) { // Graphic Control Extension
+          if (pos + 6 > payload.length || (payload(pos) & 0xff) != 4) return None
+          val p = payload(pos + 1) & 0xff
+          disposal = (p >> 2) & 7
+          transparentIdx = if ((p & 1) != 0) payload(pos + 4) & 0xff else -1
+          pos += 5
+          if ((payload(pos) & 0xff) != 0) return None
+          pos += 1
+        } else {
+          var n = -1
+          while (n != 0) {
+            if (pos >= payload.length) return None
+            n = payload(pos) & 0xff
+            pos += 1 + n
+          }
+        }
+      } else if (block == 0x2c) {
+        if (pos + 9 > payload.length) return None
+        val left = u16(); val top = u16()
+        val w = u16(); val h = u16()
+        val ip = payload(pos) & 0xff
+        pos += 1
+        if (w <= 0 || h <= 0 || left + w > sw || top + h > sh) return None
+        var pal = global
+        if ((ip & 0x80) != 0) {
+          val n = 2 << (ip & 7)
+          if (pos + 3 * n > payload.length) return None
+          pal = Array.tabulate(n) { i =>
+            ((payload(pos + 3 * i) & 0xff) << 16) |
+              ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+              (payload(pos + 3 * i + 2) & 0xff)
+          }
+          pos += 3 * n
+        }
+        if (pal == null || pos >= payload.length) return None
+        val minCode = payload(pos) & 0xff
+        pos += 1
+        if (minCode < 2 || minCode > 8) return None
+        val data = new java.io.ByteArrayOutputStream()
+        var n = -1
+        while (n != 0) {
+          if (pos >= payload.length) return None
+          n = payload(pos) & 0xff
+          pos += 1
+          if (n > 0) {
+            if (pos + n > payload.length) return None
+            data.write(payload, pos, n)
+            pos += n
+          }
+        }
+        val raw = lzwDecode(data.toByteArray, minCode, w * h) match {
+          case Some(r) => r
+          case None    => return None
+        }
+        val idx =
+          if ((ip & 0x40) == 0) raw
+          else { // de-interlace (same 4-pass permutation as decode)
+            val o = new Array[Byte](raw.length)
+            val starts = Array(0, 4, 2, 1)
+            val steps = Array(8, 8, 4, 2)
+            var src = 0
+            var p = 0
+            while (p < 4) {
+              var row = starts(p)
+              while (row < h) {
+                System.arraycopy(raw, src * w, o, row * w, w)
+                src += 1
+                row += steps(p)
+              }
+              p += 1
+            }
+            o
+          }
+        val prev = if (disposal == 3) canvas.clone() else null
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val ci = idx(y * w + x) & 0xff
+            if (ci != transparentIdx) {
+              if (ci >= pal.length) return None
+              canvas((top + y) * sw + (left + x)) = pal(ci)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val rgb = new Array[Byte](sw * sh * 3)
+        var i = 0
+        while (i < sw * sh) {
+          val c = canvas(i)
+          rgb(i * 3) = ((c >> 16) & 0xff).toByte
+          rgb(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+          rgb(i * 3 + 2) = (c & 0xff).toByte
+          i += 1
+        }
+        frames += PpmCodec.Image(sw, sh, rgb)
+        if (frames.length > maxFrames) return None
+        if (disposal == 2) { // clear the frame RECT to background
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              canvas((top + yy) * sw + (left + xx)) = 0
+              xx += 1
+            }
+            yy += 1
+          }
+        } else if (disposal == 3) {
+          System.arraycopy(prev, 0, canvas, 0, canvas.length)
+        }
+        transparentIdx = -1
+        disposal = 0
+      } else return None
+    }
+    None // ran off the end without a trailer
+  }
+
   def decode(payload: Array[Byte]): Option[PpmCodec.Image] = {
     if (payload == null || payload.length < 13) return None
     val magic = new String(payload, 0, 6, "US-ASCII")
@@ -1433,6 +1646,44 @@ object Multimodal {
               None, None)
           case None =>
             AudioFeatures(id, len, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** One COMPOSED animated-GIF frame's features; a malformed payload
+    * yields a single row with null frame fields (null-not-fail). */
+  final case class GifFrameFeatures(
+      id: Long, frame_idx: Option[Int], width: Option[Int],
+      height: Option[Int], mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /** Per-partition ANIMATED GIF decode: every payload expands to its
+    * composed screen-frames (placement/transparency/disposal applied
+    * by [[GifCodec.decodeFrames]]) with exact-integer channel means —
+    * the decode step that feeds m6-style frame dedup and m14-style
+    * scene detection for the animated half of a crawl's GIFs. */
+  def decodeAnimatedGifs(media: Dataset[(Long, Array[Byte])]): Dataset[GifFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        GifCodec.decodeFrames(payload) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              val n = img.width * img.height
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < n) {
+                var c = 0
+                while (c < 3) { sums(c) += img.rgb(i * 3 + c) & 0xff; c += 1 }
+                i += 1
+              }
+              GifFrameFeatures(id, Some(f), Some(img.width), Some(img.height),
+                Some(sums(0).toDouble / n), Some(sums(1).toDouble / n),
+                Some(sums(2).toDouble / n))
+            }
+          case None =>
+            Iterator.single(GifFrameFeatures(id, None, None, None, None, None, None))
         }
       }
     }

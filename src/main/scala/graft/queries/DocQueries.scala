@@ -642,6 +642,40 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // ANIMATED GIF decode (m15): each payload is a 4-frame GIF89a on
+    // an 8×4 screen — even frames overwrite the full screen, odd
+    // frames draw a 4×2 patch at (2,1) over the previous canvas — so
+    // the COMPOSITION path (placement + keep-disposal) sits on the
+    // hash-checked path, not just the per-frame LZW decode. The
+    // oracle replicates the composed per-pixel palette index piecewise
+    // (patch membership by pixel coordinates) and the palette channel
+    // formulas. Transparency and disposal 2/3 are spec-proven
+    // (MultimodalSpec) alongside both-way ImageIO interop.
+    "m15_gif_frames" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val pal = Array.tabulate(256)(c =>
+            (c << 16) | (((c * 5 + 1) % 256) << 8) | ((c * 11 + 3) % 256))
+          val (sw, sh) = (8, 4)
+          val frames = (0 until 4).map { f =>
+            if (f % 2 == 0)
+              graft.operators.GifCodec.AnimFrame(0, 0, sw, sh,
+                Array.tabulate[Byte](sw * sh)(p => ((id * 7 + f * 13 + p * 3) % 256).toByte))
+            else
+              graft.operators.GifCodec.AnimFrame(2, 1, 4, 2,
+                Array.tabulate[Byte](8)(q => ((id * 9 + f * 5 + q * 7) % 256).toByte))
+          }
+          (id, graft.operators.GifCodec.encodeAnimated(sw, sh, pal, frames))
+        }
+      graft.operators.Multimodal.decodeAnimatedGifs(media)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id", "frame_idx")
+    },
+
     // video scene-change detection over Y4M: per consecutive-frame
     // boundary, the mean absolute luma difference and the cut verdict
     // — the shot-boundary pass a video pipeline runs BEFORE frame
@@ -2169,6 +2203,29 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the composed screen replicated piecewise: even frames are the
+    // full-rect formula; odd frames keep the previous full frame
+    // outside the (2,1)+4×2 patch and take the patch formula inside
+    "m15_gif_frames" -> {
+      // composed palette index at pixel p of frame f (x = p%8, y = p//8)
+      val idx = "(CASE WHEN (f % 2) = 0 " +
+        "THEN (s_suppkey*7 + f*13 + p*3) % 256 " +
+        "ELSE (CASE WHEN (p % 8) BETWEEN 2 AND 5 AND (p // 8) BETWEEN 1 AND 2 " +
+        "THEN (s_suppkey*9 + f*5 + (((p // 8) - 1)*4 + ((p % 8) - 2))*7) % 256 " +
+        "ELSE (s_suppkey*7 + (f - 1)*13 + p*3) % 256 END) END)"
+      def mean(ch: String) =
+        s"CAST(list_aggregate(list_transform(generate_series(0, 31), " +
+          s"p -> CAST($ch AS BIGINT)), 'sum') AS DOUBLE) / 32"
+      s"""SELECT s_suppkey AS id, f AS frame_idx,
+         |  CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+         |  ${mean(idx)} AS mean_r,
+         |  ${mean(s"(($idx) * 5 + 1) % 256")} AS mean_g,
+         |  ${mean(s"(($idx) * 11 + 3) % 256")} AS mean_b
+         |FROM supplier CROSS JOIN
+         |  (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS f)
+         |ORDER BY id, frame_idx""".stripMargin
     },
 
     // the per-pixel luma formula and the |diff| fold replicated in

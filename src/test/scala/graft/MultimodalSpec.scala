@@ -596,6 +596,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px(d32, 0, 0) == Seq(30, 20, 10) && px(d32, 1, 0) == Seq(60, 50, 40))
   }
 
+  test("animated GIF: placement, transparency, and all three disposal methods compose") {
+    import graft.operators.GifCodec.AnimFrame
+    val pal = Array.tabulate(256)(c => c * 0x010101) // gray ramp
+    val (sw, sh) = (4, 2)
+    def px(img: PpmCodec.Image, x: Int, y: Int) = img.rgb((y * img.width + x) * 3) & 0xff
+    val gif = GifCodec.encodeAnimated(sw, sh, pal, Seq(
+      AnimFrame(0, 0, 4, 2, Array.fill[Byte](8)(10)),                   // full screen 10
+      // 2x2 patch at (2,0): color 99 except one TRANSPARENT pixel,
+      // restore-previous disposal
+      AnimFrame(2, 0, 2, 2, Array[Byte](99, 7, 99.toByte, 99.toByte),
+        disposal = 3, transparentIdx = 7),
+      // full screen 30 with restore-background disposal
+      AnimFrame(0, 0, 4, 2, Array.fill[Byte](8)(30), disposal = 2),
+      // final 1x1 patch so the post-disposal canvas is observable
+      AnimFrame(0, 0, 1, 1, Array[Byte](50))))
+    val fs = GifCodec.decodeFrames(gif).getOrElse(fail("animated GIF must decode"))
+    assert(fs.length == 4)
+    assert(fs.forall(f => f.width == sw && f.height == sh), "frames are screen-sized")
+    assert((0 until 4).forall(x => px(fs(0), x, 0) == 10))
+    // frame 1: patch drew 99 at (2,0),(2,1),(3,1); (3,0) was transparent -> 10
+    assert(px(fs(1), 2, 0) == 99 && px(fs(1), 3, 1) == 99)
+    assert(px(fs(1), 3, 0) == 10, "transparent pixel leaves the canvas")
+    assert(px(fs(1), 0, 0) == 10, "outside the rect untouched")
+    // frame 2 drew over the RESTORED frame-0 canvas (disposal 3)
+    assert(px(fs(2), 0, 0) == 30)
+    // frame 3: disposal 2 cleared frame 2's rect to black, then 1x1 drew 50
+    assert(px(fs(3), 0, 0) == 50)
+    assert(px(fs(3), 1, 0) == 0 && px(fs(3), 3, 1) == 0, "restore-to-background")
+  }
+
+  test("animated GIF interop: ImageIO reads our frame count and first frame pixels") {
+    import graft.operators.GifCodec.AnimFrame
+    val pal = Array.tabulate(256)(c =>
+      (((c * 7 + 3) % 256) << 16) | (((c * 11 + 5) % 256) << 8) | ((c * 13 + 1) % 256))
+    val (sw, sh) = (6, 4)
+    val f0 = Array.tabulate[Byte](sw * sh)(i => ((i * 31 + 7) % 256).toByte)
+    val f1 = Array.tabulate[Byte](sw * sh)(i => ((i * 17 + 3) % 256).toByte)
+    val gif = GifCodec.encodeAnimated(sw, sh, pal,
+      Seq(AnimFrame(0, 0, sw, sh, f0), AnimFrame(0, 0, sw, sh, f1)))
+    val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(rd.getNumImages(true) == 2, "ImageIO must see both frames")
+    val their0 = rd.read(0)
+    for (y <- 0 until sh; x <- 0 until sw)
+      assert((their0.getRGB(x, y) & 0xffffff) == pal(f0(y * sw + x) & 0xff),
+        s"ImageIO frame-0 pixel ($x,$y)")
+    rd.dispose()
+    // our composed decode agrees on both full-rect frames
+    val ours = GifCodec.decodeFrames(gif).get
+    for (y <- 0 until sh; x <- 0 until sw) {
+      val c1 = pal(f1(y * sw + x) & 0xff)
+      val o = (ours(1).rgb((y * sw + x) * 3) & 0xff) << 16 |
+        (ours(1).rgb((y * sw + x) * 3 + 1) & 0xff) << 8 |
+        (ours(1).rgb((y * sw + x) * 3 + 2) & 0xff)
+      assert(o == c1)
+    }
+    // totality: truncation anywhere must give None, never throw
+    (1 until gif.length by 7).foreach(cut =>
+      assert(GifCodec.decodeFrames(gif.take(cut)).isEmpty))
+    // the single-frame decode still reads animated payloads (frame 0)
+    assert(GifCodec.decode(gif).exists(i => i.width == sw && i.height == sh))
+  }
+
   test("BMP RLE8 roundtrips pixel-exactly and actually compresses runs") {
     def px(img: PpmCodec.Image, x: Int, y: Int) =
       (0 to 2).map(c => img.rgb((y * img.width + x) * 3 + c) & 0xff)
