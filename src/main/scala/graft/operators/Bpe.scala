@@ -104,9 +104,18 @@ object BpeTrain {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, c)
         val prev = words
-        words = prev.map { case (syms, n) => (applyMerge(syms, a, b), n) }.cache()
-        // truncate the iterative lineage before it stacks 10 maps deep
-        if ((r + 1) % 4 == 0) words = words.localCheckpoint(true)
+        val mapped = prev.map { case (syms, n) => (applyMerge(syms, a, b), n) }.cache()
+        // truncate the iterative lineage before it stacks 10 maps deep;
+        // the checkpoint materializes its own blocks, so the pre-
+        // checkpoint cache is dead weight — unpersist it immediately
+        // (keeping only the tail reference would orphan one cached
+        // Dataset per checkpoint round over a long training run)
+        words =
+          if ((r + 1) % 4 == 0) {
+            val ckpt = mapped.localCheckpoint(true)
+            mapped.unpersist(false)
+            ckpt
+          } else mapped
         prev.unpersist(false)
       }
       r += 1

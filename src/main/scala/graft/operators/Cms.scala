@@ -45,14 +45,18 @@ object Cms {
 
   /** Min-of-rows estimates for every row of `keys` (which must carry
     * `keyCol`; other columns pass through the group-by). The sketch
-    * side broadcasts. */
+    * side broadcasts. LEFT join + coalesce(cnt, 0): a sparse sketch
+    * stores no row for an empty cell, so a never-inserted key must
+    * estimate 0 (not vanish from the output), and a key missing one
+    * of its cells must take the true minimum (0), not the min over
+    * the surviving cells. */
   def estimates(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val carry = keys.columns.toSeq
     keys
       .select(carry.map(col) :+ posexplode(bucketsOf(keyCol)).as(Seq("i", "bucket")): _*)
-      .join(broadcast(sketch), Seq("i", "bucket"))
+      .join(broadcast(sketch), Seq("i", "bucket"), "left")
       .groupBy(carry.map(col): _*)
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** Merge every per-batch cell table under `path` (the streaming

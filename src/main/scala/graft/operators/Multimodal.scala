@@ -664,6 +664,14 @@ object GifCodec {
     * (3). Every returned frame is a screen-sized snapshot AFTER its
     * draw, which is what frame-dedup / scene-change consumers want.
     * None on anything malformed (the codec-family rule). */
+  /** Total decoded-output budget for [[decodeFrames]]: every returned
+    * frame is a full sw·sh·3 screen snapshot, so without a cap on the
+    * frames × screen-area PRODUCT a few-KB crafted GIF (huge logical
+    * screen, many 1×1 frames) could allocate tens of GB before the
+    * per-count maxFrames check fired. 256 MB bounds the decoder the
+    * way MaxSamples bounds the audio family. */
+  val MaxAnimBytes: Long = 1L << 28
+
   def decodeFrames(payload: Array[Byte],
                    maxFrames: Int = 1024): Option[Seq[PpmCodec.Image]] = {
     if (payload == null || payload.length < 13) return None
@@ -676,6 +684,9 @@ object GifCodec {
     }
     val sw = u16(); val sh = u16()
     if (sw <= 0 || sh <= 0 || sw > MaxDim || sh > MaxDim) return None
+    // a screen too large for even ONE budgeted snapshot can never
+    // yield output — reject before allocating the int canvas
+    if (sw.toLong * sh * 3 > MaxAnimBytes) return None
     val packed = payload(pos) & 0xff
     pos += 3
     var global: Array[Int] = null
@@ -725,6 +736,10 @@ object GifCodec {
         val ip = payload(pos) & 0xff
         pos += 1
         if (w <= 0 || h <= 0 || left + w > sw || top + h > sh) return None
+        // total-output budget BEFORE any decode/compose work for this
+        // frame: frames.length snapshots exist, this would be one more
+        if ((frames.length + 1).toLong * (sw.toLong * sh * 3) > MaxAnimBytes)
+          return None
         var pal = global
         if ((ip & 0x80) != 0) {
           val n = 2 << (ip & 7)

@@ -1376,9 +1376,10 @@ object DocQueries {
     // the d20 driver-loop shape. Deterministic tie-break (count desc,
     // then lexicographic), so the merge table is reproducible under
     // any partitioning — spec-proven equal to an independent local
-    // reference trainer; no SQL oracle (iterative argmax-dependent
-    // rewriting is not expressible as a fixed DuckDB query), so the
-    // driver records the rows-only check.
+    // reference trainer AND fully oracled: the 10 merge rounds unroll
+    // as a fixed DuckDB CTE chain (bpeTrainOracle) whose symbol state
+    // rides a space-delimited string encoding where `replace` IS
+    // applyMerge.
     "d45_bpe_train" -> q { (s, d) =>
       graft.operators.BpeTrain.train(table(s, d, "documents"), "text", 10)
     },
@@ -1405,7 +1406,12 @@ object DocQueries {
             .cast("int").as("n_segments"))
       val segs = base
         .select(col("doc_id"), col("n_segments"),
-          explode(sequence(lit(0), col("n_segments") - 1)).as("i"), col("toks"))
+          // greatest(n,1) guards sequence(0,-1)'s step=-1 fabrication
+          // ([0,-1]); an n=0 doc would get one empty ("und") segment,
+          // which the non-und filter drops — same as the oracle's
+          // empty generate_series
+          explode(sequence(lit(0), greatest(col("n_segments"), lit(1)) - 1))
+            .as("i"), col("toks"))
         .select(col("doc_id"),
           Text.langId(concat_ws(" ",
             slice(col("toks"), col("i") * segLen + 1, lit(segLen)))).as("seg_lang"))
@@ -1577,6 +1583,53 @@ object DocQueries {
       |        i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       |          FROM documents) a) b) c""".stripMargin
+  }
+
+  /** d45's oracle: the BPE merge loop UNROLLED as a fixed CTE chain —
+    * one (pairs → counts → 1-row argmax → rewrite) block per merge
+    * round, the e22 unrolling precedent. The iterative symbol state
+    * rides a STRING encoding: symbols joined by TWO spaces and padded
+    * with one space each side (`" a  b  c "`), so every symbol
+    * occurrence is space-bounded on both sides. That makes DuckDB's
+    * `replace` — a single left-to-right, non-overlapping scan of the
+    * input that never rescans its own output — EXACTLY
+    * [[graft.operators.BpeTrain.applyMerge]]: pattern
+    * `" a  b "` → `" ab "` consumes both boundary spaces, so an
+    * adjacent candidate pair reusing the just-merged token cannot
+    * match (applyMerge's i += 2), while the next disjoint occurrence
+    * still has its own delimiters ("a a a a" merges to [aa, aa], and
+    * "a a a" to [aa, a], on both engines). Symbols are substrings of
+    * whitespace-split tokens, so they never contain a space and the
+    * encoding is unambiguous. Early exhaustion degrades identically:
+    * an empty argmax row empties every later round's CROSS JOIN. */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, n FROM (
+         |    SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+         |    FROM (SELECT string_split(trim(s), '  ') AS syms, n FROM w$p) t0) t1),
+         |c$k AS (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM p$k GROUP BY l, r),
+         |m$k AS (SELECT CAST($p AS INTEGER) AS "rank", l AS "left", r AS "right",
+         |               cnt AS pair_count
+         |        FROM c$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS (SELECT replace(s, ' ' || m."left" || '  ' || m."right" || ' ',
+         |                          ' ' || m."left" || m."right" || ' ') AS s, n
+         |        FROM w$p, m$k m)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val union = (1 to numMerges).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    raw"""WITH w0 AS (
+      |  SELECT ' ' || array_to_string(
+      |           list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS s,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents) t
+      |  WHERE length(w) > 0
+      |  GROUP BY 1
+      |),
+      |$rounds
+      |SELECT * FROM ($union) u ORDER BY "rank"""".stripMargin
   }
 
   /** d37's oracle: the d20 transitive-closure clusters + the d2
@@ -1830,6 +1883,8 @@ object DocQueries {
 
     // 40-token windows re-joined as text, the d3 marker rule per
     // segment, distinct non-und count + deterministic majority
+    "d45_bpe_train" -> bpeTrainOracle(10),
+
     "d46_lang_mix" ->
       raw"""WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -284,24 +284,57 @@ object Tables {
     case other => other
   }
 
+  /** Serialized Hadoop conf entries, rebuilt executor-side — the
+    * `Configuration` object itself is not serializable, and executor
+    * defaults alone would miss driver-set FS settings. */
+  private def hadoopConfEntries(df: DataFrame): Array[(String, String)] =
+    df.sparkSession.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+
+  private def rebuildConf(entries: Array[(String, String)]) = {
+    val conf = new org.apache.hadoop.conf.Configuration(true)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   /** Write a DataFrame as a directory of Avro Object Container Files,
     * one `part-NNNNN.avro` per non-empty partition (deflate-coded) —
-    * the interchange write for consumers outside the parquet world. */
+    * the interchange write for consumers outside the parquet world.
+    *
+    * All I/O goes through the Hadoop `FileSystem` resolved from the
+    * session conf (so a cluster writes to the shared FS, not each
+    * executor's local disk), and each task writes to an
+    * attempt-unique `_tmp-` name then publishes with delete+rename —
+    * the minimal task-commit protocol: a retried or speculative
+    * attempt republishes a COMPLETE container and readers never
+    * observe a torn file. */
   def writeAvro(df: DataFrame, path: String): Unit = {
     val schemaStr = avroSchema(df.schema).toString
     val nCols = df.schema.length
-    val dir = new java.io.File(path)
-    dir.mkdirs()
-    dir.listFiles().filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    val confEntries = hadoopConfEntries(df)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "*.avro")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
+        val conf = rebuildConf(confEntries)
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val tfs = dir.getFileSystem(conf)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f"_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}%d.avro")
+        val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
         val sch = new org.apache.avro.Schema.Parser().parse(schemaStr)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val w = new org.apache.avro.file.DataFileWriter(
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](sch))
         w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        w.create(sch, new java.io.File(path, f"part-$pid%05d.avro"))
+        w.create(sch, tfs.create(tmp, true))
         try it.foreach { row =>
           val rec = new org.apache.avro.generic.GenericData.Record(sch)
           var i = 0
@@ -311,6 +344,11 @@ object Tables {
           }
           w.append(rec)
         } finally w.close()
+        tfs.delete(dst, false) // rename-over-existing is FS-dependent
+        if (!tfs.rename(tmp, dst)) {
+          tfs.delete(tmp, false)
+          throw new java.io.IOException(s"could not publish $tmp -> $dst")
+        }
       }
     }
   }
@@ -321,11 +359,19 @@ object Tables {
     * binaryFile corpus read). */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(hconf)
+    val files = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "*.avro")))
+      .getOrElse(Array.empty)
+      .filter(!_.getPath.getName.startsWith("_")) // uncommitted attempts
+      .map(_.getPath.toString).sorted.toSeq
     require(files.nonEmpty, s"no .avro containers under $path")
-    val header = new org.apache.avro.file.DataFileReader(
-      new java.io.File(files.head),
+    val confEntries = hconf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val header = new org.apache.avro.file.DataFileStream(
+      fs.open(new org.apache.hadoop.fs.Path(files.head)),
       new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord]())
     val avroSch = try header.getSchema finally header.close()
@@ -334,9 +380,11 @@ object Tables {
         f.schema().getType == org.apache.avro.Schema.Type.UNION)
     })
     import spark.implicits._
-    spark.createDataset(files.toSeq).flatMap { f =>
-      val r = new org.apache.avro.file.DataFileReader(
-        new java.io.File(f),
+    spark.createDataset(files).flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val tfs = p.getFileSystem(rebuildConf(confEntries))
+      val r = new org.apache.avro.file.DataFileStream(
+        tfs.open(p),
         new org.apache.avro.generic.GenericDatumReader[
           org.apache.avro.generic.GenericRecord]())
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]

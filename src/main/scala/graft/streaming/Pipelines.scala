@@ -372,7 +372,11 @@ object Pipelines {
     val segLen = 40
     val toks = graft.functions.Text.tokens(col("text"))
     val nSeg = floor((size(toks) + segLen - 1) / segLen).cast("int")
-    val langs = transform(sequence(lit(0), nSeg - 1),
+    // guard the range: sequence(0, -1) would default to step -1 and
+    // fabricate [0, -1] — two bogus segments. Unreachable today only
+    // because Text.tokens("") returns [""] (size 1); the guard keeps
+    // stream/batch parity from resting on that incidental invariant.
+    val langs = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
       i => graft.functions.Text.langId(
         concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen)))))
     def cnt(lang: String) =
