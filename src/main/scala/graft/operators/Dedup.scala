@@ -362,6 +362,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The (doc_id, cluster) assignment that d20 computes: connected
+    * components over the banded SimHash near-dup pairs, cluster id =
+    * minimum member id. The ONE definition shared by the per-query
+    * path (d20/d37) and the persisted-map lifecycle below, so a
+    * cluster map read back from disk can never diverge from a
+    * recompute. */
+  def clusterMap(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    connectedComponents(simhashNearDups(docs, idCol, textCol, maxHamming))
+      .select(col("id").as(idCol), col("cluster"))
+
+  /** Persist the cluster map as a table — the cluster-side analog of
+    * [[writeSimhashIndex]]: at corpus scale you compute clusters ONCE
+    * per generation and every consumer (keep-best selection, dedup
+    * reporting, routing) JOINS the persisted 16-byte (id, cluster)
+    * rows instead of re-running banding + the iterative CC loop per
+    * query. Docs in no near-dup pair are absent here (they are their
+    * own singleton cluster); consumers coalesce to the doc id — the
+    * same contract as the in-query path. */
+  def writeClusterMap(docs: DataFrame, path: String, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 3): Unit =
+    clusterMap(docs, idCol, textCol, maxHamming)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writeClusterMap]] table. */
+  def readClusterMap(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read the persisted cluster map, building it first iff `path` has
+    * never been committed (no parquet `_SUCCESS` marker) — the
+    * memoized lifecycle the d47 read-path query rides: the first
+    * invocation pays the build, every later one is a pure table read.
+    * The build is deterministic in `docs`, so a reread can never go
+    * stale against the same input generation. */
+  def ensureClusterMap(docs: DataFrame, path: String, idCol: String = "doc_id",
+                       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) writeClusterMap(docs, path, idCol, textCol, maxHamming)
+    readClusterMap(spark, path)
+  }
+
   /** Persist the SimHash fingerprint index as a TABLE — the text-side
     * analog of `Similarity.writeIvfIndex`: an index is data. Each
     * document costs 16 bytes (id + 64-bit fingerprint) regardless of

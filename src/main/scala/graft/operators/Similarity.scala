@@ -614,13 +614,30 @@ object Similarity {
                   rounds: Int, entryId: Long = 0L, k: Int = 5,
                   nTables: Int = 8, planesPerTable: Int = 0,
                   dim: Int = 64): DataFrame = {
-    require(beam > 0 && rounds > 0, "beam and rounds must be positive")
     val edges = knnGraph(corpus, k, nTables, planesPerTable, dim)
       .select(col("src"), col("dst"))
       .localCheckpoint()
+    graphSearchFrom(edges, corpus, queries, beam, rounds, Seq(entryId))
+  }
+
+  /** [[graphSearch]] over a PREBUILT edge list and an arbitrary ENTRY
+    * SET — multi-entry navigation (one walker per entry, merged into
+    * one frontier before the first prune) is how graph ANN escapes the
+    * single-entry local-bucket trap that e23 measures: with one entry
+    * the beam can only reach the entry's component neighborhood, while
+    * k spread entries cover k neighborhoods for the same per-round
+    * cost (the frontier is still ≤ queries×beam after round 1).
+    * Callers that search the same graph repeatedly (e23's recall-vs-
+    * entry-count report) build the edges ONCE and pass them here. */
+  def graphSearchFrom(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      beam: Int, rounds: Int, entryIds: Seq[Long]): DataFrame = {
+    require(beam > 0 && rounds > 0, "beam and rounds must be positive")
+    require(entryIds.nonEmpty, "at least one entry node")
     val e = corpus.select(col("vec_id").as("node"), col("embedding").as("ce"))
     val q0 = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    var frontier = q0.select(col("q_id"), lit(entryId).as("node"))
+    var frontier = q0
+      .select(col("q_id"), explode(array(entryIds.distinct.map(lit): _*)).as("e"))
+      .select(col("q_id"), col("e").cast("long").as("node"))
     var result: DataFrame = null
     var r = 0
     while (r < rounds) {

@@ -171,24 +171,37 @@ object VectorQueries {
       Similarity.binaryQuantTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     },
 
-    // recall@4 of the beam search against brute force — the e12
-    // measurement loop closed for the graph index (run before/after
-    // every graph rebuild; self-occupancy in the beam costs recall
-    // honestly since the exact set excludes self)
+    // recall@4 of the beam search against brute force, REPORTED PER
+    // ENTRY COUNT — the e12 measurement loop closed for the graph
+    // index, now also measuring the multi-entry escape hatch: a
+    // single entry walks only its own neighborhood (round-7 measured
+    // recall 0.5/0/0/0/0 on random-isometry embeddings — the honest
+    // local-bucket floor), while 8 spread entries cover 8
+    // neighborhoods for the same per-round cost. The kNN graph builds
+    // ONCE (localCheckpoint) and both searches navigate it; self-
+    // occupancy in the beam costs recall honestly since the exact set
+    // excludes self.
     "e23_graph_recall" -> q { (s, d) =>
       import org.apache.spark.sql.types.DoubleType
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(emb, qs, k = 4)
         .select(col("q_id"), col("cand_id"))
-      val g = Similarity.graphSearch(emb, qs, beam = 4, rounds = 3)
-        .select(col("q_id").as("gq"), col("node").as("gn"))
-      exact.join(g,
-          col("q_id") === col("gq") && col("cand_id") === col("gn"), "left_outer")
-        .groupBy("q_id")
-        .agg((sum(when(col("gn").isNotNull, 1L).otherwise(0L))
-          .cast(DoubleType) / lit(4.0)).as("recall_at_4"))
-        .orderBy("q_id")
+      val edges = Similarity.knnGraph(emb, k = 5)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      def recallAt(nEntries: Int): org.apache.spark.sql.DataFrame = {
+        val g = Similarity.graphSearchFrom(edges, emb, qs, beam = 4,
+            rounds = 3, entryIds = 0L until nEntries.toLong)
+          .select(col("q_id").as("gq"), col("node").as("gn"))
+        exact.join(g,
+            col("q_id") === col("gq") && col("cand_id") === col("gn"), "left_outer")
+          .groupBy("q_id")
+          .agg((sum(when(col("gn").isNotNull, 1L).otherwise(0L))
+            .cast(DoubleType) / lit(4.0)).as("recall_at_4"))
+          .select(col("q_id"), lit(nEntries).as("n_entries"), col("recall_at_4"))
+      }
+      recallAt(1).union(recallAt(8)).orderBy("q_id", "n_entries")
     },
 
     // product-quantization ANN with asymmetric-distance scoring: the
@@ -445,24 +458,26 @@ object VectorQueries {
   }
 
   /** The e22 beam rounds (3 × expand/score/prune over the `knn` CTE,
-    * beam 4), shared by e22 and e23. Expects `qs` (q_id, qe) and `f0`
-    * (q_id, node) upstream; ends in `f3` (q_id, node, cos, rn). */
-  private lazy val beamRoundsSql: String = {
+    * beam 4), shared by e22 and e23. Expects `qs` (q_id, qe) and
+    * `f${tag}0` (q_id, node) upstream; ends in `f${tag}3` (q_id, node,
+    * cos, rn). The tag keeps CTE names disjoint when one oracle
+    * unrolls SEVERAL chains (e23's per-entry-count comparison). */
+  private def beamRoundsSql(tag: String = ""): String = {
     def cosf(a: String, b: String) =
       s"list_aggregate(list_transform(list_zip($a, $b), " +
         s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') " +
         s"/ (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))"
     (1 to 3).map { r =>
-      s"""c$r AS (SELECT DISTINCT q_id, node FROM (
-         |  SELECT p.q_id, k.dst AS node FROM f${r - 1} p JOIN knn k ON k.src = p.node
-         |  UNION ALL SELECT q_id, node FROM f${r - 1}) t),
-         |s$r AS (SELECT c.q_id, c.node, ${cosf("qs.qe", "e.embedding")} AS cos
-         |  FROM c$r c JOIN embeddings e ON e.vec_id = c.node
+      s"""c$tag$r AS (SELECT DISTINCT q_id, node FROM (
+         |  SELECT p.q_id, k.dst AS node FROM f$tag${r - 1} p JOIN knn k ON k.src = p.node
+         |  UNION ALL SELECT q_id, node FROM f$tag${r - 1}) t),
+         |s$tag$r AS (SELECT c.q_id, c.node, ${cosf("qs.qe", "e.embedding")} AS cos
+         |  FROM c$tag$r c JOIN embeddings e ON e.vec_id = c.node
          |  JOIN qs ON qs.q_id = c.q_id),
-         |f$r AS (SELECT q_id, node, cos, rn FROM (
+         |f$tag$r AS (SELECT q_id, node, cos, rn FROM (
          |  SELECT q_id, node, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, node) AS rn
-         |  FROM s$r) t WHERE rn <= 4)""".stripMargin
+         |  FROM s$tag$r) t WHERE rn <= 4)""".stripMargin
     }.mkString(",\n")
   }
 
@@ -766,7 +781,7 @@ object VectorQueries {
       s"""WITH $knnGraphCtes,
          |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
-         |$beamRoundsSql
+         |${beamRoundsSql()}
          |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
 
     // sign signatures summed from disjoint bit terms, xor+bit_count
@@ -834,8 +849,11 @@ object VectorQueries {
           s"/ (sqrt(${sumSq("qe")}) * sqrt(${sumSq("ce")}))"
       s"""WITH $knnGraphCtes,
          |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         |f0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
-         |$beamRoundsSql,
+         |fa0 AS (SELECT q_id, CAST(0 AS BIGINT) AS node FROM qs),
+         |${beamRoundsSql("a")},
+         |fb0 AS (SELECT q_id, CAST(u.e AS BIGINT) AS node
+         |  FROM qs, (SELECT unnest(generate_series(0, 7)) AS e) u),
+         |${beamRoundsSql("b")},
          |cs0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
          |exact AS (
          |  SELECT q_id, cand_id FROM (
@@ -843,13 +861,21 @@ object VectorQueries {
          |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
          |    FROM (SELECT q_id, cand_id, $cosQC AS cos
          |          FROM cs0, qs WHERE cand_id <> q_id) s) t
-         |  WHERE rank <= 4)
-         |SELECT e.q_id,
-         |  CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / 4.0 AS recall_at_4
-         |FROM exact e LEFT JOIN f3 g
-         |  ON g.q_id = e.q_id AND g.node = e.cand_id
-         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+         |  WHERE rank <= 4),
+         |ra AS (SELECT e.q_id, CAST(1 AS INTEGER) AS n_entries,
+         |    CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / 4.0 AS recall_at_4
+         |  FROM exact e LEFT JOIN fa3 g
+         |    ON g.q_id = e.q_id AND g.node = e.cand_id
+         |  GROUP BY e.q_id),
+         |rb AS (SELECT e.q_id, CAST(8 AS INTEGER) AS n_entries,
+         |    CAST(SUM(CASE WHEN g.node IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / 4.0 AS recall_at_4
+         |  FROM exact e LEFT JOIN fb3 g
+         |    ON g.q_id = e.q_id AND g.node = e.cand_id
+         |  GROUP BY e.q_id)
+         |SELECT * FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
+         |ORDER BY q_id, n_entries""".stripMargin
     },
 
     // the e8 chain spliced verbatim, then pure set algebra on the

@@ -204,4 +204,32 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute,
       s"banding must find EXACTLY the hamming<=3 pairs: missed ${brute -- banded}, extra ${banded -- brute}")
   }
+
+  test("persisted cluster map: write/read equals recompute, ensure memoizes") {
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = rows(Dedup.clusterMap(corpus))
+    assert(direct.nonEmpty, "test corpus should have near-dup clusters")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmap").toString
+    Dedup.writeClusterMap(corpus, s"$dir/m")
+    assert(rows(Dedup.readClusterMap(spark, s"$dir/m")) == direct,
+      "persisted map must equal the recompute")
+    // memoization: once committed, ensureClusterMap must READ, not
+    // rebuild — proven by handing it a DIFFERENT corpus for the same
+    // path and still getting the original map back
+    assert(rows(Dedup.ensureClusterMap(corpus, s"$dir/m")) == direct)
+    assert(rows(Dedup.ensureClusterMap(docs, s"$dir/m")) == direct,
+      "a committed path must never rebuild")
+    // and a fresh path builds from scratch
+    assert(rows(Dedup.ensureClusterMap(docs, s"$dir/m2")) == rows(Dedup.clusterMap(docs)))
+  }
+
+  test("d47 (persisted map) equals d37 (self-contained recompute) row-for-row") {
+    val a = SparkEntry.queries("d37_dedup_keep_best")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("d47_keep_best_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "read-path keep-best must be indistinguishable from the build path")
+  }
 }

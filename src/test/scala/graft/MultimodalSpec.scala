@@ -660,6 +660,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(GifCodec.decode(gif).exists(i => i.width == sw && i.height == sh))
   }
 
+  test("animated GIF decode is output-budget bounded against crafted payloads") {
+    // a few-byte header claiming a 9500x9500 logical screen: one
+    // snapshot alone (9500*9500*3 = 270 MB) exceeds MaxAnimBytes, so
+    // the decoder must reject BEFORE allocating the canvas — the
+    // frames x screen-area product is what a crafted tiny payload
+    // (huge screen, many 1x1 frames) weaponizes
+    val huge = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      u16(9500); u16(9500)
+      out.write(0); out.write(0); out.write(0) // no global table
+      out.write(0x3b)
+      out.toByteArray
+    }
+    assert(9500L * 9500L * 3 > GifCodec.MaxAnimBytes)
+    assert(GifCodec.decodeFrames(huge).isEmpty, "over-budget screen must reject")
+    assert(GifCodec.decode(huge).isEmpty, "paletteless screen rejects in decode too")
+    // a normal animation stays comfortably inside the budget
+    val pal = Array.tabulate(256)(i => i << 16 | i << 8 | i)
+    val small = GifCodec.encodeAnimated(8, 8, pal, Seq(
+      GifCodec.AnimFrame(0, 0, 8, 8, Array.fill(64)(1.toByte)),
+      GifCodec.AnimFrame(2, 2, 4, 4, Array.fill(16)(2.toByte))))
+    assert(GifCodec.decodeFrames(small).exists(_.length == 2))
+  }
+
   test("BMP RLE8 roundtrips pixel-exactly and actually compresses runs") {
     def px(img: PpmCodec.Image, x: Int, y: Int) =
       (0 to 2).map(c => img.rgb((y * img.width + x) * 3 + c) & 0xff)

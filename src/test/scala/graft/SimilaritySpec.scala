@@ -483,4 +483,40 @@ class SimilaritySpec extends AnyFunSuite {
         s"greedy frontier regressed for q$q")
     }
   }
+
+  test("multi-entry graph search: delegation, duplicate collapse, determinism") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("node"))
+    val edges = Similarity.knnGraph(emb, 5)
+      .select(col("src"), col("dst")).localCheckpoint()
+    // graphSearch(entryId) must be graphSearchFrom(entries=[entryId])
+    // over the same graph — the single-entry path IS the general one
+    val single = Similarity
+      .graphSearchFrom(edges, emb, queries, beam = 4, rounds = 3, Seq(0L))
+      .collect().map(key).toSet
+    val viaOld = Similarity.graphSearch(emb, queries, beam = 4, rounds = 3)
+      .collect().map(key).toSet
+    assert(single == viaOld, "entry-set [0] must equal the entryId=0 walk")
+    // duplicate entries collapse to the distinct set
+    val dup = Similarity
+      .graphSearchFrom(edges, emb, queries, beam = 4, rounds = 3, Seq(0L, 0L, 0L))
+      .collect().map(key).toSet
+    assert(dup == single, "duplicate entries must not change the walk")
+    // the multi-entry walk keeps the beam contract and is partition-
+    // deterministic (the e23 oracle pins its VALUES; here the shape)
+    val multi = Similarity
+      .graphSearchFrom(edges, emb, queries, beam = 4, rounds = 3, 0L to 7L)
+      .collect()
+    multi.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 4 &&
+        rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length).toSeq,
+        s"beam contract broken for q$q")
+    }
+    val multiAgain = Similarity
+      .graphSearchFrom(edges, emb.repartition(13), queries,
+        beam = 4, rounds = 3, 0L to 7L)
+      .collect().map(key).toSet
+    assert(multiAgain == multi.map(key).toSet, "multi-entry walk not deterministic")
+  }
 }

@@ -771,6 +771,15 @@ class StreamingSpec extends AnyFunSuite {
     val again = Cms.readMergedSketch(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(again == merged, "epoch redelivery must be a no-op")
+    // a never-inserted key must REPORT (est 0 over its empty cells via
+    // the left join + coalesce), not silently vanish from the output
+    val unseen = Cms.estimates(Cms.readMergedSketch(spark, dir),
+        Seq("never-inserted-key-xyz").toDF("key"), "key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unseen.contains("never-inserted-key-xyz"),
+      "unseen keys must not drop out of the estimate")
+    assert(unseen("never-inserted-key-xyz") == 0L,
+      "an unseen key with empty cells must estimate 0")
   }
 
   test("streamLangMix: the in-row stream report equals the batch d46 row-for-row") {
