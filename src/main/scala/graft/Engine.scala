@@ -129,6 +129,13 @@ object Engine {
         s"SPLIT(REGEXP_REPLACE(__ARG0__, '${T24.MvLead}', ''), '#(s?[0-9]*:)?'), " +
         s"x -> TRY_ELEMENT_AT(SPLIT(x, '_'), 2)), ' ', 'null'), 'null ', ''), 1, 4000)",
         exprs.head))
+    // the BLOB FE/FEFD packed-record decode and the subvalue split —
+    // registered so the emitted BLOB_PARSE_T24 statement TEXT resolves
+    // to the SAME native expressions as the Column pipeline (text-level
+    // parity is parity by construction, not by re-derivation)
+    ensure("mv_decode")(exprs => graft.plans.MvDecode(exprs.head))
+    ensure("split_char")(exprs =>
+      graft.plans.SplitChar(exprs(0), litStr(exprs(1), "split_char separator")))
     out.result()
   }
 

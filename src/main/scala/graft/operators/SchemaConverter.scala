@@ -435,6 +435,130 @@ object SchemaConverter {
       "schemaName" -> source))
   }
 
+  /** Statement-text names for the non-XML stages — the reference's
+    * template collection keys (`controllers/index.js:575,419,588,602`). */
+  val MultivalueTemplateName = "MULTIVALUE"
+  val BlobSplitTemplateName = "BLOB_SPLIT"
+  val BlobParseTemplateName = "BLOB_PARSE_T24"
+
+  /** Internal derived-column prefix for the emitted multivalue /
+    * packed-blob statements (never reaches the output schema). */
+  private val ArrPrefix = "__graft_arr_"
+
+  /** Shared emission of the exploded (multivalue) statement shape: a
+    * derived table computes one named element-array per VM/VS field
+    * (names feed ARRAYS_ZIP's struct-field naming — the same mechanism
+    * as the Column stage's `.as(...)` aliases), LATERAL VIEW OUTER
+    * POSEXPLODE zips and explodes them positionally, and the outer
+    * select runs the per-element transform dispatch. `innerExtra`
+    * prepends derived columns the arrays themselves need (the
+    * packed-blob decode). */
+  private def explodedSql(schema: Seq[FieldSpec], source: String,
+                          templateName: String,
+                          svInput: FieldSpec => String,
+                          arrayOf: FieldSpec => String,
+                          vsSplit: String => String,
+                          innerExtra: Seq[String]): String = {
+    val svs = schema.filter(_.parseSv)
+    val vms = schema.filter(_.parseVm)
+    val vss = schema.filter(_.parseVs)
+    require(vms.nonEmpty || vss.nonEmpty, "multivalue statement needs a VM/VS field")
+    val arrays = (vms ++ vss).map { sp =>
+      s"${arrayOf(sp)} AS $ArrPrefix${outputName(sp)}"
+    }
+    val inner = (Seq("*") ++ innerExtra ++ arrays).mkString(",\n    ")
+    val zipArgs = (vms ++ vss).map(sp => s"$ArrPrefix${outputName(sp)}").mkString(", ")
+    val exploded =
+      s"""(SELECT $inner\n  FROM $source) __graft_src
+         |LATERAL VIEW OUTER POSEXPLODE(ARRAYS_ZIP($zipArgs)) __graft_mv AS pos, mv""".stripMargin
+    val svFields = svs.map { sp =>
+      val (sql, name) = sqlField(svInput(sp), sp)
+      s"  $sql AS $name"
+    }
+    val vmFields = vms.map { sp =>
+      val (sql, name) = sqlField(s"mv.$ArrPrefix${outputName(sp)}", sp)
+      s"  $sql AS $name"
+    }
+    val vsFields = vss.map { sp =>
+      val (sql, _) = sqlField("__graft_x", sp)
+      s"  TRANSFORM(${vsSplit(s"mv.$ArrPrefix${outputName(sp)}")}, " +
+        s"__graft_x -> $sql) AS ${outputName(sp)}_VS"
+    }
+    val fields =
+      (svFields :+ s"  pos + 1 AS $MvPos") ++ vmFields ++ vsFields
+    SchemaRegistry.render(templateName, DefaultMappedTemplate, Map(
+      "recId" -> RecId,
+      "selectedFields" -> fields.mkString(",\n"),
+      "source" -> exploded,
+      "sourceStream" -> exploded,
+      "schemaName" -> source))
+  }
+
+  /** Spark SQL text of the MULTIVALUE statement — the analog of the
+    * reference's `stmtMultival`+mapped output (`multiHandler`,
+    * `controllers/index.js:413-567`), equal row-for-row to
+    * [[multivalue]] (spec-pinned): element arrays via MV_SPLIT, the
+    * positional ARRAYS_ZIP explode, per-element transform chains, VS
+    * second-level decode. */
+  def multivalueSql(schema: Seq[FieldSpec], source: String): String =
+    explodedSql(schema, source, MultivalueTemplateName,
+      svInput = recordInputSql,
+      arrayOf = sp =>
+        s"MV_SPLIT(COALESCE($Record['${sp.name}_multivalue'], $Record['${sp.name}']))",
+      vsSplit = in => s"MV_SPLIT($in)",
+      innerExtra = Seq.empty)
+
+  /** Spark SQL text of the BLOB_SPLIT MAPPED statement (reference
+    * `singleSplitBlobParser`, `controllers/index.js:294-403`): per-field
+    * hex values decode through the reference's own
+    * `SEAB_HEXTOTEXT(FROM_BYTES(..,'hex'))` pair before the transform
+    * chain — equal to [[blobMapped]]. */
+  def blobMappedSql(schema: Seq[FieldSpec], source: String): String = {
+    val fields = schema.filter(_.parseSv).map { sp =>
+      val (sql, name) = sqlField(
+        s"SEAB_HEXTOTEXT(FROM_BYTES($Record['${sp.name}'], 'hex'))", sp)
+      s"  $sql AS $name"
+    }
+    SchemaRegistry.render(BlobSplitTemplateName, DefaultMappedTemplate, Map(
+      "recId" -> RecId,
+      "selectedFields" -> fields.mkString(",\n"),
+      "source" -> source,
+      "sourceStream" -> source,
+      "schemaName" -> source))
+  }
+
+  /** Spark SQL text of the BLOB FE / FEFD MAPPED statement (reference
+    * `BLOB_PARSE_T24` dispatch, `controllers/index.js:582-601`) — equal
+    * to [[blobFe]]: the packed record decodes ONCE via the registered
+    * `MV_DECODE` (the same native expression the Column path uses),
+    * fields read positionally, a single-value field FD-joins its
+    * elements, and VM/VS fields ride the shared exploded shape with
+    * `SPLIT_CHAR` for the 0xFC subvalue level. */
+  def blobFeSql(schema: Seq[FieldSpec], source: String): String = {
+    val Dec = s"${ArrPrefix}dec"
+    val decoded = s"(SELECT *, MV_DECODE($Blob) AS $Dec FROM $source) __graft_dec"
+    val posed = schema.zipWithIndex
+    def elems(i: Int) = s"TRY_ELEMENT_AT($Dec, ${i + 1})"
+    def fieldAt(i: Int) = s"ARRAY_JOIN(${elems(i)}, '$FdSep')"
+    val posOf = posed.map { case (sp, i) => sp.name -> i }.toMap
+    if (!schema.exists(sp => sp.parseVm || sp.parseVs)) {
+      val fields = posed.filter(_._1.parseSv).map { case (sp, i) =>
+        val (sql, name) = sqlField(fieldAt(i), sp)
+        s"  $sql AS $name"
+      }
+      SchemaRegistry.render(BlobParseTemplateName, DefaultMappedTemplate, Map(
+        "recId" -> RecId,
+        "selectedFields" -> fields.mkString(",\n"),
+        "source" -> decoded,
+        "sourceStream" -> decoded,
+        "schemaName" -> source))
+    } else explodedSql(schema, decoded, BlobParseTemplateName,
+      svInput = sp => fieldAt(posOf(sp.name)),
+      arrayOf = sp => elems(posOf(sp.name)),
+      vsSplit = in => s"SPLIT_CHAR($in, '$FcSep')",
+      innerExtra = Seq.empty)
+  }
+
   /** CREATE TABLE DDL for the sink — the analog of the reference's
     * `stmtDdl` template output (`controllers/index.js:408,567`),
     * rendered through the registered `DDL_SINGLE` / `DDL_MULTIVALUE`
@@ -446,13 +570,17 @@ object SchemaConverter {
   def sinkDdl(schema: Seq[FieldSpec], tableName: String,
               multivalue: Boolean = false,
               options: Seq[(String, String)] = Seq.empty): String = {
+    // the DDL column name must be the STATEMENT's output name — for
+    // template-aliased fields (`UPPER($) KEY2`) that is the alias, not
+    // the field name (sqlField's name resolution is input-independent)
+    def ddlName(sp: FieldSpec): String = sqlField("NULL", sp)._2
     val fieldCols = schema.filter(_.parseSv).map { sp =>
-      s"  ${outputName(sp)} ${sp.dataType.toUpperCase}"
+      s"  ${ddlName(sp)} ${sp.dataType.toUpperCase}"
     }
     val mvCols =
       if (multivalue)
         s"  $MvPos INT" +:
-          schema.filter(_.parseVm).map(sp => s"  ${outputName(sp)} STRING") ++:
+          schema.filter(_.parseVm).map(sp => s"  ${ddlName(sp)} STRING") ++:
           schema.filter(_.parseVs).map(sp => s"  ${outputName(sp)}_VS ARRAY<STRING>")
       else Seq.empty
     def esc(s: String) = s.replace("'", "''")

@@ -76,6 +76,136 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(explicit.map(_.getLong(2)).toSeq == rows.map(_.getLong(1)).toSeq)
   }
 
+  // ---- per-procType statement-TEXT round trips (the reference's
+  // template→statement→execute flow closed at the text level: render
+  // the emitted MAPPED/MULTIVALUE/BLOB statement for each handler
+  // dispatch branch of controllers/index.js:573-610, run it via
+  // spark.sql against synthesized RAW rows, and pin it row-for-row to
+  // the Column pipeline; the sink DDL must also be runnable SQL) -----
+
+  import graft.operators.{FieldSpec, SchemaConverter}
+
+  private def hexOf(s: String) =
+    s.getBytes("UTF-8").map("%02X".format(_)).mkString
+
+  private def assertTextEqualsDsl(sql: String,
+                                  dsl: org.apache.spark.sql.DataFrame,
+                                  sortCols: Seq[String]): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(viaSql.columns.toSeq == dsl.columns.toSeq,
+      s"emitted text schema drifted: ${viaSql.columns.toSeq} vs ${dsl.columns.toSeq}")
+    import org.apache.spark.sql.functions.col
+    val a = viaSql.orderBy(sortCols.map(col): _*).collect().map(_.toString).toSeq
+    val b = dsl.orderBy(sortCols.map(col): _*).collect().map(_.toString).toSeq
+    assert(a == b, s"emitted text rows drifted:\n$a\nvs\n$b")
+  }
+
+  private def assertDdlRuns(schema: Seq[FieldSpec], table: String,
+                            multivalue: Boolean = false): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(SchemaConverter.sinkDdl(schema, table, multivalue))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("procType XML single: emitted statement text runs and equals the pipeline") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", Map("NAME" -> "ALPHA", "D" -> "20240131", "LOCALREF_N" -> "7",
+        "MV" -> "1:a#2:b#3:c")),
+      ("2", Map("NAME" -> "BETA", "D" -> "not-a-date", "MV" -> "1:x")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("LOCALREF_N", dataType = "int"),
+      FieldSpec("MV", transformation = "string-join('|')"),
+      FieldSpec("RECID", transformation = "UPPER($) KEY2"))
+    raw.createOrReplaceTempView("proc_xml_single_raw")
+    assertTextEqualsDsl(
+      SchemaConverter.mappedSql(sch, "proc_xml_single_raw"),
+      SchemaConverter.pipeline(raw, sch), Seq("RECID"))
+    assertDdlRuns(sch, "proc_xml_single_sink")
+  }
+
+  test("procType XML multivalue: emitted statement text runs and equals the pipeline") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", Map("NAME" -> "ALPHA",
+        "DTS_multivalue" -> "1:20240131#2:20240301",
+        "AMTS_multivalue" -> "1:10.5#2:20.25#3:30",
+        "SUBS_multivalue" -> "1:a#2:b")),
+      ("2", Map("NAME" -> "BETA", "DTS" -> "1:19991231",
+        "AMTS" -> "1:1.5", "SUBS" -> "1:z")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("DTS", dataType = "date", transformation = "parse_date",
+        parseSv = false, parseVm = true),
+      FieldSpec("AMTS", dataType = "double", parseSv = false, parseVm = true),
+      FieldSpec("SUBS", parseSv = false, parseVs = true))
+    raw.createOrReplaceTempView("proc_xml_multi_raw")
+    assertTextEqualsDsl(
+      SchemaConverter.multivalueSql(sch, "proc_xml_multi_raw"),
+      SchemaConverter.pipeline(raw, sch),
+      Seq("RECID", SchemaConverter.MvPos))
+    assertDdlRuns(sch, "proc_xml_multi_sink", multivalue = true)
+  }
+
+  test("procType BLOB FE: emitted statement text runs and equals the pipeline") {
+    import spark.implicits._
+    val blob1 = hexOf("ALPHA") + "FE" + hexOf("20240131") + "FE" + hexOf("12.50")
+    val blob2 = hexOf("BETA") // short record: later fields null
+    val raw = Seq(("1", blob1), ("2", blob2))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Blob)
+    val sch = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("AMT", dataType = "double"))
+    raw.createOrReplaceTempView("proc_blob_fe_raw")
+    assertTextEqualsDsl(
+      SchemaConverter.blobFeSql(sch, "proc_blob_fe_raw"),
+      SchemaConverter.blobFe(raw, sch), Seq("RECID"))
+    assertDdlRuns(sch, "proc_blob_fe_sink")
+  }
+
+  test("procType BLOB FEFD: emitted statement text runs and equals the pipeline") {
+    import spark.implicits._
+    val blob = hexOf("S1") + "FE" +
+      hexOf("20240131") + "FD" + hexOf("20240301") + "FE" +
+      hexOf("a") + "FC" + hexOf("b") // FD-multivalue + FC-subvalue field
+    val raw = Seq(("1", blob))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Blob)
+    val sch = Seq(
+      FieldSpec("STATUS"),
+      FieldSpec("DTS", dataType = "date", transformation = "parse_date",
+        parseSv = false, parseVm = true),
+      FieldSpec("SUBS", parseSv = false, parseVs = true))
+    raw.createOrReplaceTempView("proc_blob_fefd_raw")
+    assertTextEqualsDsl(
+      SchemaConverter.blobFeSql(sch, "proc_blob_fefd_raw"),
+      SchemaConverter.blobFe(raw, sch),
+      Seq("RECID", SchemaConverter.MvPos))
+    assertDdlRuns(sch, "proc_blob_fefd_sink", multivalue = true)
+  }
+
+  test("procType BLOB SPLIT: emitted statement text runs and equals the pipeline") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", Map("NAME" -> hexOf("ALPHA"), "D" -> hexOf("20240131"),
+        "AMT" -> hexOf("12.50"))),
+      ("2", Map("NAME" -> hexOf("BETA"), "D" -> "zz-not-hex")))
+      .toDF(SchemaConverter.RecId, SchemaConverter.Record)
+    val sch = Seq(
+      FieldSpec("NAME"),
+      FieldSpec("D", dataType = "date", transformation = "parse_date"),
+      FieldSpec("AMT", dataType = "double"))
+    raw.createOrReplaceTempView("proc_blob_split_raw")
+    assertTextEqualsDsl(
+      SchemaConverter.blobMappedSql(sch, "proc_blob_split_raw"),
+      SchemaConverter.blobMapped(raw, sch), Seq("RECID"))
+    assertDdlRuns(sch, "proc_blob_split_sink")
+  }
+
   test("a reference-shaped MAPPED statement runs end-to-end") {
     import spark.implicits._
     Seq(("1", Map("D" -> "20240131", "AMT" -> "12.5", "MV" -> "1:x#2:y")))
