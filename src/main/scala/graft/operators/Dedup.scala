@@ -398,13 +398,10 @@ object Dedup {
     * The build is deterministic in `docs`, so a reread can never go
     * stale against the same input generation. */
   def ensureClusterMap(docs: DataFrame, path: String, idCol: String = "doc_id",
-                       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) writeClusterMap(docs, path, idCol, textCol, maxHamming)
-    readClusterMap(spark, path)
-  }
+                       textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    graft.sources.Materialize.ensure(docs.sparkSession, path) {
+      writeClusterMap(docs, path, idCol, textCol, maxHamming)
+    }
 
   /** Persist the SimHash fingerprint index as a TABLE — the text-side
     * analog of `Similarity.writeIvfIndex`: an index is data. Each

@@ -661,6 +661,75 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The e14 semantic clusters (LSH-blocked near-dup pairs closed into
+    * connected components) as the ONE shared definition for the
+    * per-query path and the persisted-map lifecycle below — the
+    * embedding-side analog of `Dedup.clusterMap`. */
+  def semanticClusterMap(corpus: DataFrame, minCos: Double = 0.2): DataFrame =
+    graft.operators.Dedup.connectedComponents(lshNearDupPairs(corpus, minCos))
+      .select(col("id").as("vec_id"), col("cluster"))
+
+  /** Persist the semantic cluster map (16-byte (vec_id, cluster) rows;
+    * vectors in no near-dup pair are absent — their own singleton). */
+  def writeSemanticClusterMap(corpus: DataFrame, path: String,
+                              minCos: Double = 0.2): Unit =
+    semanticClusterMap(corpus, minCos).write.mode("overwrite").parquet(path)
+
+  /** Read a [[writeSemanticClusterMap]] table. */
+  def readSemanticClusterMap(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read the persisted semantic cluster map, building iff the path
+    * was never committed (the Materialize build-once lifecycle). */
+  def ensureSemanticClusterMap(corpus: DataFrame, path: String,
+                               minCos: Double = 0.2): DataFrame =
+    graft.sources.Materialize.ensure(corpus.sparkSession, path) {
+      writeSemanticClusterMap(corpus, path, minCos)
+    }
+
+  /** SemDeDup's published KEEP rule (arXiv:2303.09540 §2: within each
+    * duplicate cluster keep the example with the LOWEST cosine
+    * similarity to the cluster centroid — the farthest-from-center
+    * member preserves the most diversity) over an explicit (vec_id,
+    * cluster) assignment — the consumer query of the persisted
+    * semantic cluster map.
+    *
+    * Centroids use the lloydRefine fixed-point mean (floor to µ-units,
+    * exact long sums, O(1) aggregation state per (cluster, dim)), so
+    * the keep decision is bit-deterministic under any partitioning and
+    * the whole rule SQL-oracles. Embeddings shuffle ONCE keyed by
+    * cluster (the mean pass); the centroid table is (clusters × dim)
+    * narrow rows; per-cluster argmin is one WindowGroupLimit — no
+    * member buffering anywhere. Ties (cos asc, then vec_id) are
+    * portable because the mean arithmetic is exact. */
+  def semDedupKeep(corpus: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = corpus.select(col("vec_id"), col("embedding"))
+      .join(clusters, "vec_id")
+    val means = members
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cluster"), col("pos"),
+        floor(col("v").cast("double") * lit(MeanScale)).as("fx"))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("fx")).cast("double") / lit(MeanScale) /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("centroid"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+    val wc = Window.partitionBy("cluster")
+    members.join(means, "cluster")
+      .select(col("cluster"), col("vec_id"),
+        Vectors.cosine(col("embedding"), col("centroid")).as("cos_centroid"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("kept_vec"),
+        col("cos_centroid").as("kept_cos"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   /** Fixed-point scale for deterministic centroid means: values are
     * floored to µ-units (1e-6), summed exactly as longs (associative —
     * any partitioning gives the same sum), and divided back out. A

@@ -303,10 +303,28 @@ object VectorQueries {
     // curation (diversity sampling, cluster-level pruning) keys on.
     // Two proven chains composed; FULL oracle (recursive CTE closure)
     "e14_semantic_clusters" -> q { (s, d) =>
-      graft.operators.Dedup.connectedComponents(
-          Similarity.lshNearDupPairs(table(s, d, "embeddings"), minCos = 0.2))
-        .select(col("id").as("vec_id"), col("cluster"))
+      Similarity.semanticClusterMap(table(s, d, "embeddings"))
         .orderBy("vec_id")
+    },
+
+    // SemDeDup's KEEP step (arXiv:2303.09540) composed with a
+    // PERSISTED semantic cluster map (the d47 lifecycle on the
+    // embedding side): within each duplicate cluster keep the member
+    // with the LOWEST cosine to the fixed-point cluster centroid —
+    // built once per input generation, then this consumer is one
+    // keyed join + one narrow mean pass + a WindowGroupLimit argmin.
+    // minCos 0.4 (vs e14's 0.2 exploratory graph): the DUPLICATE
+    // threshold — at 0.2 this corpus chains into one giant component
+    // (measured: 1 cluster at both graded SFs), at 0.4 it yields
+    // dozens of tight duplicate groups, which is the structure the
+    // keep rule exists to prune. FULL oracle: the e14 recursive-CTE
+    // closure (tightened WHERE cos >= 0.4) + the lloydRefine
+    // exact-mean arithmetic + the shared cosine fold.
+    "e26_semdedup_keep" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val dir = ScratchDirs.stable("e26_sem_map", d)
+      Similarity.semDedupKeep(emb,
+        Similarity.ensureSemanticClusterMap(emb, s"$dir/map", minCos = 0.4))
     },
 
     // cluster-level diversity sampling (e18): keep ≤ k vectors per
@@ -978,6 +996,35 @@ object VectorQueries {
          |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
          |SELECT s AS vec_id, least(s, MIN(t)) AS cluster
          |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
+
+    // the e14 closure + the lloydRefine exact fixed-point mean
+    // (floor-to-µ-units long sums — the same left-associative
+    // double divisions as Spark) + the shared cosine fold; keep =
+    // ROW_NUMBER argmin (cos asc, vec_id asc) per cluster
+    "e26_semdedup_keep" ->
+      s"""WITH RECURSIVE $lshPairsSql,
+         |e AS (SELECT a_id AS s, b_id AS t FROM pairs WHERE cos >= 0.4
+         |      UNION SELECT b_id, a_id FROM pairs WHERE cos >= 0.4),
+         |reach AS (SELECT s, t FROM e
+         |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+         |clu AS (SELECT s AS vec_id, least(s, MIN(t)) AS cluster
+         |  FROM reach GROUP BY s),
+         |mem AS (SELECT c.cluster, emb.vec_id, emb.embedding
+         |  FROM clu c JOIN embeddings emb ON emb.vec_id = c.vec_id),
+         |dims AS (SELECT cluster, u.i AS i,
+         |    CAST(SUM(CAST(FLOOR(CAST(m.embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM mem m, generate_series(1, 64) u(i) GROUP BY cluster, u.i),
+         |cents AS (SELECT cluster, list(m ORDER BY i) AS ctr FROM dims GROUP BY cluster),
+         |scored AS (SELECT m.cluster, m.vec_id,
+         |    ${cosSql("m.embedding", "c.ctr")} AS cos_centroid
+         |  FROM mem m JOIN cents c ON c.cluster = m.cluster),
+         |r AS (SELECT cluster, vec_id, cos_centroid,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cos_centroid ASC, vec_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM scored)
+         |SELECT cluster, vec_id AS kept_vec, cos_centroid AS kept_cos, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     // PQ/ADC mirror: same deterministic codebooks (first 16 vectors,
     // 8 subspaces x 8 dims), same d-ascending double folds, so codes

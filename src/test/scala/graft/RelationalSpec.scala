@@ -23,14 +23,12 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle (rows-only exceptions are explicit)") {
-    // iterative argmax-dependent rewriting (BPE training) has no fixed
-    // SQL formulation — d45 is spec-verified against an independent
-    // reference trainer instead (BpeSpec) and the driver records the
-    // rows-only check. Any OTHER oracle-less query still fails here.
-    val rowsOnly = Set("d45_bpe_train")
+  test("every query has an oracle — no rows-only exceptions remain") {
+    // round 8 closed the last gap: d45's merge loop unrolls as a fixed
+    // DuckDB CTE chain (bpeTrainOracle), so EVERY query key now has a
+    // full SQL oracle and any future oracle-less query fails here.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"queries missing oracle: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries missing oracle: $missing")
   }
 
   test("count-min estimates never undercount and mostly hit exact at this width") {

@@ -484,6 +484,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic cluster map persists, memoizes, and the keep rule matches a local re-derivation") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = rows(Similarity.semanticClusterMap(emb))
+    assert(direct.nonEmpty, "test embeddings should contain near-dup clusters")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semmap").toString
+    assert(rows(Similarity.ensureSemanticClusterMap(emb, s"$dir/m")) == direct)
+    // a committed path must never rebuild: a different corpus for the
+    // same path still reads the original map
+    assert(rows(Similarity.ensureSemanticClusterMap(
+      emb.filter(col("vec_id") < 3), s"$dir/m")) == direct)
+
+    // the SemDeDup keep rule against a local re-derivation (exact
+    // fixed-point means, lowest cos-to-centroid, vec_id tie-break)
+    val kept = Similarity.semDedupKeep(emb,
+        Similarity.readSemanticClusterMap(spark, s"$dir/m"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val byCluster = direct.groupBy(_._2)
+    assert(kept.keySet == byCluster.keySet)
+    byCluster.foreach { case (c, mem) =>
+      val ids = mem.map(_._1).toSeq.sorted
+      val n = ids.length
+      val mean = Array.tabulate(64) { d =>
+        ids.map(id => math.floor(vecs(id)(d).toDouble * 1e6).toLong).sum
+          .toDouble / 1e6 / n
+      }
+      def cos(a: Array[Float], b: Array[Double]) = {
+        val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val best = ids.map(id => (cos(vecs(id), mean), id)).min
+      val (keptVec, keptCos, nMembers) = kept(c)
+      assert(keptVec == best._2, s"cluster $c kept $keptVec, expected ${best._2}")
+      assert(math.abs(keptCos - best._1) < 1e-9)
+      assert(nMembers == n.toLong)
+    }
+  }
+
   test("multi-entry graph search: delegation, duplicate collapse, determinism") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
