@@ -463,11 +463,21 @@ object RelationalQueries {
     },
 
     "q27_approx_distinct" -> q { (s, d) =>
+      // mixing countDistinct with plain aggs plans through Expand
+      // (every row replicated per aggregate group) — the round-8
+      // telemetry caught it spilling 19.6 GB at sf1. HLL is
+      // duplicate-insensitive, so EVERYTHING computes from the
+      // pre-deduped (flag, partkey) pairs: one map-side-combinable
+      // agg collapses duplicates at the scan, the second runs on
+      // distinct pairs only — same approx sketch, same exact count,
+      // same line count, no Expand, no distinct machinery.
       table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("c"))
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          count(lit(1)).as("n_lines"))
+          count(lit(1)).as("exact_parts"),
+          sum(col("c")).as("n_lines"))
         .select(col("l_returnflag"), col("exact_parts"), col("n_lines"),
           (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
             / col("exact_parts") <= lit(0.05)).cast(IntegerType).as("within_5pct"))
