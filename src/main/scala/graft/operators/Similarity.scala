@@ -955,6 +955,26 @@ object Similarity {
       ivfQueries(queries, centScores, nlist, nprobe), k)
   }
 
+  /** IVF radius (range) search — the threshold-retrieval twin of
+    * [[ivfTopK]]: every candidate in the query's `nprobe` nearest
+    * cells with cosine ≥ `minCos`. Near-dup screens and recall-bounded
+    * retrieval want "everything this close", not a fixed k — and the
+    * shape is strictly cheaper at scale: same broadcast-query + cell
+    * equi-join, but the threshold filter replaces the per-query
+    * row_number window, so there is NO per-query sort state at all.
+    * Each candidate lives in exactly one cell, so no dedup is needed
+    * even when a query probes several cells. */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
+                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centScores = centScoresFor(bootCentroids(corpus, nlist)) _
+    cellAssign(corpus, centScores)
+      .join(broadcast(ivfQueries(queries, centScores, nlist, nprobe)), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** The deterministic centroid bootstrap (first `nlist` vectors by
     * id) — bounded collect, not data movement. */
   private def bootCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =

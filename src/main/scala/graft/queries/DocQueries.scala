@@ -1424,6 +1424,75 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing (arXiv:1911.00359): score every
+    // document with the d24 bigram-LM typicality signal, then split the
+    // corpus into head/middle/tail at the score tertiles — the published
+    // "keep the head, down-weight the tail" curation step. The tertile
+    // thresholds are ONE exact-percentile row (percentile ≡ DuckDB
+    // quantile_cont bit-for-bit — the q26 precedent) broadcast over the
+    // scored corpus; the corpus itself only streams through the d24
+    // chain plus one narrow CASE tag, so the bucketing adds no shuffle
+    // beyond the score it already needed. High mean corpus-frequency =
+    // most typical = head (CCNet's low-perplexity head).
+    "d48_perplexity_buckets" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      val bg = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .repartition(col("bigram"))
+      val freq = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      val scored = bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"))
+        .select(col("doc_id"),
+          (col("sum_cf").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+            .as("mean_cf"))
+      val th = scored.agg(
+        expr("percentile(mean_cf, 0.3333333333333333D)").as("t1"),
+        expr("percentile(mean_cf, 0.6666666666666666D)").as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("mean_cf"),
+          when(col("mean_cf") < col("t1"), lit("tail"))
+            .when(col("mean_cf") < col("t2"), lit("middle"))
+            .otherwise(lit("head")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // LSH → edit-distance verify cascade (the e17 rerank pattern on the
+    // dedup side): d6's MinHash bands nominate candidate pairs via the
+    // band/bucket equi-join (no all-pairs path exists), then the
+    // expensive O(len²) Levenshtein verify runs ONLY on the deduped
+    // candidates, over a bounded 256-char prefix that caps the per-pair
+    // cost — at 100 TB full-document edit distance is never affordable,
+    // and the banding already guarantees candidates share shingle mass.
+    // Raw text never rides the banding shuffle: it joins back by id
+    // after the candidate set is distinct. greatest(max_len, 1) keeps
+    // the similarity division total when both prefixes are empty.
+    "d49_lsh_edit_verify" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val docs = table(s, d, "documents")
+      val b = Dedup.minhashBands(Dedup.minhashSignatures(docs))
+        .repartition(col("band"), col("bucket"))
+      val cands = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val txt = docs.select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+      cands
+        .join(txt.select(col("doc_id").as("a_id"), col("t").as("t_a")), "a_id")
+        .join(txt.select(col("doc_id").as("b_id"), col("t").as("t_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("t_a"), col("t_b")).cast(LongType).as("edit_dist"),
+          greatest(greatest(length(col("t_a")), length(col("t_b"))), lit(1))
+            .as("max_len"))
+        .select(col("a_id"), col("b_id"), col("edit_dist"),
+          (lit(1.0) - col("edit_dist").cast(DoubleType)
+            / col("max_len").cast(DoubleType)).as("edit_sim"))
+        .orderBy("a_id", "b_id")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -1461,14 +1530,18 @@ object DocQueries {
   /** d6's oracle: the full MinHash+banding pipeline in SQL — the
     * polynomial shingle hash and the 64 embedded permutation constants
     * reproduce the Spark signatures exactly (see Dedup.shingleHash). */
-  private def minhashOracle: String = {
+  /** Shared CTE chain for the MinHash banding pipeline (mirrors
+    * Dedup.minhashSignatures + minhashBands with the embedded d6
+    * constants): ends in `bnd(doc_id, band, bucket)` — d6 and d49 both
+    * build on it. */
+  private def minhashChain: String = {
     val (pa, pb) = Dedup.minhashPerms(64)
     val p = Dedup.P
     val mins = (0 until 64)
       .map(i => s"list_min(list_transform(hl, h -> (h*${pa(i)} + ${pb(i)}) % $p))")
       .mkString(",\n    ")
     val bandVals = (0 until 16).map(b => s"($b)").mkString(", ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |    ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
        |      i -> array_to_string(toks[i:i+2], ' ')) END) AS shs
@@ -1479,12 +1552,32 @@ object DocQueries {
        |      list_transform(regexp_split_to_array(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
        |    (a, b) -> (a*31 + b) % $p)) AS hl FROM sh),
        |sig AS (SELECT doc_id, [
-       |    $mins] AS sig FROM hs)
-       |SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+       |    $mins] AS sig FROM hs),
+       |bnd AS (SELECT doc_id, CAST(b.band AS INTEGER) AS band,
        |  ((((sig[b.band*4+1]*31 + sig[b.band*4+2]) % $p)*31 + sig[b.band*4+3]) % $p * 31 + sig[b.band*4+4]) % $p AS bucket
-       |FROM sig CROSS JOIN (VALUES $bandVals) b(band)
-       |ORDER BY doc_id, band""".stripMargin
+       |FROM sig CROSS JOIN (VALUES $bandVals) b(band))""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashChain
+       |SELECT doc_id, band, bucket FROM bnd ORDER BY doc_id, band""".stripMargin
+
+  /** d49's oracle: the d6 chain's candidate pairs verified with
+    * Levenshtein over the same 256-char prefix. */
+  private def lshEditVerifyOracle: String =
+    s"""WITH $minhashChain,
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |t AS (SELECT doc_id, substring(text, 1, 256) AS t FROM documents),
+       |v AS (SELECT a_id, b_id,
+       |    CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+       |    greatest(greatest(length(ta.t), length(tb.t)), 1) AS max_len
+       |  FROM cand JOIN t ta ON cand.a_id = ta.doc_id
+       |            JOIN t tb ON cand.b_id = tb.doc_id)
+       |SELECT a_id, b_id, edit_dist,
+       |  1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+       |FROM v ORDER BY a_id, b_id""".stripMargin
 
   /** d7's oracle: portable SimHash — per-token polynomial hash, 64
     * sign-vote bits from the embedded permutation constants; bit 63
@@ -1717,6 +1810,27 @@ object DocQueries {
     // same oracle: the persisted-map path must be indistinguishable
     // from the recompute
     "d47_keep_best_indexed" -> dedupKeepBestOracle,
+
+    "d48_perplexity_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) a),
+        |f AS (SELECT bigram, COUNT(*) AS cf FROM b GROUP BY bigram),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cf
+        |  FROM b JOIN f USING (bigram) GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(mean_cf, 0.3333333333333333) AS t1,
+        |              quantile_cont(mean_cf, 0.6666666666666666) AS t2 FROM scored)
+        |SELECT doc_id, mean_cf,
+        |  CASE WHEN mean_cf < t1 THEN 'tail'
+        |       WHEN mean_cf < t2 THEN 'middle' ELSE 'head' END AS bucket
+        |FROM scored CROSS JOIN th ORDER BY doc_id""".stripMargin,
+
+    "d49_lsh_edit_verify" -> lshEditVerifyOracle,
 
     "d38_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),

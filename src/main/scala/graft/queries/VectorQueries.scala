@@ -40,6 +40,16 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF radius search: ALL candidates within cosine ≥ τ of each query
+    // (threshold retrieval, not top-k) — same broadcast-query + cell
+    // equi-join as e3 but with NO per-query window state at all; full
+    // oracle sharing e3's cell CTEs
+    "e27_range_search" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfRangeSearch(emb, emb.filter(col("vec_id") < 5), minCos = 0.1)
+        .orderBy("q_id", "cand_id")
+    },
+
     // IVF with one Lloyd refinement (deterministic sorted-fold means →
     // still a full oracle)
     "e5_ann_ivf_lloyd" -> q { (s, d) =>
@@ -664,6 +674,26 @@ object VectorQueries {
     },
 
     "e3_ann_ivf" -> ivfSql,
+
+    "e27_range_search" ->
+      s"""WITH $ivfCellCtes,
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.q_id
+         |  JOIN embeddings b ON b.vec_id = cand.cand_id)
+         |SELECT q_id, cand_id, cos FROM scored WHERE cos >= 0.1
+         |ORDER BY q_id, cand_id""".stripMargin,
 
     // the maintained (base + appended delta) index reproduces the
     // full-corpus IVF answer exactly, so the same derivation oracles it

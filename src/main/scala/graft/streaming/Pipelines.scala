@@ -327,6 +327,39 @@ object Pipelines {
       .filter(col("logit") >= minLogit)
   }
 
+  /** Ingest-time perplexity routing — the d48 batch bucketing's
+    * streaming twin: arriving documents score through a BOUNDED head
+    * vocabulary of (bigram → corpus frequency) and route to
+    * head/middle/tail at the batch-trained thresholds. The LM ships as
+    * a trained ARTIFACT (the capped vocab map + two threshold doubles),
+    * exactly like streamCellRoute ships centroids — the stream never
+    * recomputes corpus statistics. Out-of-vocabulary bigrams count the
+    * floor frequency 1 (the head-vocab convention: everything below the
+    * cap is indistinguishable from hapax). Completely STATELESS and
+    * shuffle-free — the score is one in-row fold over the document's
+    * bigram array against a map literal (no explode, no join, no
+    * aggregation state), so the route composes with any sink and
+    * replayed micro-batches decide identically. Keep the vocab ≲ 4096
+    * entries (the literal-size bound — streamCellRoute's documented
+    * Janino caveat, an order louder here because keys are strings). */
+  def streamPerplexityRoute(stream: DataFrame, vocab: Map[String, Long],
+                            t1: Double, t2: Double): DataFrame = {
+    require(vocab.nonEmpty && vocab.size <= 4096,
+      s"head vocab must hold 1..4096 entries, got ${vocab.size}")
+    val m = typedlit(vocab)
+    val toks = graft.functions.Text.tokens(lower(col("text")))
+    val bgs = graft.functions.Native.wordShingles(toks, 2)
+    val meanCf = aggregate(bgs, lit(0L),
+        (acc, b) => acc + coalesce(element_at(m, b), lit(1L)))
+      .cast("double") / size(bgs).cast("double")
+    stream
+      .withColumn("mean_cf", meanCf)
+      .withColumn("bucket",
+        when(col("mean_cf") < t1, lit("tail"))
+          .when(col("mean_cf") < t2, lit("middle"))
+          .otherwise(lit("head")))
+  }
+
   /** Ingest-time conversation-structure screen (the d41 batch gate's
     * streaming twin): arriving conversations carry (roles, bodies)
     * array columns and structurally broken rows DROP before landing —

@@ -232,4 +232,56 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b, "read-path keep-best must be indistinguishable from the build path")
   }
+
+  test("d49 edit distances equal a local Levenshtein over the same prefixes") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val txt = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("d49_lsh_edit_verify")(spark, sf).collect()
+    assert(out.nonEmpty, "test corpus should produce LSH candidate pairs")
+    out.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d == lev(txt(a), txt(b)).toLong, s"pair ($a,$b)")
+      assert(a < b, "pairs must be canonically ordered")
+    }
+    // candidates are exactly the distinct same-(band,bucket) id pairs
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(
+        graft.sources.Tables.table(spark, sf, "documents")))
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(0))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq.sorted)
+    val expected = bands.flatMap(ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length; if ids(i) != ids(j))
+        yield (ids(i), ids(j))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
+  test("d48 buckets partition the corpus and respect the score ordering") {
+    val out = SparkEntry.queries("d48_perplexity_buckets")(spark, sf).collect()
+    val total = graft.sources.Tables.table(spark, sf, "documents").count()
+    assert(out.length.toLong == total, "every document must land in one bucket")
+    val byBucket = out.groupBy(_.getString(2))
+      .map { case (b, rs) => b -> rs.map(_.getDouble(1)) }
+    assert(byBucket.keySet.subsetOf(Set("tail", "middle", "head")))
+    for {
+      lo <- byBucket.get("tail"); hi <- byBucket.get("middle")
+    } assert(lo.max <= hi.min, "tail scores must not exceed middle scores")
+    for {
+      lo <- byBucket.get("middle"); hi <- byBucket.get("head")
+    } assert(lo.max <= hi.min, "middle scores must not exceed head scores")
+    assert(byBucket.contains("head") && byBucket.contains("tail"),
+      "tertile split must produce both extremes on a non-degenerate corpus")
+  }
 }

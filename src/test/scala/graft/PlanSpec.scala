@@ -449,6 +449,27 @@ class PlanSpec extends AnyFunSuite {
       "expected the explicit bigram repartition enabling exchange reuse")
   }
 
+  test("d48: tertile thresholds broadcast; only the bigram/doc keys shuffle") {
+    val p = plan("d48_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the d24 bigram repartition enabling exchange reuse")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row threshold join must broadcast")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must not cross a shuffle")
+  }
+
+  test("d49: candidates from band equi-joins; only the 256-char prefix shuffles") {
+    val p = plan("d49_lsh_edit_verify")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the (band, bucket) repartition enabling exchange reuse")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"),
+      "full document text must not cross a shuffle — only the bounded prefix")
+  }
+
   test("d25: stratum stats broadcast — corpus text never shuffles") {
     val p = plan("d25_stratified_sample")
     assert(!p.contains("CartesianProduct"))

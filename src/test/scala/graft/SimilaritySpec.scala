@@ -562,4 +562,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(multiAgain == multi.map(key).toSet, "multi-entry walk not deterministic")
   }
+
+  test("e27 range search equals exhaustive-k IVF filtered at the threshold") {
+    val n = emb.count().toInt
+    val viaTopK = Similarity.ivfTopK(emb, queries, k = n)
+      .filter(col("cos") >= 0.1).select("q_id", "cand_id", "cos")
+      .collect().map(_.toSeq).toSet
+    val range = Similarity.ivfRangeSearch(emb, queries, minCos = 0.1)
+      .select("q_id", "cand_id", "cos").collect().map(_.toSeq).toSet
+    assert(range.nonEmpty, "threshold should admit some candidates at sf0.001")
+    assert(range == viaTopK,
+      "range search must equal the unbounded top-k filtered at the same threshold")
+  }
 }

@@ -807,6 +807,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"stream/batch disagree on ${diff.take(3).map(k => (k, got(k), batch(k)))}")
   }
 
+  test("streamPerplexityRoute: stream routing equals the batch fold; OOV floors at 1") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // the trained artifact: head vocab capped at 4096 (count desc, bigram asc)
+    val vocab = docsDf
+      .select(explode(graft.functions.Native.wordShingles(
+        graft.functions.Text.tokens(lower(col("text"))), 2)).as("bg"))
+      .groupBy("bg").count()
+      .orderBy(col("count").desc, col("bg").asc).limit(4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Pipelines.streamPerplexityRoute(docsDf, vocab, t1 = 2.0, t2 = 5.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("mean_cf"), r.getAs[String]("bucket")))).toMap
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamPerplexityRoute(
+        in.toDF().toDF("doc_id", "text"), vocab, t1 = 2.0, t2 = 5.0)
+      .writeStream.format("memory").queryName("ppl_route_out")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ppl_route_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("mean_cf"), r.getAs[String]("bucket")))).toMap
+    assert(got.size == batch.size)
+    val diff = batch.keys.filter(k => got(k) != batch(k))
+    assert(diff.isEmpty, s"stream/batch disagree on ${diff.take(3).map(k => (k, got(k), batch(k)))}")
+    assert(got.values.map(_._2).toSet.subsetOf(Set("tail", "middle", "head")))
+    // an all-OOV document scores exactly the floor frequency 1 → tail
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Pipelines.streamPerplexityRoute(
+        in2.toDF().toDF("doc_id", "text"), vocab, t1 = 2.0, t2 = 5.0)
+      .writeStream.format("memory").queryName("ppl_route_oov")
+      .outputMode("append").start()
+    in2.addData((999L, "zzqx wvvk pqjm rrbn"))
+    q2.processAllAvailable()
+    q2.stop()
+    val oov = spark.table("ppl_route_oov").collect().head
+    assert(oov.getAs[Double]("mean_cf") == 1.0 && oov.getAs[String]("bucket") == "tail")
+  }
+
   test("streamAudioScreen: loud clips pass, silence and garbage drop, stream stays up") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
