@@ -88,14 +88,34 @@ object Dedup {
     * a polynomial combine of the band's signature components (plain
     * arithmetic, mirrored exactly in the oracle SQL). Docs sharing any
     * (band, bucket) are near-dup candidates. */
+  /** The band's bucket hash from a signature column — ONE definition
+    * shared by [[minhashBands]] and the stream-side banding
+    * (`Pipelines.streamEditVerify`), so batch and stream geometry can
+    * never drift. */
+  private[graft] def bucketOf(sig: Column, b: Column, rows: Int = 4): Column =
+    (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
+      (acc * 31 + element_at(sig, (b * rows + r + 1).cast("int"))) % P
+    }
+
   def minhashBands(sigs: DataFrame, idCol: String = "doc_id",
-                   bands: Int = 16, rows: Int = 4): DataFrame = {
-    def bucket(b: Column): Column =
-      (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
-        (acc * 31 + element_at(col("signature"), (b * rows + r + 1).cast("int"))) % P
-      }
+                   bands: Int = 16, rows: Int = 4): DataFrame =
     sigs.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), b => bucket(b))).as(Seq("band", "bucket")))
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => bucketOf(col("signature"), b, rows))).as(Seq("band", "bucket")))
+
+  /** In-row MinHash signature — the STREAM-side formulation: the same
+    * 64-permutation sketch as [[minhashSignatures]] computed as a pure
+    * per-row expression over the distinct-shingle array (one array_min
+    * per permutation), so a streaming pipeline gets signatures with no
+    * explode/groupBy aggregation state. Spec-pinned equal to the
+    * aggregate sketch row-for-row. */
+  def minhashSignatureExpr(text: Column, k: Int = 64,
+                           shingleLen: Int = 3): Column = {
+    val (pa, pb) = permutations(k)
+    val hs = transform(array_distinct(shingles(text, shingleLen)),
+      s => shingleHash(s))
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => pmod(h * pa(i) + pb(i), lit(P))))): _*)
   }
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over

@@ -327,6 +327,50 @@ object Pipelines {
       .filter(col("logit") >= minLogit)
   }
 
+  /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
+    * stream boundary: arriving docs compute the d6 MinHash signature
+    * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),
+    * band against a STATIC corpus signature table (built once via
+    * `Dedup.minhashSignatures(corpus)` and materialized by the caller),
+    * and the O(len²) Levenshtein verify runs in the SAME micro-batch —
+    * corpus text joins by id only per candidate PAIR, never per shared
+    * band. Pairs sharing several bands dedup PER-ROW (both signatures
+    * travel with the row, so "is this the FIRST band whose buckets
+    * agree?" is a pure expression over the shared `Dedup.bucketOf`
+    * geometry — the bandedHammingScreen trick; a stateful
+    * dropDuplicates would grow forever on a stream). STATELESS
+    * stream-static equi-joins only: no watermark, no state store, and
+    * a replayed micro-batch emits the identical verified pairs. */
+  def streamEditVerify(stream: DataFrame, corpusSigs: DataFrame,
+                       corpusTexts: DataFrame, maxDist: Long): DataFrame = {
+    import graft.operators.Dedup
+    val bands = 16
+    val sIn = stream.select(col("doc_id").as("in_id"),
+        substring(col("text"), 1, 256).as("in_prefix"),
+        Dedup.minhashSignatureExpr(col("text")).as("in_sig"))
+      .select(col("in_id"), col("in_prefix"), col("in_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => Dedup.bucketOf(col("in_sig"), b))).as(Seq("band", "bucket")))
+    val c = corpusSigs.select(col("doc_id").as("match_id"),
+        col("signature").as("match_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => Dedup.bucketOf(col("signature"), b))).as(Seq("band", "bucket")))
+    val firstSharedBand = (0 until bands).reverse.foldLeft(lit(-1): Column) {
+      (acc, b) =>
+        when(Dedup.bucketOf(col("in_sig"), lit(b)) ===
+          Dedup.bucketOf(col("match_sig"), lit(b)), lit(b)).otherwise(acc)
+    }
+    sIn.join(c, Seq("band", "bucket"))
+      .filter(col("in_id") =!= col("match_id") &&
+        col("band") === firstSharedBand)
+      .join(corpusTexts.select(col("doc_id").as("match_id"),
+        substring(col("text"), 1, 256).as("match_prefix")), "match_id")
+      .select(col("in_id"), col("match_id"),
+        levenshtein(col("in_prefix"), col("match_prefix"))
+          .cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Ingest-time perplexity routing — the d48 batch bucketing's
     * streaming twin: arriving documents score through a BOUNDED head
     * vocabulary of (bigram → corpus frequency) and route to

@@ -233,6 +233,27 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b, "read-path keep-best must be indistinguishable from the build path")
   }
 
+  test("in-row minhash signature equals the aggregate sketch row-for-row") {
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+    val agg = Dedup.minhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val inRow = corpus.select(col("doc_id"),
+        Dedup.minhashSignatureExpr(col("text")).as("signature"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(inRow.keySet == agg.keySet)
+    val diff = agg.keys.filter(k => inRow(k) != agg(k))
+    assert(diff.isEmpty, s"signatures disagree for docs ${diff.take(3)}")
+  }
+
+  test("d50 (persisted inverted index) equals d29 (from-scratch) row-for-row") {
+    val a = SparkEntry.queries("d29_bm25")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("d50_bm25_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == b, "indexed BM25 must be indistinguishable from the from-scratch query")
+  }
+
   test("d49 edit distances equal a local Levenshtein over the same prefixes") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)

@@ -449,6 +449,19 @@ class PlanSpec extends AnyFunSuite {
       "expected the explicit bigram repartition enabling exchange reuse")
   }
 
+  test("d50: indexed BM25 reads only postings — term pushed down, no corpus scan") {
+    val p = plan("d50_bm25_indexed")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("postings"), "query must read the persisted postings table")
+    assert(!p.contains("documents.parquet"),
+      "the corpus text must never be scanned at query time")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df slice and corpus stats must broadcast")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(term") || pushed.contains("term"),
+      s"term predicate must reach the postings scan, got: $pushed")
+  }
+
   test("d48: tertile thresholds broadcast; only the bigram/doc keys shuffle") {
     val p = plan("d48_perplexity_buckets")
     assert(!p.contains("CartesianProduct"))

@@ -807,6 +807,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"stream/batch disagree on ${diff.take(3).map(k => (k, got(k), batch(k)))}")
   }
 
+  test("streamEditVerify: verified pairs equal the batch band+Levenshtein derivation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val maxDist = 64L
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashSignatures(docsDf).cache()
+    // expected: ordered (in, match) pairs sharing >= 1 band, verified locally
+    val prefix = docsDf.collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(256)).toMap
+    val byBucket: Seq[Seq[Long]] = graft.operators.Dedup.minhashBands(sigs)
+      .collect().toSeq
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(0))
+      .groupBy(_._1).values.toSeq.map(_.map(_._2))
+    val candPairs: Set[(Long, Long)] = byBucket.flatMap(ids =>
+      for (a <- ids; b <- ids; if a != b) yield (a, b)).toSet
+    val expected: Set[(Long, Long, Long)] = candPairs
+      .map { case (a, b) => (a, b, lev(prefix(a), prefix(b)).toLong) }
+      .filter(_._3 <= maxDist)
+    assert(expected.nonEmpty, "test corpus should contain verified near-dups")
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamEditVerify(
+        in.toDF().toDF("doc_id", "text"), sigs, docsDf, maxDist)
+      .writeStream.format("memory").queryName("edit_verify_out")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("edit_verify_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sigs.unpersist()
+    assert(got == expected,
+      s"stream/batch disagree; stream-only=${(got -- expected).take(3)} " +
+        s"batch-only=${(expected -- got).take(3)}")
+  }
+
   test("streamPerplexityRoute: stream routing equals the batch fold; OOV floors at 1") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
