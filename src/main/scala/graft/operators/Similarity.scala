@@ -620,6 +620,30 @@ object Similarity {
     graphSearchFrom(edges, corpus, queries, beam, rounds, Seq(entryId))
   }
 
+  /** Persist the kNN graph as a TABLE — the index-is-data lifecycle on
+    * the graph side (the writeIvfIndex/writeClusterMap pattern): the
+    * LSH banding + scoring + per-src top-k chain runs ONCE per corpus
+    * generation and lands as narrow (src, rank, dst, cos) rows (~28
+    * bytes/edge, n·k total regardless of vector width); every
+    * consumer search is then a scan of the edge table — at 100 TB you
+    * never re-run the graph build per query. */
+  def writeKnnGraph(corpus: DataFrame, path: String, k: Int = 5,
+                    nTables: Int = 8, planesPerTable: Int = 0,
+                    dim: Int = 64): Unit =
+    knnGraph(corpus, k, nTables, planesPerTable, dim)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Memoized build behind the parquet `_SUCCESS` marker (the shared
+    * Materialize.ensure contract d47/d50/e26 ride); returns the narrow
+    * (src, dst) edge list ready for [[graphSearchFrom]]. */
+  def ensureKnnGraph(corpus: DataFrame, path: String, k: Int = 5,
+                     nTables: Int = 8, planesPerTable: Int = 0,
+                     dim: Int = 64): DataFrame =
+    graft.sources.Materialize.ensure(corpus.sparkSession, path) {
+      writeKnnGraph(corpus, path, k, nTables, planesPerTable, dim)
+    }.select(col("src"), col("dst"))
+
   /** [[graphSearch]] over a PREBUILT edge list and an arbitrary ENTRY
     * SET — multi-entry navigation (one walker per entry, merged into
     * one frontier before the first prune) is how graph ANN escapes the
@@ -882,6 +906,68 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       Native.pqLut(col("embedding"), cbFlat, m, ks, subDim).as("lut"))
     val scored = enc.join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist the PQ index as TABLES — the index-is-data lifecycle on
+    * the quantization side: `codes/` holds one row per vector with its
+    * `m` one-byte sub-codes (the 32×-narrower scan side at m=8,
+    * dim=64), `codebook/` the flat (i, v) codeword components. The
+    * encode pass — the only corpus-sized float work — runs ONCE per
+    * corpus generation; queries then read codes only and never touch
+    * corpus embeddings. */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+                   ks: Int = 16, dim: Int = 64): Unit = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val boot: Array[Array[Double]] = corpus.orderBy("vec_id").limit(ks)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(boot.length == ks,
+      s"PQ codebook bootstrap needs $ks corpus vectors, found ${boot.length}")
+    val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
+      val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
+      boot(j)(s * subDim + d)
+    }
+    cbFlat.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("i", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    corpus.select(col("vec_id").as("cand_id"),
+        Native.pqEncode(col("embedding"), cbFlat, m, ks, subDim).as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Memoized [[writePqIndex]] behind the codes `_SUCCESS` marker. */
+  def ensurePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+                    ks: Int = 16, dim: Int = 64): Unit = {
+    graft.sources.Materialize.ensure(corpus.sparkSession, s"$path/codes") {
+      writePqIndex(corpus, path, m, ks, dim)
+    }
+    ()
+  }
+
+  /** PQ-ADC top-k against the persisted index — identical LUT/ADC
+    * math as [[pqTopK]] (spec-pinned row-for-row), but the corpus side
+    * is the 8-byte codes table: no corpus embedding is read at query
+    * time. The codebook collect is m·ks·subDim doubles — bounded. */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, m: Int = 8,
+                      ks: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val cbFlat: Array[Double] = spark.read.parquet(s"$path/codebook")
+      .orderBy("i").collect().map(_.getDouble(1))
+    require(cbFlat.length == m * ks * subDim,
+      s"codebook holds ${cbFlat.length} components, expected ${m * ks * subDim}")
+    val codes = spark.read.parquet(s"$path/codes")
+    val q = queries.select(col("vec_id").as("q_id"),
+      Native.pqLut(col("embedding"), cbFlat, m, ks, subDim).as("lut"))
+    val scored = codes.join(broadcast(q), col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"),
         Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))

@@ -191,6 +191,21 @@ object VectorQueries {
     // ONCE (localCheckpoint) and both searches navigate it; self-
     // occupancy in the beam costs recall honestly since the exact set
     // excludes self.
+    // e22/e23's PRODUCTION shape (the d47/d50 lifecycle on the graph
+    // side): multi-entry beam search against the PERSISTED kNN graph —
+    // the LSH + scoring + top-k build runs once per corpus generation
+    // (memoized behind the parquet _SUCCESS marker), every search is a
+    // scan of the narrow edge table + 3 broadcast beam rounds; full
+    // oracle (the graph is a deterministic corpus derivation, so the
+    // e22 CTE chain proves the indexed path too)
+    "e28_graph_indexed" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val dir = ScratchDirs.stable("e28_knn_graph", d)
+      val edges = Similarity.ensureKnnGraph(emb, s"$dir/edges")
+      Similarity.graphSearchFrom(edges, emb, emb.filter(col("vec_id") < 5),
+        beam = 4, rounds = 3, entryIds = 0L until 8L)
+    },
+
     "e23_graph_recall" -> q { (s, d) =>
       import org.apache.spark.sql.types.DoubleType
       val emb = table(s, d, "embeddings")
@@ -222,6 +237,20 @@ object VectorQueries {
     "e7_pq_adc" -> q { (s, d) =>
       val emb = table(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "adc")
+        .orderBy("q_id", "rank")
+    },
+
+    // e7's PRODUCTION shape (the d50/e28 lifecycle on the quantization
+    // side): ADC top-k against the PERSISTED codes + codebook tables —
+    // the encode pass (the only corpus-sized float work) runs once per
+    // corpus generation; the query reads 8-byte codes, never corpus
+    // embeddings (plan-gated). Same oracle as e7; spec pins e29 ≡ e7.
+    "e29_pq_indexed" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val dir = ScratchDirs.stable("e29_pq_index", d)
+      Similarity.ensurePqIndex(emb, dir)
+      Similarity.pqTopKFromIndex(s, dir, emb.filter(col("vec_id") < 5), k = 10)
         .select("q_id", "rank", "cand_id", "adc")
         .orderBy("q_id", "rank")
     },
@@ -513,6 +542,47 @@ object VectorQueries {
     * 8-bit codes → midpoint-reconstruction inner products), shared by
     * e15 (top-k over quantized scores) and e17 (top-c candidates +
     * exact re-rank). Ends in the `scored` CTE. */
+  /** e7's oracle — PQ/ADC with the deterministic codebooks (first 16
+    * vectors, 8 subspaces × 8 dims), d-ascending double folds; shared
+    * by e7 (from-scratch) and e29 (persisted index), one oracle for
+    * both execution strategies. */
+  private lazy val pqAdcOracle: String = {
+    // squared L2 between subspace s (0-based lambda var) of vector v
+    // and codeword j (1-based lambda var) — d ascending
+    def dist(v: String) =
+      s"""list_aggregate(list_transform(generate_series(1, 8), d ->
+         |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
+         |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
+    s"""WITH cbv AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    ORDER BY vec_id) AS cbs
+       |  FROM embeddings WHERE vec_id < 16),
+       |enc0 AS (
+       |  SELECT e.vec_id AS cand_id,
+       |    list_transform(generate_series(0, 7), s ->
+       |      list_transform(generate_series(1, 16), j -> ${dist("e.embedding")})) AS dls
+       |  FROM embeddings e CROSS JOIN cbv),
+       |enc AS (SELECT cand_id,
+       |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+       |  FROM enc0),
+       |lut AS (
+       |  SELECT qv.vec_id AS q_id,
+       |    list_transform(generate_series(0, 127), i ->
+       |      ${dist("qv.embedding")
+             .replace("s*8", "(i // 16)*8")
+             .replace("cbs[j]", "cbs[(i % 16) + 1]")}) AS lutv
+       |  FROM embeddings qv CROSS JOIN cbv WHERE qv.vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, cand_id,
+       |    list_aggregate(list_transform(generate_series(0, 7), s ->
+       |      lutv[s*16 + code[s+1] + 1]), 'sum') AS adc
+       |  FROM enc CROSS JOIN lut WHERE cand_id <> q_id)
+       |SELECT q_id, rank, cand_id, adc FROM (
+       |  SELECT q_id, cand_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   private lazy val sq8ScoredCtes: String =
     s"""$ivfCellCtes,
        |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
@@ -832,6 +902,17 @@ object VectorQueries {
          |${beamRoundsSql()}
          |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
 
+    // the e22 chain with e23's 8-entry frontier: the persisted graph
+    // is a deterministic corpus derivation, so the same CTEs prove the
+    // index read path
+    "e28_graph_indexed" ->
+      s"""WITH $knnGraphCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |f0 AS (SELECT q_id, CAST(u.e AS BIGINT) AS node
+         |  FROM qs, (SELECT unnest(generate_series(0, 7)) AS e) u),
+         |${beamRoundsSql()}
+         |SELECT q_id, rn AS rank, node, cos FROM f3 ORDER BY q_id, rank""".stripMargin,
+
     // sign signatures summed from disjoint bit terms, xor+bit_count
     // hamming, both ranks from one scored CTE
     "e25_binary_quant" -> {
@@ -1059,42 +1140,12 @@ object VectorQueries {
     // PQ/ADC mirror: same deterministic codebooks (first 16 vectors,
     // 8 subspaces x 8 dims), same d-ascending double folds, so codes
     // and ADC scores match Spark's bit-for-bit
-    "e7_pq_adc" -> {
-      // squared L2 between subspace s (0-based lambda var) of vector v
-      // and codeword j (1-based lambda var) — d ascending
-      def dist(v: String) =
-        s"""list_aggregate(list_transform(generate_series(1, 8), d ->
-           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
-           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
-      s"""WITH cbv AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
-         |    ORDER BY vec_id) AS cbs
-         |  FROM embeddings WHERE vec_id < 16),
-         |enc0 AS (
-         |  SELECT e.vec_id AS cand_id,
-         |    list_transform(generate_series(0, 7), s ->
-         |      list_transform(generate_series(1, 16), j -> ${dist("e.embedding")})) AS dls
-         |  FROM embeddings e CROSS JOIN cbv),
-         |enc AS (SELECT cand_id,
-         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
-         |  FROM enc0),
-         |lut AS (
-         |  SELECT qv.vec_id AS q_id,
-         |    list_transform(generate_series(0, 127), i ->
-         |      ${dist("qv.embedding")
-               .replace("s*8", "(i // 16)*8")
-               .replace("cbs[j]", "cbs[(i % 16) + 1]")}) AS lutv
-         |  FROM embeddings qv CROSS JOIN cbv WHERE qv.vec_id < 5),
-         |scored AS (
-         |  SELECT q_id, cand_id,
-         |    list_aggregate(list_transform(generate_series(0, 7), s ->
-         |      lutv[s*16 + code[s+1] + 1]), 'sum') AS adc
-         |  FROM enc CROSS JOIN lut WHERE cand_id <> q_id)
-         |SELECT q_id, rank, cand_id, adc FROM (
-         |  SELECT q_id, cand_id, adc,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    },
+    "e7_pq_adc" -> pqAdcOracle,
+
+    // the persisted index is the same deterministic derivation (first
+    // 16 vectors as codebooks, identical encode), so the indexed query
+    // proves against the SAME oracle
+    "e29_pq_indexed" -> pqAdcOracle,
 
     "e18_cell_diversity_sample" ->
       s"""WITH $semCellCtes

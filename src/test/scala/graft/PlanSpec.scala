@@ -449,6 +449,32 @@ class PlanSpec extends AnyFunSuite {
       "expected the explicit bigram repartition enabling exchange reuse")
   }
 
+  test("e28: indexed graph search reads the edge table — no LSH rebuild in-plan") {
+    val p = plan("e28_graph_indexed")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("edges"), "search must read the persisted edge table")
+    assert(!p.contains("bucket"),
+      "the LSH banding chain must not appear — the graph build is paid once, not per query")
+    assert(p.contains("BroadcastHashJoin"),
+      "beam frontiers must broadcast every round")
+  }
+
+  test("e29: indexed PQ reads codes only — no corpus embedding scan in-plan") {
+    val p = plan("e29_pq_indexed")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("codes"), "query must read the persisted codes table")
+    // the ONLY embeddings scan is the query side, and its vec_id < 5
+    // predicate reaches parquet — the corpus embeddings are never read
+    assert(p.sliding("embeddings.parquet".length).count(
+      _ == "embeddings.parquet") == 1,
+      "exactly one embeddings scan (the 5 query vectors) is allowed")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(vec_id,5)"),
+      s"the query-side scan must push vec_id < 5 to parquet, got: $pushed")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the query LUT side must broadcast")
+  }
+
   test("d50: indexed BM25 reads only postings — term pushed down, no corpus scan") {
     val p = plan("d50_bm25_indexed")
     assert(!p.contains("CartesianProduct"))

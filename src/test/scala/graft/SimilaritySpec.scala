@@ -563,6 +563,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multiAgain == multi.map(key).toSet, "multi-entry walk not deterministic")
   }
 
+  test("e28: persisted-graph search equals a fresh-graph search; ensure memoizes") {
+    val dir = java.nio.file.Files.createTempDirectory("e28_graph").toString
+    val path = s"$dir/edges"
+    def search(edges: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchFrom(edges, emb, queries,
+          beam = 4, rounds = 3, entryIds = 0L until 8L)
+        .collect().map(r =>
+          (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("node"), r.getAs[Double]("cos"))).toSeq
+    val viaIndex = search(Similarity.ensureKnnGraph(emb, path))
+    val fresh = Similarity.knnGraph(emb, k = 5)
+      .select(col("src"), col("dst")).localCheckpoint()
+    assert(viaIndex == search(fresh),
+      "index read path must be indistinguishable from the fresh build")
+    // second ensure must be a read, not a rebuild
+    val marker = java.nio.file.Paths.get(path, "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Similarity.ensureKnnGraph(emb, path).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "ensure must memoize behind the _SUCCESS marker")
+  }
+
+  test("e29: persisted-PQ search equals the from-scratch ADC top-k row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("e29_pq").toString
+    Similarity.ensurePqIndex(emb, dir)
+    val a = Similarity.pqTopKFromIndex(spark, dir, queries, k = 10)
+      .select("q_id", "rank", "cand_id", "adc").collect().map(_.toSeq).toSeq
+    val b = Similarity.pqTopK(emb, queries, k = 10)
+      .select("q_id", "rank", "cand_id", "adc").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a.toSet == b.toSet,
+      "index read path must be indistinguishable from the from-scratch query")
+    // second ensure must be a read, not a rebuild
+    val marker = java.nio.file.Paths.get(dir, "codes", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Similarity.ensurePqIndex(emb, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "ensure must memoize behind the _SUCCESS marker")
+  }
+
   test("e27 range search equals exhaustive-k IVF filtered at the threshold") {
     val n = emb.count().toInt
     val viaTopK = Similarity.ivfTopK(emb, queries, k = n)
