@@ -1508,6 +1508,51 @@ object DocQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // classifier-calibration report — the reliability diagnostic every
+    // model-based quality filter ships with: d33's hashed-feature
+    // logit binned into 10 equal-width bins over the corpus range,
+    // each bin reporting how often the INDEPENDENT d36 Gopher rule
+    // verdict agrees (pass rate). A calibrated filter's pass rate
+    // climbs with the logit; a flat report means the classifier
+    // threshold is noise. Per-bin state is COUNTS only — no double
+    // sums, so the mean-of-doubles shuffle-order trap never arises;
+    // the [mn, mx] range is one broadcast row; both signals compute
+    // in the scan projection (one corpus pass, zero pre-agg shuffles).
+    "d51_quality_calibration" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val toks = Text.tokens(lower(col("text")))
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"),
+          (graft.functions.Text.classifierRawScore(toks).cast(DoubleType) /
+            size(toks).cast("long").cast(DoubleType)).as("logit"),
+          graft.functions.Native.gopherStats(col("text")).as("g"))
+        .select(col("logit"),
+          (col("g")("n_words") >= 50 && col("g")("n_words") <= 100000 &&
+            col("g")("sum_wlen").cast(DoubleType) /
+              col("g")("n_words").cast(DoubleType) >= 3.0 &&
+            col("g")("sum_wlen").cast(DoubleType) /
+              col("g")("n_words").cast(DoubleType) <= 10.0 &&
+            col("g")("n_sym").cast(DoubleType) /
+              col("g")("n_words").cast(DoubleType) <= 0.1 &&
+            col("g")("n_alpha").cast(DoubleType) /
+              col("g")("n_words").cast(DoubleType) >= 0.8 &&
+            col("g")("n_req_stop") >= 2).cast(IntegerType).as("pass"))
+      val rng = scored.agg(min(col("logit")).as("mn"), max(col("logit")).as("mx"))
+      scored.crossJoin(broadcast(rng))
+        .select(col("pass"),
+          when(col("mx") > col("mn"),
+            least(floor((col("logit") - col("mn"))
+              / (col("mx") - col("mn")) * 10).cast(IntegerType), lit(9)))
+            .otherwise(lit(0)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass").cast("long")).as("n_pass"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          (col("n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("pass_rate"))
+        .orderBy("bin")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -2736,6 +2781,55 @@ object DocQueries {
          |SELECT doc_id, simhash FROM sims
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+
+    // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
+    // (both oracles hash-green on their own, so the shared doubles are
+    // bit-equal); the [mn, mx] range from one aggregate row, the same
+    // left-assoc (logit-mn)/(mx-mn)*10 IEEE expression as the Spark
+    // plan, BIGINT casts on the count-sums (HUGEINT lesson)
+    "d51_quality_calibration" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(toks, tok ->
+        |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_split_to_array(tok, ''),
+        |            c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (a, b) -> (a*31 + b) % 1000003) % 1024) * 2654435761) % 2039 - 1019
+        |    ), 'sum') AS BIGINT) AS raw_score,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(toks, tok -> len(tok)), 'sum')
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(text) - len(replace(text, '#', ''))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks, tok -> regexp_matches(tok, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS BIGINT) AS n_req_stop
+        |  FROM t),
+        |p AS (SELECT doc_id,
+        |    CAST(raw_score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS logit,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |          AND CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+        |          AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+        |          AND n_req_stop >= 2
+        |         THEN 1 ELSE 0 END AS pass
+        |  FROM s),
+        |r AS (SELECT min(logit) AS mn, max(logit) AS mx FROM p),
+        |b AS (SELECT p.pass,
+        |    CASE WHEN r.mx > r.mn
+        |         THEN least(CAST(floor((p.logit - r.mn) / (r.mx - r.mn) * 10)
+        |                      AS INTEGER), 9)
+        |         ELSE 0 END AS bin
+        |  FROM p, r)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+        |  CAST(SUM(pass) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the same polyHash char fold as the winnow oracles; BIGINT cast on
     // the list sum (DuckDB sums into HUGEINT — the q58 lesson)

@@ -305,4 +305,32 @@ class DedupSpec extends AnyFunSuite {
     assert(byBucket.contains("head") && byBucket.contains("tail"),
       "tertile split must produce both extremes on a non-degenerate corpus")
   }
+
+  test("d51 calibration equals a local re-bin of the d33 and d36 outputs") {
+    // d33 (logit) and d36 (Gopher pass) are each oracle-green; the
+    // calibration report must be exactly their join re-binned with the
+    // same left-assoc IEEE expression — no independent signal exists.
+    val logits = SparkEntry.queries("d33_quality_classifier")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val pass = SparkEntry.queries("d36_gopher_rules")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(logits.keySet == pass.keySet)
+    val (mn, mx) = (logits.values.min, logits.values.max)
+    val expected = logits.toSeq
+      .map { case (id, lg) =>
+        val bin = if (mx > mn)
+          math.min(math.floor((lg - mn) / (mx - mn) * 10).toInt, 9) else 0
+        bin -> pass(id)
+      }
+      .groupBy(_._1)
+      .map { case (bin, rs) =>
+        bin -> ((rs.size.toLong, rs.map(_._2.toLong).sum)) }
+    val out = SparkEntry.queries("d51_quality_calibration")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == expected)
+    assert(out.values.map(_._1).sum ==
+      graft.sources.Tables.table(spark, sf, "documents").count(),
+      "every document must land in exactly one bin")
+  }
 }
