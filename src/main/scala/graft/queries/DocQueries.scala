@@ -1553,6 +1553,38 @@ object DocQueries {
         .orderBy("bin")
     },
 
+    // duplicate-density report — the RefinedWeb/FineWeb per-document
+    // duplication diagnostic: the fraction of a doc's distinct 13-gram
+    // fingerprints that appear in ANY other document. Where d35 screens
+    // train-vs-eval overlap and d4/d6 decide drop/keep, this measures
+    // HOW duplicated every surviving doc still is (the curation report
+    // that decides whether another dedup pass pays for itself). Grams
+    // are the d35 8-byte polyHash rows: the explode and both keyed aggs
+    // ship (id, hash), never text; the count side is filtered to
+    // duplicated grams BEFORE the join back, so the join's build side
+    // is only the duplicated tail of the gram distribution — at 100 TB
+    // most grams are unique and never re-shuffle.
+    "d52_dup_density" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            graft.functions.Native.wordShingles(toks, 13),
+            sh => graft.functions.Native.polyHash(sh, 1000003L)))).as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(count(lit(1)).as("gram_docs"))
+        .filter(col("gram_docs") > 1)
+      grams.join(dupGrams, Seq("gram"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gram_docs").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          (col("n_dup").cast(DoubleType) / col("n_grams").cast(DoubleType))
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -2781,6 +2813,32 @@ object DocQueries {
          |SELECT doc_id, simhash FROM sims
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+
+    // d52: the d35 gram CTE over the whole corpus; duplicated grams
+    // filtered in the HAVING before the join back (mirrors the Spark
+    // plan's build-side prune); BIGINT casts per the q58 lesson
+    "d52_dup_density" ->
+      raw"""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 12),
+        |        i -> array_to_string(toks[i:i+12], ' ')) END,
+        |      s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(s2, ''),
+        |          c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (a, b) -> (a*31 + b) % 1000003)))) AS gram
+        |  FROM tk),
+        |c AS (SELECT gram, COUNT(*) AS gram_docs FROM g
+        |  GROUP BY gram HAVING COUNT(*) > 1),
+        |agg AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM g LEFT JOIN c ON g.gram = c.gram GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_dup,
+        |  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

@@ -333,4 +333,36 @@ class DedupSpec extends AnyFunSuite {
       graft.sources.Tables.table(spark, sf, "documents").count(),
       "every document must land in exactly one bin")
   }
+
+  test("d52 dup density equals an independent local shingle+hash pass") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000003L)
+    val gramSets = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val shingles =
+        if (toks.length < 13) Seq(toks.mkString(" "))
+        else toks.sliding(13).map(_.mkString(" ")).toSeq
+      id -> shingles.map(polyHash).toSet
+    }
+    val gramDocs = gramSets.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = gramSets.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => gramDocs(g) > 1).toLong))
+    }
+    val out = SparkEntry.queries("d52_dup_density")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == expected)
+    // exact-duplicate groups (the d4 keeper groups with n_docs > 1)
+    // must report dup_frac 1.0 — every gram is shared by construction
+    val dupDocs = docs.toSeq.groupBy { case (_, t) => t.toLowerCase }
+      .values.filter(_.size > 1).flatMap(_.map(_._1)).toSet
+    if (dupDocs.nonEmpty)
+      dupDocs.foreach { id =>
+        val (n, nd) = out(id)
+        assert(n == nd, s"exact-dup doc $id must have dup_frac 1.0")
+      }
+  }
 }
