@@ -1585,6 +1585,55 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // curation survival funnel — the report every pretraining pipeline
+    // publishes: how many documents survive each successive gate (raw →
+    // d36 Gopher rules → d33 classifier → d4 exact-dedup keeper), with
+    // the cumulative retained fraction. All three gate flags compute in
+    // ONE corpus pass (the Gopher stats and classifier logit are the
+    // proven in-row folds; the keeper flag is a min-over-window keyed by
+    // the d4 md5 text hash — the single shuffle), then the funnel is a
+    // 1-row conjunction aggregate unpivoted to 4 stage rows via stack.
+    // No per-stage corpus re-scan: at 100 TB the funnel costs exactly
+    // one scan + one hash-keyed exchange more than d36 alone.
+    "d53_pipeline_funnel" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      import org.apache.spark.sql.expressions.Window
+      val toks = Text.tokens(lower(col("text")))
+      val flags = table(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("text_hash"),
+          (graft.functions.Text.classifierRawScore(toks).cast(DoubleType) /
+            size(toks).cast("long").cast(DoubleType)).as("logit"),
+          graft.functions.Native.gopherStats(col("text")).as("gs"))
+        .select(col("doc_id"), col("text_hash"), col("logit"),
+          (col("gs")("n_words") >= 50 && col("gs")("n_words") <= 100000 &&
+            col("gs")("sum_wlen").cast(DoubleType) /
+              col("gs")("n_words").cast(DoubleType) >= 3.0 &&
+            col("gs")("sum_wlen").cast(DoubleType) /
+              col("gs")("n_words").cast(DoubleType) <= 10.0 &&
+            col("gs")("n_sym").cast(DoubleType) /
+              col("gs")("n_words").cast(DoubleType) <= 0.1 &&
+            col("gs")("n_alpha").cast(DoubleType) /
+              col("gs")("n_words").cast(DoubleType) >= 0.8 &&
+            col("gs")("n_req_stop") >= 2).cast("long").as("g"))
+        .select(col("doc_id"), col("g"),
+          (col("logit") >= 0).cast("long").as("c"),
+          (col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(col("text_hash")))).cast("long").as("k"))
+      flags
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("g")).as("n_g"),
+          sum(col("g") * col("c")).as("n_gc"),
+          sum(col("g") * col("c") * col("k")).as("n_gck"))
+        .select(col("n_raw"),
+          expr("stack(4, 0, 'raw', n_raw, 1, 'gopher', n_g, " +
+            "2, 'classifier', n_gc, 3, 'exact_dedup', n_gck) " +
+            "as (stage_idx, stage, n_docs)"))
+        .select(col("stage_idx"), col("stage"), col("n_docs"),
+          (col("n_docs").cast(DoubleType) / col("n_raw").cast(DoubleType))
+            .as("retained_frac"))
+        .orderBy("stage_idx")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -2839,6 +2888,56 @@ object DocQueries {
         |SELECT doc_id, n_grams, n_dup,
         |  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // d53: the d36 + d33 CTE fragments plus the d4 keeper rule as a
+    // min-over-window, one conjunction aggregate, 4-row UNION unpivot
+    "d53_pipeline_funnel" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, md5(lower(text)) AS text_hash,
+        |    CAST(list_aggregate(list_transform(toks, tok ->
+        |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_split_to_array(tok, ''),
+        |            c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (a, b) -> (a*31 + b) % 1000003) % 1024) * 2654435761) % 2039 - 1019
+        |    ), 'sum') AS BIGINT) AS raw_score,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(toks, tok -> len(tok)), 'sum')
+        |      AS BIGINT) AS sum_wlen,
+        |    CAST(len(text) - len(replace(text, '#', ''))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks, tok -> regexp_matches(tok, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS BIGINT) AS n_req_stop
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |          AND CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+        |          AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+        |          AND n_req_stop >= 2
+        |         THEN 1 ELSE 0 END AS g,
+        |    CASE WHEN CAST(raw_score AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0
+        |         THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text_hash)
+        |         THEN 1 ELSE 0 END AS k
+        |  FROM s),
+        |a AS (SELECT COUNT(*) AS n_raw,
+        |    CAST(SUM(g) AS BIGINT) AS n_g,
+        |    CAST(SUM(g*c) AS BIGINT) AS n_gc,
+        |    CAST(SUM(g*c*k) AS BIGINT) AS n_gck FROM f)
+        |SELECT stage_idx, stage, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_raw AS DOUBLE) AS retained_frac
+        |FROM (
+        |  SELECT 0 AS stage_idx, 'raw' AS stage, n_raw AS n_docs, n_raw FROM a
+        |  UNION ALL SELECT 1, 'gopher', n_g, n_raw FROM a
+        |  UNION ALL SELECT 2, 'classifier', n_gc, n_raw FROM a
+        |  UNION ALL SELECT 3, 'exact_dedup', n_gck, n_raw FROM a)
+        |ORDER BY stage_idx""".stripMargin,
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

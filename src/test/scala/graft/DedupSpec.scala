@@ -365,4 +365,27 @@ class DedupSpec extends AnyFunSuite {
         assert(n == nd, s"exact-dup doc $id must have dup_frac 1.0")
       }
   }
+
+  test("d53 funnel equals the conjunction of its oracle-green member gates") {
+    val raw = graft.sources.Tables.table(spark, sf, "documents").count()
+    val gopher = SparkEntry.queries("d36_gopher_rules")(spark, sf)
+      .collect().filter(_.getInt(6) == 1).map(_.getLong(0)).toSet
+    val clf = SparkEntry.queries("d33_quality_classifier")(spark, sf)
+      .collect().filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    val keepers = SparkEntry.queries("d4_dedup_exact")(spark, sf)
+      .collect().map(_.getLong(1)).toSet
+    val expected = Seq(
+      (0, "raw", raw),
+      (1, "gopher", gopher.size.toLong),
+      (2, "classifier", (gopher & clf).size.toLong),
+      (3, "exact_dedup", (gopher & clf & keepers).size.toLong))
+    val out = SparkEntry.queries("d53_pipeline_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == expected)
+    val fracs = SparkEntry.queries("d53_pipeline_funnel")(spark, sf).collect()
+      .map(_.getDouble(3))
+    assert(fracs.head == 1.0 &&
+      fracs.sliding(2).forall(p => p(1) <= p(0)),
+      "retained fraction must start at 1.0 and be monotone non-increasing")
+  }
 }
