@@ -101,6 +101,35 @@ object VectorQueries {
         .orderBy("q_id")
     },
 
+    // IVF tuning curve — recall@10 per (nprobe, query) for nprobe ∈
+    // {1, 2, 4, 8} against brute-force ground truth: THE
+    // accuracy/latency knob every IVF deployment sweeps before fixing
+    // its production nprobe (e12 measures the LSH index; this sweeps
+    // the IVF probe depth). Composed from the two proven operators per
+    // point; the evaluation query set is the bounded 5-vector probe
+    // side, so the sweep costs 4 bounded searches + one brute pass —
+    // at 100 TB a recall evaluation runs over a sampled query set
+    // exactly like this, never the corpus as queries.
+    "e30_nprobe_recall" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("cand_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = Similarity.ivfTopK(emb, qs, k = 10, nlist = 16, nprobe = np)
+          .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+        exact.join(approx,
+            col("q_id") === col("aq") && col("cand_id") === col("ac"),
+            "left_outer")
+          .groupBy("q_id")
+          .agg((sum(when(col("ac").isNotNull, 1L).otherwise(0L))
+            .cast(DoubleType) / lit(10.0)).as("recall_at_10"))
+          .select(lit(np).as("nprobe"), col("q_id"), col("recall_at_10"))
+      }.reduce(_ unionAll _)
+        .orderBy("nprobe", "q_id")
+    },
+
     // maximum-inner-product top-k + the norm-augmentation reduction
     // (what plugs MIPS into any cosine index at scale), with per-row
     // machine-checked rank agreement between the two scores
@@ -891,6 +920,46 @@ object VectorQueries {
     "e8_knn_graph" ->
       s"""WITH $knnGraphCtes
          |SELECT src, rank, dst, cos FROM knn ORDER BY src, rank""".stripMargin,
+
+    // the e3 cell chain with the probe rank carried through scoring,
+    // then one top-10 + recall chain per nprobe (mechanically unrolled
+    // — the e23 per-entry-count precedent); cells partition the space,
+    // so no DISTINCT is needed across probes
+    "e30_nprobe_recall" -> {
+      val chains = Seq(1, 2, 4, 8).map { np =>
+        s"""a$np AS (SELECT q_id, cand_id FROM (
+           |  SELECT q_id, cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM pscored WHERE probe_rn <= $np) t WHERE rank <= 10),
+           |r$np AS (SELECT $np AS nprobe, e.q_id,
+           |    CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / 10.0 AS recall_at_10
+           |  FROM exact e LEFT JOIN a$np a
+           |    ON e.q_id = a.q_id AND e.cand_id = a.cand_id
+           |  GROUP BY e.q_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ivfCellCtes,
+         |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |exact AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM (SELECT q_id, e.vec_id AS cand_id, ${cosSql("qe", "e.embedding")} AS cos
+         |        FROM embeddings e, qs WHERE e.vec_id <> q_id) s) t
+         |  WHERE rank <= 10),
+         |pr AS (SELECT vec_id AS q_id, cid AS cell, rn AS probe_rn FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 8),
+         |pscored AS (SELECT p.q_id, c.vec_id AS cand_id, p.probe_rn,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM pr p JOIN cell c ON p.cell = c.cell AND c.vec_id <> p.q_id
+         |  JOIN embeddings a ON a.vec_id = p.q_id
+         |  JOIN embeddings b ON b.vec_id = c.vec_id),
+         |$chains
+         |SELECT nprobe, q_id, recall_at_10 FROM (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8) u
+         |ORDER BY nprobe, q_id""".stripMargin
+    },
 
     // the e8 chain + the 3 beam rounds unrolled: candidates = frontier
     // ∪ out-neighbors, the e1 cosine fold, ROW_NUMBER top-4 — each

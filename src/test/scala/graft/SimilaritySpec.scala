@@ -613,4 +613,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(range == viaTopK,
       "range search must equal the unbounded top-k filtered at the same threshold")
   }
+
+  test("e30 sweep is monotone in nprobe and matches the e1/e3 composition") {
+    val rows: Map[(Int, Long), Double] =
+      SparkEntry.queries("e30_nprobe_recall")(spark, sf).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keys.map(k => k._1).toSet == Set(1, 2, 4, 8))
+    // more probes can only add candidates: recall must not decrease
+    val qids = rows.keys.map(k => k._2).toSet.toSeq
+    for (qid <- qids; pair <- Seq(1, 2, 4, 8).sliding(2).toSeq)
+      assert(rows((pair(0), qid)) <= rows((pair(1), qid)),
+        s"recall at nprobe=${pair(1)} must not drop below nprobe=${pair(0)} " +
+          s"for query $qid")
+    // the nprobe=4 sweep point must equal the e12-style join of the
+    // oracle-green e1 (ground truth) and e3 (IVF nprobe=4) operators
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SparkEntry.queries("e3_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    exact.groupBy(_._1).foreach { case (qid, hits) =>
+      val expect = hits.count(approx.contains).toDouble / 10.0
+      assert(rows((4, qid)) == expect,
+        s"nprobe=4 recall for query $qid must equal the e1/e3 composition")
+    }
+  }
 }
