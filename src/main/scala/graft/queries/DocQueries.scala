@@ -1634,6 +1634,40 @@ object DocQueries {
         .orderBy("stage_idx")
     },
 
+    // sliding-window chunking — the RAG/embedding prep primitive: every
+    // document splits into 64-token chunks on a 48-token stride
+    // (16-token overlap keeps boundary context retrievable), each chunk
+    // carrying its index, token offset, and re-joined text. Chunk count
+    // = ⌈(n − overlap) / stride⌉ floored at 1, so every doc (even
+    // empty) yields at least one chunk and the trailing tokens are
+    // always covered. Pure in-row: one projection + explode, ZERO
+    // shuffles before the final sort — chunking 100 TB runs at scan
+    // speed and feeds the e-series embed/index chain downstream.
+    "d54_rag_chunks" -> q { (s, d) =>
+      val chunkSize = 64
+      val stride = 48
+      val ov = chunkSize - stride
+      val toks = Text.tokens(lower(col("text")))
+      table(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          greatest(lit(1),
+            ceil((size(col("toks")) - ov) / lit(stride.toDouble)).cast("int"))
+            .as("n_chunks"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n_chunks") - 1), i =>
+            struct(i.cast("int").as("chunk_idx"),
+              (i * stride).cast("int").as("start_tok"),
+              slice(col("toks"), i * stride + 1, lit(chunkSize)).as("chunk"))))
+            .as("c"))
+        .select(col("doc_id"),
+          col("c")("chunk_idx").as("chunk_idx"),
+          col("c")("start_tok").as("start_tok"),
+          size(col("c")("chunk")).as("n_tok"),
+          concat_ws(" ", col("c")("chunk")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -2938,6 +2972,22 @@ object DocQueries {
         |  UNION ALL SELECT 2, 'classifier', n_gc, n_raw FROM a
         |  UNION ALL SELECT 3, 'exact_dedup', n_gck, n_raw FROM a)
         |ORDER BY stage_idx""".stripMargin,
+
+    // d54: the d46 window-slice convention (1-based inclusive list
+    // bounds) at 64/48 geometry; the same ceil-over-double chunk count
+    "d54_rag_chunks" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |    CAST(greatest(1, ceil((len(toks) - 16) / 48.0)) AS INTEGER) AS n_chunks
+        |  FROM t),
+        |ix AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS i FROM b)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(i * 48 AS INTEGER) AS start_tok,
+        |  CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_tok,
+        |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+        |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

@@ -366,6 +366,35 @@ class DedupSpec extends AnyFunSuite {
       }
   }
 
+  test("d54 chunks cover every token with the 64/48 sliding geometry") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    val out = SparkEntry.queries("d54_rag_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    assert(out.keySet == docs.keySet, "every document must produce chunks")
+    out.foreach { case (id, chunks) =>
+      val toks = docs(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq,
+        "chunk indices must be contiguous from 0")
+      sorted.foreach { case (_, idx, start, nTok, text) =>
+        assert(start == idx * 48)
+        val expect = toks.slice(start, start + 64)
+        assert(nTok == expect.length && text == expect.mkString(" "),
+          s"chunk $idx of doc $id must be the exact token slice")
+      }
+      val covered = sorted.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(toks.indices.forall(covered.contains),
+        s"every token of doc $id must land in at least one chunk")
+      if (toks.length <= 64)
+        assert(sorted.length == 1, "short docs must yield exactly one chunk")
+    }
+  }
+
   test("d53 funnel equals the conjunction of its oracle-green member gates") {
     val raw = graft.sources.Tables.table(spark, sf, "documents").count()
     val gopher = SparkEntry.queries("d36_gopher_rules")(spark, sf)
