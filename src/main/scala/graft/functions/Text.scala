@@ -101,4 +101,20 @@ object Text {
       split(substring(lower(c), 1, 64), ""),
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L)
+
+  /** Sliding-window chunk structs over a token array — the shared
+    * RAG/embedding chunking kernel (batch d54_rag_chunks ≡ streaming
+    * streamRagChunks, so the two geometries cannot drift). Chunk count
+    * = ⌈(n − overlap) / stride⌉ floored at 1: every doc (even empty)
+    * yields a chunk and the trailing tokens are always covered. Pure
+    * in-row; explode downstream of this stays shuffle-free. */
+  def ragChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
+    val ov = chunkSize - stride
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - ov) / lit(stride.toDouble)).cast("int"))
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("int").as("chunk_idx"),
+        (i * stride).cast("int").as("start_tok"),
+        slice(toks, i * stride + 1, lit(chunkSize)).as("chunk")))
+  }
 }

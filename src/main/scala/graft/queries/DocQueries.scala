@@ -1644,22 +1644,10 @@ object DocQueries {
     // shuffles before the final sort — chunking 100 TB runs at scan
     // speed and feeds the e-series embed/index chain downstream.
     "d54_rag_chunks" -> q { (s, d) =>
-      val chunkSize = 64
-      val stride = 48
-      val ov = chunkSize - stride
       val toks = Text.tokens(lower(col("text")))
       table(s, d, "documents")
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), col("toks"),
-          greatest(lit(1),
-            ceil((size(col("toks")) - ov) / lit(stride.toDouble)).cast("int"))
-            .as("n_chunks"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0), col("n_chunks") - 1), i =>
-            struct(i.cast("int").as("chunk_idx"),
-              (i * stride).cast("int").as("start_tok"),
-              slice(col("toks"), i * stride + 1, lit(chunkSize)).as("chunk"))))
-            .as("c"))
+          explode(Text.ragChunks(toks, chunkSize = 64, stride = 48)).as("c"))
         .select(col("doc_id"),
           col("c")("chunk_idx").as("chunk_idx"),
           col("c")("start_tok").as("start_tok"),

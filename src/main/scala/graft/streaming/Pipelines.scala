@@ -327,6 +327,27 @@ object Pipelines {
       .filter(col("logit") >= minLogit)
   }
 
+  /** Ingest-time chunking — the d54 streaming twin: arriving documents
+    * split into sliding-window token chunks through the SAME shared
+    * kernel (`Text.ragChunks`, 64/48 geometry) the batch query uses,
+    * so stream and batch chunk boundaries cannot drift. Pure in-row
+    * projection + explode: stateless, shuffle-free, replay-identical —
+    * the front of a streaming chunk→embed→route ingest (streamCellRoute
+    * consumes the other end). */
+  def streamRagChunks(stream: DataFrame,
+                      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = graft.functions.Text.tokens(lower(col("text")))
+    stream
+      .select(col("doc_id"),
+        explode(graft.functions.Text.ragChunks(toks, chunkSize, stride))
+          .as("c"))
+      .select(col("doc_id"),
+        col("c")("chunk_idx").as("chunk_idx"),
+        col("c")("start_tok").as("start_tok"),
+        size(col("c")("chunk")).as("n_tok"),
+        concat_ws(" ", col("c")("chunk")).as("chunk_text"))
+  }
+
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature
     * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),

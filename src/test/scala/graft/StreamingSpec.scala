@@ -524,6 +524,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay == out, "replayed rows must score bit-identically")
   }
 
+  test("stream chunker emits the d54 batch chunks row-for-row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamRagChunks(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rag_chunks_out")
+      .outputMode("append").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("n_tok"),
+        r.getAs[String]("chunk_text"))
+    val streamed = spark.table("rag_chunks_out").collect().map(key).toSet
+    q.stop()
+    val batch = SparkEntry.queries("d54_rag_chunks")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "shared-kernel chunking must make stream and batch chunks identical")
+    assert(streamed.nonEmpty)
+  }
+
   test("quality screen agrees with the d33 batch gate on real corpus rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
