@@ -1656,6 +1656,55 @@ object DocQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // span-corruption pair builder — the T5 denoising objective
+    // (Raffel et al. 2020, arXiv:1910.10683 §3.1.4): mask contiguous
+    // spans, emit (input with sentinels, target of sentinel+span) —
+    // re-expressed with DETERMINISTIC span placement so the pairs are
+    // replayable and cross-engine oracle-able (the d15/d25 portable-
+    // hash discipline, where T5 draws randomly): each FULL 20-token
+    // block corrupts one 3-token span (15% corruption, mean span 3 —
+    // the published defaults) at offset hash(doc_id, block) % 18;
+    // blocks make spans non-overlapping by construction, the tail
+    // stays clean. Everything is one in-row projection (transform /
+    // slice / flatten over the token array — zero shuffles, scan
+    // speed at 100 TB, the d40 offsets discipline).
+    "d55_span_corruption" -> q { (s, d) =>
+      import org.apache.spark.sql.Column
+      val blk = 20
+      val span = 3
+      val toks = Text.tokens(lower(col("text")))
+      val emptyArr = array().cast("array<string>")
+      def off(b: Column): Column =
+        (pmod((col("doc_id") * 131 + b) * lit(2654435761L),
+          lit(2147483647L)) % (blk - span + 1)).cast("int")
+      def sentinel(b: Column): Column =
+        concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+      table(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
+          floor(size(col("toks")) / blk).cast("int").as("n_spans"))
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          concat_ws(" ", concat(
+            when(col("n_spans") > 0,
+              flatten(transform(sequence(lit(0), col("n_spans") - 1), b =>
+                concat(
+                  slice(col("toks"), b * blk + 1, off(b)),
+                  array(sentinel(b)),
+                  slice(col("toks"), b * blk + off(b) + span + 1,
+                    lit(blk - span) - off(b))))))
+              .otherwise(emptyArr),
+            slice(col("toks"), col("n_spans") * blk + 1,
+              col("n_tokens") - col("n_spans") * blk))).as("input_text"),
+          concat_ws(" ",
+            when(col("n_spans") > 0,
+              transform(sequence(lit(0), col("n_spans") - 1), b =>
+                concat(sentinel(b), lit(" "),
+                  array_join(slice(col("toks"), b * blk + off(b) + 1, lit(span)),
+                    " "))))
+              .otherwise(emptyArr)).as("target_text"))
+        .orderBy("doc_id")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -2976,6 +3025,37 @@ object DocQueries {
         |  CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_tok,
         |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
         |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // d55: the same portable-hash offset inlined per block lambda;
+    // inclusive 1-based slices (off=0 → empty prefix, the d46/d54
+    // convention); n_tokens/n_spans INTEGER to match Spark size()/cast
+    "d55_span_corruption" -> {
+      def off(bb: String) =
+        s"((((doc_id*131 + $bb) * 2654435761) % 2147483647) % 18)"
+      raw"""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(toks) // 20 AS INTEGER) AS n_spans FROM t)
+        |SELECT doc_id, n_tokens, n_spans,
+        |  array_to_string(list_concat(
+        |    CASE WHEN n_spans > 0 THEN
+        |      flatten(list_transform(generate_series(0, n_spans - 1), bb ->
+        |        list_concat(list_concat(
+        |          toks[bb*20 + 1 : bb*20 + ${off("bb")}],
+        |          ['<extra_id_' || CAST(bb AS VARCHAR) || '>']),
+        |          toks[bb*20 + ${off("bb")} + 4 : bb*20 + 20])))
+        |    ELSE [] END,
+        |    toks[n_spans*20 + 1 : n_tokens]), ' ') AS input_text,
+        |  COALESCE(array_to_string(
+        |    CASE WHEN n_spans > 0 THEN
+        |      list_transform(generate_series(0, n_spans - 1), bb ->
+        |        '<extra_id_' || CAST(bb AS VARCHAR) || '>' || ' ' ||
+        |        array_to_string(
+        |          toks[bb*20 + ${off("bb")} + 1 : bb*20 + ${off("bb")} + 3], ' '))
+        |    ELSE [] END, ' '), '') AS target_text
+        |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

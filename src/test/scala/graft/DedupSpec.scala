@@ -395,6 +395,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d55 span corruption equals a local re-derivation of the T5 pairs") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    def off(id: Long, b: Int): Int =
+      (((id * 131 + b) * 2654435761L) % 2147483647L % 18L).toInt
+    val out = SparkEntry.queries("d55_span_corruption")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))).toMap
+    assert(out.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val nSpans = toks.length / 20
+      val (inToks, tgt) = (0 until nSpans).foldLeft(
+        (Vector.empty[String], Vector.empty[String])) { case ((i, t), b) =>
+        val o = off(id, b)
+        val block = toks.slice(b * 20, b * 20 + 20)
+        (i ++ block.take(o) ++ Vector(s"<extra_id_$b>") ++ block.drop(o + 3),
+          t :+ (s"<extra_id_$b> " + block.slice(o, o + 3).mkString(" ")))
+      }
+      val input = (inToks ++ toks.drop(nSpans * 20)).mkString(" ")
+      assert(out(id) == ((toks.length, nSpans, input, tgt.mkString(" "))),
+        s"doc $id must corrupt exactly the hash-placed spans")
+    }
+    // the fixture must exercise both corrupted and untouched docs
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
+  }
+
   test("d53 funnel equals the conjunction of its oracle-green member gates") {
     val raw = graft.sources.Tables.table(spark, sf, "documents").count()
     val gopher = SparkEntry.queries("d36_gopher_rules")(spark, sf)
