@@ -1705,6 +1705,34 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // tokenizer-fertility report — the per-language tokenizer
+    // evaluation every multilingual pipeline publishes (fertility =
+    // subword tokens per whitespace word; compression = chars per
+    // subword token): a tokenizer with fertility ≫ 1 on a language
+    // wastes that language's context budget and signals a vocab gap.
+    // Both counts are the proven d9 in-row folds (BPE-ish regex +
+    // whitespace split), so the whole report is one scan + one tiny
+    // per-lang aggregate of integer sums — the single double division
+    // happens on the aggregated totals (log-free rule).
+    "d56_tokenizer_fertility" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      table(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("nc"),
+          Text.bpeTokenCount(col("text")).cast("long").as("nb"),
+          Text.tokenCount(col("text")).cast("long").as("nw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").as("n_bpe"), sum("nw").as("n_ws"),
+          sum("nc").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_bpe"), col("n_ws"),
+          col("n_chars"),
+          (col("n_bpe").cast(DoubleType) / col("n_ws").cast(DoubleType))
+            .as("fertility"),
+          (col("n_chars").cast(DoubleType) / col("n_bpe").cast(DoubleType))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // length-bucket batch planning (d43): pad-to-power-of-two bucketing
     // — the trainer pads every sequence in a batch to the bucket
     // capacity, so the padding-waste report per bucket is what decides
@@ -3056,6 +3084,22 @@ object DocQueries {
         |    ELSE [] END, ' '), '') AS target_text
         |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    // d56: the d9 count folds aggregated per lang; BIGINT sums, the
+    // two double divisions on aggregated totals only
+    "d56_tokenizer_fertility" ->
+      raw"""WITH s AS (SELECT lang, n_chars,
+        |    len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')) AS nb,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS nw
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS n_bpe,
+        |  CAST(SUM(nw) AS BIGINT) AS n_ws,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(nb) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS fertility,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE)
+        |    AS chars_per_token
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

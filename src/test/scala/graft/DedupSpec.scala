@@ -423,6 +423,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
   }
 
+  test("d56 fertility report equals the d9 counts aggregated per lang") {
+    val meta = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val d9 = SparkEntry.queries("d9_bpe_tokens")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    val expected = d9.groupBy(t => meta(t._1)._1).map { case (lang, rows) =>
+      val (nb, nw) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val nc = rows.map(t => meta(t._1)._2).sum
+      lang -> ((rows.length.toLong, nb, nw, nc,
+        nb.toDouble / nw.toDouble, nc.toDouble / nb.toDouble))
+    }
+    val out = SparkEntry.queries("d56_tokenizer_fertility")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out == expected)
+  }
+
   test("d53 funnel equals the conjunction of its oracle-green member gates") {
     val raw = graft.sources.Tables.table(spark, sf, "documents").count()
     val gopher = SparkEntry.queries("d36_gopher_rules")(spark, sf)
