@@ -1630,6 +1630,54 @@ object Multimodal {
       n_samples: Option[Int], duration_ms: Option[Double],
       mean_abs: Option[Double], peak_abs: Option[Int])
 
+  final case class ResampledAudio(
+      id: Long, src_rate: Option[Int], dst_rate: Option[Int],
+      n_out: Option[Int], mean_abs: Option[Double], peak_abs: Option[Double])
+
+  /** 2× linear-interpolation upsample stats — the sample-rate
+    * normalization every audio-training pipeline runs before feature
+    * extraction (all corpus audio to one rate), kept at the stats
+    * level so the result is oracle-able: out[2i] = s[i], out[2i+1] =
+    * (s[i]+s[i+1])/2. Midpoints are exact half-integers and their
+    * running sum stays far below 2^52, so the double fold is EXACT —
+    * bit-deterministic across engines and partitionings without the
+    * usual fixed-point tricks. Per-partition decode (one codec
+    * context per task), payloads never shuffle; null-not-fail on
+    * malformed payloads, and a decodable-but-empty stream reports
+    * n_out 0 with null stats. */
+  def resampleAudio2x(media: Dataset[(Long, Array[Byte])]): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        WavCodec.decode(payload) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val n = a.samples.length
+            val nOut = 2 * n - 1
+            var sum = 0.0
+            var peak = 0.0
+            var j = 0
+            while (j < nOut) {
+              val v =
+                if (j % 2 == 0) a.samples(j / 2).toDouble
+                else (a.samples(j / 2).toDouble +
+                  a.samples(j / 2 + 1).toDouble) / 2.0
+              val av = math.abs(v)
+              sum += av
+              if (av > peak) peak = av
+              j += 1
+            }
+            ResampledAudio(id, Some(a.sampleRate), Some(a.sampleRate * 2),
+              Some(nOut), Some(sum / nOut), Some(peak))
+          case Some(a) =>
+            ResampledAudio(id, Some(a.sampleRate), Some(a.sampleRate * 2),
+              Some(0), None, None)
+          case None =>
+            ResampledAudio(id, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** REAL per-partition WAV decode over (id, wavPayload) rows: sample
     * rate, duration and amplitude stats from actual PCM samples.
     * mapPartitions is the batch shape — one decoder context per task

@@ -550,6 +550,30 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // sample-rate normalization — the resample every audio-training
+    // pipeline runs before feature extraction (all corpus audio to one
+    // rate): 2× linear-interpolation upsample of the decoded PCM,
+    // reported at the stats level (midpoints are exact half-integers,
+    // so the double fold is exact and cross-engine bit-deterministic).
+    // Same per-partition decode shape as m3; payloads never shuffle.
+    "m16_audio_resample" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val rate = 8000
+          val n = (800 + (id % 5) * 100).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            (((id * 37 + i * 13) % 2003) - 1001).toShort)
+          (id, graft.operators.WavCodec.encode(rate, samples))
+        }
+      graft.operators.Multimodal.resampleAudio2x(media)
+        .toDF()
+        .select(col("id"), col("src_rate"), col("dst_rate"), col("n_out"),
+          col("mean_abs"), col("peak_abs"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED image decode #3: baseline JPEG through the
     // from-scratch Huffman/IDCT JpegCodec. Payloads are genuine JPEGs
     // written by the JVM's independent ImageIO encoder per executor
@@ -2630,6 +2654,26 @@ object DocQueries {
          |    i -> $amp), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $amp)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // m16: expected stats from the generation formula, the interp
+    // midpoints as exact half-integer doubles — (a+b)/2.0 and the
+    // running |out| sum are exact in double, so the fold is portable
+    "m16_audio_resample" -> {
+      val n = "(800 + (s_suppkey % 5) * 100)"
+      def sig(i: String) = s"((s_suppkey*37 + ($i)*13) % 2003 - 1001)"
+      val outj = s"CASE WHEN j % 2 = 0 THEN CAST(${sig("j//2")} AS DOUBLE) " +
+        s"ELSE (CAST(${sig("(j-1)//2")} AS DOUBLE) + " +
+        s"CAST(${sig("(j+1)//2")} AS DOUBLE)) / 2.0 END"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(8000 AS INTEGER) AS src_rate,
+         |  CAST(16000 AS INTEGER) AS dst_rate,
+         |  CAST(2*$n - 1 AS INTEGER) AS n_out,
+         |  CAST(list_aggregate(list_transform(generate_series(0, 2*$n - 2),
+         |    j -> abs($outj)), 'sum') AS DOUBLE) / (2*$n - 1) AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, 2*$n - 2),
+         |    j -> abs($outj))) AS DOUBLE) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
     },
 

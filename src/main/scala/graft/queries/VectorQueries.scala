@@ -130,6 +130,32 @@ object VectorQueries {
         .orderBy("nprobe", "q_id")
     },
 
+    // FILTERED vector search — the metadata-predicate ANN every vector
+    // store ships (and the classic pre- vs post-filter trap): top-10
+    // among the IVF candidates whose DOCUMENT is lang='en', with the
+    // predicate applied to the candidate set BEFORE ranking (PRE-
+    // filter: a post-filtered top-10 returns < 10 rows whenever the
+    // unfiltered top-10 contains other-language hits — the recall bug
+    // this operator exists to avoid). Candidates come from the proven
+    // e27 cell equi-join with NO per-query window state; the metadata
+    // join ships (cand_id, lang) 16-byte rows keyed by id; rank ≤ 10
+    // plans as WindowGroupLimit after the filter.
+    "e31_filtered_search" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val langs = table(s, d, "documents")
+        .select(col("doc_id").as("cand_id"), col("lang"))
+      Similarity.ivfRangeSearch(emb, qs, minCos = -1.0)
+        .join(langs, Seq("cand_id"))
+        .filter(col("lang") === "en")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rank") <= 10)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
+    },
+
     // maximum-inner-product top-k + the norm-augmentation reduction
     // (what plugs MIPS into any cosine index at scale), with per-row
     // machine-checked rank agreement between the two scores
@@ -920,6 +946,34 @@ object VectorQueries {
     "e8_knn_graph" ->
       s"""WITH $knnGraphCtes
          |SELECT src, rank, dst, cos FROM knn ORDER BY src, rank""".stripMargin,
+
+    // the e3 cell/probe chain (nprobe 4) with the lang predicate
+    // applied to candidates BEFORE the top-10 window — pre-filter
+    // semantics exactly as the Spark plan
+    "e31_filtered_search" ->
+      s"""WITH $ivfCellCtes,
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |fcand AS (
+         |  SELECT cand.q_id, cand.cand_id
+         |  FROM cand JOIN documents d ON d.doc_id = cand.cand_id
+         |  WHERE d.lang = 'en'),
+         |scored AS (
+         |  SELECT fcand.q_id, fcand.cand_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM fcand
+         |  JOIN embeddings a ON a.vec_id = fcand.q_id
+         |  JOIN embeddings b ON b.vec_id = fcand.cand_id)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // the e3 cell chain with the probe rank carried through scoring,
     // then one top-10 + recall chain per nprobe (mechanically unrolled

@@ -426,6 +426,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.byte_len == 3 && bad.sample_rate.isEmpty && bad.mean_abs.isEmpty)
   }
 
+  test("resampleAudio2x interpolates midpoints and degrades cleanly") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, WavCodec.encode(8000, Array[Short](1000, -1000, 500, -500))),
+      (2L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.resampleAudio2x(media).collect().sortBy(_.id)
+    val ok = out(0)
+    // out = [1000, 0, -1000, -250, 500, 0, -500]; |out| mean = 3250/7
+    assert(ok.src_rate.contains(8000) && ok.dst_rate.contains(16000))
+    assert(ok.n_out.contains(7))
+    assert(ok.mean_abs.contains(3250.0 / 7) && ok.peak_abs.contains(1000.0))
+    val bad = out(1)
+    assert(bad.src_rate.isEmpty && bad.n_out.isEmpty && bad.mean_abs.isEmpty,
+      "malformed payload nulls features, never fails the pipeline")
+  }
+
   test("Y4M codec round-trips frames exactly across colorspaces") {
     import graft.operators.Y4mCodec
     for (cs <- Seq("mono", "420", "422", "444")) {

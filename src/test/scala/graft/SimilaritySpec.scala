@@ -614,6 +614,40 @@ class SimilaritySpec extends AnyFunSuite {
       "range search must equal the unbounded top-k filtered at the same threshold")
   }
 
+  test("e31 pre-filters candidates, never post-filters the top-k") {
+    val langs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive IVF candidates (same cells/probes as e31), pre-filter
+    // re-rank locally
+    val n = emb.count().toInt
+    val all = Similarity.ivfTopK(emb, queries, k = n).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cos")))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.filter(t => langs.get(t._2).contains("en"))
+        .sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((_, cid, cos), i) => (qid, i + 1, cid, cos) }.toSeq
+    }.toSet
+    val out = SparkEntry.queries("e31_filtered_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == expected,
+      "e31 must equal the pre-filter re-rank of the exhaustive candidates")
+    out.foreach { case (_, _, cid, _) =>
+      assert(langs.get(cid).contains("en"), "every hit must satisfy the filter")
+    }
+    // the trap e31 avoids: post-filtering the unfiltered top-10 loses
+    // rows whenever it contains other-language hits
+    val post = all.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.sortBy(t => (-t._3, t._2)).take(10)
+        .count(t => langs.get(t._2).contains("en"))
+    }
+    val pre = out.groupBy(_._1).view.mapValues(_.length)
+    assert(post.forall { case (qid, c) => c <= pre.getOrElse(qid, 0) })
+    assert(post.exists { case (qid, c) => c < pre.getOrElse(qid, 0) },
+      "fixture should exhibit the post-filter deficit on some query")
+  }
+
   test("e30 sweep is monotone in nprobe and matches the e1/e3 composition") {
     val rows: Map[(Int, Long), Double] =
       SparkEntry.queries("e30_nprobe_recall")(spark, sf).collect()
