@@ -399,6 +399,47 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // corpus-wide exact LINE dedup (the C4/RefinedWeb line-level pass,
+    // complementing d18's 20-token blocks): every line keeps ONLY its
+    // first occurrence across the WHOLE corpus — (smallest doc_id,
+    // then smallest line index) — and documents reassemble from their
+    // surviving lines. Boilerplate lines shared by every page collapse
+    // to one global keeper; exact-duplicate pages lose all their lines
+    // to the earlier copy. Pages synthesize multi-line from doc text
+    // (the d23 pattern: 2 content + 2 boilerplate lines). Only (hash
+    // of line → the 16-byte (doc_id, idx) winner) crosses the line
+    // exchange conceptually — here lines are short so they ride the
+    // shuffle directly; the keeper rule is one row_number window, the
+    // reassembly one grouped sort-collect. Docs with zero surviving
+    // lines stay in the output (empty text) via the left join.
+    "d57_line_dedup" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = split(trim(col("text")), "\\s+")
+      val lines = array(
+        concat(array_join(slice(words, 1, 8), " "), lit(".")),
+        lit("click here to continue"),
+        concat(array_join(slice(words, 9, 4), " "), lit(" today!")),
+        lit("terms of service apply"))
+      val docs = table(s, d, "documents")
+      val exploded = docs
+        .select(col("doc_id"), posexplode(lines).as(Seq("line_idx", "line")))
+      val kept = exploded
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("line").orderBy("doc_id", "line_idx")))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("line_idx"),
+              col("line")))), x => x("line")), "\n").as("clean_text"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_lines_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // bigram language-model score (KenLM-lite): each document scored
     // by the mean corpus frequency of its bigrams — the fluency /
     // typicality signal quality filters threshold on. Two keyed
@@ -3144,6 +3185,34 @@ object DocQueries {
         |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE)
         |    AS chars_per_token
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d57: the d23 page synthesis, a ROW_NUMBER keeper window over
+    // (line → doc_id, line_idx), ORDER BY string_agg reassembly, and
+    // a left join to keep zero-line docs; BIGINT coalesce on the count
+    "d57_line_dedup" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |pg AS (SELECT doc_id, [
+        |    array_to_string(w[1:8], ' ') || '.',
+        |    'click here to continue',
+        |    array_to_string(w[9:12], ' ') || ' today!',
+        |    'terms of service apply'] AS lines FROM t),
+        |l0 AS (SELECT doc_id, lines,
+        |    unnest(generate_series(0, 3)) AS li FROM pg),
+        |l AS (SELECT doc_id, CAST(li AS INTEGER) AS line_idx,
+        |    lines[li + 1] AS line FROM l0),
+        |kept AS (SELECT doc_id, line_idx, line FROM (
+        |  SELECT doc_id, line_idx, line,
+        |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM l) k WHERE rn = 1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d51: the d33 logit fold and the d36 Gopher stats in one CTE chain
     // (both oracles hash-green on their own, so the shared doubles are

@@ -442,6 +442,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("d57 line dedup keeps first occurrences and reassembles docs") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def page(text: String): Seq[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      Seq(w.take(8).mkString(" ") + ".",
+        "click here to continue",
+        w.slice(8, 12).mkString(" ") + " today!",
+        "terms of service apply")
+    }
+    val allLines = docs.toSeq.flatMap { case (id, t) =>
+      page(t).zipWithIndex.map { case (ln, i) => (ln, id, i) } }
+    val keepers = allLines.groupBy(_._1).map { case (_, occ) =>
+      occ.minBy(o => (o._2, o._3)) }.toSet
+    val expected = docs.map { case (id, t) =>
+      val kept = page(t).zipWithIndex
+        .filter { case (ln, i) => keepers.contains((ln, id, i)) }
+      id -> ((kept.size.toLong, kept.map(_._1).mkString("\n")))
+    }
+    val out = SparkEntry.queries("d57_line_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == expected)
+    // the two boilerplate lines must survive exactly once corpus-wide
+    val boiler = Seq("click here to continue", "terms of service apply")
+    boiler.foreach { b =>
+      val n = out.values.count(_._2.split("\n").contains(b))
+      assert(n == 1, s"boilerplate '$b' must collapse to one global keeper")
+    }
+  }
+
   test("d53 funnel equals the conjunction of its oracle-green member gates") {
     val raw = graft.sources.Tables.table(spark, sf, "documents").count()
     val gopher = SparkEntry.queries("d36_gopher_rules")(spark, sf)
