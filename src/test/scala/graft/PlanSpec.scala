@@ -641,4 +641,74 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "no round may sort-merge the edge or vector side against the tiny frontier")
   }
+
+  test("d51: both signals in the scan projection; the range row broadcasts") {
+    val p = plan("d51_quality_calibration")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row [mn,mx] join must broadcast")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must not cross a shuffle")
+  }
+
+  test("d52: gram counts prune to duplicates before the join back; text never shuffles") {
+    val p = plan("d52_dup_density")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"),
+      "only (id, gram-hash) rows may cross the dedup-density shuffles")
+  }
+
+  test("d53: one md5-hash exchange carries the funnel; raw text stays in the scan") {
+    val p = plan("d53_pipeline_funnel")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .mkString.replace("text_hash", "")
+    assert(!exchanges.contains("text"),
+      "only the md5 hash (not document text) may key the funnel exchange")
+  }
+
+  test("d54/d55: chunking and span corruption are pure in-row maps — no key shuffle") {
+    for (name <- Seq("d54_rag_chunks", "d55_span_corruption")) {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name must not shuffle before the final sort")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("d56: fertility aggregates integer partials below the lang exchange") {
+    val p = plan("d56_tokenizer_fertility")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"), "expected map-side partial aggregation")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must not cross a shuffle")
+  }
+
+  test("d57: the keeper window keys on lines, never whole documents") {
+    val p = plan("d57_line_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "expected the first-occurrence keeper window")
+  }
+
+  test("e30: every sweep point rides equi-joins and partial top-k windows") {
+    val p = plan("e30_nprobe_recall")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must plan as WindowGroupLimit")
+  }
+
+  test("e31: the metadata filter lands before a WindowGroupLimit top-k") {
+    val p = plan("e31_filtered_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "the post-filter rank<=10 must plan as WindowGroupLimit")
+  }
+
+  test("m16: resample is per-partition decode — payloads never cross a shuffle") {
+    val p = plan("m16_audio_resample")
+    assert(!p.contains("hashpartitioning"),
+      "the resample pipeline must be shuffle-free before the final sort")
+  }
 }
