@@ -1846,6 +1846,60 @@ object Multimodal {
     }
   }
 
+  /** VAD report of one clip; a malformed payload yields null fields
+    * (null-not-fail), a decodable clip shorter than one frame reports
+    * n_frames 0 with null activity fields. */
+  final case class VadStats(
+      id: Long, n_frames: Option[Int], n_voiced: Option[Int],
+      n_segments: Option[Int], voiced_ratio: Option[Double])
+
+  /** Energy-threshold voice-activity detection over (id, wavPayload)
+    * rows — the segmentation pass an audio-training pipeline runs to
+    * drop silence and count speech segments before feature extraction.
+    * The clip splits into fixed `frameLen`-sample frames (trailing
+    * partial frame dropped); a frame is VOICED iff its |sample| sum
+    * exceeds HALF the mean frame sum of the clip — as an exact integer
+    * comparison (2·frameSum·nFrames > totalSum), so the verdict is
+    * bit-deterministic cross-engine with no double thresholds. A
+    * segment is a maximal voiced run (counted at its start frame).
+    * Same per-partition decode shape as [[audioStats]]: one codec
+    * context per task, payloads never shuffle. */
+  def vadStats(media: Dataset[(Long, Array[Byte])],
+               frameLen: Int = 100): Dataset[VadStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        WavCodec.decode(payload) match {
+          case Some(a) if a.samples.length >= frameLen =>
+            val nf = a.samples.length / frameLen
+            val fs = new Array[Long](nf)
+            var tot = 0L
+            var f = 0
+            while (f < nf) {
+              var s = 0L
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) { s += math.abs(a.samples(i).toLong); i += 1 }
+              fs(f) = s; tot += s; f += 1
+            }
+            var voiced = 0
+            var segs = 0
+            var prev = false
+            f = 0
+            while (f < nf) {
+              val v = 2L * fs(f) * nf > tot
+              if (v) { voiced += 1; if (!prev) segs += 1 }
+              prev = v; f += 1
+            }
+            VadStats(id, Some(nf), Some(voiced), Some(segs),
+              Some(voiced.toDouble / nf))
+          case Some(_) => VadStats(id, Some(0), None, None, None)
+          case None    => VadStats(id, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** Typed features of one SAMPLED video frame; a malformed payload
     * yields a single row with null frame fields (null-not-fail). */
   final case class VideoFrameFeatures(

@@ -1061,6 +1061,33 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (the DPR/
+    * ANCE data-prep step): per query, the top-`k` HIGHEST-cosine
+    * candidates strictly BELOW the `maxCos` near-dup ceiling — the
+    * examples just outside the duplicate boundary are the ones a
+    * contrastive loss learns the most from, while anything at or above
+    * the ceiling is a probable positive/near-dup that would poison the
+    * negative set (a "false negative" in the published sense).
+    *
+    * Shape: the proven [[ivfTopK]] cell equi-join nominates candidates
+    * (broadcast query side, no all-pairs path), the ceiling filter runs
+    * BEFORE the per-query window, so excluded near-dups never enter the
+    * top-k sort state. At 100 TB this is the e3 plan plus one stateless
+    * predicate. */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                       maxCos: Double, nlist: Int = 16,
+                       nprobe: Int = 4): DataFrame = {
+    val centScores = centScoresFor(bootCentroids(corpus, nlist)) _
+    val scored = cellAssign(corpus, centScores)
+      .join(broadcast(ivfQueries(queries, centScores, nlist, nprobe)), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** The deterministic centroid bootstrap (first `nlist` vectors by
     * id) — bounded collect, not data movement. */
   private def bootCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =

@@ -615,6 +615,33 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // voice-activity detection — the silence-segmentation pass an
+    // audio-training pipeline runs before feature extraction: clips
+    // alternate loud/quiet 100-sample blocks aligned with the VAD
+    // frames (every 3rd frame quiet), so the report exercises both
+    // verdicts and real run boundaries. The voiced rule is an exact
+    // integer comparison (2·frameSum·nFrames > totalSum — half the mean
+    // frame energy), bit-deterministic cross-engine; same per-partition
+    // decode shape as m3/m13, payloads never shuffle.
+    "m17_vad" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val n = (600 + (id % 4) * 100).toInt
+          val pcm = Array.tabulate[Short](n) { i =>
+            (if ((i / 100 + id) % 3 == 0) (id * 7 + i * 13) % 41 - 20
+             else (id * 37 + i * 13) % 2003 - 1001).toShort
+          }
+          (id, graft.operators.WavCodec.encode(8000, pcm))
+        }
+      graft.operators.Multimodal.vadStats(media)
+        .toDF()
+        .select(col("id"), col("n_frames"), col("n_voiced"),
+          col("n_segments"), col("voiced_ratio"))
+        .orderBy("id")
+    },
+
     // REAL COMPRESSED image decode #3: baseline JPEG through the
     // from-scratch Huffman/IDCT JpegCodec. Payloads are genuine JPEGs
     // written by the JVM's independent ImageIO encoder per executor
@@ -1807,6 +1834,77 @@ object DocQueries {
     // bucket at an exact power), over-4096 sequences truncate and are
     // counted. One narrow projection + an 8-row agg; one double
     // division for utilization at the very end.
+    // curriculum scheduling — the data-ORDERING step after curation:
+    // phase 1 = the top quality tertile (clean text first), phase 3 =
+    // the tail, each phase deterministically shuffled via the d38
+    // multiplicative hash so shard order is replayable. Deliberately
+    // NO global row_number: a dense global position is a single-
+    // partition window at 100 TB — the loader consumes shards sorted
+    // by (phase, shuffle_key), which is exactly what this emits.
+    // Thresholds are ONE exact-percentile row broadcast over the d2
+    // in-row score chain (the d48/q26 quantile precedent), so the plan
+    // is one scan + one 1-row broadcast.
+    "d58_curriculum_order" -> q { (s, d) =>
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordCount(col("text")).as("n_stop"),
+          Text.punctCount(col("text")).as("n_punct"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+          when(col("n_chars") === 0, lit(0.0))
+            .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
+            .as("punct_ratio"))
+        .select(col("doc_id"),
+          Text.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("score"))
+      val th = scored.agg(
+        expr("percentile(score, 0.3333333333333333D)").as("t1"),
+        expr("percentile(score, 0.6666666666666666D)").as("t2"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("score"),
+          when(col("score") >= col("t2"), lit(1))
+            .when(col("score") >= col("t1"), lit(2))
+            .otherwise(lit(3)).as("phase"),
+          pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)).as("shuffle_key"))
+        .orderBy("phase", "shuffle_key", "doc_id")
+    },
+
+    // epoch mixture MATERIALIZATION — the upsampling complement of
+    // d38's subsample, on the published axis: per-LANGUAGE targets
+    // equalize toward the largest language under a sqrt temperature
+    // (target = ⌊√(maxcnt·cnt)⌋ — the mC4/XLM-R α=0.5 language-
+    // balancing shape, in d38's overflow-safe integer arithmetic with
+    // NO cross-row double sums), so rare languages repeat (de/es/fr/zh
+    // get 1-2 copies against the en majority) and the epoch is emitted
+    // as real (doc_id, copy) rows via an in-row sequence explode. The
+    // fractional residual picks docs by hash threshold
+    // (hash % cnt < target % cnt) instead of an exact per-language
+    // rank — a rank is a single-partition window per language at
+    // 100 TB, while the threshold is stateless and lands within
+    // O(√cnt) of the target. Plan: one scan + one tiny per-language
+    // agg broadcast back + explode.
+    "d59_epoch_upsample" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val docs = table(s, d, "documents")
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val m = c.agg(max(col("cnt")).as("maxcnt"))
+      val t = c.crossJoin(broadcast(m))
+        .select(col("lang"), col("cnt"),
+          floor(sqrt(col("maxcnt").cast(DoubleType) * col("cnt").cast(DoubleType)))
+            .cast(LongType).as("target"))
+      docs.join(broadcast(t), "lang")
+        .select(col("doc_id"), col("lang"),
+          (expr("target DIV cnt") +
+            when(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % col("cnt")
+              < col("target") % col("cnt"), lit(1L)).otherwise(lit(0L)))
+            .as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
     "d43_length_buckets" -> q { (s, d) =>
       import org.apache.spark.sql.types.{DoubleType, LongType}
       val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
@@ -2184,6 +2282,52 @@ object DocQueries {
         |  < t.target * 1000003
         |GROUP BY d.source, t.cnt, t.target
         |ORDER BY d.source""".stripMargin,
+
+    // the d2 score chain + quantile_cont tertiles (≡ Spark percentile,
+    // the d48 precedent) + the d38 multiplicative hash
+    "d58_curriculum_order" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    0.4*stop_ratio + 0.3*(1.0 - punct_ratio) + 0.3*least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS score
+        |  FROM (
+        |    SELECT doc_id, n_tokens,
+        |      CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |      CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS punct_ratio
+        |    FROM (
+        |      SELECT doc_id,
+        |        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          w -> w IN ('the','a','and','of','to','in'))) AS n_stop,
+        |        length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |        length(text) AS n_chars
+        |      FROM documents) x) y),
+        |th AS (SELECT quantile_cont(score, 0.3333333333333333) AS t1,
+        |              quantile_cont(score, 0.6666666666666666) AS t2 FROM scored)
+        |SELECT doc_id, score,
+        |  CASE WHEN score >= t2 THEN CAST(1 AS INTEGER)
+        |       WHEN score >= t1 THEN CAST(2 AS INTEGER)
+        |       ELSE CAST(3 AS INTEGER) END AS phase,
+        |  (doc_id * 2654435761) % 2147483647 AS shuffle_key
+        |FROM scored CROSS JOIN th
+        |ORDER BY phase, shuffle_key, doc_id""".stripMargin,
+
+    // d38's integer target arithmetic equalizing toward the largest
+    // language, materialized to copies via // and the hash residual
+    "d59_epoch_upsample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT MAX(cnt) AS maxcnt FROM c),
+        |t AS (SELECT lang, cnt,
+        |    CAST(floor(sqrt(CAST(maxcnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS BIGINT) AS target
+        |  FROM c CROSS JOIN m),
+        |k AS (
+        |  SELECT d.doc_id, d.lang,
+        |    t.target // t.cnt +
+        |      CASE WHEN ((d.doc_id * 2654435761) % 2147483647) % t.cnt < t.target % t.cnt
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN t ON d.lang = t.lang)
+        |SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+        |FROM k WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "d39_corpus_diff" ->
       s"""WITH v1 AS (
@@ -2716,6 +2860,35 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, 2*$n - 2),
          |    j -> abs($outj))) AS DOUBLE) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // frame f's |sample| sum and the clip total are exact integer
+    // sums; the voiced rule (2·fs·nf > tot) and the run-start count
+    // replay the kernel bit-for-bit (n is a multiple of 100, so every
+    // sample sits in a full frame)
+    "m17_vad" -> {
+      val nf = "(6 + s_suppkey % 4)"
+      val smp = "(CASE WHEN ((i // 100 + s_suppkey) % 3) = 0 " +
+        "THEN (s_suppkey*7 + i*13) % 41 - 20 " +
+        "ELSE (s_suppkey*37 + i*13) % 2003 - 1001 END)"
+      s"""WITH fr AS (
+         |  SELECT s_suppkey AS id, $nf AS nf,
+         |    list_transform(generate_series(0, $nf - 1),
+         |      f -> list_aggregate(list_transform(
+         |        generate_series(f*100, f*100 + 99), i -> abs($smp)), 'sum')) AS fs
+         |  FROM supplier),
+         |v AS (
+         |  SELECT id, nf,
+         |    list_transform(generate_series(1, nf),
+         |      f -> 2*fs[f]*nf > list_aggregate(fs, 'sum')) AS vf
+         |  FROM fr)
+         |SELECT id,
+         |  CAST(nf AS INTEGER) AS n_frames,
+         |  CAST(len(list_filter(vf, x -> x)) AS INTEGER) AS n_voiced,
+         |  CAST(len(list_filter(generate_series(1, nf),
+         |    f -> vf[f] AND (f = 1 OR NOT vf[f-1]))) AS INTEGER) AS n_segments,
+         |  CAST(len(list_filter(vf, x -> x)) AS DOUBLE) / nf AS voiced_ratio
+         |FROM v ORDER BY id""".stripMargin
     },
 
     // geometry-only oracle by design: JPEG pixel values are decoder-

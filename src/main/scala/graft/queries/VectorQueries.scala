@@ -50,6 +50,20 @@ object VectorQueries {
         .orderBy("q_id", "cand_id")
     },
 
+    // hard-negative mining for contrastive training: top-10 candidates
+    // strictly BELOW the corpus near-dup ceiling (0.2 — the e4
+    // threshold), so probable positives never poison the negative set;
+    // the ceiling filter runs before the per-query window (no excluded
+    // row ever enters top-k sort state); full oracle = e3's chain + the
+    // ceiling predicate
+    "e32_hard_negatives" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfHardNegatives(emb, emb.filter(col("vec_id") < 5),
+          k = 10, maxCos = 0.2)
+        .select("q_id", "rank", "cand_id", "cos")
+        .orderBy("q_id", "rank")
+    },
+
     // IVF with one Lloyd refinement (deterministic sorted-fold means →
     // still a full oracle)
     "e5_ann_ivf_lloyd" -> q { (s, d) =>
@@ -819,6 +833,31 @@ object VectorQueries {
          |  JOIN embeddings b ON b.vec_id = cand.cand_id)
          |SELECT q_id, cand_id, cos FROM scored WHERE cos >= 0.1
          |ORDER BY q_id, cand_id""".stripMargin,
+
+    // e3's chain with the near-dup ceiling applied before the top-10
+    // window — the hard-negative rule as one added predicate
+    "e32_hard_negatives" ->
+      s"""WITH $ivfCellCtes,
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+         |      / (sqrt(${sumSq("a.embedding")}) * sqrt(${sumSq("b.embedding")})) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.q_id
+         |  JOIN embeddings b ON b.vec_id = cand.cand_id)
+         |SELECT q_id, rank, cand_id, cos FROM (
+         |  SELECT q_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored WHERE cos < 0.2) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // the maintained (base + appended delta) index reproduces the
     // full-corpus IVF answer exactly, so the same derivation oracles it

@@ -495,4 +495,53 @@ class DedupSpec extends AnyFunSuite {
       fracs.sliding(2).forall(p => p(1) <= p(0)),
       "retained fraction must start at 1.0 and be monotone non-increasing")
   }
+
+  test("d58 phases follow the quality tertiles; the shuffle key replays the d38 hash") {
+    val out = SparkEntry.queries("d58_curriculum_order")(spark, sf).collect()
+    val total = graft.sources.Tables.table(spark, sf, "documents").count()
+    assert(out.length.toLong == total, "every document gets a curriculum slot")
+    // phase 1 holds the best scores, phase 3 the worst; >= boundaries
+    // mean ties go to the earlier phase
+    val byPhase = out.groupBy(_.getAs[Int]("phase"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Double]("score")) }
+    assert(byPhase.keySet.subsetOf(Set(1, 2, 3)))
+    for { hi <- byPhase.get(1); mid <- byPhase.get(2) }
+      assert(hi.min >= mid.max, "phase 1 scores dominate phase 2")
+    for { mid <- byPhase.get(2); lo <- byPhase.get(3) }
+      assert(mid.min >= lo.max, "phase 2 scores dominate phase 3")
+    assert(byPhase.contains(1) && byPhase.contains(3),
+      "a non-degenerate corpus fills both extreme phases")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("shuffle_key") ==
+        java.lang.Math.floorMod(id * 2654435761L, 2147483647L),
+        s"doc $id shuffle key must be the d38 multiplicative hash")
+    }
+  }
+
+  test("d59 copies equal the integer mixture rule; rare languages genuinely repeat") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cnt = docs.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    val maxcnt = cnt.values.max
+    val target = cnt.map { case (l, c) =>
+      l -> math.floor(math.sqrt(maxcnt.toDouble * c.toDouble)).toLong }
+    val expected = docs.flatMap { case (id, l) =>
+      val c = cnt(l)
+      val t = target(l)
+      val n = t / c +
+        (if (java.lang.Math.floorMod(id * 2654435761L, 2147483647L) % c < t % c) 1L
+         else 0L)
+      (1L to n).map(k => (id, l, k))
+    }.toSet
+    val out = SparkEntry.queries("d59_epoch_upsample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == expected, "epoch rows must equal the local mixture derivation")
+    assert(out.groupBy(_._1).values.exists(_.size > 1),
+      "the skewed language mix must make some document carry a second copy")
+    // every document survives with at least its first copy (targets
+    // equalize toward the majority, they never drop below 1 per doc)
+    assert(out.map(_._1) == docs.map(_._1).toSet)
+  }
 }

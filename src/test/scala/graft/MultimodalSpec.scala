@@ -827,6 +827,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L).n_samples.isEmpty, "malformed payload nulls, never fails")
   }
 
+  test("vadStats: voiced rule, run starts, and degenerate clips match a local fold") {
+    import spark.implicits._
+    // 5 frames of 100 samples: loud, quiet, quiet, loud, loud
+    // (amp 1000 vs 10) — voiced = {0, 3, 4}, segments = {0, 3..4} = 2
+    val mix = Array.tabulate[Short](500) { i =>
+      val loud = Set(0, 3, 4).contains(i / 100)
+      (if (loud) (if (i % 2 == 0) 1000 else -1000) else (if (i % 2 == 0) 10 else -10)).toShort
+    }
+    val flat = Array.fill[Short](300)(800) // all frames equal ⇒ none beats half the mean? 2·fs·nf > tot with fs=tot/nf ⇒ 2>1 ⇒ ALL voiced, 1 segment
+    val media = Seq(
+      (1L, WavCodec.encode(8000, mix)),
+      (2L, WavCodec.encode(8000, flat)),
+      (3L, WavCodec.encode(8000, Array.tabulate[Short](150)(i => (i % 7).toShort))), // 1 full frame, trailing 50 dropped
+      (4L, WavCodec.encode(8000, Array.fill[Short](40)(5))), // shorter than one frame
+      (5L, Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.vadStats(media).collect().map(s => s.id -> s).toMap
+    // independent local fold over the mix clip
+    val fs = (0 until 5).map(f => (0 until 100).map(i => math.abs(mix(f * 100 + i).toLong)).sum)
+    val tot = fs.sum
+    val vf = fs.map(s => 2L * s * 5 > tot)
+    assert(vf == Seq(true, false, false, true, true))
+    assert(out(1L).n_frames.contains(5) && out(1L).n_voiced.contains(3))
+    assert(out(1L).n_segments.contains(2), "two maximal voiced runs")
+    assert(out(1L).voiced_ratio.contains(3.0 / 5))
+    // uniform energy: every frame beats HALF the mean ⇒ one voiced run
+    assert(out(2L).n_voiced.contains(3) && out(2L).n_segments.contains(1))
+    // a single frame always beats half its own mean
+    assert(out(3L).n_frames.contains(1) && out(3L).n_voiced.contains(1))
+    assert(out(4L).n_frames.contains(0) && out(4L).n_voiced.isEmpty,
+      "sub-frame clip reports zero frames with null activity")
+    assert(out(5L).n_frames.isEmpty, "malformed payload nulls, never fails")
+  }
+
   test("IMA ADPCM reconstructs slope-{0,±1,±3,±4} ramps bit-exactly (the m12 oracle contract)") {
     for (slope <- Seq(0, 1, 3, 4, -1, -3, -4); a <- Seq(-500, 0, 77, 499)) {
       val n = 271 // spans 5 blocks at blockAlign 32 (57 samples/block)

@@ -711,4 +711,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       "the resample pipeline must be shuffle-free before the final sort")
   }
+
+  test("d58: tertile thresholds broadcast over the in-row score chain") {
+    val p = plan("d58_curriculum_order")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row threshold side must broadcast, never sort-merge")
+    // the only hash exchange allowed is the percentile aggregation's
+    // single-group collapse; the scored corpus itself never re-keys
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must never cross a shuffle")
+  }
+
+  test("d59: per-language stats broadcast back; the epoch explode is in-row") {
+    val p = plan("d59_epoch_upsample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-language target table must broadcast into the corpus scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), "expected the sequence explode")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must never cross a shuffle")
+  }
+
+  test("e32: the near-dup ceiling filters before a WindowGroupLimit top-k") {
+    val p = plan("e32_hard_negatives")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "the ceiling-filtered rank<=10 must plan as WindowGroupLimit")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the query side should broadcast into the cell equi-join")
+  }
+
+  test("m17: VAD is per-partition decode — payloads never cross a shuffle") {
+    val p = plan("m17_vad")
+    assert(!p.contains("hashpartitioning"),
+      "the VAD pipeline must be shuffle-free before the final sort")
+  }
 }

@@ -671,4 +671,44 @@ class SimilaritySpec extends AnyFunSuite {
         s"nprobe=4 recall for query $qid must equal the e1/e3 composition")
     }
   }
+
+  test("e32 hard negatives: planted near-dup is ranked by top-k but never mined") {
+    import spark.implicits._
+    // corpus: the real embeddings PLUS a near-identical copy of query 0
+    // (vec_id 0 scaled by 1.01 with one component nudged — cosine with
+    // the query ≈ 1, far above any real candidate)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val dup = q0.clone(); dup(0) = dup(0) + 0.001f
+    val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((maxId + 1, dup.toSeq)).toDF("vec_id", "embedding"))
+    val qs = corpus.filter(col("vec_id") < 5)
+    val topk = Similarity.ivfTopK(corpus, qs, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+    assert(topk.contains((0L, maxId + 1)),
+      "the planted near-dup must dominate query 0's plain top-k")
+    val hard = Similarity.ivfHardNegatives(corpus, qs, k = 10, maxCos = 0.2)
+      .collect()
+    assert(!hard.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+        .contains((0L, maxId + 1)),
+      "the near-dup must never poison the negative set")
+    // survivors are the best-of-the-rest: equal to the unbounded top-k
+    // filtered at the ceiling then re-ranked
+    val n = corpus.count().toInt
+    val expected = Similarity.ivfTopK(corpus, qs, k = n).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cos")))
+      .filter(_._3 < 0.2)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((_, cid, cos), i) => (qid, i + 1, cid, cos) }
+      }.toSet
+    val got = hard.map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("cand_id"), r.getAs[Double]("cos"))).toSet
+    assert(got == expected,
+      "hard negatives must equal the ceiling-filtered re-rank of all candidates")
+    hard.foreach(r => assert(r.getAs[Double]("cos") < 0.2,
+      "every mined negative sits strictly below the ceiling"))
+  }
 }
