@@ -487,4 +487,48 @@ object Dedup {
       .select(col("b_id").as(idCol)).distinct()
     dh.join(vsIndex.union(withinDelta).distinct(), Seq(idCol), "left_anti")
   }
+
+  /** 1L << b for b in 0..63 — a 64-long literal lookup so the bit
+    * test stays pure column API (no expr strings, no UDF). */
+  private val BitMasks: Array[Long] = Array.tabulate(64)(1L << _)
+
+  /** Build a Bloom-filter bitmap over a key column: k positions per
+    * key (xxhash64 seeded by the probe index), OR-folded into
+    * `numBits/64` words by a keyed bit_or aggregate. The collect is
+    * BOUNDED at numBits/64 longs (e.g. 128 for 8192 bits) — the
+    * centroid-bootstrap discipline, a constant independent of corpus
+    * size, not data movement. At 100 TB the filter this returns is the
+    * broadcast side of the delta screen; size numBits at ~10 bits per
+    * historical key (the standard 1% fp-rate budget) while it fits the
+    * broadcast ceiling, and shard by key range beyond that. */
+  def bloomBuild(keys: DataFrame, keyCol: String,
+                 numBits: Int, k: Int): Array[Long] = {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be a multiple of 64")
+    require(k >= 1, "need at least one probe")
+    val pos = explode(array((0 until k).map(j =>
+      pmod(xxhash64(col(keyCol), lit(j)), lit(numBits.toLong))): _*))
+    val words = keys.select(pos.as("pos"))
+      .select(shiftrightunsigned(col("pos"), 6).cast("int").as("w"),
+        element_at(typedlit(BitMasks),
+          pmod(col("pos"), lit(64L)).cast("int") + 1).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("word"))
+      .collect()
+    val bits = new Array[Long](numBits / 64)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    bits
+  }
+
+  /** Membership probe against a [[bloomBuild]] bitmap: true if ALL k
+    * seeded positions are set (no false negatives; false positives at
+    * the sized rate). One in-row expression over a broadcast array
+    * literal — stateless, codegen-friendly, zero shuffle. */
+  def bloomMightContain(bits: Array[Long], key: Column,
+                        numBits: Int, k: Int): Column =
+    (0 until k).map { j =>
+      val pos = pmod(xxhash64(key, lit(j)), lit(numBits.toLong))
+      (element_at(typedlit(bits),
+        shiftrightunsigned(pos, 6).cast("int") + 1)
+        .bitwiseAND(element_at(typedlit(BitMasks),
+          pmod(pos, lit(64L)).cast("int") + 1)) =!= 0L)
+    }.reduce(_ && _)
 }

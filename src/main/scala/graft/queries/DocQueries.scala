@@ -1203,6 +1203,45 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-screened incremental exact dedup — the Dolma-style delta
+    // screen: a re-crawl batch probes a BLOOM FILTER of the historical
+    // text hashes (a broadcast bitmap whose size is set by the key
+    // count, NOT the corpus — kilobytes here, ~10 bits/key at scale)
+    // so only might-contain suspects pay the join against the real
+    // hash index; definite misses bypass it entirely. At 100 TB the
+    // delta's join probe side shrinks to the suspected-dup fraction,
+    // and the result stays EXACT: Bloom has no false negatives, and
+    // every false positive is resolved by the confirm join (so the
+    // oracle is the plain join logic — the filter is invisible in the
+    // answer, visible only in the plan). Delta synthesis (the d39
+    // two-generation pattern): every doc_id%3==0 doc re-ingests
+    // verbatim (a true dup), every doc_id%3==1 doc arrives revised
+    // (new hash, must pass).
+    "d60_bloom_dedup" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val hist = docs.select(col("doc_id"), md5(lower(col("text"))).as("h"))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("rev2 "), col("text")).as("text")))
+        .select(col("doc_id"), md5(lower(col("text"))).as("h"))
+      val bits = Dedup.bloomBuild(hist.select("h"), "h", numBits = 8192, k = 3)
+      val screened = delta.withColumn("might",
+        Dedup.bloomMightContain(bits, col("h"), numBits = 8192, k = 3))
+      val keepers = hist.groupBy("h").agg(min(col("doc_id")).as("dup_of"))
+      val confirmed = screened.filter(col("might"))
+        .join(keepers, Seq("h"), "left_outer")
+        .select(col("doc_id"), col("h"), col("dup_of"))
+      val bypassed = screened.filter(!col("might"))
+        .select(col("doc_id"), col("h"),
+          lit(null).cast("long").as("dup_of"))
+      confirmed.union(bypassed)
+        .select(col("doc_id"), col("h"), col("dup_of"),
+          col("dup_of").isNotNull.cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // model-based quality filtering (the CCNet/GPT-3/FineWeb classifier
     // gate): LINEAR CLASSIFIER INFERENCE over hashed token features —
     // feature = polyHash(token) mod 1024 buckets, fixed deterministic
@@ -1905,6 +1944,56 @@ object DocQueries {
         .orderBy("doc_id", "copy")
     },
 
+    // DSIR-style data selection (arXiv:2302.03169): importance weight
+    // of each document under hashed-bigram models of a TARGET corpus
+    // (here the lang='en' slice — the high-quality reference) vs the
+    // RAW corpus, select the top quartile. Deterministic re-expression
+    // of the published estimator: instead of Σ log p̂_t/p̂_r (libm log
+    // ulps fork cross-engine), the score is the ratio of two EXACT
+    // integer sums — Σ(target_cnt[bkt]+1) / Σ(raw_cnt[bkt]+1) over the
+    // doc's bigram buckets (add-one smoothing; one double division at
+    // the end, the log-free rule). Scale shape: pass 1 builds the two
+    // 1024-bucket count models (a 1024-row aggregate — the collect is
+    // BOUNDED at the bucket count, the centroid/bloom discipline) and
+    // pass 2 scores IN-ROW against the broadcast array literals — at
+    // 100 TB the model is an artifact and scoring runs at scan speed,
+    // exactly the streamPerplexityRoute posture. Threshold = one exact
+    // percentile row broadcast (the d48 precedent).
+    "d61_dsir_select" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val docs = table(s, d, "documents")
+      val bg = docs.select(col("lang"),
+          explode(graft.functions.Native.wordShingles(
+            Text.tokens(lower(col("text"))), 2)).as("bigram"))
+        .select(col("lang"),
+          (graft.functions.Native.polyHash(col("bigram"), 1000003L)
+            % lit(1024L)).as("bkt"))
+      def model(df: DataFrame): Array[Long] = {
+        val a = new Array[Long](1024)
+        df.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
+          .foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+        a
+      }
+      val tArr = model(bg.filter(col("lang") === "en"))
+      val rArr = model(bg)
+      val bkts = transform(
+        graft.functions.Native.wordShingles(Text.tokens(lower(col("text"))), 2),
+        b => (graft.functions.Native.polyHash(b, 1000003L) % lit(1024L))
+          .cast("int"))
+      def fold(arr: Array[Long]) = aggregate(bkts, lit(0L),
+        (acc, k) => acc + element_at(typedlit(arr), k + 1) + lit(1L))
+      val scored = docs.select(col("doc_id"),
+          fold(tArr).as("t_sum"), fold(rArr).as("r_sum"))
+        .select(col("doc_id"), col("t_sum"), col("r_sum"),
+          (col("t_sum").cast(DoubleType) / col("r_sum").cast(DoubleType))
+            .as("score"))
+      val th = scored.agg(expr("percentile(score, 0.75D)").as("t"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("t_sum"), col("r_sum"), col("score"),
+          (col("score") >= col("t")).cast("int").as("selected"))
+        .orderBy("doc_id")
+    },
+
     "d43_length_buckets" -> q { (s, d) =>
       import org.apache.spark.sql.types.{DoubleType, LongType}
       val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
@@ -2328,6 +2417,37 @@ object DocQueries {
         |SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
         |FROM k WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // the d48 bigram chain + the d33 polyHash bucket + exact integer
+    // sums with add-one smoothing; one double division, quantile_cont
+    // threshold (≡ Spark percentile)
+    "d61_dsir_select" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) a),
+        |h AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(bigram, ''),
+        |        c2 -> CAST(ascii(c2) AS BIGINT))),
+        |      (x, y) -> (x*31 + y) % 1000003) % 1024 AS bkt
+        |  FROM b),
+        |tc AS (SELECT bkt, COUNT(*) AS tcnt FROM h WHERE lang = 'en' GROUP BY bkt),
+        |rc AS (SELECT bkt, COUNT(*) AS rcnt FROM h GROUP BY bkt),
+        |s AS (SELECT h.doc_id,
+        |    CAST(SUM(COALESCE(tc.tcnt, 0) + 1) AS BIGINT) AS t_sum,
+        |    CAST(SUM(COALESCE(rc.rcnt, 0) + 1) AS BIGINT) AS r_sum
+        |  FROM h LEFT JOIN tc USING (bkt) LEFT JOIN rc USING (bkt)
+        |  GROUP BY h.doc_id),
+        |sc AS (SELECT doc_id, t_sum, r_sum,
+        |    CAST(t_sum AS DOUBLE)/CAST(r_sum AS DOUBLE) AS score FROM s),
+        |th AS (SELECT quantile_cont(score, 0.75) AS t FROM sc)
+        |SELECT doc_id, t_sum, r_sum, score,
+        |  CASE WHEN score >= t THEN 1 ELSE 0 END AS selected
+        |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
 
     "d39_corpus_diff" ->
       s"""WITH v1 AS (
@@ -3210,6 +3330,22 @@ object DocQueries {
     // so the drop set is exact: an odd doc drops iff ANY pair links it
     // to an even doc (either side — the whole index screens) or to a
     // SMALLER odd doc (the delta keeps earliest arrivals)
+    // exact semantics regardless of Bloom false positives: the filter
+    // only prunes the plan, never the answer — plain left join logic
+    "d60_bloom_dedup" ->
+      """WITH hist AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+        |delta AS (
+        |  SELECT doc_id + 100000 AS doc_id, md5(lower(text)) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, md5(lower('rev2 ' || text)) AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |k AS (SELECT h, MIN(doc_id) AS dup_of FROM hist GROUP BY h)
+        |SELECT d.doc_id, d.h, k.dup_of,
+        |  CASE WHEN k.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM delta d LEFT JOIN k ON d.h = k.h
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d34_incremental_dedup" ->
       s"""WITH $simhashPairsChain,
          |dropped AS (

@@ -282,6 +282,28 @@ object Pipelines {
       .drop("cnt", "target")
   }
 
+  /** Ingest-time epoch upsampling — the d59 streaming twin: arriving
+    * documents expand into their epoch copies against a batch-trained
+    * per-language mixture artifact (lang, cnt, target — the d59
+    * aggregate, shipped to the stream exactly like streamCellRoute
+    * ships centroids); the copy rule is the SAME integer arithmetic
+    * (target DIV cnt base copies + the hash-thresholded fractional
+    * residual), so stream and batch epochs cannot drift. Unknown
+    * languages pass through with one copy — the mixture never drops a
+    * document at ingest. Stateless and shuffle-free: one broadcast
+    * left join + an in-row sequence explode, replay-deterministic. */
+  def streamEpochUpsample(stream: DataFrame, langTargets: DataFrame): DataFrame = {
+    val nCopies = when(col("cnt").isNull, lit(1L)).otherwise(
+      expr("target DIV cnt") +
+        when(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % col("cnt")
+          < col("target") % col("cnt"), lit(1L)).otherwise(lit(0L)))
+    stream.join(broadcast(langTargets), Seq("lang"), "left_outer")
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("cnt", "target", "n_copies")
+  }
+
   /** Ingest-time BM25 keyword screen — the streaming twin of the batch
     * `d29_bm25` retrieval query: arriving documents score against a
     * FIXED term list with df/corpus stats baked in as literals

@@ -496,6 +496,80 @@ class DedupSpec extends AnyFunSuite {
       "retained fraction must start at 1.0 and be monotone non-increasing")
   }
 
+  test("bloom screen: no false negatives, in-band fp rate, d60 equals the exact join") {
+    import spark.implicits._
+    val keys = (1 to 200).map(i => s"key_$i").toDF("h")
+    val bits = Dedup.bloomBuild(keys, "h", numBits = 8192, k = 3)
+    val members = keys.withColumn("m",
+      Dedup.bloomMightContain(bits, col("h"), numBits = 8192, k = 3))
+    assert(members.filter(!col("m")).count() == 0,
+      "a Bloom filter never false-negatives an inserted key")
+    val fp = (1 to 1000).map(i => s"other_$i").toDF("h")
+      .withColumn("m", Dedup.bloomMightContain(bits, col("h"), numBits = 8192, k = 3))
+      .filter(col("m")).count()
+    // sized rate (1-e^(-3*200/8192))^3 ≈ 0.03% — allow generous slack
+    assert(fp < 100, s"fp rate far out of band: $fp/1000")
+    // d60 equals a local exact derivation over the real corpus
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val keepers = docs.groupBy { case (_, t) => h(t) }
+      .map { case (hh, rs) => hh -> rs.map(_._1).min }
+    val expected =
+      (docs.filter(_._1 % 3 == 0).map { case (id, t) => (id + 100000L, h(t)) } ++
+        docs.filter(_._1 % 3 == 1).map { case (id, t) => (id + 200000L, h("rev2 " + t)) })
+        .map { case (id, hh) => (id, hh, keepers.get(hh)) }.toSet
+    val out = SparkEntry.queries("d60_bloom_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out == expected, "the Bloom path must not change the exact answer")
+    assert(out.exists(_._3.isDefined), "verbatim re-ingests must flag as dups")
+    assert(out.exists(_._3.isEmpty), "revised docs must pass the screen")
+  }
+
+  test("d61 DSIR scores equal a local hashed-bigram model; selection is score-monotone") {
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bkt(s: String): Int =
+      (s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000003L)
+        % 1024L).toInt
+    val tCnt = new Array[Long](1024)
+    val rCnt = new Array[Long](1024)
+    docs.foreach { case (_, lang, t) =>
+      bigrams(t).foreach { b =>
+        val k = bkt(b)
+        rCnt(k) += 1
+        if (lang == "en") tCnt(k) += 1
+      }
+    }
+    val expected = docs.map { case (id, _, t) =>
+      val bs = bigrams(t)
+      id -> (bs.map(b => tCnt(bkt(b)) + 1).sum, bs.map(b => rCnt(bkt(b)) + 1).sum)
+    }.toMap
+    val out = SparkEntry.queries("d61_dsir_select")(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (t, rr) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("t_sum") == t && r.getAs[Long]("r_sum") == rr,
+        s"doc ${r.getAs[Long]("doc_id")} sums must match the local model")
+    }
+    // selection is exactly "score >= the 75th percentile": monotone in
+    // score and roughly a quarter of the corpus
+    val sel = out.filter(_.getAs[Int]("selected") == 1).map(_.getAs[Double]("score"))
+    val unsel = out.filter(_.getAs[Int]("selected") == 0).map(_.getAs[Double]("score"))
+    assert(sel.nonEmpty && unsel.nonEmpty && sel.min >= unsel.max)
+    assert(sel.length <= out.length / 2, "top-quartile rule must be selective")
+  }
+
   test("d58 phases follow the quality tertiles; the shuffle key replays the d38 hash") {
     val out = SparkEntry.queries("d58_curriculum_order")(spark, sf).collect()
     val total = graft.sources.Tables.table(spark, sf, "documents").count()

@@ -741,6 +741,24 @@ class PlanSpec extends AnyFunSuite {
       "the query side should broadcast into the cell equi-join")
   }
 
+  test("d60: the Bloom probe is in-row; confirm join equi-keyed, no cartesian") {
+    val p = plan("d60_bloom_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // the bitmap rides as an array literal inside the filter, never as
+    // a join: the bypass branch must carry no join at all, so the only
+    // join keys are the hash column of the confirm branch
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must never cross a shuffle")
+  }
+
+  test("d61: scoring is in-row against model literals — no join in the scored plan") {
+    val p = plan("d61_dsir_select")
+    assert(!p.contains("SortMergeJoin"),
+      "the scoring pass must not join the bucket models — they ride as literals")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must never cross a shuffle")
+  }
+
   test("m17: VAD is per-partition decode — payloads never cross a shuffle") {
     val p = plan("m17_vad")
     assert(!p.contains("hashpartitioning"),

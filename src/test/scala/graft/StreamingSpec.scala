@@ -438,6 +438,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.size < batch.size, "the flattened source must drop rows")
   }
 
+  test("stream epoch upsample makes the batch d59 copies, replay-stable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // targets as d59 derives them: en has 9 docs (majority), de 4 →
+    // maxcnt=9, en target = 9 (1 copy each), de target =
+    // floor(sqrt(9*4)) = 6 → base 1 copy + 2 residual extras
+    val targets = Seq(("en", 9L, 9L), ("de", 4L, 6L))
+      .toDF("lang", "cnt", "target").cache()
+    def copies(id: Long, cnt: Long, target: Long): Long =
+      target / cnt +
+        (if (((id * 2654435761L) % 2147483647L) % cnt < target % cnt) 1L else 0L)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "lang")
+    val q = Pipelines.streamEpochUpsample(stream, targets)
+      .writeStream.format("memory").queryName("epoch_out")
+      .outputMode("append").start()
+    val batch = (1L to 9L).map(i => (i, "en")) ++
+      (10L to 13L).map(i => (i, "de")) ++ Seq((99L, "xx"))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    in.addData(batch: _*) // replay must not re-roll the residual
+    q.processAllAvailable()
+    val out = spark.table("epoch_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).toSeq
+    q.stop()
+    val expected = batch.flatMap {
+      case (id, "en") => (1L to copies(id, 9L, 9L)).map(k => (id, k))
+      case (id, "de") => (1L to copies(id, 4L, 6L)).map(k => (id, k))
+      case (id, _)    => Seq((id, 1L)) // unknown language: one copy
+    }
+    assert(out.sorted == (expected ++ expected).sorted,
+      "stream epoch rows must equal the batch mixture on both plays")
+    assert(expected.groupBy(_._1).values.exists(_.size > 1),
+      "the rare language must carry a second copy for some doc")
+    assert(out.map(_._1).contains(99L), "unknown language passes through")
+  }
+
   test("sampler passes unknown strata through unsampled (keep-all contract)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
