@@ -65,6 +65,32 @@ object Text {
     lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0))
 
+  /** The whole d2 quality score as ONE column over raw text — the
+    * shared kernel of the d58 curriculum phases and the streaming
+    * curriculum router, so the two can never drift. Identical
+    * operation order to the d2 chain (the 0/0 guard included). */
+  def docQualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = stopwordCount(text).cast("double") / nTok.cast("double")
+    val punctRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text).cast("double"))
+    qualityScore(nTok, stopRatio, punctRatio)
+  }
+
+  /** DSIR hashed-bigram bucket sequence (d61 + streaming twin shared
+    * kernel): d48's bigram convention bucketed by the d33 polyHash
+    * rule. */
+  def dsirBuckets(text: Column): Column =
+    transform(Native.wordShingles(tokens(lower(text)), 2),
+      b => (Native.polyHash(b, 1000003L) % lit(1024L)).cast("int"))
+
+  /** Exact integer DSIR sum: Σ(model[bkt]+1) over a bucket sequence —
+    * the add-one-smoothed occurrence mass under a 1024-bucket count
+    * model shipped as a broadcast array literal. */
+  def dsirSum(bkts: Column, model: Array[Long]): Column =
+    aggregate(bkts, lit(0L),
+      (acc, k) => acc + element_at(typedlit(model), k + 1) + lit(1L))
+
   /** Marker-word counts for deterministic language ID. */
   private def markers(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))

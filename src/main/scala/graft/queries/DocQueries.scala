@@ -1885,18 +1885,7 @@ object DocQueries {
     // is one scan + one 1-row broadcast.
     "d58_curriculum_order" -> q { (s, d) =>
       val scored = table(s, d, "documents")
-        .select(col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
-          Text.stopwordCount(col("text")).as("n_stop"),
-          Text.punctCount(col("text")).as("n_punct"),
-          length(col("text")).as("n_chars"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
-          when(col("n_chars") === 0, lit(0.0))
-            .otherwise(col("n_punct").cast("double") / col("n_chars").cast("double"))
-            .as("punct_ratio"))
-        .select(col("doc_id"),
-          Text.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("score"))
+        .select(col("doc_id"), Text.docQualityScore(col("text")).as("score"))
       val th = scored.agg(
         expr("percentile(score, 0.3333333333333333D)").as("t1"),
         expr("percentile(score, 0.6666666666666666D)").as("t2"))
@@ -1963,27 +1952,19 @@ object DocQueries {
       import org.apache.spark.sql.types.{DoubleType, LongType}
       val docs = table(s, d, "documents")
       val bg = docs.select(col("lang"),
-          explode(graft.functions.Native.wordShingles(
-            Text.tokens(lower(col("text"))), 2)).as("bigram"))
-        .select(col("lang"),
-          (graft.functions.Native.polyHash(col("bigram"), 1000003L)
-            % lit(1024L)).as("bkt"))
+          explode(Text.dsirBuckets(col("text"))).as("bkt"))
       def model(df: DataFrame): Array[Long] = {
         val a = new Array[Long](1024)
         df.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
-          .foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+          .foreach(r => a(r.getInt(0)) = r.getLong(1))
         a
       }
       val tArr = model(bg.filter(col("lang") === "en"))
       val rArr = model(bg)
-      val bkts = transform(
-        graft.functions.Native.wordShingles(Text.tokens(lower(col("text"))), 2),
-        b => (graft.functions.Native.polyHash(b, 1000003L) % lit(1024L))
-          .cast("int"))
-      def fold(arr: Array[Long]) = aggregate(bkts, lit(0L),
-        (acc, k) => acc + element_at(typedlit(arr), k + 1) + lit(1L))
+      val bkts = Text.dsirBuckets(col("text"))
       val scored = docs.select(col("doc_id"),
-          fold(tArr).as("t_sum"), fold(rArr).as("r_sum"))
+          Text.dsirSum(bkts, tArr).as("t_sum"),
+          Text.dsirSum(bkts, rArr).as("r_sum"))
         .select(col("doc_id"), col("t_sum"), col("r_sum"),
           (col("t_sum").cast(DoubleType) / col("r_sum").cast(DoubleType))
             .as("score"))

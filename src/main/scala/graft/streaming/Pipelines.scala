@@ -16,6 +16,10 @@ case class SessionWindow(userId: Long, startTs: Timestamp, endTs: Timestamp,
                          nEvents: Long, total: Double)
 /** Per-user in-flight session state (epoch-ms bounds). */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+/** One exploded page line arriving at ingest (streamLineDedup). */
+case class LineItem(docId: Long, lineIdx: Int, line: String)
+/** The first-occurrence keeper of one distinct line. */
+case class LineKeeper(line: String, docId: Long, lineIdx: Int)
 
 /** Structured Streaming re-expression of the reference's streaming
   * pipelines (SURVEY §2d). The reference's RAW stage is a KSQL stream
@@ -79,6 +83,30 @@ object Pipelines {
                     watermarkDelay: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming corpus-lifetime LINE dedup — the d57 streaming twin at
+    * the ingest boundary: exploded page lines keep only their FIRST
+    * occurrence, keyed state = one marker per distinct line (tiny,
+    * grows with distinct lines — at a real deployment scale this gets
+    * a TTL/generation reset; the batch d57 is the order-free
+    * whole-corpus rule). Within a micro-batch the keeper is the
+    * smallest (doc_id, line_idx) — the batch tie-break — so the stream
+    * equals the batch rule whenever arrival order respects doc order,
+    * and is deterministic under replay regardless. */
+  def streamLineDedup(lines: Dataset[LineItem]): Dataset[LineKeeper] = {
+    import lines.sparkSession.implicits._
+    lines.groupByKey(_.line)
+      .flatMapGroupsWithState[Long, LineKeeper](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (line: String, rows: Iterator[LineItem], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (r.docId, r.lineIdx))
+            state.update(1L)
+            Iterator(LineKeeper(line, first.docId, first.lineIdx))
+          }
+      }
+  }
 
   /** Gap-based session windows via flatMapGroupsWithState with
     * EVENT-TIME timeouts: a session closes (and is emitted) when the
@@ -280,6 +308,43 @@ object Pipelines {
         pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
           col("cnt") < col("target") * M)
       .drop("cnt", "target")
+  }
+
+  /** Ingest-time curriculum routing — the d58 streaming twin: arriving
+    * documents score through the SAME shared quality kernel
+    * (`Text.docQualityScore` — one definition, batch and stream cannot
+    * drift) and tag their curriculum phase at the batch-trained tertile
+    * thresholds (shipped as two doubles, exactly like
+    * streamPerplexityRoute ships its thresholds — the stream never
+    * recomputes corpus percentiles); the deterministic shuffle key
+    * rides along so downstream shard writers can order within phase.
+    * Stateless, shuffle-free, replay-identical. */
+  def streamCurriculumRoute(stream: DataFrame, t1: Double, t2: Double): DataFrame =
+    stream
+      .withColumn("score", graft.functions.Text.docQualityScore(col("text")))
+      .withColumn("phase",
+        when(col("score") >= lit(t2), lit(1))
+          .when(col("score") >= lit(t1), lit(2))
+          .otherwise(lit(3)))
+      .withColumn("shuffle_key",
+        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+
+  /** Ingest-time DSIR screening — the d61 streaming twin: arriving
+    * documents score IN-ROW through the SAME shared hashed-bigram
+    * kernels (`Text.dsirBuckets`/`dsirSum`) against the two
+    * batch-trained 1024-bucket count models, shipped as broadcast
+    * array literals (the model-is-an-artifact posture); rows below the
+    * batch-derived importance threshold drop. Stateless, shuffle-free
+    * (one in-row fold per model), replay-identical. */
+  def streamDsirSelect(stream: DataFrame, targetModel: Array[Long],
+                       rawModel: Array[Long], minScore: Double): DataFrame = {
+    val bkts = graft.functions.Text.dsirBuckets(col("text"))
+    stream
+      .withColumn("t_sum", graft.functions.Text.dsirSum(bkts, targetModel))
+      .withColumn("r_sum", graft.functions.Text.dsirSum(bkts, rawModel))
+      .withColumn("score",
+        col("t_sum").cast("double") / col("r_sum").cast("double"))
+      .filter(col("score") >= lit(minScore))
   }
 
   /** Ingest-time epoch upsampling — the d59 streaming twin: arriving

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.FieldSpec
-import graft.streaming.Pipelines
+import graft.streaming.{LineItem, Pipelines}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTest._
@@ -436,6 +436,102 @@ class StreamingSpec extends AnyFunSuite {
       s"stream decisions must equal the batch gate on both plays: got $out")
     assert(out.contains(98L) && out.contains(99L))
     assert(expected.size < batch.size, "the flattened source must drop rows")
+  }
+
+  test("stream curriculum route tags the batch d58 phases at fixed thresholds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // thresholds from the batch d58 percentile pass over sf0.001
+    val batchRows = SparkEntry.queries("d58_curriculum_order")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Int]("phase"),
+          r.getAs[Long]("shuffle_key")))).toMap
+    val p1 = batchRows.values.filter(_._2 == 1).map(_._1)
+    val p2 = batchRows.values.filter(_._2 == 2).map(_._1)
+    val (t2, t1) = (p1.min, p2.min)
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamCurriculumRoute(
+        in.toDF().toDF("doc_id", "text"), t1, t2)
+      .writeStream.format("memory").queryName("curr_out")
+      .outputMode("append").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val out = spark.table("curr_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Int]("phase"),
+          r.getAs[Long]("shuffle_key")))).toMap
+    q.stop()
+    assert(out == batchRows,
+      "stream phases/scores/keys must equal the batch d58 rows at the same thresholds")
+  }
+
+  test("stream DSIR screen equals the batch d61 selection at its threshold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val batch = SparkEntry.queries("d61_dsir_select")(spark, sf).collect()
+    val selected = batch.filter(_.getAs[Int]("selected") == 1)
+    val minScore = selected.map(_.getAs[Double]("score")).min
+    // rebuild the two models exactly as d61 does (they are corpus
+    // artifacts; the stream consumes them, never recomputes them)
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val bg = docs.select(col("lang"),
+      explode(graft.functions.Text.dsirBuckets(col("text"))).as("bkt"))
+    def model(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+      val a = new Array[Long](1024)
+      df.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
+        .foreach(r => a(r.getInt(0)) = r.getLong(1))
+      a
+    }
+    val tArr = model(bg.filter(col("lang") === "en"))
+    val rArr = model(bg)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamDsirSelect(
+        in.toDF().toDF("doc_id", "text"), tArr, rArr, minScore)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    val out = spark.table("dsir_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("t_sum"),
+        r.getAs[Long]("r_sum"))).toSet
+    q.stop()
+    val expected = selected.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("t_sum"), r.getAs[Long]("r_sum"))).toSet
+    assert(out == expected,
+      "the stream screen must pass exactly the batch-selected documents")
+  }
+
+  test("stream line dedup keeps first occurrences across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[LineItem]
+    val q = Pipelines.streamLineDedup(in.toDS())
+      .writeStream.format("memory").queryName("linededup_out")
+      .outputMode("append").start()
+    // batch 1: two docs sharing a boilerplate line
+    in.addData(
+      LineItem(1L, 0, "unique alpha"), LineItem(1L, 1, "terms apply"),
+      LineItem(2L, 0, "unique beta"), LineItem(2L, 1, "terms apply"))
+    q.processAllAvailable()
+    // batch 2: a later doc re-sends the boilerplate AND an old unique
+    // line; only its fresh line survives
+    in.addData(
+      LineItem(3L, 0, "terms apply"), LineItem(3L, 1, "unique alpha"),
+      LineItem(3L, 2, "unique gamma"))
+    q.processAllAvailable()
+    val out = spark.table("linededup_out").collect()
+      .map(r => (r.getAs[String]("line"), r.getAs[Long]("docId"),
+        r.getAs[Int]("lineIdx"))).toSet
+    q.stop()
+    assert(out == Set(
+      ("unique alpha", 1L, 0), ("terms apply", 1L, 1),
+      ("unique beta", 2L, 0), ("unique gamma", 3L, 2)),
+      "every line keeps exactly its first (doc, idx) occurrence")
   }
 
   test("stream epoch upsample makes the batch d59 copies, replay-stable") {
