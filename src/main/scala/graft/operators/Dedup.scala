@@ -521,14 +521,18 @@ object Dedup {
   /** Membership probe against a [[bloomBuild]] bitmap: true if ALL k
     * seeded positions are set (no false negatives; false positives at
     * the sized rate). One in-row expression over a broadcast array
-    * literal — stateless, codegen-friendly, zero shuffle. */
+    * literal — stateless, codegen-friendly, zero shuffle. The bitmap
+    * literal is bound ONCE inside a `forall` over the position array
+    * (not once per probe), so plan size stays one bitmap copy even
+    * when the filter is sized at ~10 bits/key for a large corpus. */
   def bloomMightContain(bits: Array[Long], key: Column,
-                        numBits: Int, k: Int): Column =
-    (0 until k).map { j =>
-      val pos = pmod(xxhash64(key, lit(j)), lit(numBits.toLong))
-      (element_at(typedlit(bits),
+                        numBits: Int, k: Int): Column = {
+    val positions = array((0 until k).map(j =>
+      pmod(xxhash64(key, lit(j)), lit(numBits.toLong))): _*)
+    forall(positions, pos =>
+      element_at(typedlit(bits),
         shiftrightunsigned(pos, 6).cast("int") + 1)
         .bitwiseAND(element_at(typedlit(BitMasks),
           pmod(pos, lit(64L)).cast("int") + 1)) =!= 0L)
-    }.reduce(_ && _)
+  }
 }

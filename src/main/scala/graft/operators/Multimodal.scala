@@ -1866,6 +1866,7 @@ object Multimodal {
     * context per task, payloads never shuffle. */
   def vadStats(media: Dataset[(Long, Array[Byte])],
                frameLen: Int = 100): Dataset[VadStats] = {
+    require(frameLen > 0, "frameLen must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { case (id, payload) =>

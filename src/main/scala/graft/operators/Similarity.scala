@@ -822,13 +822,19 @@ object Similarity {
 
   /** Cell-joined exact-cosine scoring + per-query top-k: `c` carries
     * (cand_id, ce, cell), `q` carries (q_id, qe, cell). */
-  private def cellCosTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = c.join(broadcast(q), "cell")
+  /** The one candidate-nomination + scoring chain every cell-probing
+    * variant shares: broadcast query side into the cell equi-join,
+    * drop self-matches, exact cosine. Factored so the top-k, range,
+    * and hard-negative variants cannot drift on the nomination rule. */
+  private def cellCosScored(c: DataFrame, q: DataFrame): DataFrame =
+    c.join(broadcast(q), "cell")
       .filter(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"),
         Vectors.cosine(col("qe"), col("ce")).as("cos"))
+
+  private def cellCosTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
+    cellCosScored(c, q).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
@@ -1053,11 +1059,8 @@ object Similarity {
   def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val centScores = centScoresFor(bootCentroids(corpus, nlist)) _
-    cellAssign(corpus, centScores)
-      .join(broadcast(ivfQueries(queries, centScores, nlist, nprobe)), "cell")
-      .filter(col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"),
-        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    cellCosScored(cellAssign(corpus, centScores),
+        ivfQueries(queries, centScores, nlist, nprobe))
       .filter(col("cos") >= minCos)
   }
 
@@ -1078,11 +1081,8 @@ object Similarity {
                        maxCos: Double, nlist: Int = 16,
                        nprobe: Int = 4): DataFrame = {
     val centScores = centScoresFor(bootCentroids(corpus, nlist)) _
-    val scored = cellAssign(corpus, centScores)
-      .join(broadcast(ivfQueries(queries, centScores, nlist, nprobe)), "cell")
-      .filter(col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"),
-        Vectors.cosine(col("qe"), col("ce")).as("cos"))
+    val scored = cellCosScored(cellAssign(corpus, centScores),
+        ivfQueries(queries, centScores, nlist, nprobe))
       .filter(col("cos") < maxCos)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

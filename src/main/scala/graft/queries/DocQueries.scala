@@ -1229,14 +1229,13 @@ object DocQueries {
       val bits = Dedup.bloomBuild(hist.select("h"), "h", numBits = 8192, k = 3)
       val screened = delta.withColumn("might",
         Dedup.bloomMightContain(bits, col("h"), numBits = 8192, k = 3))
-      val keepers = hist.groupBy("h").agg(min(col("doc_id")).as("dup_of"))
-      val confirmed = screened.filter(col("might"))
-        .join(keepers, Seq("h"), "left_outer")
-        .select(col("doc_id"), col("h"), col("dup_of"))
-      val bypassed = screened.filter(!col("might"))
-        .select(col("doc_id"), col("h"),
-          lit(null).cast("long").as("dup_of"))
-      confirmed.union(bypassed)
+      val keepers = hist.groupBy(col("h").as("kh"))
+        .agg(min(col("doc_id")).as("dup_of"))
+      // ONE outer join whose condition carries the Bloom verdict as a
+      // residual predicate: definite misses (might=false) never probe
+      // the index and fall out with null dup_of — single delta scan,
+      // no filter/filter/union double-evaluation
+      screened.join(keepers, col("h") === col("kh") && col("might"), "left_outer")
         .select(col("doc_id"), col("h"), col("dup_of"),
           col("dup_of").isNotNull.cast("int").as("is_dup"))
         .orderBy("doc_id")
@@ -1873,6 +1872,28 @@ object DocQueries {
     // bucket at an exact power), over-4096 sequences truncate and are
     // counted. One narrow projection + an 8-row agg; one double
     // division for utilization at the very end.
+    "d43_length_buckets" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+      val capacity = caps.foldRight(lit(4096L): org.apache.spark.sql.Column)(
+        (c, acc) => when(col("n") <= c, lit(c)).otherwise(acc))
+      table(s, d, "documents")
+        .select(Text.tokenCount(col("text")).cast(LongType).as("n"))
+        .select(col("n"), capacity.as("capacity"),
+          least(col("n"), lit(4096L)).as("kept"))
+        .groupBy("capacity")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("sum_tokens"),
+          sum(col("capacity") - col("kept")).as("n_pad"),
+          sum(when(col("n") > 4096L, 1L).otherwise(0L)).as("n_truncated"))
+        .select(col("capacity"), col("n_docs"), col("sum_tokens"),
+          col("n_pad"), col("n_truncated"),
+          (col("sum_tokens").cast(DoubleType)
+            / (col("n_docs") * col("capacity")).cast(DoubleType))
+            .as("utilization"))
+        .orderBy("capacity")
+    },
+
     // curriculum scheduling — the data-ORDERING step after curation:
     // phase 1 = the top quality tertile (clean text first), phase 3 =
     // the tail, each phase deterministically shuffled via the d38
@@ -1951,16 +1972,20 @@ object DocQueries {
     "d61_dsir_select" -> q { (s, d) =>
       import org.apache.spark.sql.types.{DoubleType, LongType}
       val docs = table(s, d, "documents")
-      val bg = docs.select(col("lang"),
-          explode(Text.dsirBuckets(col("text"))).as("bkt"))
-      def model(df: DataFrame): Array[Long] = {
-        val a = new Array[Long](1024)
-        df.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
-          .foreach(r => a(r.getInt(0)) = r.getLong(1))
-        a
-      }
-      val tArr = model(bg.filter(col("lang") === "en"))
-      val rArr = model(bg)
+      // both 1024-bucket models come out of ONE conditional
+      // aggregation over a single exploded-bigram pass — the target
+      // count is just a filtered count of the same rows
+      val tArr = new Array[Long](1024)
+      val rArr = new Array[Long](1024)
+      docs.select(col("lang"), explode(Text.dsirBuckets(col("text"))).as("bkt"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("rc"),
+          count(when(col("lang") === "en", lit(1))).as("tc"))
+        .collect()
+        .foreach { r =>
+          rArr(r.getInt(0)) = r.getLong(1)
+          tArr(r.getInt(0)) = r.getLong(2)
+        }
       val bkts = Text.dsirBuckets(col("text"))
       val scored = docs.select(col("doc_id"),
           Text.dsirSum(bkts, tArr).as("t_sum"),
@@ -1973,28 +1998,6 @@ object DocQueries {
         .select(col("doc_id"), col("t_sum"), col("r_sum"), col("score"),
           (col("score") >= col("t")).cast("int").as("selected"))
         .orderBy("doc_id")
-    },
-
-    "d43_length_buckets" -> q { (s, d) =>
-      import org.apache.spark.sql.types.{DoubleType, LongType}
-      val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
-      val capacity = caps.foldRight(lit(4096L): org.apache.spark.sql.Column)(
-        (c, acc) => when(col("n") <= c, lit(c)).otherwise(acc))
-      table(s, d, "documents")
-        .select(Text.tokenCount(col("text")).cast(LongType).as("n"))
-        .select(col("n"), capacity.as("capacity"),
-          least(col("n"), lit(4096L)).as("kept"))
-        .groupBy("capacity")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("kept")).as("sum_tokens"),
-          sum(col("capacity") - col("kept")).as("n_pad"),
-          sum(when(col("n") > 4096L, 1L).otherwise(0L)).as("n_truncated"))
-        .select(col("capacity"), col("n_docs"), col("sum_tokens"),
-          col("n_pad"), col("n_truncated"),
-          (col("sum_tokens").cast(DoubleType)
-            / (col("n_docs") * col("capacity")).cast(DoubleType))
-            .as("utilization"))
-        .orderBy("capacity")
     }
   )
 
@@ -3307,10 +3310,6 @@ object DocQueries {
         |       THEN 1 ELSE 0 END AS drop_doc
         |FROM agg WHERE n_hit > 0 ORDER BY train_id""".stripMargin,
 
-    // the banded-pairs chain is complete at hamming ≤ 3 (pigeonhole),
-    // so the drop set is exact: an odd doc drops iff ANY pair links it
-    // to an even doc (either side — the whole index screens) or to a
-    // SMALLER odd doc (the delta keeps earliest arrivals)
     // exact semantics regardless of Bloom false positives: the filter
     // only prunes the plan, never the answer — plain left join logic
     "d60_bloom_dedup" ->
@@ -3327,6 +3326,10 @@ object DocQueries {
         |FROM delta d LEFT JOIN k ON d.h = k.h
         |ORDER BY d.doc_id""".stripMargin,
 
+    // the banded-pairs chain is complete at hamming ≤ 3 (pigeonhole),
+    // so the drop set is exact: an odd doc drops iff ANY pair links it
+    // to an even doc (either side — the whole index screens) or to a
+    // SMALLER odd doc (the delta keeps earliest arrivals)
     "d34_incremental_dedup" ->
       s"""WITH $simhashPairsChain,
          |dropped AS (

@@ -448,6 +448,8 @@ class StreamingSpec extends AnyFunSuite {
           r.getAs[Long]("shuffle_key")))).toMap
     val p1 = batchRows.values.filter(_._2 == 1).map(_._1)
     val p2 = batchRows.values.filter(_._2 == 2).map(_._1)
+    assert(p1.nonEmpty && p2.nonEmpty,
+      "fixture corpus must populate phases 1 and 2 to derive thresholds")
     val (t2, t1) = (p1.min, p2.min)
     val docs = graft.sources.Tables.table(spark, sf, "documents")
       .select("doc_id", "text").collect()
