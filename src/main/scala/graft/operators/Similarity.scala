@@ -1211,4 +1211,64 @@ object Similarity {
       .withColumn("cell", col("cell").cast("int"))
     cellCosTopK(c, q, k)
   }
+
+  /** λ for [[mmrSelect]] and its 1−λ companion. BOTH are literals:
+    * 1.0 − 0.7 is 0.30000000000000004 in binary, so deriving one from
+    * the other would break bit-parity with any oracle that writes 0.3. */
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): from the query's top-`poolK` candidate pool, pick
+    * `selectK` results that trade relevance against redundancy —
+    * round r picks argmax of λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c, s). The DISTRIBUTED work is the retrieval (one corpus
+    * pass, the e1 brute-force chain) and the pool's pairwise cosines
+    * (poolK² rows, both sides broadcast); the greedy fold itself runs
+    * on the driver over those ≤ poolK + poolK² collected rows —
+    * bounded by query CONSTANTS, not data scale (the d45/centroid-
+    * bootstrap precedent), because each round's argmax depends on the
+    * previous pick and poolK is ~tens at 100 TB too. First pick has
+    * no redundancy term: mmr = λ·rel. Ties break on vec_id ascending;
+    * all arithmetic is two multiplies + one subtract on bit-identical
+    * cosine folds, so every score is engine-reproducible. */
+  def mmrSelect(corpus: DataFrame, queryId: Long, poolK: Int, selectK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val pool = bruteForceTopK(corpus, corpus.filter(col("vec_id") === queryId), poolK)
+      .select(col("cand_id"), col("cos").as("rel"))
+    val pv = corpus.select(col("vec_id").as("cand_id"), col("embedding"))
+      .join(broadcast(pool.select("cand_id")), "cand_id")
+    val sims = pv.select(col("cand_id").as("a_id"), col("embedding").as("ae"))
+      .join(broadcast(pv.select(col("cand_id").as("b_id"), col("embedding").as("be"))),
+        col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Vectors.cosine(col("ae"), col("be")).as("sim"))
+    val rel: Map[Long, Double] =
+      pool.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim: Map[(Long, Long), Double] =
+      sims.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var selected = List.empty[Long]
+    var remaining = rel.keySet
+    var rank = 1
+    while (rank <= selectK && remaining.nonEmpty) {
+      // argmax with vec_id-ascending tie-break; iterate in sorted id
+      // order so "first best wins" IS the tie-break
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.toSeq.sorted.foreach { c =>
+        val score =
+          if (selected.isEmpty) MmrLambda * rel(c)
+          else MmrLambda * rel(c) -
+            MmrOneMinusLambda * selected.map(s => sim((c, s))).max
+        if (score > bestScore) { bestScore = score; bestId = c }
+      }
+      picked += ((rank, bestId, rel(bestId), bestScore))
+      selected ::= bestId
+      remaining -= bestId
+      rank += 1
+    }
+    spark.createDataFrame(picked.toSeq)
+      .toDF("rank", "vec_id", "rel", "mmr")
+  }
 }

@@ -1998,6 +1998,98 @@ object DocQueries {
         .select(col("doc_id"), col("t_sum"), col("r_sum"), col("score"),
           (col("score") >= col("t")).cast("int").as("selected"))
         .orderBy("doc_id")
+    },
+
+    // language-ID evaluation harness (the e12/e23/q61 measurement-loop
+    // pattern on the text side): confusion matrix of the d3 marker-rule
+    // prediction against the corpus's stored lang label, with per-true-
+    // language row totals and shares — the report that decides whether
+    // the cheap n-gram ID is good enough to route on, per language.
+    // ONE explicit true_lang repartition serves the (true, pred) agg
+    // (its grouping is a superset of the partitioning) AND the row-
+    // total window — single exchange, plan-gated; share is one double
+    // division on exact longs. FULL oracle (the d3 marker CTE verbatim)
+    "d63_langid_eval" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("true_lang")
+      table(s, d, "documents")
+        .select(col("lang").as("true_lang"), Text.langId(col("text")).as("pred_lang"))
+        .repartition(col("true_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(w))
+        .select(col("true_lang"), col("pred_lang"), col("n"), col("lang_total"),
+          (col("n").cast("double") / col("lang_total").cast("double")).as("share"),
+          (col("true_lang") === col("pred_lang")).cast("int").as("is_correct"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    // per-document TF-IDF keywords (the keyword-extraction / index-
+    // summarization primitive): tf from one (doc, term) agg; df is a
+    // COUNT(*) over those already-distinct (doc, term) rows — no
+    // second distinct pass; both the df aggregation and the tf⋈df
+    // probe ride ONE explicit term repartition (the d24 canonical-
+    // exchange pattern, plan-gated), then the per-doc top-5 plans as
+    // WindowGroupLimit. The score is the log-free tf·N/df (one double
+    // division, bit-portable — ln(N/df) ranks identically for fixed N
+    // but walks libm differences across engines); corpus size N is a
+    // 1-row broadcast. FULL oracle
+    "d62_tfidf_keywords" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val terms = docs.select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .repartition(col("term"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+            .as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // content-type sniffing over raw payload bytes (the libmagic /
+    // HTTP-mime-sniff shape): a crawl corpus's stated types lie, so
+    // decoder routing keys on magic bytes. Payloads synthesized
+    // deterministically per doc (the d19/d23 pattern — doc_id % 8
+    // picks which published signature prefixes the text bytes; the
+    // remainder stays raw text), but the SNIFF never sees doc_id: it
+    // reads only the bytes, so text that happens to open with "BM"
+    // routes as bmp in BOTH engines — honest sniffing, not an id
+    // lookup. Pure in-row prefix compares, zero shuffle before the
+    // output sort (plan-gated): at 100 TB this runs at the scan and
+    // no payload ever moves. FULL oracle (same blob built from blob
+    // literals, same hex-prefix precedence chain)
+    "m18_mime_sniff" -> q { (s, d) =>
+      import graft.operators.Multimodal
+      val fmt = pmod(col("doc_id"), lit(8))
+      val magic = when(fmt === 0, lit(Multimodal.MagicPng))
+        .when(fmt === 1, lit(Multimodal.MagicJpeg))
+        .when(fmt === 2, lit(Multimodal.MagicGif))
+        .when(fmt === 3, lit(Multimodal.MagicBmp))
+        .when(fmt === 4, lit(Multimodal.MagicRiff ++ Array[Byte](0, 0, 0, 0) ++
+          Multimodal.MagicWave))
+        .when(fmt === 5, lit(Multimodal.MagicY4m))
+        .when(fmt === 6, lit(Multimodal.MagicId3))
+        .otherwise(lit(Array.empty[Byte]))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          concat(magic, col("text").cast("binary")).as("payload"))
+        .select(col("doc_id"),
+          Multimodal.sniffMime(col("payload")).as("mime"),
+          octet_length(col("payload")).as("byte_len"))
+        .select(col("doc_id"), col("mime"),
+          graft.operators.Multimodal.mimeRoute(col("mime")).as("route"),
+          col("byte_len"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2312,7 +2404,96 @@ object DocQueries {
       |GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** m18's oracle: the identical payload built from BLOB literals and
+    * the identical longest-prefix-first sniff over hex(payload) — both
+    * the blob literals and the hex comparands are generated from the
+    * SAME [[graft.operators.Multimodal]] magic constants the Spark
+    * side sniffs with, so the two chains cannot drift. */
+  private def mimeSniffOracle: String = {
+    import graft.operators.Multimodal._
+    def hx(b: Array[Byte]): String = b.map(x => "%02X".format(x & 0xff)).mkString
+    def blob(b: Array[Byte]): String =
+      b.map(x => "\\x" + "%02X".format(x & 0xff)).mkString
+    val wav = MagicRiff ++ Array[Byte](0, 0, 0, 0) ++ MagicWave
+    s"""WITH pl AS (
+       |  SELECT doc_id, (CASE doc_id % 8
+       |    WHEN 0 THEN '${blob(MagicPng)}'::BLOB
+       |    WHEN 1 THEN '${blob(MagicJpeg)}'::BLOB
+       |    WHEN 2 THEN '${blob(MagicGif)}'::BLOB
+       |    WHEN 3 THEN '${blob(MagicBmp)}'::BLOB
+       |    WHEN 4 THEN '${blob(wav)}'::BLOB
+       |    WHEN 5 THEN '${blob(MagicY4m)}'::BLOB
+       |    WHEN 6 THEN '${blob(MagicId3)}'::BLOB
+       |    ELSE ''::BLOB END) || encode(text) AS payload
+       |  FROM documents),
+       |hx AS (SELECT doc_id, payload, hex(payload) AS h FROM pl),
+       |sn AS (SELECT doc_id, octet_length(payload) AS byte_len,
+       |  CASE
+       |    WHEN left(h, ${MagicPng.length * 2}) = '${hx(MagicPng)}' THEN 'image/png'
+       |    WHEN left(h, ${MagicY4m.length * 2}) = '${hx(MagicY4m)}' THEN 'video/x-yuv4mpeg'
+       |    WHEN left(h, ${MagicGif.length * 2}) = '${hx(MagicGif)}' THEN 'image/gif'
+       |    WHEN left(h, ${MagicJpeg.length * 2}) = '${hx(MagicJpeg)}' THEN 'image/jpeg'
+       |    WHEN left(h, ${MagicId3.length * 2}) = '${hx(MagicId3)}' THEN 'audio/mpeg'
+       |    WHEN left(h, ${MagicRiff.length * 2}) = '${hx(MagicRiff)}'
+       |      AND substring(h, 17, ${MagicWave.length * 2}) = '${hx(MagicWave)}' THEN 'audio/x-wav'
+       |    WHEN left(h, ${MagicRiff.length * 2}) = '${hx(MagicRiff)}' THEN 'application/octet-stream'
+       |    WHEN left(h, ${MagicPpm.length * 2}) = '${hx(MagicPpm)}' THEN 'image/x-portable-pixmap'
+       |    WHEN left(h, ${MagicBmp.length * 2}) = '${hx(MagicBmp)}' THEN 'image/bmp'
+       |    ELSE 'text/plain' END AS mime
+       |  FROM hx)
+       |SELECT doc_id, mime,
+       |  CASE WHEN mime LIKE 'image/%' THEN 'image'
+       |       WHEN mime LIKE 'audio/%' THEN 'audio'
+       |       WHEN mime LIKE 'video/%' THEN 'video'
+       |       WHEN mime = 'text/plain' THEN 'text'
+       |       ELSE 'binary' END AS route,
+       |  byte_len
+       |FROM sn ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "m18_mime_sniff" -> mimeSniffOracle,
+
+    "d63_langid_eval" ->
+      raw"""WITH pred AS (
+        |  SELECT lang AS true_lang,
+        |    CASE
+        |      WHEN c_en >= 3 AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |      WHEN c_es >= 3 AND c_es >= c_de THEN 'es'
+        |      WHEN c_de >= 3 THEN 'de'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |      len(regexp_extract_all(text, '\b(?:the|and|of|to)\b')) AS c_en,
+        |      len(regexp_extract_all(text, '\b(?:el|la|de|que)\b')) AS c_es,
+        |      len(regexp_extract_all(text, '\b(?:der|die|das|und)\b')) AS c_de
+        |    FROM documents) t),
+        |cm AS (SELECT true_lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, n,
+        |  CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT) AS lang_total,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT) AS DOUBLE) AS share,
+        |  CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END AS is_correct
+        |FROM cm ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "d62_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM t WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     "d7b_simhash_bands" -> simhashBandsOracle,
 
     "d20_dedup_clusters" -> dedupClustersOracle,

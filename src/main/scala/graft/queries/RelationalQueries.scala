@@ -1103,6 +1103,158 @@ object RelationalQueries {
           last(col("o_orderkey")).over(w).as("last_ok"),
           nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
         .orderBy("o_orderkey")
+    },
+
+    // runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    // when the dim side is too big to broadcast, a bloom filter built
+    // from the FILTERED dim keys is pushed into the fact scan, so fact
+    // rows that cannot join are dropped BEFORE the shuffle — at 100 TB
+    // this is the difference between shuffling the whole fact table
+    // and shuffling the ~join-surviving fraction. The builder models
+    // the at-scale geometry (dim over the broadcast threshold, fact
+    // over the 10 GB application-side default — both thresholds are
+    // production no-ops at toy SF) and PINS the optimized plan by
+    // materializing queryExecution under those confs, then restores
+    // the session verbatim so no other query sees them. Oracle = the
+    // plain join: the bloom only drops rows the join would drop
+    "q62_bloom_join" -> q { (s, d) =>
+      val tuned = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+      tuned.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val li = table(s, d, "lineitem")
+        val p = table(s, d, "part").filter(col("p_size") <= 3)
+        val df = li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("p_brand")
+        // materialize the lazy plan chain NOW, under the tuned confs:
+        // later actions reuse it, so the restore below cannot unplan
+        // the bloom
+        df.queryExecution.executedPlan
+        df
+      } finally {
+        saved.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      }
+    },
+
+    // ordered event funnel (the product-analytics conversion shape):
+    // per user, first 'view', first 'click' AFTER it, first 'purchase'
+    // after THAT — strictly sequenced, so a click before the first
+    // view does not convert. Three chained whole-partition window
+    // minima + the per-user collapse + the final 1-row rollup all
+    // ride ONE user_id exchange (the q57 pattern — every clustering
+    // involved is user_id; plan-gated): at 100 TB the events table
+    // shuffles once, and only (user_id, type, ts) rows at that
+    "q63_funnel" -> q { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val staged = ev
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+            col("ts_us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+            col("ts_us"))).over(w))
+      staged.groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_viewed"),
+          count(col("t2")).as("n_clicked"),
+          count(col("t3")).as("n_purchased"))
+        .select(col("n_users"), col("n_viewed"), col("n_clicked"),
+          col("n_purchased"),
+          when(col("n_viewed") > 0,
+            col("n_clicked").cast(DoubleType) / col("n_viewed").cast(DoubleType))
+            .otherwise(lit(0.0)).as("view_to_click"),
+          when(col("n_clicked") > 0,
+            col("n_purchased").cast(DoubleType) / col("n_clicked").cast(DoubleType))
+            .otherwise(lit(0.0)).as("click_to_purchase"))
+    },
+
+    // interval (range) join WITHOUT an equi key, done scalably: "error
+    // events inside any OTHER user's session window". The naive plan
+    // is a nested-loop over sessions × errors; the scale plan
+    // decomposes time into fixed 1-hour buckets — each session
+    // EXPLODES to the buckets it overlaps (bounded by session length /
+    // bucket), each point event lands in exactly ONE bucket, and the
+    // candidate join becomes a bucket equi-join with the exact
+    // containment as a residual filter (no duplicate pairs to dedup,
+    // since a point has one bucket). Plan-gated: no NLJ, no cartesian.
+    // At 100 TB the bucket width trades explode factor vs per-bucket
+    // skew; zero-match sessions survive via the left join
+    "q64_interval_join" -> q { (s, d) =>
+      val B = 3600L * 1000000L // 1-hour buckets in epoch micros
+      val sess = queries("q14_sessionize")(s, d)
+        .select(col("user_id"), col("sess_id"), col("n_events"),
+          col("start_us"), col("end_us"))
+      val err = table(s, d, "events")
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"),
+          expr("ts div 1000").as("err_us"))
+      val sessB = sess.withColumn("bucket",
+        explode(sequence(expr(s"start_us div $B"), expr(s"end_us div $B"))))
+      val errB = err.withColumn("bucket", expr(s"err_us div $B"))
+      val cnt = sessB.join(errB, Seq("bucket"))
+        .filter(col("err_us") >= col("start_us") &&
+          col("err_us") <= col("end_us") &&
+          col("err_user") =!= col("user_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("cnt"))
+      sess.join(cnt, Seq("user_id", "sess_id"), "left")
+        .select(col("user_id"), col("sess_id"), col("n_events"),
+          col("start_us"), col("end_us"),
+          coalesce(col("cnt"), lit(0L)).as("n_foreign_errors"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    // dynamic partition pruning: the fact table materializes ONCE as a
+    // hive-partitioned layout (partitionBy the join key — the
+    // d50/e11 index-is-data lifecycle on the relational side), and a
+    // filter on the DIM side prunes fact partition directories AT
+    // RUNTIME through the join (Spark's DPP — the broadcast's key set
+    // becomes a partition filter). At 100 TB this is the difference
+    // between scanning every date/priority directory and only the
+    // ones the dim filter names. The dim is a true attribute table
+    // (urgency class is NOT derivable from the key by the optimizer),
+    // so the pruning must be dynamic, not static. Plan-gated:
+    // `dynamicpruning` in the scan's PartitionFilters
+    "q65_dpp_prune" -> q { (s, d) =>
+      import s.implicits._
+      val dir = graft.ScratchDirs.stable("q65_orders_by_priority", d)
+      val ord = graft.sources.Materialize.ensure(s, dir) {
+        table(s, d, "orders")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+      }
+      // the dim materializes too: a LocalRelation dim would constant-
+      // fold its filter away and DPP's selective-predicate check
+      // (a Filter over a scan on the pruning side) would never fire —
+      // with a real dim table the pruning is the one a warehouse does
+      val dimDir = graft.ScratchDirs.stable("q65_priority_dim", d)
+      val dim = graft.sources.Materialize.ensure(s, dimDir) {
+        Seq(("1-URGENT", "rush"), ("2-HIGH", "rush"), ("3-MEDIUM", "std"),
+            ("4-NOT SPECIFIED", "std"), ("5-LOW", "std"))
+          .toDF("o_orderpriority", "urgency_class")
+          .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      }
+      ord.join(broadcast(dim.filter(col("urgency_class") === "rush")),
+          Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d4(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -1113,7 +1265,54 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
   private val sumDisc = s"SUM($discExpr)"
 
+  /** The q14 sessionization chain WITHOUT the final ORDER BY, so q64
+    * can mount the identical session intervals as a CTE — one text,
+    * the two oracles cannot drift. */
+  private val sessionizeSql =
+    """SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
+      |           WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1
+      |           ELSE 0 END AS new_sess
+      |    FROM events) a) b
+      |GROUP BY user_id, sess_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the bloom filter is a pure plan transform — the oracle is the
+    // plain join it prunes for
+    "q62_bloom_join" ->
+      s"""SELECT p_brand, CAST($sumDisc AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 3
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q63_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM ev),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |pu AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        |  FROM w3 GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_viewed,
+        |  COUNT(t2) AS n_clicked, COUNT(t3) AS n_purchased,
+        |  CASE WHEN COUNT(t1) > 0
+        |    THEN CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+        |    ELSE 0.0 END AS view_to_click,
+        |  CASE WHEN COUNT(t2) > 0
+        |    THEN CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+        |    ELSE 0.0 END AS click_to_purchase
+        |FROM pu""".stripMargin,
+
     // the CMS table and min-estimates re-derived from the embedded
     // portable-hash constants; exact side proves never-undercount
     "q61_heavy_hitters" -> {
@@ -1244,19 +1443,32 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_sessionize" ->
-      """SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
-        |FROM (
-        |  SELECT user_id, event_id, ts_us,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM (
-        |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL THEN 1
-        |           WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1
-        |           ELSE 0 END AS new_sess
-        |    FROM events) a) b
-        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+      s"$sessionizeSql ORDER BY user_id, sess_id",
+
+    // sessions remounted verbatim; the range join runs brute-force
+    // here (DuckDB's prerogative at oracle scale) — the Spark side's
+    // bucket decomposition must produce the identical pair set
+    "q64_interval_join" ->
+      s"""WITH sessions AS ($sessionizeSql),
+         |err AS (SELECT user_id AS err_user, epoch_us(ts) AS err_us
+         |  FROM events WHERE event_type = 'error'),
+         |pairs AS (SELECT s.user_id, s.sess_id, COUNT(*) AS cnt
+         |  FROM sessions s JOIN err e
+         |    ON e.err_us >= s.start_us AND e.err_us <= s.end_us
+         |   AND e.err_user <> s.user_id
+         |  GROUP BY s.user_id, s.sess_id)
+         |SELECT s.user_id, s.sess_id, s.n_events, s.start_us, s.end_us,
+         |  COALESCE(p.cnt, 0) AS n_foreign_errors
+         |FROM sessions s LEFT JOIN pairs p USING (user_id, sess_id)
+         |ORDER BY user_id, sess_id""".stripMargin,
+
+    // the partitioned layout is a pure storage transform — the oracle
+    // is the same aggregate over the flat table
+    "q65_dpp_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q15_json_extract" ->
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k

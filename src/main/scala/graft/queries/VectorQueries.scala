@@ -471,6 +471,21 @@ object VectorQueries {
     // under any partitioning), so the whole report is a FULL oracle.
     "e20_centroid_drift" -> q { (s, d) =>
       Similarity.centroidDrift(table(s, d, "embeddings"))
+    },
+
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    // SIGIR'98 — the diversity re-rank between retrieval and a RAG
+    // context window): from the query's top-20 pool, 5 greedy picks of
+    // argmax λ·rel − (1−λ)·max-sim-to-selected. The corpus work is the
+    // e1 retrieval pass + pool-only pairwise cosines (both sides
+    // broadcast, poolK² = 400 rows); the greedy fold is driver-side
+    // over those CONSTANT-bounded rows (the d45 precedent — each pick
+    // depends on the last, and the pool stays ~tens at 100 TB). FULL
+    // oracle: 5 unrolled argmax rounds over the same pool/sims CTEs
+    "e33_mmr_select" -> q { (s, d) =>
+      Similarity.mmrSelect(table(s, d, "embeddings"),
+          queryId = 0L, poolK = 20, selectK = 5)
+        .orderBy("rank")
     }
   )
 
@@ -709,7 +724,47 @@ object VectorQueries {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** e33's oracle: the greedy MMR fold unrolled as 5 argmax rounds
+    * (the e22/d45 unrolling precedent) over the same top-20 pool and
+    * pool-only pairwise cosine CTEs; λ and 1−λ are the SAME
+    * [[Similarity.MmrLambda]]/[[Similarity.MmrOneMinusLambda]]
+    * literals the Scala fold multiplies with. */
+  private def mmrOracle: String = {
+    val lam = s"CAST(${Similarity.MmrLambda} AS DOUBLE)"
+    val om = s"CAST(${Similarity.MmrOneMinusLambda} AS DOUBLE)"
+    val rounds = (2 to 5).map { r =>
+      s"""c$r AS (SELECT p.cand_id, p.rel, $lam * p.rel - $om * MAX(s.sim) AS mmr
+         |  FROM pool p JOIN sims s ON s.a_id = p.cand_id
+         |    AND s.b_id IN (SELECT cand_id FROM sel${r - 1})
+         |  WHERE p.cand_id NOT IN (SELECT cand_id FROM sel${r - 1})
+         |  GROUP BY p.cand_id, p.rel),
+         |s$r AS (SELECT cand_id, rel, mmr FROM c$r ORDER BY mmr DESC, cand_id LIMIT 1),
+         |sel$r AS (SELECT cand_id FROM sel${r - 1} UNION ALL SELECT cand_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5)
+      .map(r => s"SELECT $r AS rank, cand_id AS vec_id, rel, mmr FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH qs AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (SELECT e.vec_id AS cand_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> 0),
+       |pool AS (SELECT cand_id, cos AS rel FROM (
+       |  SELECT cand_id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) t WHERE rnk <= 20),
+       |pv AS (SELECT p.cand_id, e.embedding AS ce FROM pool p
+       |  JOIN embeddings e ON e.vec_id = p.cand_id),
+       |sims AS (SELECT a.cand_id AS a_id, b.cand_id AS b_id,
+       |    ${cosSql("a.ce", "b.ce")} AS sim
+       |  FROM pv a JOIN pv b ON a.cand_id <> b.cand_id),
+       |s1 AS (SELECT cand_id, rel, $lam * rel AS mmr
+       |  FROM pool ORDER BY rel DESC, cand_id LIMIT 1),
+       |sel1 AS (SELECT cand_id FROM s1),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e33_mmr_select" -> mmrOracle,
     "e1_cosine_topk" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |cs AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),

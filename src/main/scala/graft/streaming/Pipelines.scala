@@ -20,6 +20,13 @@ case class SessionState(start: Long, end: Long, n: Long, total: Double)
 case class LineItem(docId: Long, lineIdx: Int, line: String)
 /** The first-occurrence keeper of one distinct line. */
 case class LineKeeper(line: String, docId: Long, lineIdx: Int)
+/** One user event for funnel tracking (streamFunnel). */
+case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+/** Per-user funnel progress: first-reach micros per stage,
+  * Long.MaxValue = not reached. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+/** Emitted when a user FIRST reaches a funnel stage. */
+case class FunnelAdvance(userId: Long, stage: Int, tsUs: Long)
 
 /** Structured Streaming re-expression of the reference's streaming
   * pipelines (SURVEY §2d). The reference's RAW stage is a KSQL stream
@@ -105,6 +112,47 @@ object Pipelines {
             state.update(1L)
             Iterator(LineKeeper(line, first.docId, first.lineIdx))
           }
+      }
+  }
+
+  /** Live conversion-funnel tracking — the q63 streaming twin: per
+    * user, the strictly-sequenced view → click-after-it →
+    * purchase-after-that state machine runs incrementally in
+    * flatMapGroupsWithState, emitting one row the FIRST time a user
+    * reaches each stage (the live dashboard feed; the batch q63 is
+    * the retrospective rollup). State per user is three longs —
+    * first-reach micros per stage, monotone non-increasing updates —
+    * so state is O(users), never O(events). Within a micro-batch rows
+    * apply in (ts, type) order; like the batch rule, a click counts
+    * only with a strictly earlier view already seen, so the stream
+    * equals q63's stage sets whenever arrival order respects event
+    * time (the streamLineDedup contract), and replay is deterministic
+    * regardless. */
+  def streamFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val None_ = Long.MaxValue
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          rows.toSeq.sortBy(r => (r.tsUs, r.eventType)).foreach { r =>
+            r.eventType match {
+              case "view" if r.tsUs < st.t1 =>
+                if (st.t1 == None_) out += FunnelAdvance(uid, 1, r.tsUs)
+                st = st.copy(t1 = r.tsUs)
+              case "click" if st.t1 != None_ && r.tsUs > st.t1 && r.tsUs < st.t2 =>
+                if (st.t2 == None_) out += FunnelAdvance(uid, 2, r.tsUs)
+                st = st.copy(t2 = r.tsUs)
+              case "purchase" if st.t2 != None_ && r.tsUs > st.t2 && r.tsUs < st.t3 =>
+                if (st.t3 == None_) out += FunnelAdvance(uid, 3, r.tsUs)
+                st = st.copy(t3 = r.tsUs)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 
@@ -328,6 +376,19 @@ object Pipelines {
           .otherwise(lit(3)))
       .withColumn("shuffle_key",
         pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+
+  /** Ingest-time content-type routing — the m18 streaming twin:
+    * arriving payloads sniff through the SAME shared magic-byte
+    * kernel (`Multimodal.sniffMime`/`mimeRoute` — one definition, so
+    * batch and stream verdicts cannot drift) and tag the decoder
+    * family they fan out to. Stateless, shuffle-free,
+    * replay-identical: the sniff reads only the row's own bytes, so a
+    * recovered micro-batch re-derives identical routes (the
+    * idempotent sink's requirement). */
+  def streamMimeRoute(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("mime", graft.operators.Multimodal.sniffMime(col("payload")))
+      .withColumn("route", graft.operators.Multimodal.mimeRoute(col("mime")))
 
   /** Ingest-time DSIR screening — the d61 streaming twin: arriving
     * documents score IN-ROW through the SAME shared hashed-bigram

@@ -618,4 +618,64 @@ class DedupSpec extends AnyFunSuite {
     // equalize toward the majority, they never drop below 1 per doc)
     assert(out.map(_._1) == docs.map(_._1).toSet)
   }
+
+  test("d62: tf-idf keywords equal an independent local derivation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    // split-then-drop-empties ≡ the query's trim+split+filter for any
+    // leading/trailing whitespace mix
+    val tf: Map[(Long, String), Long] = docs
+      .flatMap { case (id, t) =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val dfreq: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    val expected = tf.toSeq
+      .map { case ((id, w), f) =>
+        (id, w, f, dfreq(w), (f * n).toDouble / dfreq(w).toDouble) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, w, _, _, sc) => (-sc, w) }.take(5).zipWithIndex
+          .map { case ((id, w, f, d, sc), i) => (id, i + 1, w, f, d, sc) }
+      }.toSet
+    val got = SparkEntry.queries("d62_tfidf_keywords")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getString(2),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score")))
+      .toSet
+    assert(got == expected, "tf-idf top-5 must equal the local derivation")
+  }
+
+  test("d63: langid confusion matrix equals a local regex re-derivation") {
+    def cnt(t: String, re: String): Int = {
+      val m = java.util.regex.Pattern.compile(re).matcher(t)
+      var n = 0; while (m.find()) n += 1; n
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val pred = docs.map { case (lang, t) =>
+      val (en, es, de) = (cnt(t, "\\b(?:the|and|of|to)\\b"),
+        cnt(t, "\\b(?:el|la|de|que)\\b"), cnt(t, "\\b(?:der|die|das|und)\\b"))
+      val p =
+        if (en >= 3 && en >= es && en >= de) "en"
+        else if (es >= 3 && es >= de) "es"
+        else if (de >= 3) "de"
+        else "und"
+      (lang, p)
+    }
+    val cm = pred.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val totals = pred.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val expected = cm.map { case ((tl, pl), n) =>
+      (tl, pl, n, totals(tl), n.toDouble / totals(tl).toDouble,
+        if (tl == pl) 1 else 0)
+    }.toSet
+    val got = SparkEntry.queries("d63_langid_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Long]("lang_total"), r.getAs[Double]("share"),
+        r.getAs[Int]("is_correct"))).toSet
+    assert(got == expected, "confusion matrix must equal the local derivation")
+    // the harness must measure something non-degenerate on the fixture
+    assert(got.exists(_._6 == 1) && got.exists(_._6 == 0))
+  }
 }

@@ -975,4 +975,39 @@ class MultimodalSpec extends AnyFunSuite {
     // totality on garbage
     assert(WavCodec.decode(Array.tabulate[Byte](300)(i => (i * 37).toByte)).isEmpty)
   }
+
+  test("mime sniff labels every magic family and routes it; text falls through") {
+    import Multimodal._
+    val cases: Seq[(Array[Byte], String, String)] = Seq(
+      (MagicPng ++ "rest".getBytes("US-ASCII"), "image/png", "image"),
+      (MagicJpeg ++ Array[Byte](0xe0.toByte), "image/jpeg", "image"),
+      ("GIF87a".getBytes("US-ASCII"), "image/gif", "image"),
+      ("GIF89a".getBytes("US-ASCII"), "image/gif", "image"),
+      (MagicBmp ++ "xx".getBytes("US-ASCII"), "image/bmp", "image"),
+      // RIFF size bytes are arbitrary — the sniff reads the four-cc at
+      // offset 8, not the size
+      (MagicRiff ++ Array[Byte](9, 8, 7, 6) ++ MagicWave, "audio/x-wav", "audio"),
+      (MagicRiff ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII"),
+        "application/octet-stream", "binary"),
+      (MagicY4m ++ " W2 H2".getBytes("US-ASCII"), "video/x-yuv4mpeg", "video"),
+      ("P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0),
+        "image/x-portable-pixmap", "image"),
+      (MagicId3 ++ "tag".getBytes("US-ASCII"), "audio/mpeg", "audio"),
+      ("just words".getBytes("US-ASCII"), "text/plain", "text"),
+      (Array.empty[Byte], "text/plain", "text"),
+      // truncated below the magic length falls through, never errors
+      (Array[Byte](0x89.toByte, 'P'), "text/plain", "text"),
+      // honest ambiguity: text that OPENS with a magic sniffs as it
+      ("BMW sales rose".getBytes("US-ASCII"), "image/bmp", "image"))
+    import spark.implicits._
+    val got = cases.zipWithIndex
+      .map { case ((p, _, _), i) => (i, p) }.toDF("i", "payload")
+      .select(col("i"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .withColumn("route", Multimodal.mimeRoute(col("mime")))
+      .orderBy("i").collect()
+    got.zip(cases).foreach { case (r, (_, wantMime, wantRoute)) =>
+      assert(r.getString(1) == wantMime, s"case ${r.getInt(0)}: mime")
+      assert(r.getString(2) == wantRoute, s"case ${r.getInt(0)}: route")
+    }
+  }
 }

@@ -764,4 +764,79 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       "the VAD pipeline must be shuffle-free before the final sort")
   }
+
+  test("q62: the runtime bloom filter prunes the fact scan before the shuffle") {
+    val p = plan("q62_bloom_join")
+    assert(p.contains("might_contain"),
+      "expected InjectRuntimeFilter's bloom probe on the fact side")
+    // the builder restores the session verbatim — the tuned thresholds
+    // must not leak into every other query's planning
+    assert(SparkTest.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "q62's conf overrides leaked out of its builder")
+  }
+
+  test("q63: the whole funnel rides one user_id exchange") {
+    val p = plan("q63_funnel")
+    assert(!p.contains("CartesianProduct"))
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(user_id"))
+      .size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, saw $userExchanges — " +
+        "the three window stages and both aggregations must share it")
+  }
+
+  test("d62: df agg and tf⋈df probe share the term repartition; top-5 is WindowGroupLimit") {
+    val p = plan("d62_tfidf_keywords")
+    assert(!p.contains("CartesianProduct"),
+      "only the broadcast 1-row corpus-size join may cross — never a cartesian")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit term repartition enabling exchange reuse")
+    assert(p.contains("WindowGroupLimit"),
+      "per-doc top-5 must push below the doc_id exchange")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"), "document text must never cross a shuffle")
+  }
+
+  test("m18: mime sniff is in-row prefix compares — shuffle-free before the sort") {
+    val p = plan("m18_mime_sniff")
+    assert(!p.contains("hashpartitioning"),
+      "the sniff must run at the scan; payloads never cross a shuffle")
+  }
+
+  test("q64: the interval join is a bucket equi-join — no nested loop, no cartesian") {
+    val p = plan("q64_interval_join")
+    assert(!p.contains("CartesianProduct"),
+      "sessions × errors must never cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must ride the bucket equi-join as a residual, not an NLJ")
+    assert(p.contains("bucket"), "expected the time-bucket join key")
+  }
+
+  test("q65: the dim filter prunes fact partitions dynamically") {
+    val p = plan("q65_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      "expected DPP's runtime partition filter on the partitioned fact scan")
+    assert(p.contains("BroadcastHashJoin"), "the tiny dim must broadcast")
+  }
+
+  test("d63: confusion matrix and row totals share one true_lang exchange") {
+    val p = plan("d63_langid_eval")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit true_lang repartition")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"agg and window must both ride the true_lang exchange, saw $exchanges")
+  }
+
+  test("e33: the MMR pool work is broadcast-only — no corpus self-join") {
+    val p = plan("e33_mmr_select")
+    // the returned frame is the driver fold's materialized picks; the
+    // heavy lifting happened in the pool/sims jobs, which the builder
+    // already executed — assert the OUTPUT plan stays trivial (no
+    // accidental re-computation graft)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Scan parquet"),
+      "e33's result is the bounded driver fold — it must not re-scan the corpus")
+  }
 }

@@ -711,4 +711,33 @@ class SimilaritySpec extends AnyFunSuite {
     hard.foreach(r => assert(r.getAs[Double]("cos") < 0.2,
       "every mined negative sits strictly below the ceiling"))
   }
+
+  test("e33: MMR picks equal an independent local greedy fold") {
+    val got = SparkEntry.queries("e33_mmr_select")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("mmr"))).toSeq
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L)
+    val pool = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cosLocal(q, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(20).toMap
+    var selected = List.empty[Long]
+    var remaining = pool.keySet
+    val expected = (1 to 5).map { rank =>
+      val (bestId, bestScore) = remaining.toSeq.sorted.map { c =>
+        val s =
+          if (selected.isEmpty) Similarity.MmrLambda * pool(c)
+          else Similarity.MmrLambda * pool(c) - Similarity.MmrOneMinusLambda *
+            selected.map(sId => cosLocal(emb(c), emb(sId))).max
+        (c, s)
+      }.maxBy { case (id, s) => (s, -id) }
+      selected ::= bestId
+      remaining -= bestId
+      (rank, bestId, pool(bestId), bestScore)
+    }
+    assert(got == expected, "distributed MMR must equal the local greedy fold")
+    // diversity sanity: the greedy set is not just the top-5 by relevance
+    assert(got.map(_._2).toSet.size == 5)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.FieldSpec
-import graft.streaming.{LineItem, Pipelines}
+import graft.streaming.{FunnelEvent, LineItem, Pipelines}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTest._
@@ -1118,5 +1118,79 @@ class StreamingSpec extends AnyFunSuite {
     // frequent training word, so its subword count beats char-level
     assert(graft.operators.BpeTrain.encode("newest", merges).length <
       "newest".length + 1)
+  }
+
+  test("funnel stream: strict sequencing, first-reach emits, incremental state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def run(name: String): Set[(Long, Int, Long)] = {
+      val in = MemoryStream[FunnelEvent]
+      val q = Pipelines.streamFunnel(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // batch 1: u1 converts fully; u2's click PRECEDES its first view
+      // (must not count) and its purchase precedes stage 2 (ditto);
+      // u3 stops at click; u4 purchases with no funnel at all
+      in.addData(
+        FunnelEvent(1, "view", 100), FunnelEvent(1, "click", 200),
+        FunnelEvent(1, "purchase", 300),
+        FunnelEvent(2, "click", 100), FunnelEvent(2, "view", 200),
+        FunnelEvent(3, "view", 100), FunnelEvent(3, "click", 150),
+        FunnelEvent(3, "click", 120),
+        FunnelEvent(4, "purchase", 50))
+      q.processAllAvailable()
+      // batches 2/3: u2 converts INCREMENTALLY across micro-batches —
+      // the state carries its view, so the later click/purchase land
+      in.addData(FunnelEvent(2, "click", 250))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(2, "purchase", 400))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      q.stop()
+      out
+    }
+    val first = run("funnel_out")
+    assert(first == Set(
+      (1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L),
+      (2L, 1, 200L), (2L, 2, 250L), (2L, 3, 400L),
+      (3L, 1, 100L), (3L, 2, 120L)),
+      s"funnel advances wrong: $first")
+    // u3's in-batch rows apply in ts order: the click at 120 reaches
+    // stage 2 even though the 150 click sits earlier in arrival order
+    assert(first.contains((3L, 2, 120L)))
+    // replay: the same batch sequence re-emits identically
+    assert(run("funnel_out_replay") == first, "replay must be deterministic")
+  }
+
+  test("mime route: stream sniffs match the batch kernel and replay identically") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    implicit val ctx = spark.sqlContext
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> (Multimodal.MagicPng ++ "pix".getBytes("US-ASCII")),
+      2L -> (Multimodal.MagicRiff ++ Array[Byte](0, 0, 0, 0) ++ Multimodal.MagicWave),
+      3L -> "plain prose".getBytes("US-ASCII"),
+      4L -> (Multimodal.MagicY4m ++ " W2".getBytes("US-ASCII")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val stream = in.toDF().toDF("doc_id", "payload")
+    val q = Pipelines.streamMimeRoute(stream)
+      .select("doc_id", "mime", "route")
+      .writeStream.format("memory").queryName("mime_route_out")
+      .outputMode("append").start()
+    in.addData(payloads: _*)
+    q.processAllAvailable()
+    val out = spark.table("mime_route_out").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    q.stop()
+    assert(out == Map(
+      1L -> ("image/png", "image"), 2L -> ("audio/x-wav", "audio"),
+      3L -> ("text/plain", "text"), 4L -> ("video/x-yuv4mpeg", "video")))
+    // stateless per-row expression: the same rows as a batch frame
+    // route identically (replay stability under recovery)
+    val replay = Pipelines.streamMimeRoute(payloads.toDF("doc_id", "payload"))
+      .select("doc_id", "mime", "route").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(replay == out, "replayed rows must route identically")
   }
 }
