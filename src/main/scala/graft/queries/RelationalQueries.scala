@@ -1255,6 +1255,80 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(d4(col("o_totalprice"))).cast(DoubleType).as("total_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // incremental aggregate maintenance (materialized-view delta
+    // merge — the Lambda-architecture batch side): the BASE partition
+    // of the fact aggregates ONCE into a persisted per-key partial
+    // state (exact decimal sums + counts — mergeable state, never
+    // averages), and the query combines that tiny artifact with the
+    // fresh DELTA slice's aggregate by key. At 100 TB the nightly
+    // refresh re-aggregates only the arriving delta and merges k rows
+    // — never rescans the base fact; ratios (avg) derive from the
+    // MERGED sums, the one rule that makes MV maintenance correct.
+    // Plan-gated: exactly one fact scan (the delta) + the artifact
+    // scan. Oracle = the full aggregate over the whole fact — merge ≡
+    // recompute is the query's own correctness statement
+    "q66_mv_merge" -> q { (s, d) =>
+      val dir = graft.ScratchDirs.stable("q66_base_agg", d)
+      val base = graft.sources.Materialize.ensure(s, dir) {
+        table(s, d, "lineitem")
+          .filter(col("l_orderkey") % 8 =!= 0)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(d4(col("l_quantity"))).as("sum_qty"),
+            sum(d4(col("l_extendedprice"))).as("sum_price"),
+            count(lit(1)).as("n_lines"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      val delta = table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(d4(col("l_quantity"))).as("sum_qty"),
+          sum(d4(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n_lines"))
+      base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("sum_qty")).as("mq"),
+          sum(col("sum_price")).as("mp"),
+          sum(col("n_lines")).as("n_lines"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("mq").cast(DoubleType).as("sum_qty"),
+          col("mp").cast(DoubleType).as("sum_price"),
+          col("n_lines"),
+          (col("mp").cast(DoubleType) / col("n_lines").cast(DoubleType))
+            .as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // per-key temporal anomaly detection (the ops-dashboard rate
+    // alarm): each user's hourly event counts z-score against THAT
+    // user's own history, hours more than 2σ ABOVE the mean flag. The
+    // test is the log-free/divisionless integer form (the q20/d61
+    // discipline): (cnt·n − S1)² > 4·(n·S2 − S1²) over exact long
+    // sums S1=Σcnt, S2=Σcnt² — no sqrt, no per-row double whose ulp
+    // could fork the flag cross-engine; the one double (the reported
+    // mean) derives at the end. Plan shape: ONE explicit user_id
+    // repartition serves the (user, hour) aggregation (grouping is a
+    // superset of the partitioning) and the per-user whole-partition
+    // window — plan-gated exactly-one-exchange, the d63 pattern
+    "q67_anomaly" -> q { (s, d) =>
+      val wU = Window.partitionBy("user_id")
+      table(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_hours", count(lit(1)).over(wU))
+        .withColumn("s1", sum(col("cnt")).over(wU))
+        .withColumn("s2", sum(col("cnt") * col("cnt")).over(wU))
+        .filter(col("cnt") * col("n_hours") > col("s1") &&
+          (col("cnt") * col("n_hours") - col("s1")) *
+            (col("cnt") * col("n_hours") - col("s1")) >
+            lit(4L) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
+        .select(col("user_id"), col("hour"), col("cnt"), col("n_hours"),
+          (col("s1").cast(DoubleType) / col("n_hours").cast(DoubleType))
+            .as("mean_cnt"))
+        .orderBy("user_id", "hour")
     }
   )
 
@@ -1469,6 +1543,40 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the base/delta split is a pure execution transform — the oracle
+    // is the full aggregate the merged view must equal (exact decimal
+    // sums merge associatively, so partition-then-merge ≡ recompute)
+    "q66_mv_merge" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // integer z²-test re-derived with window sums — exact longs on
+    // both sides, so the flag predicate can never fork cross-engine
+    "q67_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id, hour, cnt,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_hours,
+        |    SUM(cnt) OVER (PARTITION BY user_id) AS s1,
+        |    SUM(cnt * cnt) OVER (PARTITION BY user_id) AS s2
+        |  FROM hourly)
+        |SELECT user_id, hour, cnt, n_hours,
+        |  CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_cnt
+        |FROM stats
+        |WHERE cnt * n_hours > s1
+        |  AND (cnt * n_hours - s1) * (cnt * n_hours - s1)
+        |      > 4 * (n_hours * s2 - s1 * s1)
+        |ORDER BY user_id, hour""".stripMargin,
 
     "q15_json_extract" ->
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k

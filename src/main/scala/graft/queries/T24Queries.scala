@@ -233,6 +233,37 @@ object T24Queries {
         .orderBy(SchemaConverter.RecId)
     },
 
+    // SCD Type-2 validity intervals from the same CDC change log
+    // t24_cdc_latest collapses: the core-banking warehouse keeps EVERY
+    // version of a record as a [valid_from, valid_to] row (the
+    // INPUTTER_HIS audit trail materialized as a dimension — the
+    // reference's history rows are exactly this, reference
+    // controllers/index.js:57-120 RECID semantics). Per RECID ordered
+    // by cdc_ts: valid_from = the change's ts, valid_to = the NEXT
+    // change's ts − 1 (open = the current version, flagged). One
+    // lead() window — the whole history rides a single RECID exchange
+    // (plan-gated); at 100 TB the change log shuffles once, keyed by
+    // the record, and version counts per key are audit-bounded
+    "t24_scd2_intervals" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+      val v1 = o.select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+        lit(1L).as("cdc_ts"), col("o_orderstatus").as("STATUS"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+          lit(2L).as("cdc_ts"), lit("X").as("STATUS"))
+      val v3 = o.filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+          lit(3L).as("cdc_ts"), lit("C").as("STATUS"))
+      val w = Window.partitionBy(SchemaConverter.RecId).orderBy("cdc_ts")
+      v1.unionByName(v2).unionByName(v3)
+        .withColumn("valid_to",
+          org.apache.spark.sql.functions.lead(col("cdc_ts"), 1).over(w) - 1L)
+        .select(col(SchemaConverter.RecId), col("STATUS"),
+          col("cdc_ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col(SchemaConverter.RecId), col("valid_from"))
+    },
+
     // the /api/etl-pipeline + /api/execute composition: the schema goes
     // through the registry (put → run), then the compiled pipeline
     // executes — same oracle as the directly-compiled t24_schema_pipeline
@@ -393,6 +424,21 @@ object T24Queries {
         |  CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END AS STATUS,
         |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS cdc_ts
         |FROM orders ORDER BY RECID""".stripMargin,
+
+    "t24_scd2_intervals" ->
+      """WITH cdc AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |    CAST(1 AS BIGINT) AS cdc_ts, o_orderstatus AS STATUS FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 2, 'X' FROM orders
+        |  WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 3, 'C' FROM orders
+        |  WHERE o_orderkey % 4 = 1)
+        |SELECT RECID, STATUS, cdc_ts AS valid_from,
+        |  LEAD(cdc_ts) OVER (PARTITION BY RECID ORDER BY cdc_ts) - 1 AS valid_to,
+        |  LEAD(cdc_ts) OVER (PARTITION BY RECID ORDER BY cdc_ts) IS NULL AS is_current
+        |FROM cdc ORDER BY RECID, valid_from""".stripMargin,
 
     "t24_registry_pipeline" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,

@@ -839,4 +839,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"),
       "e33's result is the bounded driver fold — it must not re-scan the corpus")
   }
+
+  test("q66: the merge reads the base ARTIFACT — exactly one fact scan (the delta)") {
+    val p = plan("q66_mv_merge")
+    assert(!p.contains("CartesianProduct"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 2,
+      s"expected the delta fact scan + the base-aggregate artifact scan, saw $scans — " +
+        "a third scan means the base fact is being re-read")
+    assert(p.contains("ReadSchema: struct<l_returnflag"),
+      "the delta scan must prune to the aggregation columns")
+  }
+
+  test("q67: aggregation and window both ride the one user_id exchange") {
+    val p = plan("q67_anomaly")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit user_id repartition")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the (user, hour) agg and the per-user window must share the user_id exchange, saw $exchanges")
+  }
+
+  test("t24_scd2: the whole version history rides one RECID exchange") {
+    val p = plan("t24_scd2_intervals")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(RECID")).size
+    assert(exchanges == 1,
+      s"expected exactly one RECID exchange for the lead() window, saw $exchanges")
+  }
 }

@@ -185,4 +185,81 @@ class RelationalSpec extends AnyFunSuite {
       .orderBy("o_orderpriority").collect().toSeq
     assert(got == plain, "partition pruning changed the aggregate")
   }
+
+  test("q66: base+delta merge equals the full aggregate, and the base artifact memoizes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val got = SparkEntry.queries("q66_mv_merge")(spark, sf).collect().toSeq
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("avg_price",
+        col("sum_price") / col("n_lines").cast(DoubleType))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(got == full, "delta merge must equal the full re-aggregate")
+    // the base partial-state artifact builds once: a second run reads
+    // the committed parquet (same rows) without rebuilding
+    val dir = graft.ScratchDirs.stable("q66_base_agg", sf)
+    val mtime = new java.io.File(dir, "_SUCCESS").lastModified()
+    val again = SparkEntry.queries("q66_mv_merge")(spark, sf).collect().toSeq
+    assert(again == got)
+    assert(new java.io.File(dir, "_SUCCESS").lastModified() == mtime,
+      "base aggregate must memoize behind the _SUCCESS marker")
+  }
+
+  test("q67: flagged hours match a local integer z²-test re-derivation") {
+    val got = SparkEntry.queries("q67_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 3600000000 AS hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val counts = rows.groupBy(_._2).map { case (h, xs) => (h, xs.length.toLong) }
+      val n = counts.size.toLong
+      val s1 = counts.values.sum
+      val s2 = counts.values.map(c => c * c).sum
+      counts.collect {
+        case (h, c) if c * n > s1 &&
+          (c * n - s1) * (c * n - s1) > 4L * (n * s2 - s1 * s1) =>
+          (u, h, c, n, s1.toDouble / n.toDouble)
+      }
+    }.toSet
+    assert(got == expected, "integer z²-test must match the local pass")
+    assert(got.nonEmpty, "fixture should flag at least one anomalous hour")
+  }
+
+  test("t24_scd2: per-key interval chains cover the history with exactly one open version") {
+    val rows = SparkEntry.queries("t24_scd2_intervals")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (recid, vs) =>
+      val sorted = vs.sortBy(_._3)
+      // chain: each valid_to = next valid_from - 1; exactly one open
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to == from - 1, s"$recid: gap or overlap at $from")
+        case Array((_, _, from, None, _), _) =>
+          fail(s"$recid: closed interval after the open one at $from")
+        case _ => ()
+      }
+      assert(sorted.count(_._4.isEmpty) == 1,
+        s"$recid: exactly one current version expected")
+      assert(sorted.forall(v => v._5 == v._4.isEmpty),
+        s"$recid: is_current must mirror the open interval")
+      // version count follows the synthesized CDC rule
+      val key = recid.toLong
+      val expectVs = 1 + (if (key % 2 == 1) 1 else 0) + (if (key % 4 == 1) 1 else 0)
+      assert(sorted.length == expectVs, s"$recid: wrong version count")
+      // the open version's STATUS is the cdc_latest verdict
+      val latest = sorted.last._2
+      val expectLatest =
+        if (key % 4 == 1) "C" else if (key % 2 == 1) "X" else sorted.head._2
+      assert(latest == expectLatest, s"$recid: current STATUS wrong")
+    }
+  }
 }
