@@ -2090,6 +2090,55 @@ object DocQueries {
           graft.operators.Multimodal.mimeRoute(col("mime")).as("route"),
           col("byte_len"))
         .orderBy("doc_id")
+    },
+
+    // the MinHash-LSH measurement loop (the e12/e23/d63 evaluation-
+    // harness pattern on the dedup side): the banding theory says
+    // P[candidate] follows an S-curve in true Jaccard — this MEASURES
+    // that curve on the real corpus. Per signature-agreement count
+    // (matching components of the 64-hash sketch), how many band
+    // candidates are true duplicates (exact token Jaccard ≥ 0.5 — the
+    // divisionless 2·|∩| ≥ |∪| integer test, so the verdict can never
+    // fork cross-engine)? The report is what tunes bands×rows before
+    // a 100 TB dedup run commits to a screen. Scale shape: candidates
+    // from the band equi-join ONLY (no all-pairs path, plan-gated);
+    // signatures (64×8 B) and token arrays join back by id for
+    // CANDIDATE pairs only (the d49 verify-join shape) — raw text
+    // never shuffles; one double division per output row at the end
+    "d64_lsh_curve" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val sigs = Dedup.minhashSignatures(docs)
+      val bands = Dedup.minhashBands(sigs)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        array_distinct(Text.tokens(col("text"))).as("toks"))
+      cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("signature").as("sa")),
+          Seq("a_id"))
+        .join(sigs.select(col("doc_id").as("b_id"), col("signature").as("sb")),
+          Seq("b_id"))
+        .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")),
+          Seq("a_id"))
+        .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")),
+          Seq("b_id"))
+        .select(
+          aggregate(zip_with(col("sa"), col("sb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), _ + _).as("n_match"),
+          (lit(2) * size(array_intersect(col("ta"), col("tb"))) >=
+            size(array_union(col("ta"), col("tb")))).as("is_dup"))
+        .groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .select(col("n_match"), col("n_pairs"), col("n_dups"),
+          (col("n_dups").cast("double") / col("n_pairs").cast("double"))
+            .as("dup_share"))
+        .orderBy("n_match")
     }
   )
 
@@ -2129,6 +2178,30 @@ object DocQueries {
   private def minhashOracle: String =
     s"""WITH $minhashChain
        |SELECT doc_id, band, bucket FROM bnd ORDER BY doc_id, band""".stripMargin
+
+  /** d64's oracle: the d6 chain's candidate pairs scored by signature
+    * agreement and verified with the exact integer token-Jaccard test. */
+  private def lshCurveOracle: String =
+    s"""WITH $minhashChain,
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (SELECT a_id, b_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+       |  FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+       |            JOIN sig sb ON cand.b_id = sb.doc_id),
+       |v AS (SELECT m.n_match,
+       |    (2 * len(list_intersect(ta.toks, tb.toks))
+       |      >= len(list_distinct(list_concat(ta.toks, tb.toks)))) AS is_dup
+       |  FROM m JOIN tk ta ON m.a_id = ta.doc_id
+       |         JOIN tk tb ON m.b_id = tb.doc_id)
+       |SELECT n_match, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_share
+       |FROM v GROUP BY n_match ORDER BY n_match""".stripMargin
 
   /** d49's oracle: the d6 chain's candidate pairs verified with
     * Levenshtein over the same 256-char prefix. */
@@ -2846,6 +2919,8 @@ object DocQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d6_minhash_lsh" -> minhashOracle,
+
+    "d64_lsh_curve" -> lshCurveOracle,
 
     "d7_simhash" -> simhashOracle,
 

@@ -390,6 +390,25 @@ object Pipelines {
       .withColumn("mime", graft.operators.Multimodal.sniffMime(col("payload")))
       .withColumn("route", graft.operators.Multimodal.mimeRoute(col("mime")))
 
+  /** Live rate-anomaly flagging — the q67 streaming twin: arriving
+    * (user_id, hour, cnt) rows flag against the batch-trained per-user
+    * history stats (user_id, n_hours, s1, s2 — q67's window sums
+    * shipped as an artifact, the streamPerplexityRoute posture) with
+    * the SAME divisionless integer z²-test, so stream and batch
+    * verdicts cannot fork: (cnt·n − S1)² > 4·(n·S2 − S1²) above the
+    * mean. Stateless: one broadcast left join + an in-row integer
+    * predicate — the stream never recomputes corpus history; users
+    * with no history never flag (coalesce to false). */
+  def streamAnomaly(counts: DataFrame, stats: DataFrame): DataFrame = {
+    val dev = col("cnt") * col("n_hours") - col("s1")
+    counts.join(broadcast(stats), Seq("user_id"), "left")
+      .withColumn("is_anomaly", coalesce(
+        dev > 0L && dev * dev >
+          lit(4L) * (col("n_hours") * col("s2") - col("s1") * col("s1")),
+        lit(false)))
+      .select(col("user_id"), col("hour"), col("cnt"), col("is_anomaly"))
+  }
+
   /** Ingest-time DSIR screening — the d61 streaming twin: arriving
     * documents score IN-ROW through the SAME shared hashed-bigram
     * kernels (`Text.dsirBuckets`/`dsirSum`) against the two

@@ -678,4 +678,36 @@ class DedupSpec extends AnyFunSuite {
     // the harness must measure something non-degenerate on the fixture
     assert(got.exists(_._6 == 1) && got.exists(_._6 == 0))
   }
+
+  test("d64: the S-curve re-derives from collected signatures and token sets") {
+    import graft.operators.Dedup
+    val got = SparkEntry.queries("d64_lsh_curve")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val sigRows = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val byBucket = Dedup.minhashBands(Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(0))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val cand = byBucket.flatMap(ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))).toSet
+    val toks = docs.selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").distinct.toSet)
+      .toMap
+    val expected = cand.toSeq.map { case (a, b) =>
+      val nMatch = sigRows(a).zip(sigRows(b)).count { case (x, y) => x == y }.toLong
+      val isDup = 2 * toks(a).intersect(toks(b)).size >= toks(a).union(toks(b)).size
+      (nMatch, isDup)
+    }.groupBy(_._1).map { case (m, xs) =>
+      val dups = xs.count(_._2).toLong
+      m -> (xs.size.toLong, dups, dups.toDouble / xs.size.toDouble)
+    }
+    assert(got == expected, "S-curve must equal the local re-derivation")
+    // the fixture corpus carries real duplicates: high-agreement pairs
+    // must be overwhelmingly true dups, and the curve must span both ends
+    assert(got.nonEmpty)
+    assert(got.keys.max > got.keys.min, "curve should span several agreement levels")
+  }
 }

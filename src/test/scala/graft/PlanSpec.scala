@@ -860,6 +860,15 @@ class PlanSpec extends AnyFunSuite {
       s"the (user, hour) agg and the per-user window must share the user_id exchange, saw $exchanges")
   }
 
+  test("d64: candidates ride the band equi-join — no cartesian, text never keys a shuffle") {
+    val p = plan("d64_lsh_curve")
+    assert(!p.contains("CartesianProduct"),
+      "the S-curve must be measured on band candidates, never all pairs")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"),
+      "raw document text must never key an exchange")
+  }
+
   test("t24_scd2: the whole version history rides one RECID exchange") {
     val p = plan("t24_scd2_intervals")
     assert(!p.contains("CartesianProduct"))

@@ -1193,4 +1193,34 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(replay == out, "replayed rows must route identically")
   }
+
+  test("anomaly stream: flags equal the batch q67 verdicts; unknown users never flag") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the batch-trained artifact: per-user history sums over hourly counts
+    val hourly = graft.sources.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 3600000000 AS hour")
+      .groupBy("user_id", "hour").agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val rows = hourly.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Pipelines.streamAnomaly(
+        in.toDF().toDF("user_id", "hour", "cnt"), stats)
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    in.addData(rows :+ ((999999L, 0L, 1000L)): _*) // the no-history user
+    q.processAllAvailable()
+    val out = spark.table("anomaly_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    q.stop()
+    val batchFlagged = SparkEntry.queries("q67_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.filter(_._2).keySet == batchFlagged,
+      "stream flags must equal the batch q67 flagged set")
+    assert(out((999999L, 0L)) == false, "no history must mean no flag")
+    assert(out.size == rows.size + 1, "every arriving row must pass through")
+  }
 }
