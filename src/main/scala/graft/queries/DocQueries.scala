@@ -2139,6 +2139,34 @@ object DocQueries {
           (col("n_dups").cast("double") / col("n_pairs").cast("double"))
             .as("dup_share"))
         .orderBy("n_match")
+    },
+
+    // per-document n-gram NOVELTY (first-seen attribution): what share
+    // of a doc's distinct 3-shingles first appears IN THIS DOC, under
+    // the corpus-wide first-occurrence rule (min doc_id per shingle —
+    // the deterministic "earlier wins" of d11/d57)? The signal that
+    // values a new source by its incremental content instead of raw
+    // volume (near-1 novelty = fresh corpus, near-0 = re-crawl).
+    // Scale shape: shingles travel as 8-byte polyHash values, never
+    // strings (the d52/d8 sketch convention — hash collisions merge
+    // grams identically in both engines, so parity is exact); one
+    // (hash → first doc) aggregate + an equi-join back + a per-doc
+    // count — text never keys a shuffle, no all-pairs path
+    "d65_ngram_novelty" -> q { (s, d) =>
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("gram"))
+        .select(col("doc_id"), Dedup.shingleHash(col("gram")).as("h"))
+      val first = grams.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2178,6 +2206,28 @@ object DocQueries {
   private def minhashOracle: String =
     s"""WITH $minhashChain
        |SELECT doc_id, band, bucket FROM bnd ORDER BY doc_id, band""".stripMargin
+
+  /** d65's oracle: the same distinct-shingle + polyHash derivation as
+    * the minhash chain's sh/hs CTEs, with first-occurrence = min
+    * doc_id per hash. */
+  private def noveltyOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(generate_series(1, len(toks) - 3 + 1),
+       |      i -> array_to_string(toks[i:i+2], ' ')) END) AS shs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents) a),
+       |g AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_split_to_array(s.sgl, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |    (a, b) -> (a*31 + b) % ${Dedup.P}) AS h
+       |  FROM sh, unnest(sh.shs) AS s(sgl)),
+       |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h)
+       |SELECT g.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM g JOIN fst USING (h)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** d64's oracle: the d6 chain's candidate pairs scored by signature
     * agreement and verified with the exact integer token-Jaccard test. */
@@ -2921,6 +2971,8 @@ object DocQueries {
     "d6_minhash_lsh" -> minhashOracle,
 
     "d64_lsh_curve" -> lshCurveOracle,
+
+    "d65_ngram_novelty" -> noveltyOracle,
 
     "d7_simhash" -> simhashOracle,
 

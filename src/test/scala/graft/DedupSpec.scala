@@ -710,4 +710,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.keys.max > got.keys.min, "curve should span several agreement levels")
   }
+
+  test("d65: novelty re-derives from a local first-occurrence pass") {
+    import graft.operators.Dedup
+    val got = SparkEntry.queries("d65_ngram_novelty")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    // hashes from the spec-pinned kernel; the first-occurrence fold is local
+    val grams = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), Dedup.shingleHash(col("g")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = grams.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val expected = grams.groupBy(_._1).map { case (doc, xs) =>
+      val novel = xs.count { case (_, h) => first(h) == doc }.toLong
+      doc -> (xs.length.toLong, novel, novel.toDouble / xs.length.toDouble)
+    }
+    assert(got == expected, "novelty must equal the local first-occurrence pass")
+    // the synthetic corpus repeats template text: both ends must occur
+    assert(got.values.exists(_._3 < 1.0), "re-used shingles should exist")
+    assert(got.values.exists(_._3 > 0.0), "novel shingles should exist")
+    // doc 0 (no earlier doc) is fully novel by construction of the rule
+    assert(got(got.keys.min)._3 == 1.0, "the earliest doc must be fully novel")
+  }
 }

@@ -869,6 +869,14 @@ class PlanSpec extends AnyFunSuite {
       "raw document text must never key an exchange")
   }
 
+  test("d65: shingles shuffle as 8-byte hashes — text never keys an exchange") {
+    val p = plan("d65_ngram_novelty")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("gram") && !exchanges.contains("text"),
+      "only the polyHash value may key the shingle exchanges")
+  }
+
   test("t24_scd2: the whole version history rides one RECID exchange") {
     val p = plan("t24_scd2_intervals")
     assert(!p.contains("CartesianProduct"))
