@@ -1329,6 +1329,39 @@ object RelationalQueries {
           (col("s1").cast(DoubleType) / col("n_hours").cast(DoubleType))
             .as("mean_cnt"))
         .orderBy("user_id", "hour")
+    },
+
+    // time-series gap-fill + forward fill (grid densification — the
+    // monitoring/feature-store "resample to a regular grid" op): each
+    // user's hourly event series densifies to EVERY hour between that
+    // user's observed hours, missing hours carrying cnt 0 and the last
+    // observed hour's value forward. The grid generates WITHOUT a join:
+    // lead(hour) per user turns each observed row into its [hour, next)
+    // half-open run, sequence+explode emits the run — so the fill is
+    // linear in output rows, never a range join against a calendar
+    // table. One explicit user_id exchange serves both the (user, hour)
+    // aggregation and the lead window (the q67 pattern, plan-gated).
+    // At 100 TB the fill horizon would bound per-key (a dead series
+    // must not explode years of zeros); the fixture's max gap is 140
+    // hours so the unbounded form is the honest measurement here.
+    "q68_gapfill" -> q { (s, d) =>
+      val wU = Window.partitionBy("user_id").orderBy("hour")
+      table(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"),
+          d4(col("value")).as("v"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("obs_cnt"), sum(col("v")).as("val"))
+        .withColumn("nxt", lead(col("hour"), 1).over(wU))
+        .select(col("user_id"), col("obs_cnt"), col("val"), col("hour").as("obs_hour"),
+          explode(sequence(col("hour"),
+            coalesce(col("nxt") - 1L, col("hour")))).as("hour"))
+        .select(col("user_id"), col("hour"),
+          when(col("hour") === col("obs_hour"), col("obs_cnt"))
+            .otherwise(lit(0L)).as("cnt"),
+          (col("hour") =!= col("obs_hour")).as("is_gap"),
+          col("val").cast(DoubleType).as("carried_value"))
+        .orderBy("user_id", "hour")
     }
   )
 
@@ -1576,6 +1609,25 @@ object RelationalQueries {
         |WHERE cnt * n_hours > s1
         |  AND (cnt * n_hours - s1) * (cnt * n_hours - s1)
         |      > 4 * (n_hours * s2 - s1 * s1)
+        |ORDER BY user_id, hour""".stripMargin,
+
+    // the same lead-run derivation: each observed hourly row unnests
+    // its [hour, next) run; exact decimal hourly sums carry forward and
+    // cast to double only at the edge
+    "q68_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS obs_cnt, SUM(CAST(value AS DECIMAL(18,4))) AS val
+        |  FROM events GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id, hour, obs_cnt, val,
+        |    LEAD(hour) OVER (PARTITION BY user_id ORDER BY hour) AS nxt
+        |  FROM hourly)
+        |SELECT user_id, g.h AS hour,
+        |  CAST(CASE WHEN g.h = runs.hour THEN obs_cnt ELSE 0 END AS BIGINT) AS cnt,
+        |  g.h <> runs.hour AS is_gap,
+        |  CAST(val AS DOUBLE) AS carried_value
+        |FROM runs, unnest(generate_series(hour, COALESCE(nxt - 1, hour))) AS g(h)
         |ORDER BY user_id, hour""".stripMargin,
 
     "q15_json_extract" ->

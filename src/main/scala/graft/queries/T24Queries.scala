@@ -264,6 +264,37 @@ object T24Queries {
         .orderBy(col(SchemaConverter.RecId), col("valid_from"))
     },
 
+    // field-level audit diff over the CDC change log (the INPUTTER_HIS
+    // "who changed what" view, reference controllers/index.js:57-120
+    // RECID/version semantics): per RECID ordered by cdc_ts, each
+    // version diffs against its predecessor FIELD BY FIELD and emits
+    // one (field, old, new) row per changed field — unchanged fields
+    // (v2 keeps PRIORITY) emit nothing, version 1 has no predecessor.
+    // The lag windows ride ONE RECID exchange and the unpivot (stack)
+    // is a post-window generator — no second shuffle, no per-field
+    // self-join (the naive audit query joins the history to itself
+    // once per field; at 100 TB that is F scans of the change log,
+    // this is one). Plan-gated single exchange.
+    "t24_field_changes" -> q { (s, d) =>
+      val o = table(s, d, "orders")
+      def v(ts: Long, filt: Column, st: Column, pr: Column) =
+        o.filter(filt).select(
+          col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+          lit(ts).as("cdc_ts"), st.as("STATUS"), pr.as("PRIORITY"))
+      val cdc = v(1L, lit(true), col("o_orderstatus"), col("o_orderpriority"))
+        .unionByName(v(2L, col("o_orderkey") % 2 === 1, lit("X"),
+          col("o_orderpriority")))
+        .unionByName(v(3L, col("o_orderkey") % 4 === 1, lit("C"), lit("9-NONE")))
+      val w = Window.partitionBy(SchemaConverter.RecId).orderBy("cdc_ts")
+      cdc
+        .withColumn("prev_s", lag(col("STATUS"), 1).over(w))
+        .withColumn("prev_p", lag(col("PRIORITY"), 1).over(w))
+        .selectExpr("RECID", "cdc_ts",
+          "stack(2, 'STATUS', prev_s, STATUS, 'PRIORITY', prev_p, PRIORITY) AS (field, old_val, new_val)")
+        .filter(col("old_val").isNotNull && col("old_val") =!= col("new_val"))
+        .orderBy(col(SchemaConverter.RecId), col("cdc_ts"), col("field"))
+    },
+
     // the /api/etl-pipeline + /api/execute composition: the schema goes
     // through the registry (put → run), then the compiled pipeline
     // executes — same oracle as the directly-compiled t24_schema_pipeline
@@ -439,6 +470,30 @@ object T24Queries {
         |  LEAD(cdc_ts) OVER (PARTITION BY RECID ORDER BY cdc_ts) - 1 AS valid_to,
         |  LEAD(cdc_ts) OVER (PARTITION BY RECID ORDER BY cdc_ts) IS NULL AS is_current
         |FROM cdc ORDER BY RECID, valid_from""".stripMargin,
+
+    // per-field UNION ALL re-derivation of the lag-diff (the naive
+    // form the Spark unpivot replaces — same rows, F scans)
+    "t24_field_changes" ->
+      """WITH cdc AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS RECID, CAST(1 AS BIGINT) AS cdc_ts,
+        |    o_orderstatus AS STATUS, o_orderpriority AS PRIORITY FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 2, 'X', o_orderpriority FROM orders
+        |  WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 3, 'C', '9-NONE' FROM orders
+        |  WHERE o_orderkey % 4 = 1),
+        |lg AS (
+        |  SELECT RECID, cdc_ts, STATUS, PRIORITY,
+        |    LAG(STATUS) OVER w AS ps, LAG(PRIORITY) OVER w AS pp
+        |  FROM cdc WINDOW w AS (PARTITION BY RECID ORDER BY cdc_ts))
+        |SELECT RECID, cdc_ts, field, old_val, new_val FROM (
+        |  SELECT RECID, cdc_ts, 'STATUS' AS field, ps AS old_val, STATUS AS new_val
+        |  FROM lg WHERE ps IS NOT NULL AND ps <> STATUS
+        |  UNION ALL
+        |  SELECT RECID, cdc_ts, 'PRIORITY', pp, PRIORITY
+        |  FROM lg WHERE pp IS NOT NULL AND pp <> PRIORITY) ch
+        |ORDER BY RECID, cdc_ts, field""".stripMargin,
 
     "t24_registry_pipeline" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,

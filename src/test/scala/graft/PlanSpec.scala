@@ -851,6 +851,27 @@ class PlanSpec extends AnyFunSuite {
       "the delta scan must prune to the aggregation columns")
   }
 
+  test("q68: agg, lead window, and grid explode all ride one user_id exchange") {
+    val p = plan("q68_gapfill")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit user_id repartition")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the hourly agg, the lead window, and the sequence explode must share " +
+        s"the user_id exchange, saw $exchanges")
+    assert(!p.contains("Join"),
+      "the grid must generate from lead runs, never join a calendar table")
+  }
+
+  test("t24_field_changes: the whole audit history diffs on one RECID exchange") {
+    val p = plan("t24_field_changes")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the lag windows and the unpivot must share the RECID exchange, saw $exchanges")
+    assert(!p.contains("Join"),
+      "field diffs must come from the unpivoted lag, never per-field self-joins")
+  }
+
   test("q67: aggregation and window both ride the one user_id exchange") {
     val p = plan("q67_anomaly")
     assert(p.contains("REPARTITION_BY_COL"),

@@ -233,6 +233,58 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should flag at least one anomalous hour")
   }
 
+  test("q68: each user's series is gap-free, zero-filled, and forward-carried") {
+    val rows = SparkEntry.queries("q68_gapfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4)))
+    assert(rows.exists(_._4), "fixture should contain at least one gap hour")
+    val obs = graft.sources.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 3600000000 AS hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.groupBy(_._2).map { case (h, g) => (h, g.length.toLong) } }
+    rows.groupBy(_._1).foreach { case (u, series) =>
+      val hours = series.map(_._2).sorted
+      // dense grid: every hour between the user's min and max, once
+      assert(hours.toSeq == (hours.min to hours.max).toSeq,
+        s"user $u: series must be a dense hour grid")
+      val counts = obs(u)
+      series.foreach { case (_, h, cnt, isGap, carried) =>
+        assert(isGap == !counts.contains(h), s"user $u hour $h: gap flag wrong")
+        assert(cnt == counts.getOrElse(h, 0L), s"user $u hour $h: count wrong")
+        // the carried value is the LAST observed hour's value
+        val lastObs = counts.keys.filter(_ <= h).max
+        val sameAsObs = series.find(x => x._2 == lastObs).get._5
+        assert(carried == sameAsObs, s"user $u hour $h: carry must hold the last observed value")
+      }
+    }
+  }
+
+  test("t24_field_changes: the unpivoted diff equals a per-field lag re-derivation") {
+    val got = SparkEntry.queries("t24_field_changes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+    val ord = graft.sources.Tables.table(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = ord.flatMap { case (k, st, pr) =>
+      val versions = Seq((1L, st, pr)) ++
+        (if (k % 2 == 1) Seq((2L, "X", pr)) else Nil) ++
+        (if (k % 4 == 1) Seq((3L, "C", "9-NONE")) else Nil)
+      versions.sliding(2).flatMap {
+        case Seq((_, ps, pp), (ts, s2, p2)) =>
+          (if (ps != s2) Seq((k.toString, ts, "STATUS", ps, s2)) else Nil) ++
+            (if (pp != p2) Seq((k.toString, ts, "PRIORITY", pp, p2)) else Nil)
+        case _ => Nil
+      }
+    }.toSet
+    assert(got == expected, "field diff must match the local CDC replay")
+    // v2 keeps PRIORITY — no PRIORITY change row may carry cdc_ts 2
+    assert(!got.exists(r => r._2 == 2L && r._3 == "PRIORITY"),
+      "unchanged fields must not emit audit rows")
+    assert(got.exists(_._3 == "PRIORITY") && got.exists(_._3 == "STATUS"))
+  }
+
   test("t24_scd2: per-key interval chains cover the history with exactly one open version") {
     val rows = SparkEntry.queries("t24_scd2_intervals")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
