@@ -2167,6 +2167,48 @@ object DocQueries {
           (col("n_novel").cast("double") / col("n_grams").cast("double"))
             .as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // cross-document duplicated-SPAN extraction (the ExactSubstr side
+    // of Lee et al., arXiv:2107.06499 — find the token ranges a doc
+    // shares verbatim with ANY other doc, not just flag the doc): a
+    // 5-shingle whose hash occurs in ≥2 distinct docs (min≠max doc_id
+    // — no countDistinct, no Expand) marks its start position
+    // duplicated; per doc, marked positions ≤5 apart chain into
+    // maximal spans (gaps-and-islands over ONE doc_id window), so
+    // overlapping/adjacent duplicated 5-grams report as one
+    // [start_tok, end_tok] range — the unit a surgical span-removal
+    // pass would cut, where d11's doc-level dedup would drop whole
+    // docs. Scale shape: positions travel with 8-byte hashes (text
+    // never keys an exchange), the dup set is a keyed agg + equi-join
+    // back, and the span merge is linear per doc — no all-pairs, no
+    // suffix array materialization (the hash-marked grid IS the
+    // suffix-array hit list at shingle resolution)
+    "d66_dup_spans" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_toks"),
+          posexplode(Dedup.shingles(col("text"), K)).as(Seq("p", "gram")))
+        .select(col("doc_id"), col("n_toks"),
+          (col("p") + 1).cast("long").as("spos"),
+          Dedup.shingleHash(col("gram")).as("h"))
+      val dup = sh.groupBy("h")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select("h")
+      val wD = Window.partitionBy("doc_id").orderBy("spos")
+      sh.join(dup, Seq("h"))
+        .withColumn("ns",
+          when(lag(col("spos"), 1).over(wD).isNull ||
+            col("spos") - lag(col("spos"), 1).over(wD) > K, 1L).otherwise(0L))
+        .withColumn("span_id", sum(col("ns")).over(
+          wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "span_id")
+        .agg(min(col("spos")).as("start_tok"),
+          least(max(col("spos")) + (K - 1), max(col("n_toks")).cast("long"))
+            .as("end_tok"),
+          count(lit(1)).as("n_dup_grams"))
+        .orderBy("doc_id", "start_tok")
     }
   )
 
@@ -2210,6 +2252,45 @@ object DocQueries {
   /** d65's oracle: the same distinct-shingle + polyHash derivation as
     * the minhash chain's sh/hs CTEs, with first-occurrence = min
     * doc_id per hash. */
+  /** d66's oracle: positional 5-shingles (struct list keeps the
+    * position through the unnest), the same polynomial hash, the dup
+    * set via min≠max doc_id, and the identical gaps-and-islands span
+    * merge over a doc_id window. */
+  private def dupSpansOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, len(toks) AS n_toks,
+       |    CASE WHEN len(toks) < 5 THEN [{'p': 1, 'g': array_to_string(toks, ' ')}]
+       |      ELSE list_transform(generate_series(1, len(toks) - 4),
+       |        i -> {'p': i, 'g': array_to_string(toks[i:i+4], ' ')}) END AS pgs
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, n_toks, CAST(u.pg.p AS BIGINT) AS spos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(u.pg.g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % ${Dedup.P}) AS h
+       |  FROM sh, unnest(sh.pgs) AS u(pg)),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+       |mk AS (
+       |  SELECT g.doc_id, g.n_toks, g.spos,
+       |    CASE WHEN LAG(g.spos) OVER w IS NULL
+       |      OR g.spos - LAG(g.spos) OVER w > 5 THEN 1 ELSE 0 END AS ns
+       |  FROM g JOIN dup USING (h)
+       |  WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.spos)),
+       |sp AS (
+       |  SELECT doc_id, n_toks, spos,
+       |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY spos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM mk)
+       |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       |  MIN(spos) AS start_tok,
+       |  LEAST(MAX(spos) + 4, CAST(MAX(n_toks) AS BIGINT)) AS end_tok,
+       |  COUNT(*) AS n_dup_grams
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, start_tok""".stripMargin
+
   private def noveltyOracle: String =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -2973,6 +3054,8 @@ object DocQueries {
     "d64_lsh_curve" -> lshCurveOracle,
 
     "d65_ngram_novelty" -> noveltyOracle,
+
+    "d66_dup_spans" -> dupSpansOracle,
 
     "d7_simhash" -> simhashOracle,
 

@@ -734,4 +734,44 @@ class DedupSpec extends AnyFunSuite {
     // doc 0 (no earlier doc) is fully novel by construction of the rule
     assert(got(got.keys.min)._3 == 1.0, "the earliest doc must be fully novel")
   }
+
+  test("d66: duplicated spans re-derive from a local positional-shingle pass") {
+    import graft.operators.Dedup
+    val K = 5
+    val got = SparkEntry.queries("d66_dup_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // local replay: positional shingle hashes via the spec-pinned kernel
+    val sh = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"), K)).as(Seq("p", "g")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("spos"),
+        Dedup.shingleHash(col("g")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nToks = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dupHashes = sh.groupBy(_._3)
+      .filter { case (_, xs) => xs.map(_._1).distinct.size >= 2 }.keySet
+    val expected = sh.filter(x => dupHashes(x._3)).groupBy(_._1)
+      .flatMap { case (doc, xs) =>
+        val pos = xs.map(_._2).distinct.sorted
+        // gaps-and-islands: chain marked positions <= K apart
+        val spans = pos.foldLeft(List.empty[List[Long]]) {
+          case (acc @ (cur :: rest), p) if p - cur.head <= K => (p :: cur) :: rest
+          case (acc, p) => List(p) :: acc
+        }.reverse.map(_.reverse)
+        spans.zipWithIndex.map { case (ps, i) =>
+          (doc, (i + 1).toLong, ps.head, math.min(ps.last + K - 1, nToks(doc)),
+            ps.length.toLong)
+        }
+      }.toSet
+    assert(got.toSet == expected, "span merge must equal the local islands pass")
+    // the template corpus must produce at least one multi-gram span, and
+    // every span must be well-formed
+    assert(got.exists(_._5 > 1), "chained duplicated grams should exist")
+    got.foreach { case (doc, _, st, en, n) =>
+      assert(st >= 1 && en >= st && en <= nToks(doc), s"doc $doc: bad span [$st,$en]")
+    }
+  }
 }

@@ -890,6 +890,17 @@ class PlanSpec extends AnyFunSuite {
       "raw document text must never key an exchange")
   }
 
+  test("d66: dup-span marking joins on hashes and merges on one doc_id window — no all-pairs") {
+    val p = plan("d66_dup_spans")
+    assert(!p.contains("CartesianProduct"),
+      "the dup set must come from a keyed aggregate, never pairwise comparison")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("gram") && !exchanges.contains("text"),
+      "only the 8-byte shingle hash and doc_id may key exchanges")
+    assert(!p.contains("SortMergeJoin") || p.contains("hashpartitioning(h"),
+      "the dup join must be the hash equi-join")
+  }
+
   test("d65: shingles shuffle as 8-byte hashes — text never keys an exchange") {
     val p = plan("d65_ngram_novelty")
     assert(!p.contains("CartesianProduct"))
