@@ -2209,6 +2209,64 @@ object DocQueries {
             .as("end_tok"),
           count(lit(1)).as("n_dup_grams"))
         .orderBy("doc_id", "start_tok")
+    },
+
+    // EXACT set-similarity screen with PREFIX FILTERING (the
+    // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    // ICDE'08): every (probe, corpus) doc pair with token-Jaccard
+    // >= 0.6, with a COMPLETENESS GUARANTEE — d6's MinHash-LSH is
+    // probabilistic (tunable misses) and d5's 30-char blocking is
+    // heuristic; this join CANNOT miss a qualifying pair. Order each
+    // doc's distinct token hashes globally rarest-first (df asc,
+    // h asc) and keep only the first n - ceil(t*n) + 1 as the prefix:
+    // by pigeonhole, two sets with Jaccard >= t must collide on a
+    // prefix token, so the prefix equi-join's candidate set is
+    // complete — and rarest-first ordering is what keeps those
+    // buckets tiny at 100 TB (a stopword never lands in a prefix
+    // unless the doc is almost all stopwords). The probe side is a
+    // fixed arriving batch (doc_id < 64 here — the d34 delta-screen
+    // shape): a corpus x corpus pair MATERIALIZATION is inherently
+    // quadratic on any corpus with dup cliques (this template corpus
+    // qualifies 40% of ALL pairs at t=0.6), so the production unit is
+    // the batch screen, whose output grows linearly with the corpus.
+    // Verify is exact integer arithmetic (5*|∩| >= 3*|∪| — the d64
+    // divisionless verdict, so no cross-engine double can fork it);
+    // token sets travel as 8-byte hash arrays keyed by doc_id (the
+    // d49 verify-join shape) — text never keys an exchange, and no
+    // all-pairs path exists anywhere
+    "d67_prefix_join" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hs = table(s, d, "documents")
+        .select(col("doc_id"), array_distinct(transform(
+          array_distinct(Text.tokens(lower(col("text")))),
+          t => graft.functions.Native.polyHash(t, Dedup.P))).as("hs"))
+      val g = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
+      // (doc, h) rows are distinct, so df is a plain count — no Expand
+      val dfx = g.groupBy("h").agg(count(lit(1)).as("df"))
+      val pfx = g.join(dfx, Seq("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .filter(col("rk") <=
+          col("n") - ((col("n") * 3 + 4) / 5).cast("long") + 1)
+        .select("doc_id", "n", "h")
+      val cand = pfx.filter(col("doc_id") < 64).as("a").join(pfx.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) * 5 >=
+              greatest(col("a.n"), col("b.n")) * 3)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand.join(hs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+        .join(hs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+        .withColumn("n_inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("n_union",
+          size(col("ha")).cast("long") + size(col("hb")) - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union") * 3)
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -2252,6 +2310,41 @@ object DocQueries {
   /** d65's oracle: the same distinct-shingle + polyHash derivation as
     * the minhash chain's sh/hs CTEs, with first-occurrence = min
     * doc_id per hash. */
+  /** d67's oracle: the same hashed-token-set derivation, global
+    * rarest-first (df, h) ordering, the identical integer prefix
+    * bound n - ceil(3n/5) + 1, and the exact divisionless verify. */
+  private def prefixJoinOracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |hsx AS (
+       |  SELECT doc_id, list_distinct(list_transform(toks,
+       |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % ${Dedup.P}))) AS hs
+       |  FROM tk),
+       |g AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n, unnest(hs) AS h FROM hsx),
+       |dfx AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h),
+       |r AS (SELECT g.doc_id, g.n, g.h,
+       |    ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY dfx.df, g.h) AS rk
+       |  FROM g JOIN dfx USING (h)),
+       |p AS (SELECT doc_id, n, h FROM r WHERE rk <= n - (3*n + 4)//5 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |    AND a.doc_id < 64
+       |    AND 5*LEAST(a.n, b.n) >= 3*GREATEST(a.n, b.n)),
+       |v AS (SELECT a_id, b_id,
+       |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_inter,
+       |    CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT)
+       |      - CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_union
+       |  FROM cand JOIN hsx ha ON cand.a_id = ha.doc_id
+       |            JOIN hsx hb ON cand.b_id = hb.doc_id)
+       |SELECT a_id, b_id, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |FROM v WHERE 5*n_inter >= 3*n_union
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** d66's oracle: positional 5-shingles (struct list keeps the
     * position through the unnest), the same polynomial hash, the dup
     * set via min≠max doc_id, and the identical gaps-and-islands span
@@ -3056,6 +3149,8 @@ object DocQueries {
     "d65_ngram_novelty" -> noveltyOracle,
 
     "d66_dup_spans" -> dupSpansOracle,
+
+    "d67_prefix_join" -> prefixJoinOracle,
 
     "d7_simhash" -> simhashOracle,
 

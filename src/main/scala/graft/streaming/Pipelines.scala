@@ -276,6 +276,48 @@ object Pipelines {
       .select("in_id", "block_idx", "ref_id")
   }
 
+  /** Ingest-time duplicated-SPAN screen — the d66 streaming twin:
+    * arriving docs probe a Bloom filter built over the corpus's
+    * duplicated 5-shingle hashes (`Dedup.bloomBuild` over the d66 dup
+    * set) ENTIRELY in-row — positional shingle hashes, the membership
+    * probe, and the gaps-and-islands span merge are one array fold —
+    * so the screen is stateless, zero-shuffle, and needs no state
+    * store. The bloom has no false negatives (no true duplicated span
+    * is missed); the sized fp-rate can at worst widen a span by a
+    * stray gram — screen semantics, the same honest trade as the
+    * d34-style bloom delta screen. At 100 TB the corpus side
+    * compresses to ~10 bits per duplicated gram and broadcasts inside
+    * the expression. Emits (in_id, start_tok, end_tok, n_dup_grams)
+    * per merged span, the exact d66 output unit. */
+  def streamSpanScreen(stream: DataFrame, bloomBits: Array[Long],
+                       numBits: Int, k: Int = 3, shingleK: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    val spanT = "array<struct<start:bigint,last:bigint,n:bigint>>"
+    val hashed = transform(Dedup.shingles(col("text"), shingleK),
+      (g, i) => struct((i + lit(1)).cast("long").as("spos"),
+        Dedup.shingleHash(g).as("h")))
+    val marked = transform(filter(hashed,
+      s => Dedup.bloomMightContain(bloomBits, s.getField("h"), numBits, k)),
+      s => s.getField("spos"))
+    // gaps-and-islands as a pure array fold: extend the open span while
+    // the next marked position is <= shingleK away, else open a new one
+    val spans = aggregate(marked, array().cast(spanT),
+      (acc, p) => when(size(acc) > 0 &&
+          p - element_at(acc, -1).getField("last") <= shingleK,
+        concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+          element_at(acc, -1).getField("start").as("start"),
+          p.as("last"),
+          (element_at(acc, -1).getField("n") + 1).as("n")))))
+        .otherwise(concat(acc,
+          array(struct(p.as("start"), p.as("last"), lit(1L).as("n"))))))
+    stream.select(col("doc_id").as("in_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n_toks"),
+        explode(spans).as("sp"))
+      .select(col("in_id"), col("sp.start").as("start_tok"),
+        least(col("sp.last") + (shingleK - 1), col("n_toks")).as("end_tok"),
+        col("sp.n").as("n_dup_grams"))
+  }
+
   /** Ingest-time IMAGE near-dup screen — the m5 streaming twin:
     * arriving image payloads decode + perceptually hash per partition
     * (real dHash over real pixels, `Multimodal.hashImages`), then

@@ -774,4 +774,29 @@ class DedupSpec extends AnyFunSuite {
       assert(st >= 1 && en >= st && en <= nToks(doc), s"doc $doc: bad span [$st,$en]")
     }
   }
+
+  test("d67: prefix-filtered join finds EXACTLY the all-pairs Jaccard >= 0.6 set") {
+    val got = SparkEntry.queries("d67_prefix_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // ground truth: brute-force ALL PAIRS over the same hashed token
+    // sets (the spec-pinned kernel supplies the hashes; the pairing
+    // and the verdict are re-derived locally) — this is the check the
+    // prefix filter's completeness claim must survive
+    val hs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(transform(
+        array_distinct(graft.functions.Text.tokens(lower(col("text")))),
+        t => graft.functions.Native.polyHash(t, graft.operators.Dedup.P))).as("hs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val expected = (for {
+      i <- hs.indices; j <- hs.indices
+      if hs(i)._1 < 64 && hs(i)._1 != hs(j)._1
+      inter = (hs(i)._2 intersect hs(j)._2).size.toLong
+      uni = (hs(i)._2 union hs(j)._2).size.toLong
+      if 5 * inter >= 3 * uni
+    } yield (hs(i)._1, hs(j)._1, inter, uni)).toSet
+    assert(got == expected,
+      "prefix filtering must be lossless vs the brute-force all-pairs verdict")
+    assert(got.nonEmpty, "the template corpus must contain qualifying pairs")
+  }
 }

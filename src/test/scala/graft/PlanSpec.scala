@@ -901,6 +901,15 @@ class PlanSpec extends AnyFunSuite {
       "the dup join must be the hash equi-join")
   }
 
+  test("d67: candidates come only from the prefix hash equi-join — no all-pairs path") {
+    val p = plan("d67_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must be the prefix equi-join, never pairwise comparison")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text") && !exchanges.contains("toks"),
+      "only 8-byte token hashes and doc ids may key exchanges")
+  }
+
   test("d65: shingles shuffle as 8-byte hashes — text never keys an exchange") {
     val p = plan("d65_ngram_novelty")
     assert(!p.contains("CartesianProduct"))
