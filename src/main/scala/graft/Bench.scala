@@ -67,6 +67,8 @@ object Bench {
       // report a mystery 50× row. Fallback count = 0 is asserted by
       // construction; the JSON line records the gate was armed.
       .config("spark.sql.codegen.fallback", "false")
+      // production deployment config: SQL surface + optimizer rewrites
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(listener)

@@ -185,4 +185,32 @@ class NativeExprSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(native == composed)
   }
+
+  test("IntersectCount equals size(array_intersect) and the rewrite rule fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(
+      (Seq(Option(1L), Option(2L), Option(3L), Option(3L)), Seq(Option(3L), Option(2L), Option(9L))),
+      (Seq.empty[Option[Long]], Seq(Option(1L))),
+      (Seq(Option(7L), None), Seq(None, Option(8L))),
+      (Seq(Option(5L)), Seq(Option(5L)))).toDF("a", "b")
+    val builtin = df.select(size(array_intersect(col("a"), col("b"))))
+      .collect().map(_.getInt(0)).toSeq
+    val native = df.select(GraftBridge.column(graft.plans.IntersectCount(
+        GraftBridge.expression(col("a")), GraftBridge.expression(col("b")))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native == builtin, s"native $native vs builtin $builtin")
+    assert(builtin == Seq(2, 0, 1, 1))
+    // the optimizer rule rewrites the composed pattern to the native count
+    val analyzed = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+      .queryExecution.analyzed
+    val rewritten = graft.plans.IntersectCountRewrite(analyzed)
+    assert(rewritten.toString.contains("intersect_count"),
+      s"rule did not fire:\n$rewritten")
+    // string arrays must NOT rewrite (the kernel is long-specialized)
+    val sdf = Seq((Seq("x"), Seq("x"))).toDF("a", "b")
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(!graft.plans.IntersectCountRewrite(sdf.queryExecution.analyzed)
+      .toString.contains("intersect_count"))
+  }
 }

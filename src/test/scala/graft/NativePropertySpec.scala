@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Properties}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{MvOps, SimHash64, WordShingles}
+import graft.plans.{IntersectCount, MvOps, SimHash64, WordShingles}
 
 /** ScalaCheck properties over the pure compute kernels of the native
   * expressions (no Spark session — these run per-row on executors, so
@@ -488,5 +488,21 @@ object NativePropertySpec extends Properties("NativeKernels") {
       graft.operators.WavCodec
         .decode(graft.operators.WavCodec.encodeAdpcm(16000, pcm))
         .exists(_.samples.length == n)
+    }
+
+  // narrow value range forces collisions, duplicates, AND null elements
+  private val longsWithNulls: Gen[List[Option[Long]]] =
+    Gen.listOf(Gen.frequency(
+      9 -> Gen.choose(-5L, 5L).map(Option(_)),
+      1 -> Gen.const(None: Option[Long])))
+
+  private def larr(xs: Seq[Option[Long]]): GenericArrayData =
+    new GenericArrayData(xs.map(_.map(Long.box).orNull).toArray[Any])
+
+  property("intersect_count = |distinct common| (+1 when null is in both)") =
+    forAll(longsWithNulls, longsWithNulls) { (a, b) =>
+      val expect = (a.flatten.toSet intersect b.flatten.toSet).size +
+        (if (a.contains(None) && b.contains(None)) 1 else 0)
+      IntersectCount.compute(larr(a), larr(b)) == expect
     }
 }
