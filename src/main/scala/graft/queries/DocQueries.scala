@@ -677,9 +677,15 @@ object DocQueries {
               .getImageWritersByFormatName("jpg").next()
             val p = wr.getDefaultWriteParam
             p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-            wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+            // memory-cache stream, closed explicitly: the file-cache
+            // stream ImageIO.createImageOutputStream returns opens a
+            // /tmp file PER ROW that dispose() does not close — at sf1
+            // that leaks thousands of fds across a long bench run
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            wr.setOutput(ios)
             wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
             wr.dispose()
+            ios.close()
           }
           (id, bos.toByteArray)
         }
