@@ -249,14 +249,13 @@ object Bench {
     // gates cannot see (both SFs inflated together) pins to the
     // isolated number here
     val expensive = remeasureExpensive(spark, sfDir, afterRatio, outliers.keySet)
-    val results = splice(afterRatio, expensive)
-    val total = results.values.map(_.sec).sum
+    val resultsPre = splice(afterRatio, expensive)
 
     // inverted rows: the small suite ran first (cold), so any small row
     // beyond InvertedCap× its (spliced) big row gets one warm isolated
     // re-measure at the small SF; both numbers are recorded
     val outliersSmall = small.keys.toSeq.sorted.flatMap { name =>
-      results.get(name).collect {
+      resultsPre.get(name).collect {
         case b if small(name).sec > math.max(b.sec, OverheadFloor) * InvertedCap =>
           System.err.println(
             f"[bench] $name: small-SF ${small(name).sec}%.2f s exceeds its big-SF " +
@@ -272,17 +271,35 @@ object Bench {
     // round reports — driver-visible, not builder-asserted
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
       .filter(d => Files.isDirectory(Paths.get(d)))
-    val sf1Json = sf1Dir.fold("") { dir =>
+    val (results, sf1Json) = sf1Dir.fold((resultsPre, "")) { dir =>
       val s1 = timeSuite(spark, dir)
-      val out1 = remeasureOutliers(spark, dir, s1, results)
+      val out1 = remeasureOutliers(spark, dir, s1, resultsPre)
       val after1 = splice(s1, out1)
       val exp1 = remeasureExpensive(spark, dir, after1, out1.keySet)
       val r1 = splice(after1, exp1)
-      s""","sf1_dir":"$dir","total_sf1":${r1.values.map(_.sec).sum}""" +
-        s""","queries_sf1":${js(r1)},"mem_sf1":${jsMem(r1)}""" +
-        outlierBlock("outliers_sf1", out1) +
-        outlierBlock("outliers_sf1_expensive", exp1)
+      // the middle SF's own inverted splice: sf1 runs LAST on the
+      // warmest JVM, so a middle row can carry C2 backlog its sf1 twin
+      // does not — the same warmup-artifact class the small-SF splice
+      // catches, one decade up (round 8 shipped e1 at 0.94 s sf0.1 vs
+      // 0.34 s sf1 before this pass existed)
+      val invMid = resultsPre.keys.toSeq.sorted.flatMap { name =>
+        r1.get(name).collect {
+          case b if resultsPre(name).sec >
+              math.max(b.sec, OverheadFloor) * InvertedCap =>
+            System.err.println(
+              f"[bench] $name: mid-SF ${resultsPre(name).sec}%.2f s exceeds its " +
+                f"sf1 ${b.sec}%.2f s — warmup artifact, isolated re-measure")
+            name -> (resultsPre(name).sec, timeQuery(spark, sfDir, name))
+        }
+      }.toMap
+      (splice(resultsPre, invMid),
+        s""","sf1_dir":"$dir","total_sf1":${r1.values.map(_.sec).sum}""" +
+          s""","queries_sf1":${js(r1)},"mem_sf1":${jsMem(r1)}""" +
+          outlierBlock("outliers_sf1", out1) +
+          outlierBlock("outliers_sf1_expensive", exp1) +
+          outlierBlock("outliers_mid_inverted", invMid))
     }
+    val total = results.values.map(_.sec).sum
 
     val outlierJson = outlierBlock("outliers", outliers) +
       outlierBlock("outliers_expensive", expensive) +
