@@ -2193,12 +2193,16 @@ object DocQueries {
     "d66_dup_spans" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val K = 5
+      // same fan-out + compute-once shape as d67: the positional hash
+      // grid feeds both the dup-set aggregate and the join back
       val sh = table(s, d, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), Text.tokenCount(col("text")).as("n_toks"),
           posexplode(Dedup.shingles(col("text"), K)).as(Seq("p", "gram")))
         .select(col("doc_id"), col("n_toks"),
           (col("p") + 1).cast("long").as("spos"),
           Dedup.shingleHash(col("gram")).as("h"))
+        .localCheckpoint()
       val dup = sh.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx")).select("h")
@@ -2242,10 +2246,18 @@ object DocQueries {
     // all-pairs path exists anywhere
     "d67_prefix_join" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // fan the tokenize+hash out BEFORE computing it (one doc_id-keyed
+      // exchange): the corpus bytes are tiny next to the per-doc hash
+      // work, so the derivation must not inherit the FILE COUNT as its
+      // parallelism; localCheckpoint materializes the narrow hash table
+      // once for its three consumers (df, prefix, verify) — the e8
+      // compute-once precedent
       val hs = table(s, d, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), array_distinct(transform(
           array_distinct(Text.tokens(lower(col("text")))),
           t => graft.functions.Native.polyHash(t, Dedup.P))).as("hs"))
+        .localCheckpoint()
       val g = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
         explode(col("hs")).as("h"))
       // (doc, h) rows are distinct, so df is a plain count — no Expand
