@@ -185,6 +185,53 @@ object WavCodec {
       "data".getBytes("US-ASCII") ++ le32(ulaw.length) ++ ulaw
   }
 
+  /** G.711 A-law expansion of one companded byte to its 16-bit PCM
+    * sample (format tag 6 in WAV — the telephony codec Europe ships
+    * where North America ships µ-law). Closed form per ITU-T G.711
+    * table 1: XOR 0x55, then segment 0 decodes to mant·16 + 8 and
+    * segment e ≥ 1 to (mant·16 + 0x108) << (e − 1); the top bit of the
+    * XORed byte SET means positive (the A-law sign convention is the
+    * inverse of µ-law's). Max ±32256, and no byte decodes to 0 (the
+    * quantizer has no zero codeword — mid-rise, unlike µ-law's
+    * mid-tread). */
+  def alawDecode8(a: Byte): Short = {
+    val x = (a ^ 0x55) & 0xff
+    val e = (x >> 4) & 7
+    val m = x & 0x0f
+    val mag = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+    (if ((x & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** G.711 A-law compression of a 16-bit sample (the encoder half):
+    * drop to the 13-bit domain, segment search over the published
+    * segment ends, 4 mantissa bits, XOR 0x55 toggle pattern. Every
+    * codeword is a fixed point of decode→encode (property-checked). */
+  private val AlawSegEnd = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+  def alawEncode16(s: Short): Byte = {
+    var x = s.toInt >> 3 // 16-bit PCM → the 13-bit A-law domain
+    var mask = 0xd5 // sign bit set (positive) ^ 0x55
+    if (x < 0) { mask = 0x55; x = -x - 1 }
+    var seg = 0
+    while (seg < 8 && x > AlawSegEnd(seg)) seg += 1
+    if (seg >= 8) (0x7f ^ mask).toByte
+    else {
+      val mant = (if (seg < 2) x >> 1 else x >> seg) & 0x0f
+      (((seg << 4) | mant) ^ mask).toByte
+    }
+  }
+
+  /** Encode A-law bytes as a canonical WAV file (format tag 6, 8 bits
+    * per sample, mono). */
+  def encodeAlaw(sampleRate: Int, alaw: Array[Byte]): Array[Byte] = {
+    require(alaw.length <= MaxSamples, "too many samples")
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + alaw.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(6) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
+      le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(alaw.length) ++ alaw
+  }
+
   /** IMA/DVI ADPCM step-size table (89 entries) from the IMA Digital
     * Audio Focus Group's 1992 recommended practice — the 4-bit
     * differential codec WAV carries as format tag 0x11. */
@@ -283,7 +330,8 @@ object WavCodec {
   /** Decode a WAV payload; None on anything malformed or unsupported
     * (null-not-fail, the engine's KSQL-style semantics). Walks the
     * chunk list properly — extra chunks (LIST/INFO/cue) are skipped,
-    * `fmt ` must declare mono 16-bit PCM (tag 1), 8-bit G.711 µ-law
+    * `fmt ` must declare mono 16-bit PCM (tag 1), 8-bit G.711 A-law
+    * (tag 6, expanded through [[alawDecode8]]), 8-bit G.711 µ-law
     * (tag 7, expanded through [[ulawDecode8]]) or 4-bit IMA ADPCM
     * (tag 0x11, the mirrored state machine of [[encodeAdpcm]], with
     * the `fact` chunk trimming final-block padding) before `data` is
@@ -310,12 +358,13 @@ object WavCodec {
       val body = pos + 8
       if (ascii(pos, "fmt ")) {
         if (size < 16) return None
-        // mono PCM16 (tag 1), mono µ-law 8-bit (tag 7) or mono IMA
-        // ADPCM 4-bit (tag 0x11) — anything else is unsupported, not
-        // data
+        // mono PCM16 (tag 1), mono A-law 8-bit (tag 6), mono µ-law
+        // 8-bit (tag 7) or mono IMA ADPCM 4-bit (tag 0x11) — anything
+        // else is unsupported, not data
         val tag = u16(body)
         val bits = u16(body + 14)
         if (u16(body + 2) != 1 || !((tag == 1 && bits == 16) ||
+          (tag == 6 && bits == 8) ||
           (tag == 7 && bits == 8) || (tag == 0x11 && bits == 4))) return None
         if (tag == 0x11) {
           // the ADPCM fmt extension (cbSize >= 2) must declare the
@@ -367,12 +416,15 @@ object WavCodec {
           if (o < total) return None // fact promised more than data holds
           return Some(Audio(rate, out))
         }
-        if (fmtTag == 7) { // µ-law: one byte per sample, expand
+        if (fmtTag == 6 || fmtTag == 7) { // G.711: one byte per sample
           if (size > MaxSamples) return None
           val n = size.toInt
           val out = new Array[Short](n)
           var i = 0
-          while (i < n) { out(i) = ulawDecode8(payload(body + i)); i += 1 }
+          if (fmtTag == 6)
+            while (i < n) { out(i) = alawDecode8(payload(body + i)); i += 1 }
+          else
+            while (i < n) { out(i) = ulawDecode8(payload(body + i)); i += 1 }
           return Some(Audio(rate, out))
         }
         if (fmtTag != 1 || size % 2 != 0 || size / 2 > MaxSamples) return None

@@ -738,6 +738,29 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // G.711 A-LAW decode (m19): the companion telephony codec (WAV
+    // format tag 6 — Europe's half of G.711, µ-law's sibling with the
+    // XOR-0x55 toggle pattern and the inverse sign convention). Same
+    // container walk and stats chain as m8; the oracle replicates the
+    // ITU-T expansion formula per byte, so the whole
+    // encode→container→expand loop is hash-checked.
+    "m19_alaw_decode" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val rate = 8000
+          val n = (500 + (id % 5) * 100).toInt
+          val a = Array.tabulate[Byte](n)(i => ((id * 11 + i * 17) % 256).toByte)
+          (id, graft.operators.WavCodec.encodeAlaw(rate, a))
+        }
+      graft.operators.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .orderBy("id")
+    },
+
     // ANIMATED GIF decode (m15): each payload is a 4-frame GIF89a on
     // an 8×4 screen — even frames overwrite the full screen, odd
     // frames draw a 4×2 patch at (2,1) over the previous canvas — so
@@ -3529,6 +3552,26 @@ object DocQueries {
       val b = "(255 - ((s_suppkey*7 + i*31) % 256))"
       val mag = s"((($b % 16) * 8 + 132) * " +
         s"([1,2,4,8,16,32,64,128])[(($b // 16) % 8) + 1] - 132)"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST($n AS DOUBLE) * 1000.0 / 8000 AS duration_ms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the A-law expansion in SQL: byte a → x = a XOR 0x55, magnitude
+    // (x%16)·16 + 8 in segment 0 and ((x%16)·16 + 264)·2^(e−1) in
+    // segment e ≥ 1; |sample| = the magnitude regardless of sign
+    "m19_alaw_decode" -> {
+      val n = "(500 + (s_suppkey % 5) * 100)"
+      val x = "xor((s_suppkey*11 + i*17) % 256, 85)"
+      val mag = s"(CASE WHEN (($x // 16) % 8) = 0 THEN ($x % 16) * 16 + 8 " +
+        s"ELSE (($x % 16) * 16 + 264) * " +
+        s"([1,2,4,8,16,32,64])[(($x // 16) % 8)] END)"
       s"""SELECT s_suppkey AS id,
          |  CAST(8000 AS INTEGER) AS sample_rate,
          |  CAST($n AS INTEGER) AS n_samples,

@@ -173,6 +173,37 @@ object NativePropertySpec extends Properties("NativeKernels") {
     }
   }
 
+  property("alaw WAV container expands every byte exactly") =
+    forAll(rawBytes) { bs =>
+      val wav = graft.operators.WavCodec.encodeAlaw(8000, bs.toArray)
+      graft.operators.WavCodec.decode(wav).exists { a =>
+        a.sampleRate == 8000 &&
+          a.samples.sameElements(bs.map(graft.operators.WavCodec.alawDecode8))
+      }
+    }
+
+  property("alaw codewords are a fixed point and quantization is bounded") = {
+    // exhaustive over all 65536 samples: every one of the 256 A-law
+    // codewords re-encodes to ITSELF after a decode (A-law is mid-rise
+    // — no zero codeword, so no µ-law-style ±0 exception), and the
+    // quantization error stays within the segment's half-step
+    (-32768 to 32767).forall { s =>
+      val c = graft.operators.WavCodec.alawEncode16(s.toShort)
+      val d = graft.operators.WavCodec.alawDecode8(c).toInt
+      val c2 = graft.operators.WavCodec.alawEncode16(d.toShort)
+      c2 == c && math.abs(d - s) <= (math.abs(s) >> 5) + 16
+    }
+  }
+
+  property("alaw and ulaw sign conventions are inverse") =
+    // the SAME linear value encodes with OPPOSITE top bits in the two
+    // laws (after the A-law XOR unmasking): G.711's published tables
+    forAll(Gen.choose(-32768, 32767)) { s =>
+      val a = (graft.operators.WavCodec.alawEncode16(s.toShort) ^ 0x55) & 0x80
+      val u = (~graft.operators.WavCodec.ulawEncode16(s.toShort)) & 0x80
+      (s >= 0) == (a != 0) && (s >= 0) == (u == 0)
+    }
+
   property("PNG roundtrip is lossless through all five row filters") =
     forAll(Gen.choose(1, 30), Gen.choose(5, 20), rawBytes) { (w, h, seed) =>
       // h >= 5 so the encoder's cycling filter hits None/Sub/Up/
