@@ -1271,4 +1271,50 @@ object Similarity {
     spark.createDataFrame(picked.toSeq)
       .toDF("rank", "vec_id", "rel", "mmr")
   }
+
+  /** Farthest-first traversal (Gonzalez 1985, the classic k-center
+    * 2-approximation) — the coverage-maximizing seeding that
+    * initializes a quantizer (k-means++ without the randomness) or
+    * picks a maximally-diverse evaluation panel: seed = the lowest
+    * vec_id, then each round picks the vector FARTHEST from its
+    * nearest already-selected center (cosine distance 1 − cos, ties
+    * to the lowest vec_id), reporting the pick's distance — the
+    * corpus coverage radius at that k. Each round is ONE corpus scan
+    * with ZERO shuffles: the ≤ k selected embeddings ride as literals
+    * inside a `least` fold (the streamCellRoute literal-centroid
+    * pattern, Janino-fine at seeding-scale k), and the argmax is a
+    * TakeOrderedAndProject (per-partition top-1 + driver merge of
+    * numPartitions rows — never a global sort). k driver rounds of
+    * k-passes is the honest, inherent cost of farthest-first (each
+    * pick depends on all previous); state on the driver is k
+    * (id, vector) pairs. Every distance is 1.0 − the shared cosine
+    * fold on float-exact literals, so the whole trace is
+    * engine-reproducible and the oracle unrolls the rounds as CTEs
+    * (the e22/e33/d45 precedent). */
+  def kcenterInit(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val seed = corpus.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](1).map(_.toDouble).toArray
+    var selected = List((seed.getLong(0), vecOf(seed)))
+    val picked = scala.collection.mutable.ArrayBuffer((1, seed.getLong(0), 0.0))
+    var rank = 2
+    while (rank <= k) {
+      // min distance to the selected set as an in-row least fold over
+      // literal centers (float → double literal is exact)
+      val mind = selected.map { case (_, c) =>
+        lit(1.0) - Native.cosineSim(col("embedding"), array(c.map(lit): _*))
+      }.reduceLeft(least(_, _))
+      val nxt = corpus
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("embedding"), mind.as("radius"))
+        .orderBy(col("radius").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      picked += ((rank, nxt.getLong(0), nxt.getDouble(2)))
+      selected ::= (nxt.getLong(0), vecOf(nxt))
+      rank += 1
+    }
+    spark.createDataFrame(picked.toSeq).toDF("rank", "vec_id", "radius")
+  }
 }

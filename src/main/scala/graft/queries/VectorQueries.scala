@@ -486,6 +486,19 @@ object VectorQueries {
       Similarity.mmrSelect(table(s, d, "embeddings"),
           queryId = 0L, poolK = 20, selectK = 5)
         .orderBy("rank")
+    },
+
+    // farthest-first traversal (e34): Gonzalez's k-center seeding —
+    // the deterministic k-means++ stand-in that picks maximally-
+    // spread quantizer seeds (or a maximally-diverse eval panel) and
+    // reports the corpus coverage radius at each k. Each round is one
+    // ZERO-SHUFFLE corpus scan (selected centers ride as literals in
+    // a least fold; argmax = TakeOrderedAndProject) — the honest
+    // k-pass cost of the greedy 2-approximation. FULL oracle: the
+    // rounds unroll as CTEs (the e22/e33/d45 precedent).
+    "e34_kcenter_init" -> q { (s, d) =>
+      Similarity.kcenterInit(table(s, d, "embeddings"), k = 5)
+        .orderBy("rank")
     }
   )
 
@@ -763,8 +776,38 @@ object VectorQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  /** e34's oracle: the farthest-first rounds unrolled as CTEs — each
+    * round cross-joins the (1-row) previous picks, takes the least of
+    * the 1−cos terms (the same exact-min the Scala least fold
+    * computes) and argmaxes with the same DESC, vec_id tie-break. */
+  private def kcenterOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val crosses = (1 until r).map(i => s"p$i").mkString(" CROSS JOIN ")
+      val notSel = (1 until r).map(i => s"e.vec_id <> p$i.vec_id").mkString(" AND ")
+      val terms = (1 until r)
+        .map(i => s"1.0 - ${cosSql("e.embedding", s"p$i.em")}")
+        .mkString(",\n      ")
+      val minD = if (r == 2) terms else s"least($terms)"
+      s"""d$r AS (SELECT e.vec_id, $minD AS r
+         |  FROM embeddings e CROSS JOIN $crosses
+         |  WHERE $notSel),
+         |p$r AS (SELECT e2.vec_id, e2.embedding AS em, t.r FROM (
+         |    SELECT vec_id, r FROM d$r ORDER BY r DESC, vec_id LIMIT 1) t
+         |  JOIN embeddings e2 USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, vec_id, r AS radius FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH p1 AS (SELECT vec_id, embedding AS em FROM embeddings ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(1 AS INTEGER) AS rank, vec_id, 0.0 AS radius FROM p1
+       |UNION ALL $out
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e33_mmr_select" -> mmrOracle,
+    "e34_kcenter_init" -> kcenterOracle(5),
     "e1_cosine_topk" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |cs AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),

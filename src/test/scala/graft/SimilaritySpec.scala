@@ -740,4 +740,30 @@ class SimilaritySpec extends AnyFunSuite {
     // diversity sanity: the greedy set is not just the top-5 by relevance
     assert(got.map(_._2).toSet.size == 5)
   }
+
+  test("e34: farthest-first trace equals an independent local greedy derivation") {
+    val got = SparkEntry.queries("e34_kcenter_init")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("radius"))).toSeq
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val seed = emb.keySet.min
+    var selected = List(seed)
+    val expected = scala.collection.mutable.ArrayBuffer((1, seed, 0.0))
+    (2 to 5).foreach { rank =>
+      val (id, rad) = emb.toSeq.filter(e => !selected.contains(e._1))
+        .map { case (cid, v) =>
+          cid -> selected.map(s => 1.0 - cosLocal(v, emb(s))).min }
+        .minBy { case (cid, r) => (-r, cid) }
+      expected += ((rank, id, rad))
+      selected ::= id
+    }
+    assert(got == expected.toSeq,
+      "distributed farthest-first must equal the local greedy trace")
+    // coverage radii never increase: each pick plugs the biggest hole
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+      "k-center radii must be non-increasing")
+    assert(got.map(_._2).toSet.size == 5)
+  }
 }
