@@ -2308,6 +2308,44 @@ object DocQueries {
           (col("n_inter").cast("double") / col("n_union").cast("double"))
             .as("jaccard"))
         .orderBy("a_id", "b_id")
+    },
+
+    // PMI-ranked collocations (Church & Hanks 1990): the top bigrams
+    // whose corpus frequency exceeds what their parts' unigram
+    // frequencies predict — the phrase-mining pass that seeds
+    // tokenizer vocabularies and multi-word stop lists. Reported
+    // score is the PMI ratio p(xy)/(p(x)p(y)) itself (log-free, the
+    // repo's bit-determinism idiom: logs rank identically). Exchanges
+    // carry only (gram, count) dictionary rows — the text never
+    // shuffles; the two corpus totals are 1-row broadcasts; the
+    // cxy ≥ 5 support prune lands BEFORE the dictionary joins, so the
+    // join probe side is the (tiny) collocation candidate set, not
+    // the bigram vocabulary.
+    "d68_pmi_collocations" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val docs = table(s, d, "documents")
+      val toks = Text.tokens(lower(col("text")))
+      val bg = docs
+        .select(explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .filter(col("bigram").contains(" "))
+        .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+      val nBg = bg.agg(sum(col("cxy")).as("n_bg"))
+      val ug = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val nUg = ug.agg(sum(col("cw")).as("n_ug"))
+      bg.filter(col("cxy") >= 5)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(ug.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(ug.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(nBg)).crossJoin(broadcast(nUg))
+        .select(col("w1"), col("w2"), col("cxy"), col("c1"), col("c2"),
+          ((col("cxy").cast(DoubleType) * col("n_ug").cast(DoubleType) *
+            col("n_ug").cast(DoubleType)) /
+            (col("n_bg").cast(DoubleType) * col("c1").cast(DoubleType) *
+              col("c2").cast(DoubleType))).as("pmi_ratio"))
+        .orderBy(desc("pmi_ratio"), col("w1"), col("w2"))
+        .limit(20)
     }
   )
 
@@ -3354,6 +3392,34 @@ object DocQueries {
         |  CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cf
         |FROM b JOIN f USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same bigram/unigram dictionaries as d24's chain; the PMI ratio
+    // is written with the exact Spark cast-and-multiply order so the
+    // doubles (and therefore the top-20 cut) cannot fork
+    "d68_pmi_collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(generate_series(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |      FROM t),
+        |bc AS (SELECT bigram, COUNT(*) AS cxy FROM b
+        |       WHERE contains(bigram, ' ') GROUP BY bigram),
+        |nbg AS (SELECT SUM(cxy) AS n_bg FROM bc),
+        |uc AS (SELECT w, COUNT(*) AS cw FROM
+        |         (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |nug AS (SELECT SUM(cw) AS n_ug FROM uc)
+        |SELECT split_part(bigram, ' ', 1) AS w1,
+        |  split_part(bigram, ' ', 2) AS w2, cxy,
+        |  u1.cw AS c1, u2.cw AS c2,
+        |  (CAST(cxy AS DOUBLE) * CAST(n_ug AS DOUBLE) * CAST(n_ug AS DOUBLE)) /
+        |    (CAST(n_bg AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))
+        |    AS pmi_ratio
+        |FROM bc CROSS JOIN nbg CROSS JOIN nug
+        |JOIN uc u1 ON u1.w = split_part(bigram, ' ', 1)
+        |JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
+        |WHERE cxy >= 5
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "d25_stratified_sample" ->
       """WITH c AS (
