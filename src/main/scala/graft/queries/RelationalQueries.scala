@@ -1362,6 +1362,28 @@ object RelationalQueries {
           (col("hour") =!= col("obs_hour")).as("is_gap"),
           col("val").cast(DoubleType).as("carried_value"))
         .orderBy("user_id", "hour")
+    },
+
+    // per-key decile report (q69): NTILE over a KEYED window — the
+    // distribution-profiling op (balance deciles per nation) that a
+    // global-ntile would solve with a single-partition sort; keying
+    // the window by nation keeps the sort per-group (the q7/q19
+    // partitioned-window scale shape — no total order anywhere).
+    // Deciles follow the SQL-standard ntile fill (larger tiles
+    // first), identical in both engines given the (acctbal, custkey)
+    // total tie-break; sums ride the DECIMAL(18,4) parity recipe.
+    "q69_decile_report" -> q { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      table(s, d, "customer")
+        .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("c_nationkey", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          sum(d4(col("c_acctbal"))).cast(DoubleType).as("sum_bal"))
+        .orderBy("c_nationkey", "decile")
     }
   )
 
@@ -1629,6 +1651,17 @@ object RelationalQueries {
         |  CAST(val AS DOUBLE) AS carried_value
         |FROM runs, unnest(generate_series(hour, COALESCE(nxt - 1, hour))) AS g(h)
         |ORDER BY user_id, hour""".stripMargin,
+
+    "q69_decile_report" ->
+      """SELECT c_nationkey, decile, COUNT(*) AS n,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM (SELECT c_nationkey, c_acctbal,
+        |        NTILE(10) OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal, c_custkey) AS decile
+        |      FROM customer) t
+        |GROUP BY c_nationkey, decile
+        |ORDER BY c_nationkey, decile""".stripMargin,
 
     "q15_json_extract" ->
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
