@@ -2346,6 +2346,72 @@ object DocQueries {
               col("c2").cast(DoubleType))).as("pmi_ratio"))
         .orderBy(desc("pmi_ratio"), col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // deterministic training-shard materialization (d69): the final
+    // "shuffle the corpus into shards" step every pretraining run
+    // ships — shard = portable hash mod nShards, within-shard order =
+    // a SECOND independent hash (ties to doc_id), so the global
+    // permutation is reproducible under any partitioning and any
+    // engine. NO global sort/row_number anywhere (the d58 rule): the
+    // only window is PER-SHARD, and the shard count is OCCUPANCY-HELD
+    // (smallest 32·2^j with nShards·2048 ≥ corpus rows — the
+    // autoNlist/autoPlanes idiom), so the per-key sort is bounded by
+    // the ~2048-doc shard budget at ANY corpus size — exactly how
+    // real shard writers pick file counts. Oracle derives the same
+    // shard count from count(*) (the lshMaskSql precedent).
+    "d69_shuffle_shard" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val n = docs.count()
+      var nShards = 32L
+      while (nShards * 2048L < n && nShards < (32L << 20)) nShards *= 2
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
+      val h2 = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val w = Window.partitionBy("shard").orderBy(col("sort_key"), col("doc_id"))
+      docs.select(col("doc_id"), (h % nShards).as("shard"), h2.as("sort_key"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
+    // fill-in-the-middle transform (Bavarian et al. 2022,
+    // arXiv:2207.14255): rewrite ~half the corpus into the PSM layout
+    // (<PRE> prefix <SUF> suffix <MID> middle) so an autoregressive
+    // model learns infilling "for free" — the code-model sibling of
+    // d55's T5 span corruption (ONE contiguous middle, REORDERED, vs
+    // multi-span sentinel denoising). Cut points and the apply gate
+    // derive from the d15 portable hash family, so the transform is
+    // deterministic under any partitioning and engine-reproducible.
+    // ZERO shuffles: pure in-row token slicing at scan speed (the
+    // d40/d55 shape) — the one ORDER BY is the output sort.
+    "d70_fim_transform" -> q { (s, d) =>
+      val h1 = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
+      val h2 = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("fim_applied", h1 % 2 === 0)
+        .withColumn("lo",
+          least(h1 % (col("n") + 1), h2 % (col("n") + 1)).cast("int"))
+        .withColumn("hi",
+          greatest(h1 % (col("n") + 1), h2 % (col("n") + 1)).cast("int"))
+        .select(col("doc_id"), col("fim_applied"),
+          when(col("fim_applied"), col("lo")).otherwise(col("n")).as("n_prefix"),
+          when(col("fim_applied"), col("hi") - col("lo")).otherwise(lit(0)).as("n_middle"),
+          when(col("fim_applied"), col("n") - col("hi")).otherwise(lit(0)).as("n_suffix"),
+          when(col("fim_applied"),
+            concat(lit("<PRE> "),
+              array_join(slice(col("toks"), lit(1), col("lo")), " "),
+              lit(" <SUF> "),
+              array_join(slice(col("toks"), col("hi") + 1, col("n") - col("hi")), " "),
+              lit(" <MID> "),
+              array_join(slice(col("toks"), col("lo") + 1, col("hi") - col("lo")), " ")))
+            .otherwise(col("text")).as("psm_text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3420,6 +3486,47 @@ object DocQueries {
         |JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
         |WHERE cxy >= 5
         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // the same two-hash permutation; the shard count re-derives from
+    // count(*) with the identical occupancy rule
+    "d69_shuffle_shard" ->
+      """WITH ns AS (SELECT COALESCE((SELECT MIN(CAST(32 AS BIGINT) << g.j)
+        |    FROM generate_series(0, 20) g(j)
+        |    WHERE (CAST(32 AS BIGINT) << g.j) * 2048 >=
+        |      (SELECT count(*) FROM documents)), CAST(32 AS BIGINT) << 20) AS n_shards),
+        |k AS (SELECT doc_id,
+        |    ((doc_id * 2654435761) % 2147483647) % n_shards AS shard,
+        |    (doc_id * 1103515245 + 12345) % 2147483647 AS sort_key
+        |  FROM documents CROSS JOIN ns)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY sort_key, doc_id) AS INTEGER) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
+    // the same hash-derived cuts and PSM concat; DuckDB's inclusive
+    // 1-based list slices line up with Spark's (start, length) slices
+    // at every boundary (lo = 0, lo = hi, hi = n included)
+    "d70_fim_transform" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    (doc_id * 2654435761) % 2147483647 AS h1,
+        |    (doc_id * 1103515245 + 12345) % 2147483647 AS h2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, toks, h1 % 2 = 0 AS fim_applied,
+        |    len(toks) AS n,
+        |    least(h1 % (len(toks) + 1), h2 % (len(toks) + 1)) AS lo,
+        |    greatest(h1 % (len(toks) + 1), h2 % (len(toks) + 1)) AS hi
+        |  FROM t)
+        |SELECT doc_id, fim_applied,
+        |  CAST(CASE WHEN fim_applied THEN lo ELSE n END AS INTEGER) AS n_prefix,
+        |  CAST(CASE WHEN fim_applied THEN hi - lo ELSE 0 END AS INTEGER) AS n_middle,
+        |  CAST(CASE WHEN fim_applied THEN n - hi ELSE 0 END AS INTEGER) AS n_suffix,
+        |  CASE WHEN fim_applied THEN
+        |    concat('<PRE> ', array_to_string(toks[1:lo], ' '),
+        |           ' <SUF> ', array_to_string(toks[hi+1:n], ' '),
+        |           ' <MID> ', array_to_string(toks[lo+1:hi], ' '))
+        |  ELSE text END AS psm_text
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d25_stratified_sample" ->
       """WITH c AS (
