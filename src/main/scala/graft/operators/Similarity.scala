@@ -1030,6 +1030,77 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF+PQ on RESIDUALS — the actual FAISS IVFADC default (Jégou et
+    * al., TPAMI 2011 §IV-B): PQ encodes r = x − centroid(cell(x)),
+    * not x itself, because residuals concentrate near the origin and
+    * the same `m`-byte budget spends its codewords on a much smaller
+    * ball (e9 is the "PQ on raw vectors" baseline this refines). The
+    * LUT is therefore PER (query, probed cell) — built from the
+    * query's residual against THAT cell's centroid — so the cell
+    * equi-join pairs every candidate with the right LUT by
+    * construction. Plan shape identical to e9 plus one broadcast join
+    * against the `nlist`-row centroid table (the residual subtraction
+    * is a narrow zip_with at the scan; codes stay m bytes); the
+    * residual codebook bootstraps from the first `ks` vectors'
+    * OWN residuals (deterministic, oracle-reproducible). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val boot: Array[Array[Double]] = corpus.orderBy("vec_id")
+      .limit(math.max(nlist, ks))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(boot.length >= math.max(nlist, ks),
+      s"IVF+PQ bootstrap needs ${math.max(nlist, ks)} corpus vectors")
+    require(boot.forall(_.length >= dim),
+      s"IVF+PQ bootstrap vectors must have >= $dim components")
+    val cents = boot.take(nlist)
+    val centScores = centScoresFor(cents) _
+    // 1-based cell -> centroid table (matches cellOf's array_position)
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v.toSeq) }.toSeq
+      .toDF("cell", "centv")
+    def resid = zip_with(col("embedding").cast("array<double>"),
+      col("centv"), (a, b) => a - b)
+    // residual codebook: the first ks vectors' residuals against their
+    // own cells — computed through the SAME expressions as the corpus
+    // pass, so the bootstrap cannot fork from the assignment rule
+    val rboot: Array[Array[Double]] = corpus.orderBy("vec_id").limit(ks)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(centScores(col("embedding"))).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .orderBy("vec_id")
+      .select(resid.as("rv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbFlat: Array[Double] = Array.tabulate(m * ks * subDim) { i =>
+      val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
+      rboot(j)(s * subDim + d)
+    }
+    val c = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        cellOf(centScores(col("embedding"))).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("cand_id"), col("cell"),
+        Native.pqEncode(resid, cbFlat, m, ks, subDim).as("code"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+        explode(probeCells(centScores(col("embedding")), nlist, nprobe))
+          .as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("q_id"), col("cell"),
+        Native.pqLut(resid, cbFlat, m, ks, subDim).as("lut"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Native.pqAdc(col("lut"), col("code"), ks).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     * cells by nearest coarse centroid — a narrow map over the scan, the
     * centroid table rides inside the expressions — and each query scores

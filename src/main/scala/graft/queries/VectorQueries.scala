@@ -488,6 +488,21 @@ object VectorQueries {
         .orderBy("rank")
     },
 
+    // residual IVF+PQ (e35): the true FAISS IVFADC default — PQ codes
+    // the residual x − centroid(cell(x)), not x, so the m-byte budget
+    // spends its codewords on the small residual ball (e9 is the
+    // raw-vector baseline this refines). The LUT becomes PER (query,
+    // probed cell); the cell equi-join pairs each candidate with the
+    // right LUT by construction. One extra broadcast join against the
+    // nlist-row centroid table; codes stay m bytes on the scan side.
+    // FULL oracle splicing e9's chains with residual CTEs.
+    "e35_residual_pq" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select("q_id", "rank", "cand_id", "adc")
+        .orderBy("q_id", "rank")
+    },
+
     // farthest-first traversal (e34): Gonzalez's k-center seeding —
     // the deterministic k-means++ stand-in that picks maximally-
     // spread quantizer seeds (or a maximally-diverse eval panel) and
@@ -808,6 +823,67 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "e33_mmr_select" -> mmrOracle,
     "e34_kcenter_init" -> kcenterOracle(5),
+
+    // e9's chains with residual CTEs spliced in: res carries every
+    // vector's x − centroid(cell(x)), the codebook is the first 16
+    // vectors' OWN residuals, and the LUT keys on (query, probed
+    // cell) — the join pairs candidates with the right LUT exactly as
+    // the Spark cell equi-join does
+    "e35_residual_pq" -> {
+      def dist(v: String) =
+        s"""list_aggregate(list_transform(generate_series(1, 8), d ->
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
+      def cosM(a: String, b: String) =
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))""".stripMargin
+      def rv(e: String) =
+        s"list_transform(list_zip($e, cc.ce), s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cscore AS (SELECT e.vec_id, cc.cid, ${cosM("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cents cc),
+         |cell AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |res AS (SELECT e.vec_id, ${rv("e.embedding")} AS rv
+         |  FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
+         |  JOIN cents cc ON cc.cid = cell.cell),
+         |rcbv AS (SELECT list(rv ORDER BY vec_id) AS cbs FROM res WHERE vec_id < 16),
+         |enc0 AS (SELECT res.vec_id AS cand_id,
+         |    list_transform(generate_series(0, 7), s ->
+         |      list_transform(generate_series(1, 16), j -> ${dist("res.rv")})) AS dls
+         |  FROM res CROSS JOIN rcbv),
+         |enc AS (SELECT cand_id,
+         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+         |  FROM enc0),
+         |qres AS (SELECT p.q_id, p.cell, ${rv("qv.embedding")} AS rv
+         |  FROM probes p JOIN embeddings qv ON qv.vec_id = p.q_id
+         |  JOIN cents cc ON cc.cid = p.cell),
+         |lut AS (SELECT qres.q_id, qres.cell,
+         |    list_transform(generate_series(0, 127), i ->
+         |      ${dist("qres.rv")
+               .replace("s*8", "(i // 16)*8")
+               .replace("cbs[j]", "cbs[(i % 16) + 1]")}) AS lutv
+         |  FROM qres CROSS JOIN rcbv),
+         |cand AS (SELECT p.q_id, p.cell, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(generate_series(0, 7), s ->
+         |      lutv[s*16 + code[s+1] + 1]), 'sum') AS adc
+         |  FROM cand
+         |  JOIN enc ON enc.cand_id = cand.cand_id
+         |  JOIN lut ON lut.q_id = cand.q_id AND lut.cell = cand.cell)
+         |SELECT q_id, rank, cand_id, adc FROM (
+         |  SELECT q_id, cand_id, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
     "e1_cosine_topk" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |cs AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),

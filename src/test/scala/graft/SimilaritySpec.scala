@@ -741,6 +741,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).toSet.size == 5)
   }
 
+  test("e35: residual IVF+PQ equals an independent local re-derivation") {
+    val got = SparkEntry.queries("e35_residual_pq")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("adc"))).toSet
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until 16L).map(i => emb(i).map(_.toDouble)).toArray
+    def cellLoc(v: Array[Float]): Int = // argmax cosine, first max wins
+      cents.map(c => cosLocal(v, c.map(_.toFloat))).zipWithIndex
+        .maxBy { case (cs, i) => (cs, -i) }._2
+    def residLoc(v: Array[Float]): Array[Double] = {
+      val c = cents(cellLoc(v))
+      Array.tabulate(v.length)(i => v(i).toDouble - c(i))
+    }
+    // codebook = first 16 vectors' own residuals; per-subspace argmin
+    val rboot = (0L until 16L).map(i => residLoc(emb(i))).toArray
+    def subDist(rv: Array[Double], j: Int, s: Int): Double = {
+      var acc = 0.0; var d = 0
+      while (d < 8) { val x = rv(s * 8 + d) - rboot(j)(s * 8 + d); acc += x * x; d += 1 }
+      acc
+    }
+    def encode(rv: Array[Double]): Array[Int] =
+      Array.tabulate(8) { s =>
+        var best = Double.PositiveInfinity; var bj = 0
+        (0 until 16).foreach { j =>
+          val dd = subDist(rv, j, s); if (dd < best) { best = dd; bj = j } }
+        bj
+      }
+    val codes = emb.map { case (id, v) => id -> encode(residLoc(v)) }
+    val expected = (0L until 5L).flatMap { qid =>
+      val probes = cents.indices
+        .map(i => i -> cosLocal(emb(qid), cents(i).map(_.toFloat)))
+        .sortBy { case (i, cs) => (-cs, i) }.take(4).map(_._1).toSet
+      val scoredRows = emb.keys.filter(_ != qid)
+        .filter(cid => probes.contains(cellLoc(emb(cid)))).map { cid =>
+          val qr = { // query residual AGAINST THE CANDIDATE'S cell
+            val c = cents(cellLoc(emb(cid)))
+            Array.tabulate(64)(i => emb(qid)(i).toDouble - c(i))
+          }
+          val adc = (0 until 8).map(s => subDist(qr, codes(cid)(s), s)).sum
+          (cid, adc)
+        }.toSeq
+      scoredRows.sortBy { case (cid, adc) => (adc, cid) }.take(10).zipWithIndex
+        .map { case ((cid, adc), i) => (qid, i + 1, cid, adc) }
+    }.toSet
+    assert(got == expected,
+      "residual IVFADC must equal the local residual-LUT re-derivation")
+    // residual codes genuinely differ from raw-vector codes (the e9
+    // baseline) — the refinement is not a no-op on this corpus
+    val rawBoot = (0L until 16L).map(i => emb(i).map(_.toDouble)).toArray
+    def rawEncode(v: Array[Float]): Array[Int] = Array.tabulate(8) { s =>
+      var best = Double.PositiveInfinity; var bj = 0
+      (0 until 16).foreach { j =>
+        var acc = 0.0; var d = 0
+        while (d < 8) { val x = v(s * 8 + d).toDouble - rawBoot(j)(s * 8 + d); acc += x * x; d += 1 }
+        if (acc < best) { best = acc; bj = j }
+      }
+      bj
+    }
+    assert(emb.exists { case (id, v) => !codes(id).sameElements(rawEncode(v)) },
+      "residual encoding must differ from raw-vector encoding somewhere")
+  }
+
   test("e34: farthest-first trace equals an independent local greedy derivation") {
     val got = SparkEntry.queries("e34_kcenter_init")(spark, sf).collect()
       .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
