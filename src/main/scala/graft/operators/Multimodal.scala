@@ -143,6 +143,30 @@ object WavCodec {
       "data".getBytes("US-ASCII") ++ le32(dataLen) ++ pcm
   }
 
+  /** Encode 16-bit STEREO PCM as a canonical WAV file (2 channels,
+    * interleaved L,R frames, blockAlign 4). */
+  def encodeStereo(sampleRate: Int, left: Array[Short],
+                   right: Array[Short]): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    require(left.length <= MaxSamples, "too many samples")
+    val dataLen = left.length * 4
+    val pcm = new Array[Byte](dataLen)
+    var i = 0
+    while (i < left.length) {
+      pcm(i * 4) = (left(i) & 0xff).toByte
+      pcm(i * 4 + 1) = ((left(i) >> 8) & 0xff).toByte
+      pcm(i * 4 + 2) = (right(i) & 0xff).toByte
+      pcm(i * 4 + 3) = ((right(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(sampleRate) ++ le32(sampleRate * 4) ++
+      le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++ pcm
+  }
+
   /** G.711 µ-law expansion of one companded byte to its 16-bit PCM
     * sample — the REAL compressed-audio path (8 bits on the wire per
     * 16-bit sample; format tag 7 in WAV). Closed-form per byte:
@@ -330,9 +354,11 @@ object WavCodec {
   /** Decode a WAV payload; None on anything malformed or unsupported
     * (null-not-fail, the engine's KSQL-style semantics). Walks the
     * chunk list properly — extra chunks (LIST/INFO/cue) are skipped,
-    * `fmt ` must declare mono 16-bit PCM (tag 1), 8-bit G.711 A-law
-    * (tag 6, expanded through [[alawDecode8]]), 8-bit G.711 µ-law
-    * (tag 7, expanded through [[ulawDecode8]]) or 4-bit IMA ADPCM
+    * `fmt ` must declare mono or stereo 16-bit PCM (tag 1 — stereo
+    * downmixes to mono as (l + r) >> 1 per frame, the floor-mean
+    * normalization every mono-input pipeline applies), 8-bit G.711
+    * A-law (tag 6, expanded through [[alawDecode8]]), 8-bit G.711
+    * µ-law (tag 7, expanded through [[ulawDecode8]]) or 4-bit IMA ADPCM
     * (tag 0x11, the mirrored state machine of [[encodeAdpcm]], with
     * the `fact` chunk trimming final-block padding) before `data` is
     * accepted. */
@@ -349,6 +375,7 @@ object WavCodec {
     var pos = 12
     var rate = -1
     var fmtTag = -1
+    var channels = 1
     var blockAlign = -1
     var samplesPerBlock = -1
     var factSamples = -1L
@@ -358,14 +385,16 @@ object WavCodec {
       val body = pos + 8
       if (ascii(pos, "fmt ")) {
         if (size < 16) return None
-        // mono PCM16 (tag 1), mono A-law 8-bit (tag 6), mono µ-law
-        // 8-bit (tag 7) or mono IMA ADPCM 4-bit (tag 0x11) — anything
-        // else is unsupported, not data
+        // mono or stereo PCM16 (tag 1; stereo downmixes), mono A-law
+        // 8-bit (tag 6), mono µ-law 8-bit (tag 7) or mono IMA ADPCM
+        // 4-bit (tag 0x11) — anything else is unsupported, not data
         val tag = u16(body)
+        val ch = u16(body + 2)
         val bits = u16(body + 14)
-        if (u16(body + 2) != 1 || !((tag == 1 && bits == 16) ||
-          (tag == 6 && bits == 8) ||
-          (tag == 7 && bits == 8) || (tag == 0x11 && bits == 4))) return None
+        if (!((tag == 1 && bits == 16 && (ch == 1 || ch == 2)) ||
+          (ch == 1 && ((tag == 6 && bits == 8) ||
+            (tag == 7 && bits == 8) || (tag == 0x11 && bits == 4))))) return None
+        channels = ch
         if (tag == 0x11) {
           // the ADPCM fmt extension (cbSize >= 2) must declare the
           // per-block sample count consistent with blockAlign
@@ -427,7 +456,23 @@ object WavCodec {
             while (i < n) { out(i) = ulawDecode8(payload(body + i)); i += 1 }
           return Some(Audio(rate, out))
         }
-        if (fmtTag != 1 || size % 2 != 0 || size / 2 > MaxSamples) return None
+        if (fmtTag != 1) return None
+        if (channels == 2) { // stereo PCM16: downmix (l + r) >> 1 per frame
+          if (size % 4 != 0 || size / 4 > MaxSamples) return None
+          val n = (size / 4).toInt
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val l = ((payload(body + i * 4) & 0xff) |
+              (payload(body + i * 4 + 1) << 8)).toShort.toInt
+            val r = ((payload(body + i * 4 + 2) & 0xff) |
+              (payload(body + i * 4 + 3) << 8)).toShort.toInt
+            out(i) = ((l + r) >> 1).toShort
+            i += 1
+          }
+          return Some(Audio(rate, out))
+        }
+        if (size % 2 != 0 || size / 2 > MaxSamples) return None
         val n = (size / 2).toInt
         val out = new Array[Short](n)
         var i = 0

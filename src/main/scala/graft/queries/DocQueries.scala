@@ -761,6 +761,32 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // STEREO downmix (m20): 2-channel PCM16 WAVs (interleaved L,R
+    // frames) normalize to mono as (l + r) >> 1 — the channel
+    // normalization every mono-input audio pipeline applies before
+    // feature extraction. Both channel generators emit EVEN samples,
+    // so the downmix mean is division-convention-free and the oracle
+    // replicates the interleave + mix closed-form per frame.
+    "m20_stereo_downmix" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val rate = 16000
+          val n = (400 + (id % 4) * 150).toInt
+          val l = Array.tabulate[Short](n)(i =>
+            (2 * ((id * 5 + i * 7) % 8000) - 8000).toShort)
+          val r = Array.tabulate[Short](n)(i =>
+            (2 * ((id * 3 + i * 11) % 8000) - 8000).toShort)
+          (id, graft.operators.WavCodec.encodeStereo(rate, l, r))
+        }
+      graft.operators.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .orderBy("id")
+    },
+
     // ANIMATED GIF decode (m15): each payload is a 4-frame GIF89a on
     // an 8×4 screen — even frames overwrite the full screen, odd
     // frames draw a 4×2 patch at (2,1) over the previous canvas — so
@@ -3749,6 +3775,24 @@ object DocQueries {
          |  CAST(8000 AS INTEGER) AS sample_rate,
          |  CAST($n AS INTEGER) AS n_samples,
          |  CAST($n AS DOUBLE) * 1000.0 / 8000 AS duration_ms,
+         |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
+         |  CAST(list_max(list_transform(generate_series(0, $n - 1),
+         |    i -> $mag)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the interleave + downmix closed form: frame i mixes to
+    // A + B − 8000 with A/B the two channel generators (both channels
+    // even, so >> 1 is exact division by 2 in any convention)
+    "m20_stereo_downmix" -> {
+      val n = "(400 + (s_suppkey % 4) * 150)"
+      val mag = "abs(((s_suppkey*5 + i*7) % 8000) + " +
+        "((s_suppkey*3 + i*11) % 8000) - 8000)"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST($n AS INTEGER) AS n_samples,
+         |  CAST($n AS DOUBLE) * 1000.0 / 16000 AS duration_ms,
          |  CAST(list_aggregate(list_transform(generate_series(0, $n - 1),
          |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),

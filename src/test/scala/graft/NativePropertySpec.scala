@@ -195,6 +195,20 @@ object NativePropertySpec extends Properties("NativeKernels") {
     }
   }
 
+  property("stereo WAV downmixes every frame to (l + r) >> 1 exactly") =
+    forAll(rawBytes) { bs =>
+      // arbitrary signed shorts on both channels (odd sums included —
+      // the >> 1 floor is the pinned convention)
+      val l = bs.map(b => ((b * 257) ^ 0x1234).toShort).toArray
+      val r = bs.map(b => ((b * 131) ^ 0x7e01).toShort).toArray
+      val wav = graft.operators.WavCodec.encodeStereo(22050, l, r)
+      graft.operators.WavCodec.decode(wav).exists { a =>
+        a.sampleRate == 22050 && a.samples.length == l.length &&
+          a.samples.indices.forall(i =>
+            a.samples(i) == ((l(i) + r(i)) >> 1).toShort)
+      }
+    }
+
   property("alaw and ulaw sign conventions are inverse") =
     // the SAME linear value encodes with OPPOSITE top bits in the two
     // laws (after the A-law XOR unmasking): G.711's published tables
