@@ -128,6 +128,46 @@ object Text {
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L)
 
+  /** The d15/d69 portable multiplicative hash of a numeric id —
+    * deterministic under any partitioning, identical in DuckDB. */
+  def portableHash(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(2147483647L))
+
+  /** A SECOND independent id hash (LCG constants) for permutation
+    * sort keys — d69's within-shard order and d70's second FIM cut. */
+  def portableHash2(id: Column): Column =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483647L))
+
+  /** Training-shard assignment (d69 + streaming twin shared kernel). */
+  def shardOf(id: Column, nShards: Long): Column =
+    portableHash(id) % lit(nShards)
+
+  /** Fill-in-the-middle PSM projection (Bavarian et al. 2022 — d70 +
+    * streaming twin shared kernel): hash-gated rewrite of ~half the
+    * rows into `<PRE> prefix <SUF> suffix <MID> middle` with
+    * hash-derived cut points; pass-through rows keep the original
+    * text. Pure in-row (zero shuffle). Returns a struct
+    * (fim_applied, n_prefix, n_middle, n_suffix, psm_text). */
+  def fimTransform(docId: Column, text: Column): Column = {
+    val h1 = portableHash(docId)
+    val h2 = portableHash2(docId)
+    val toks = tokens(text)
+    val n = size(toks)
+    val applied = h1 % 2 === 0
+    val lo = least(h1 % (n + 1), h2 % (n + 1)).cast("int")
+    val hi = greatest(h1 % (n + 1), h2 % (n + 1)).cast("int")
+    struct(
+      applied.as("fim_applied"),
+      when(applied, lo).otherwise(n).as("n_prefix"),
+      when(applied, hi - lo).otherwise(lit(0)).as("n_middle"),
+      when(applied, n - hi).otherwise(lit(0)).as("n_suffix"),
+      when(applied,
+        concat(lit("<PRE> "), array_join(slice(toks, lit(1), lo), " "),
+          lit(" <SUF> "), array_join(slice(toks, hi + 1, n - hi), " "),
+          lit(" <MID> "), array_join(slice(toks, lo + 1, hi - lo), " ")))
+        .otherwise(text).as("psm_text"))
+  }
+
   /** Sliding-window chunk structs over a token array — the shared
     * RAG/embedding chunking kernel (batch d54_rag_chunks ≡ streaming
     * streamRagChunks, so the two geometries cannot drift). Chunk count

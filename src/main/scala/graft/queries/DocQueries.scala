@@ -2392,11 +2392,10 @@ object DocQueries {
       val n = docs.count()
       var nShards = 32L
       while (nShards * 2048L < n && nShards < (32L << 20)) nShards *= 2
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
-      val h2 = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
       val w = Window.partitionBy("shard").orderBy(col("sort_key"), col("doc_id"))
-      docs.select(col("doc_id"), (h % nShards).as("shard"), h2.as("sort_key"))
+      docs.select(col("doc_id"),
+          Text.shardOf(col("doc_id"), nShards).as("shard"),
+          Text.portableHash2(col("doc_id")).as("sort_key"))
         .withColumn("pos", row_number().over(w))
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
@@ -2413,30 +2412,14 @@ object DocQueries {
     // ZERO shuffles: pure in-row token slicing at scan speed (the
     // d40/d55 shape) — the one ORDER BY is the output sort.
     "d70_fim_transform" -> q { (s, d) =>
-      val h1 = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
-      val h2 = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
       table(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          Text.tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .withColumn("fim_applied", h1 % 2 === 0)
-        .withColumn("lo",
-          least(h1 % (col("n") + 1), h2 % (col("n") + 1)).cast("int"))
-        .withColumn("hi",
-          greatest(h1 % (col("n") + 1), h2 % (col("n") + 1)).cast("int"))
-        .select(col("doc_id"), col("fim_applied"),
-          when(col("fim_applied"), col("lo")).otherwise(col("n")).as("n_prefix"),
-          when(col("fim_applied"), col("hi") - col("lo")).otherwise(lit(0)).as("n_middle"),
-          when(col("fim_applied"), col("n") - col("hi")).otherwise(lit(0)).as("n_suffix"),
-          when(col("fim_applied"),
-            concat(lit("<PRE> "),
-              array_join(slice(col("toks"), lit(1), col("lo")), " "),
-              lit(" <SUF> "),
-              array_join(slice(col("toks"), col("hi") + 1, col("n") - col("hi")), " "),
-              lit(" <MID> "),
-              array_join(slice(col("toks"), col("lo") + 1, col("hi") - col("lo")), " ")))
-            .otherwise(col("text")).as("psm_text"))
+        .select(col("doc_id"),
+          Text.fimTransform(col("doc_id"), col("text")).as("f"))
+        .select(col("doc_id"), col("f")("fim_applied").as("fim_applied"),
+          col("f")("n_prefix").as("n_prefix"),
+          col("f")("n_middle").as("n_middle"),
+          col("f")("n_suffix").as("n_suffix"),
+          col("f")("psm_text").as("psm_text"))
         .orderBy("doc_id")
     }
   )

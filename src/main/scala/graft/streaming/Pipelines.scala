@@ -557,6 +557,36 @@ object Pipelines {
         concat_ws(" ", col("c")("chunk")).as("chunk_text"))
   }
 
+  /** Ingest-time FIM rewrite — the d70 streaming twin: arriving
+    * documents pass through the SAME `Text.fimTransform` kernel
+    * (hash-gated PSM layout, hash-derived cuts), so stream and batch
+    * infilling examples cannot drift. Pure in-row projection:
+    * stateless, shuffle-free, replay-identical. */
+  def streamFimTransform(stream: DataFrame): DataFrame =
+    stream
+      .select(col("doc_id"),
+        graft.functions.Text.fimTransform(col("doc_id"), col("text")).as("f"))
+      .select(col("doc_id"), col("f")("fim_applied").as("fim_applied"),
+        col("f")("n_prefix").as("n_prefix"),
+        col("f")("n_middle").as("n_middle"),
+        col("f")("n_suffix").as("n_suffix"),
+        col("f")("psm_text").as("psm_text"))
+
+  /** Ingest-time shard routing — the d69 streaming twin: arriving
+    * documents take their training shard + permutation sort key from
+    * the SAME `Text.shardOf`/`portableHash2` kernels, with the shard
+    * count shipped from the batch derivation (the streamEpochUpsample
+    * ship-the-artifact pattern — ingest must not re-derive a count
+    * that depends on corpus size mid-stream). The within-shard
+    * POSITION is deliberately absent: a global position is an
+    * ever-growing state on an unbounded stream; the sort key is what
+    * the downstream shard writer sorts by at file-close time.
+    * Stateless, shuffle-free, replay-identical. */
+  def streamShardRoute(stream: DataFrame, nShards: Long): DataFrame =
+    stream.select(col("doc_id"),
+      graft.functions.Text.shardOf(col("doc_id"), nShards).as("shard"),
+      graft.functions.Text.portableHash2(col("doc_id")).as("sort_key"))
+
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature
     * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),

@@ -719,6 +719,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream FIM rewrite emits the d70 batch rows row-for-row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamFimTransform(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("fim_out")
+      .outputMode("append").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Boolean]("fim_applied"),
+        r.getAs[Int]("n_prefix"), r.getAs[Int]("n_middle"),
+        r.getAs[Int]("n_suffix"), r.getAs[String]("psm_text"))
+    val streamed = spark.table("fim_out").collect().map(key).toSet
+    q.stop()
+    val batch = SparkEntry.queries("d70_fim_transform")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "shared-kernel FIM must make stream and batch PSM rows identical")
+    // both branches of the gate are exercised
+    assert(streamed.exists(_._2) && streamed.exists(!_._2))
+  }
+
+  test("stream shard route agrees with the d69 batch shard/sort-key map") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id").limit(60).collect()
+      .map(r => (r.getAs[Long]("doc_id"), "x"))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamShardRoute(in.toDF().toDF("doc_id", "text"),
+        nShards = 32L)
+      .writeStream.format("memory").queryName("shard_route_out")
+      .outputMode("append").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("shard_route_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("sort_key"))).toSet
+    q.stop()
+    // batch d69 at this SF derives the same 32-shard layout; its pos
+    // column is the per-shard sort the stream defers to file-close
+    val batch = SparkEntry.queries("d69_shuffle_shard")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"))).toSet
+    assert(streamed.map(t => (t._1, t._2)) == batch,
+      "stream shard assignment must equal the batch shard map")
+    // the sort key induces the batch's within-shard order on this slice
+    val bySortKey = streamed.groupBy(_._2).view.mapValues(
+      _.toSeq.sortBy(t => (t._3, t._1)).map(_._1)).toMap
+    val batchOrder = SparkEntry.queries("d69_shuffle_shard")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.toSeq.map(_._2)).toMap
+    assert(bySortKey == batchOrder,
+      "the shipped sort key must reproduce the batch permutation")
+  }
+
   test("quality screen agrees with the d33 batch gate on real corpus rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
