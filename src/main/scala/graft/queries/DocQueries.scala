@@ -2374,6 +2374,43 @@ object DocQueries {
         .limit(20)
     },
 
+    // Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; the Chen &
+    // Goodman interpolated form with absolute discount d = 0.75 —
+    // KenLM's default order-2 math): P(w2|w1) = max(c−d,0)/c(w1) +
+    // d·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··). With d = 3/4 every term is
+    // RATIONAL: p = (max(4c−3,0)·T + 3·n1l·n1r) / (4·cl·T) — integer
+    // numerator and denominator, ONE double division at the edge, so
+    // the smoothed table is bit-identical across engines (the d24/d64
+    // log-free idiom; at corpus sizes where 4·c·T nears 2^63 the
+    // numerator moves to DECIMAL — documented seam). All continuation
+    // counts (N1+) are plain COUNTs over the DEDUPED bigram dictionary
+    // — no countDistinct, no Expand (the q27 lesson); the dictionary
+    // materializes once (localCheckpoint) for its three consumers.
+    "d71_kn_smoothing" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = Text.tokens(lower(col("text")))
+      val bc = table(s, d, "documents")
+        .select(explode(graft.functions.Native.wordShingles(toks, 2)).as("bigram"))
+        .filter(col("bigram").contains(" "))
+        .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .localCheckpoint()
+      val ls = bc.groupBy("w1")
+        .agg(sum(col("cxy")).as("cl"), count(lit(1)).as("n1l"))
+      val rs = bc.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val nt = bc.agg(count(lit(1)).as("n_types"))
+      bc.join(ls, "w1").join(rs, "w2").crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("cxy"), col("cl"),
+          col("n1l"), col("n1r"),
+          ((greatest(col("cxy") * 4 - 3, lit(0L)) * col("n_types") +
+            lit(3L) * col("n1l") * col("n1r")).cast(DoubleType) /
+            (lit(4L) * col("cl") * col("n_types")).cast(DoubleType))
+            .as("p_kn"))
+        .orderBy(desc("p_kn"), col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // deterministic training-shard materialization (d69): the final
     // "shuffle the corpus into shards" step every pretraining run
     // ships — shard = portable hash mod nShards, within-shard order =
@@ -3495,6 +3532,29 @@ object DocQueries {
         |JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
         |WHERE cxy >= 5
         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // same deduped-dictionary continuation counts; the single edge
+    // division is the only double op, so p_kn cannot fork
+    "d71_kn_smoothing" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(generate_series(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+1], ' ')) END) AS bigram
+        |      FROM t),
+        |bc AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+        |         split_part(bigram, ' ', 2) AS w2, COUNT(*) AS cxy
+        |       FROM b WHERE contains(bigram, ' ') GROUP BY bigram),
+        |ls AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cl, COUNT(*) AS n1l
+        |       FROM bc GROUP BY w1),
+        |rs AS (SELECT w2, COUNT(*) AS n1r FROM bc GROUP BY w2),
+        |nt AS (SELECT COUNT(*) AS n_types FROM bc)
+        |SELECT bc.w1, bc.w2, cxy, cl, n1l, n1r,
+        |  CAST(greatest(cxy * 4 - 3, 0) * n_types + 3 * n1l * n1r AS DOUBLE) /
+        |    CAST(4 * cl * n_types AS DOUBLE) AS p_kn
+        |FROM bc JOIN ls ON ls.w1 = bc.w1 JOIN rs ON rs.w2 = bc.w2
+        |CROSS JOIN nt
+        |ORDER BY p_kn DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin,
 
     // the same two-hash permutation; the shard count re-derives from
     // count(*) with the identical occupancy rule

@@ -918,6 +918,58 @@ class PlanSpec extends AnyFunSuite {
       "only the polyHash value may key the shingle exchanges")
   }
 
+  test("d68: PMI dictionaries join on grams; the corpus totals broadcast as 1-row sides") {
+    val p = plan("d68_pmi_collocations")
+    assert(!p.contains("CartesianProduct"),
+      "collocation scoring must ride keyed dictionary joins, never all pairs")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"),
+      "raw document text must never key an exchange — only gram/count dictionary rows")
+  }
+
+  test("d69: the only exchange is the per-shard window — no global sort before it") {
+    val p = plan("d69_shuffle_shard")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"shard routing must shuffle once (the per-shard position window), saw $exchanges")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a single-partition exchange means a global sort snuck in")
+    assert(!p.contains("Join"), "shard assignment is in-row — no join anywhere")
+  }
+
+  test("d70: the FIM rewrite is in-row — shuffle-free before the output sort") {
+    val p = plan("d70_fim_transform")
+    assert(!p.linesIterator.exists(_.contains("hashpartitioning")),
+      "the PSM projection must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
+  test("q69: the decile window is KEYED and the report shares its exchange") {
+    val p = plan("q69_decile_report")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global ntile would plan a single-partition exchange — the window must key on nation")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the ntile window and the per-tile agg must share the c_nationkey exchange, saw $exchanges")
+  }
+
+  test("e34: the returned trace is the bounded driver fold — no corpus re-scan") {
+    val p = plan("e34_kcenter_init")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Scan parquet"),
+      "e34's result is k driver-collected picks — it must not re-scan the corpus")
+  }
+
+  test("e35: residual IVFADC joins broadcast; embeddings never key an exchange") {
+    val p = plan("e35_residual_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the centroid and cell joins must all broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("embedding"),
+      "float vectors must never key an exchange — codes and ids only")
+  }
+
   test("t24_scd2: the whole version history rides one RECID exchange") {
     val p = plan("t24_scd2_intervals")
     assert(!p.contains("CartesianProduct"))
