@@ -490,6 +490,92 @@ object WavCodec {
   }
 }
 
+/** WARC-style crawl-container codec — pure JVM, written against the
+  * ISO 28500 framing (the WARC/1.0 shape CommonCrawl ships): each
+  * record is a version line, header lines, a blank line, EXACTLY
+  * `Content-Length` body bytes, then the `\r\n\r\n` record separator.
+  * The whole point of the format — and of this parser — is that the
+  * body length comes from the HEADER, never from scanning for a
+  * delimiter: crawl bodies routinely contain `\r\n\r\n` (and even
+  * `WARC/1.0`), so any split-based reader mis-frames real data. */
+object WarcCodec {
+
+  /** Caps: bounded record count and per-body length so a crafted
+    * header cannot balloon allocation past the payload it ships. */
+  val MaxRecords = 4096
+  val MaxBody = 1 << 24
+
+  final case class Record(uri: String, contentLength: Int, body: String)
+
+  /** Encode records as a WARC-style container (encoder half, so tests
+    * and synthesized corpora can produce real framed payloads). */
+  def encode(records: Seq[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    records.foreach { case (uri, body) =>
+      sb.append("WARC/1.0\r\n")
+        .append("WARC-Target-URI: ").append(uri).append("\r\n")
+        .append("Content-Length: ").append(body.length).append("\r\n")
+        .append("\r\n")
+        .append(body)
+        .append("\r\n\r\n")
+    }
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Parse a container into its records; None on anything malformed
+    * (truncated body, missing headers, bad version line, over-cap) —
+    * null-not-fail, the engine's decode convention. Header names are
+    * case-insensitive per the spec; unknown headers are skipped. */
+  def parse(payload: Array[Byte]): Option[Seq[Record]] = {
+    if (payload == null) return None
+    val n = payload.length
+    def lineEnd(from: Int): Int = { // index of '\r' of the next CRLF
+      var i = from
+      while (i + 1 < n && !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 < n) i else -1
+    }
+    def str(from: Int, until: Int): String =
+      new String(payload, from, until - from, "ISO-8859-1")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var pos = 0
+    while (pos < n) {
+      if (out.length >= MaxRecords) return None
+      val ve = lineEnd(pos)
+      if (ve < 0 || str(pos, ve) != "WARC/1.0") return None
+      pos = ve + 2
+      var uri: String = null
+      var len = -1
+      var done = false
+      while (!done) {
+        val he = lineEnd(pos)
+        if (he < 0) return None
+        if (he == pos) { done = true; pos += 2 } // blank line: headers end
+        else {
+          val line = str(pos, he)
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val k = line.substring(0, c).trim.toLowerCase
+            val v = line.substring(c + 1).trim
+            if (k == "warc-target-uri") uri = v
+            else if (k == "content-length")
+              len = try v.toInt catch { case _: NumberFormatException => return None }
+          }
+          pos = he + 2
+        }
+      }
+      if (uri == null || len < 0 || len > MaxBody) return None
+      if (pos + len + 4 > n) return None // body + record separator
+      val body = str(pos, pos + len)
+      pos += len
+      if (!(payload(pos) == '\r' && payload(pos + 1) == '\n' &&
+        payload(pos + 2) == '\r' && payload(pos + 3) == '\n')) return None
+      pos += 4
+      out += Record(uri, len, body)
+    }
+    Some(out.toSeq)
+  }
+}
+
 /** YUV4MPEG2 (Y4M) video codec — pure JVM, no external libraries. Y4M
   * is a real, widely-used uncompressed video container (the reference
   * format ffmpeg/x264 pipe to each other): an ASCII stream header
@@ -1785,6 +1871,35 @@ object Multimodal {
   final case class ResampledAudio(
       id: Long, src_rate: Option[Int], dst_rate: Option[Int],
       n_out: Option[Int], mean_abs: Option[Double], peak_abs: Option[Double])
+
+  /** One parsed WARC record; a malformed container yields a single
+    * row with null record fields (null-not-fail). */
+  final case class WarcRecordRow(
+      id: Long, rec_idx: Option[Int], uri: Option[String],
+      content_length: Option[Int], body: Option[String])
+
+  /** Per-partition WARC-container parse: every payload expands to its
+    * framed records (Content-Length-honored bodies — see
+    * [[WarcCodec]]) — the crawl-ingestion record split that runs
+    * BEFORE any text operator sees a document. Same batch shape as
+    * the codecs: one parser context per task, payloads never
+    * shuffle. */
+  def decodeWarcRecords(media: Dataset[(Long, Array[Byte])]): Dataset[WarcRecordRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        WarcCodec.parse(payload) match {
+          case Some(recs) =>
+            recs.iterator.zipWithIndex.map { case (r, i) =>
+              WarcRecordRow(id, Some(i), Some(r.uri),
+                Some(r.contentLength), Some(r.body))
+            }
+          case None =>
+            Iterator.single(WarcRecordRow(id, None, None, None, None))
+        }
+      }
+    }
+  }
 
   /** 2× linear-interpolation upsample stats — the sample-rate
     * normalization every audio-training pipeline runs before feature

@@ -761,6 +761,35 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // WARC record parse (m21): crawl containers split into framed
+    // records by HONORING Content-Length — the bodies deliberately
+    // embed the `\r\n\r\n` record separator between tokens 3 and 4,
+    // so a split-based reader would mis-frame every record (wrong
+    // lengths, wrong record count); only header-driven framing
+    // reproduces the oracle's closed-form lengths and token counts.
+    // The ingestion step that runs BEFORE any text operator.
+    "m21_warc_records" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val recs = (0 until (2 + id % 3).toInt).map { r =>
+            val k = (5 + (id + r) % 4).toInt
+            val toks = (0 until k).map(j => s"tok${(id * 7 + r * 13 + j) % 50}")
+            // the separator REPLACES the space between tokens 3 and 4
+            val body = toks.take(3).mkString(" ") + "\r\n\r\n" +
+              toks.drop(3).mkString(" ")
+            (s"http://site$id.example/p$r", body)
+          }
+          (id, graft.operators.WarcCodec.encode(recs))
+        }
+      graft.operators.Multimodal.decodeWarcRecords(media)
+        .toDF()
+        .select(col("id"), col("rec_idx"), col("uri"), col("content_length"),
+          size(split(trim(col("body")), "\\s+")).as("n_tokens"))
+        .orderBy("id", "rec_idx")
+    },
+
     // STEREO downmix (m20): 2-channel PCM16 WAVs (interleaved L,R
     // frames) normalize to mono as (l + r) >> 1 — the channel
     // normalization every mono-input audio pipeline applies before
@@ -3823,6 +3852,26 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // closed-form record geometry: k tokens "tok{v}" (v = (id·7 +
+    // r·13 + j) % 50) joined by single spaces with the 4-byte
+    // separator replacing one space → content_length = Σ(3 +
+    // digits(v)) + k + 2; a parser that splits on \r\n\r\n instead of
+    // honoring Content-Length cannot reproduce these rows
+    "m21_warc_records" -> {
+      val v = "((s_suppkey*7 + r*13 + j) % 50)"
+      s"""SELECT s_suppkey AS id, CAST(r AS INTEGER) AS rec_idx,
+         |  concat('http://site', s_suppkey, '.example/p', r) AS uri,
+         |  CAST(list_aggregate(list_transform(generate_series(0, k - 1),
+         |    j -> 3 + CASE WHEN $v < 10 THEN 1 ELSE 2 END), 'sum')
+         |    + k + 2 AS INTEGER) AS content_length,
+         |  CAST(k AS INTEGER) AS n_tokens
+         |FROM (SELECT s_suppkey, r, 5 + (s_suppkey + r) % 4 AS k
+         |      FROM supplier
+         |      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+         |      WHERE r < 2 + s_suppkey % 3) t
+         |ORDER BY id, rec_idx""".stripMargin
     },
 
     // the interleave + downmix closed form: frame i mixes to

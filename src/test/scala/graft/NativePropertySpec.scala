@@ -195,6 +195,33 @@ object NativePropertySpec extends Properties("NativeKernels") {
     }
   }
 
+  property("WARC roundtrip survives bodies containing separators and version lines") =
+    forAll(Gen.listOfN(3, Gen.alphaNumStr.map(_.take(20)))) { frags =>
+      // adversarial bodies: embedded record separators, header-shaped
+      // lines, even a full WARC version line — Content-Length framing
+      // must carry the parse straight through all of them
+      val bodies = frags.zipWithIndex.map { case (f, i) =>
+        s"$f\r\n\r\nWARC/1.0\r\nContent-Length: 7\r\n\r\n$f$i"
+      }
+      val recs = bodies.zipWithIndex.map { case (b, i) => (s"http://u/$i", b) }
+      graft.operators.WarcCodec.parse(graft.operators.WarcCodec.encode(recs))
+        .exists { got =>
+          got.length == recs.length && got.zip(recs).forall {
+            case (g, (u, b)) =>
+              g.uri == u && g.body == b && g.contentLength == b.length
+          }
+        }
+    }
+
+  property("WARC parse is total on arbitrary bytes") =
+    forAll(rawBytes) { bs =>
+      // never throws; arbitrary noise is Not A Container (None), and
+      // a valid prefix with trailing garbage is also rejected
+      graft.operators.WarcCodec.parse(bs.toArray) match {
+        case Some(_) | None => true
+      }
+    }
+
   property("stereo WAV downmixes every frame to (l + r) >> 1 exactly") =
     forAll(rawBytes) { bs =>
       // arbitrary signed shorts on both channels (odd sums included —
