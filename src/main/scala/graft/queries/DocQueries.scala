@@ -2403,6 +2403,52 @@ object DocQueries {
         .limit(20)
     },
 
+    // robots.txt politeness filter (d72): apply per-domain robots
+    // rules to the URL corpus with Google's published matching
+    // algorithm (REP, RFC 9309): among rules whose path is a PREFIX
+    // of the URL path, the LONGEST wins; a length tie resolves to
+    // allow; no match defaults to allow — the crawl-side gate that
+    // runs before any document enters the corpus. Rules are a TINY
+    // per-domain table (broadcast; real robots files are a few rules
+    // per site at any corpus scale), derived deterministically from
+    // the domain hash so every branch — longest-override (the
+    // /lang/p1 allow inside a disallowed /lang/), the no-"/"-rule
+    // default, the blanket allow — is exercised and oracle-checkable.
+    // One broadcast prefix-join + one doc_id agg; argmax rides a
+    // struct max (len, allow, path), never a per-doc sort.
+    "d72_robots_filter" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source").as("domain"), col("lang"),
+          concat(lit("/"), col("lang"), lit("/p"),
+            (col("doc_id") % 50).cast("string")).as("path"))
+      val h = graft.functions.Native.polyHash(col("domain"), 1000003L)
+      val bl = element_at(typedlit(Seq("en", "es", "de", "fr", "zh")),
+        (pmod(h, lit(5L)) + 1).cast("int"))
+      val ruleArr = when(pmod(h, lit(3L)) === 0,
+        array(
+          struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
+          struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
+        .otherwise(array(
+          struct(lit("/").as("rpath"), lit(1).as("allow")),
+          struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
+          struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
+      val rules = docs.select("domain").distinct()
+        .select(col("domain").as("rdomain"), explode(ruleArr).as("r"))
+        .select(col("rdomain"), col("r")("rpath").as("rpath"),
+          col("r")("allow").as("allow"))
+      docs.join(broadcast(rules),
+          col("domain") === col("rdomain") &&
+            col("path").startsWith(col("rpath")), "left_outer")
+        .groupBy("doc_id", "path")
+        .agg(max(when(col("rpath").isNotNull,
+          struct(length(col("rpath")).as("l"), col("allow").as("a"),
+            col("rpath").as("rp")))).as("m"))
+        .select(col("doc_id"), col("path"),
+          col("m")("rp").as("matched_rule"),
+          coalesce(col("m")("a") === 1, lit(true)).as("allowed"))
+        .orderBy("doc_id")
+    },
+
     // Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; the Chen &
     // Goodman interpolated form with absolute discount d = 0.75 —
     // KenLM's default order-2 math): P(w2|w1) = max(c−d,0)/c(w1) +
@@ -3561,6 +3607,36 @@ object DocQueries {
         |JOIN uc u2 ON u2.w = split_part(bigram, ' ', 2)
         |WHERE cxy >= 5
         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // the same hash-derived rule synthesis; the argmax replays as a
+    // (length, allow, path)-ordered window — rows with no matching
+    // rule surface as the left join's single null row → default allow
+    "d72_robots_filter" -> {
+      val ph = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(domain, ''), " +
+        "ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a*31 + b) % 1000003)"
+      s"""WITH docs AS (SELECT doc_id, source AS domain,
+         |    '/' || lang || '/p' || CAST(doc_id % 50 AS VARCHAR) AS path
+         |  FROM documents),
+         |srcs AS (SELECT DISTINCT source AS domain FROM documents),
+         |bl AS (SELECT domain, $ph AS h,
+         |    (['en','es','de','fr','zh'])[($ph % 5) + 1] AS bl
+         |  FROM srcs),
+         |rules AS (
+         |  SELECT domain, '/' AS rpath, 1 AS allow FROM bl WHERE h % 3 <> 0
+         |  UNION ALL SELECT domain, '/' || bl || '/', 0 FROM bl
+         |  UNION ALL SELECT domain, '/' || bl || '/p1', 1 FROM bl),
+         |m AS (SELECT d.doc_id, d.path, r.rpath, r.allow
+         |  FROM docs d LEFT JOIN rules r
+         |    ON r.domain = d.domain AND starts_with(d.path, r.rpath)),
+         |sel AS (SELECT doc_id, path, rpath, allow,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY length(rpath) DESC, allow DESC, rpath DESC) AS rn
+         |  FROM m)
+         |SELECT doc_id, path, rpath AS matched_rule,
+         |  COALESCE(allow = 1, TRUE) AS allowed
+         |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     // same deduped-dictionary continuation counts; the single edge
     // division is the only double op, so p_kn cannot fork
