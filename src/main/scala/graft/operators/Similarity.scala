@@ -1101,6 +1101,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** PQ approximation-error report (e36): mean |ADC − exact ‖q−x‖²|
+    * over the SAME probed candidate set for the raw-vector codes (the
+    * e9 layout) and the residual codes (the e35 layout) — the
+    * measure-don't-guess diagnostic that justifies residual encoding
+    * (Jégou et al. report exactly this gap). Per-pair errors are
+    * doubles; the cross-row MEAN rides the fixed-point long-sum trick
+    * (floor(err·2^20) summed exactly — the e5/e20 idiom), so the
+    * report is bit-deterministic under any partitioning and fully
+    * oracle-able. Exact distances need the float vectors at the
+    * join — fine for a diagnostic run on a query sample, not a
+    * per-query cost (the production answer path stays codes-only). */
+  def pqErrorReport(corpus: DataFrame, queries: DataFrame,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val boot: Array[Array[Double]] = corpus.orderBy("vec_id")
+      .limit(math.max(nlist, ks))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(boot.length >= math.max(nlist, ks), "bootstrap too small")
+    val cents = boot.take(nlist)
+    val centScores = centScoresFor(cents) _
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v.toSeq) }.toSeq
+      .toDF("cell", "centv")
+    def resid = zip_with(col("embedding").cast("array<double>"),
+      col("centv"), (a, b) => a - b)
+    def cbFlatOf(src: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(m * ks * subDim) { i =>
+        val d = i % subDim; val j = (i / subDim) % ks; val s = i / (subDim * ks)
+        src(j)(s * subDim + d)
+      }
+    val cbRaw = cbFlatOf(boot.take(ks))
+    val rboot: Array[Array[Double]] = corpus.orderBy("vec_id").limit(ks)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(centScores(col("embedding"))).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .orderBy("vec_id")
+      .select(resid.as("rv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cbRes = cbFlatOf(rboot)
+    val c = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        cellOf(centScores(col("embedding"))).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("cand_id"), col("cell"), col("embedding").as("ce"),
+        Native.pqEncode(col("embedding"), cbRaw, m, ks, subDim).as("code_raw"),
+        Native.pqEncode(resid, cbRes, m, ks, subDim).as("code_res"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+        explode(probeCells(centScores(col("embedding")), nlist, nprobe))
+          .as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("q_id"), col("cell"), col("embedding").as("qe"),
+        Native.pqLut(col("embedding"), cbRaw, m, ks, subDim).as("lut_raw"),
+        Native.pqLut(resid, cbRes, m, ks, subDim).as("lut_res"))
+    val exact = aggregate(
+      zip_with(col("qe"), col("ce"),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    def fp(adc: Column) =
+      floor(abs(adc - col("exact")) * lit(1048576.0)).cast("long")
+    c.join(broadcast(q), "cell")
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Native.pqAdc(col("lut_raw"), col("code_raw"), ks).as("adc_raw"),
+        Native.pqAdc(col("lut_res"), col("code_res"), ks).as("adc_res"),
+        exact.as("exact"))
+      .select(explode(array(
+        struct(lit("raw").as("method"), fp(col("adc_raw")).as("err_fp")),
+        struct(lit("residual").as("method"), fp(col("adc_res")).as("err_fp"))))
+        .as("e"))
+      .groupBy(col("e")("method").as("method"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e")("err_fp")).as("sum_fp"))
+      .select(col("method"), col("n_pairs"),
+        (col("sum_fp").cast("double") / col("n_pairs").cast("double") /
+          lit(1048576.0)).as("mean_abs_err"))
+      .orderBy("method")
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     * cells by nearest coarse centroid — a narrow map over the scan, the
     * centroid table rides inside the expressions — and each query scores

@@ -503,6 +503,16 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // PQ approximation-error report (e36): mean |ADC − exact ‖q−x‖²|
+    // over the SAME probed candidates for raw codes (e9) vs residual
+    // codes (e35) — the measured justification for residual encoding.
+    // Cross-row means ride the fixed-point long-sum trick (e5/e20
+    // idiom) so the report is bit-deterministic and FULLY oracled.
+    "e36_pq_error_report" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      Similarity.pqErrorReport(emb, emb.filter(col("vec_id") < 5))
+    },
+
     // farthest-first traversal (e34): Gonzalez's k-center seeding —
     // the deterministic k-means++ stand-in that picks maximally-
     // spread quantizer seeds (or a maximally-diverse eval panel) and
@@ -823,6 +833,93 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "e33_mmr_select" -> mmrOracle,
     "e34_kcenter_init" -> kcenterOracle(5),
+
+    // the e9 raw chain + the e35 residual chain + the exact L2² fold,
+    // unpivoted to one (method, fixed-point error) stream — raw LUTs
+    // are cell-independent so the oracle computes them once per query
+    "e36_pq_error_report" -> {
+      def dist(v: String) =
+        s"""list_aggregate(list_transform(generate_series(1, 8), d ->
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d]) *
+           |        (CAST($v[s*8 + d] AS DOUBLE) - cbs[j][s*8 + d])), 'sum')""".stripMargin
+      def cosM(a: String, b: String) =
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+           |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+           |      / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)}))""".stripMargin
+      def rv(e: String) =
+        s"list_transform(list_zip($e, cc.ce), s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+      def lutBody(v: String) = dist(v)
+        .replace("s*8", "(i // 16)*8")
+        .replace("cbs[j]", "cbs[(i % 16) + 1]")
+      s"""WITH cbv AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY vec_id) AS cbs
+         |  FROM embeddings WHERE vec_id < 16),
+         |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |cscore AS (SELECT e.vec_id, cc.cid, ${cosM("e.embedding", "cc.ce")} AS cs
+         |  FROM embeddings e CROSS JOIN cents cc),
+         |cell AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore) t WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM cscore WHERE vec_id < 5) t WHERE rn <= 4),
+         |res AS (SELECT e.vec_id, ${rv("e.embedding")} AS rv
+         |  FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
+         |  JOIN cents cc ON cc.cid = cell.cell),
+         |rcbv AS (SELECT list(rv ORDER BY vec_id) AS cbs FROM res WHERE vec_id < 16),
+         |enc0 AS (SELECT e.vec_id AS cand_id,
+         |    list_transform(generate_series(0, 7), s ->
+         |      list_transform(generate_series(1, 16), j -> ${dist("e.embedding")})) AS dls
+         |  FROM embeddings e CROSS JOIN cbv),
+         |enc AS (SELECT cand_id,
+         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+         |  FROM enc0),
+         |encr0 AS (SELECT res.vec_id AS cand_id,
+         |    list_transform(generate_series(0, 7), s ->
+         |      list_transform(generate_series(1, 16), j -> ${dist("res.rv")})) AS dls
+         |  FROM res CROSS JOIN rcbv),
+         |encr AS (SELECT cand_id,
+         |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS code
+         |  FROM encr0),
+         |lut AS (SELECT qv.vec_id AS q_id,
+         |    list_transform(generate_series(0, 127), i -> ${lutBody("qv.embedding")}) AS lutv
+         |  FROM embeddings qv CROSS JOIN cbv WHERE qv.vec_id < 5),
+         |qres AS (SELECT p.q_id, p.cell, ${rv("qv.embedding")} AS rv
+         |  FROM probes p JOIN embeddings qv ON qv.vec_id = p.q_id
+         |  JOIN cents cc ON cc.cid = p.cell),
+         |lutr AS (SELECT qres.q_id, qres.cell,
+         |    list_transform(generate_series(0, 127), i -> ${lutBody("qres.rv")}) AS lutv
+         |  FROM qres CROSS JOIN rcbv),
+         |cand AS (SELECT p.q_id, p.cell, c.vec_id AS cand_id
+         |  FROM probes p JOIN cell c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.q_id),
+         |scored AS (SELECT cand.q_id, cand.cand_id,
+         |    list_aggregate(list_transform(generate_series(0, 7), s ->
+         |      lut.lutv[s*16 + enc.code[s+1] + 1]), 'sum') AS adc_raw,
+         |    list_aggregate(list_transform(generate_series(0, 7), s ->
+         |      lutr.lutv[s*16 + encr.code[s+1] + 1]), 'sum') AS adc_res,
+         |    list_aggregate(list_transform(list_zip(qv.embedding, ev.embedding),
+         |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+         |           (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), 'sum') AS exact
+         |  FROM cand
+         |  JOIN enc ON enc.cand_id = cand.cand_id
+         |  JOIN encr ON encr.cand_id = cand.cand_id
+         |  JOIN lut ON lut.q_id = cand.q_id
+         |  JOIN lutr ON lutr.q_id = cand.q_id AND lutr.cell = cand.cell
+         |  JOIN embeddings qv ON qv.vec_id = cand.q_id
+         |  JOIN embeddings ev ON ev.vec_id = cand.cand_id),
+         |errs AS (
+         |  SELECT 'raw' AS method,
+         |    CAST(floor(abs(adc_raw - exact) * 1048576.0) AS BIGINT) AS fp
+         |  FROM scored
+         |  UNION ALL SELECT 'residual',
+         |    CAST(floor(abs(adc_res - exact) * 1048576.0) AS BIGINT)
+         |  FROM scored)
+         |SELECT method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0
+         |    AS mean_abs_err
+         |FROM errs GROUP BY method ORDER BY method""".stripMargin
+    },
 
     // e9's chains with residual CTEs spliced in: res carries every
     // vector's x − centroid(cell(x)), the codebook is the first 16
