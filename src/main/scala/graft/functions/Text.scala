@@ -168,6 +168,25 @@ object Text {
         .otherwise(text).as("psm_text"))
   }
 
+  /** Hash-derived robots.txt rule set for a domain (d72 + streaming
+    * twin shared kernel): array of (rpath, allow) structs — a blanket
+    * "/" allow (absent for h%3 = 0 domains, exercising the
+    * default-allow branch), a disallowed language section, and a
+    * longer allow override inside it (exercising longest-match). */
+  def robotsRuleArray(domain: Column): Column = {
+    val h = Native.polyHash(domain, 1000003L)
+    val bl = element_at(typedlit(Seq("en", "es", "de", "fr", "zh")),
+      (pmod(h, lit(5L)) + 1).cast("int"))
+    when(pmod(h, lit(3L)) === 0,
+      array(
+        struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
+        struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
+      .otherwise(array(
+        struct(lit("/").as("rpath"), lit(1).as("allow")),
+        struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
+        struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
+  }
+
   /** Sliding-window chunk structs over a token array — the shared
     * RAG/embedding chunking kernel (batch d54_rag_chunks ≡ streaming
     * streamRagChunks, so the two geometries cannot drift). Chunk count

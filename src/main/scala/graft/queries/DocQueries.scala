@@ -2421,19 +2421,9 @@ object DocQueries {
         .select(col("doc_id"), col("source").as("domain"), col("lang"),
           concat(lit("/"), col("lang"), lit("/p"),
             (col("doc_id") % 50).cast("string")).as("path"))
-      val h = graft.functions.Native.polyHash(col("domain"), 1000003L)
-      val bl = element_at(typedlit(Seq("en", "es", "de", "fr", "zh")),
-        (pmod(h, lit(5L)) + 1).cast("int"))
-      val ruleArr = when(pmod(h, lit(3L)) === 0,
-        array(
-          struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
-          struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
-        .otherwise(array(
-          struct(lit("/").as("rpath"), lit(1).as("allow")),
-          struct(concat(lit("/"), bl, lit("/")).as("rpath"), lit(0).as("allow")),
-          struct(concat(lit("/"), bl, lit("/p1")).as("rpath"), lit(1).as("allow"))))
       val rules = docs.select("domain").distinct()
-        .select(col("domain").as("rdomain"), explode(ruleArr).as("r"))
+        .select(col("domain").as("rdomain"),
+          explode(Text.robotsRuleArray(col("domain"))).as("r"))
         .select(col("rdomain"), col("r")("rpath").as("rpath"),
           col("r")("allow").as("allow"))
       docs.join(broadcast(rules),

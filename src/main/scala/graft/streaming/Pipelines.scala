@@ -587,6 +587,36 @@ object Pipelines {
       graft.functions.Text.shardOf(col("doc_id"), nShards).as("shard"),
       graft.functions.Text.portableHash2(col("doc_id")).as("sort_key"))
 
+  /** Ingest-time robots.txt screen — the d72 twin: arriving URLs gate
+    * on the SAME longest-prefix-match rule (RFC 9309 — longest
+    * matching rule wins, allow on ties, default allow) against a
+    * STATIC per-domain rule table shipped PRE-GROUPED as (domain,
+    * rules array). Grouping the rules per domain is what keeps the
+    * screen STATELESS: the batch query's per-doc argmax aggregation
+    * becomes a pure in-row `aggregate` fold over the ≤ handful of
+    * matching rules in the row's own array — one broadcast left join,
+    * no groupBy state, replay-identical. */
+  def streamRobotsScreen(stream: DataFrame, domainRules: DataFrame): DataFrame = {
+    // best = argmax (len(rpath), allow, rpath) over prefix-matching
+    // rules, folded in-row; null when nothing matches (default allow)
+    val best = aggregate(
+      filter(col("rules"), r => col("path").startsWith(r.getField("rpath"))),
+      lit(null).cast(
+        "struct<l:int,a:int,rp:string>"),
+      (acc, r) => {
+        val cand = struct(
+          length(r.getField("rpath")).as("l"),
+          r.getField("allow").as("a"),
+          r.getField("rpath").as("rp"))
+        when(acc.isNull || cand > acc, cand).otherwise(acc)
+      })
+    stream.join(broadcast(domainRules), Seq("domain"), "left_outer")
+      .withColumn("m", best)
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("m")("rp").as("matched_rule"),
+        coalesce(col("m")("a") === 1, lit(true)).as("allowed"))
+  }
+
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature
     * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),

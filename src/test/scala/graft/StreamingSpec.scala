@@ -782,6 +782,40 @@ class StreamingSpec extends AnyFunSuite {
       "the shipped sort key must reproduce the batch permutation")
   }
 
+  test("stream robots screen agrees with the d72 batch gate row-for-row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang")).limit(80).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        "/" + r.getAs[String]("lang") + "/p" + (r.getAs[Long]("doc_id") % 50)))
+    // the rule table the batch side implies, shipped PRE-GROUPED
+    val domainRules = graft.sources.Tables.table(spark, sf, "documents")
+      .select(col("source").as("domain")).distinct()
+      .select(col("domain"),
+        graft.functions.Text.robotsRuleArray(col("domain")).as("rules"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Pipelines.streamRobotsScreen(
+        in.toDF().toDF("doc_id", "domain", "path"), domainRules)
+      .writeStream.format("memory").queryName("robots_out")
+      .outputMode("append").start()
+    in.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("robots_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("matched_rule"),
+        r.getAs[Boolean]("allowed"))).toSet
+    q.stop()
+    val batch = SparkEntry.queries("d72_robots_filter")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("matched_rule"),
+        r.getAs[Boolean]("allowed"))).toSet
+    assert(streamed == batch,
+      "the in-row rule fold must equal the batch argmax aggregation")
+    // all three decision branches appear in the slice
+    assert(streamed.exists(!_._3) && streamed.exists(t => t._3 && t._2 == null)
+      && streamed.exists(t => t._3 && t._2 != null))
+  }
+
   test("quality screen agrees with the d33 batch gate on real corpus rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
