@@ -1872,6 +1872,58 @@ object Multimodal {
       id: Long, src_rate: Option[Int], dst_rate: Option[Int],
       n_out: Option[Int], mean_abs: Option[Double], peak_abs: Option[Double])
 
+  final case class VideoRgbFeatures(
+      id: Long, frame_idx: Option[Int], width: Option[Int],
+      height: Option[Int], mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /** Per-partition BT.601 color conversion of 4:2:0 Y4M frames to
+    * per-channel RGB means — the limited-range integer math every
+    * video pipeline runs before pixels feed an image model (ITU-R
+    * BT.601, the published fixed-point form: R = (298·(Y−16) +
+    * 409·(V−128) + 128) >> 8 etc., clipped to [0,255]). The shift is
+    * expressed convention-free: a negative pre-shift total clips to 0
+    * BEFORE any shift, so `t >> 8` only ever runs on t ≥ 0 and the
+    * oracle's integer division is exact in any engine. Non-4:2:0
+    * colorspaces yield the null row (null-not-fail); luma-only
+    * consumers keep using [[extractVideoFrames]]. */
+  def decodeVideoRgb(media: Dataset[(Long, Array[Byte])]): Dataset[VideoRgbFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        Y4mCodec.decode(payload) match {
+          case Some(v) if v.colorspace.startsWith("420") =>
+            val w = v.width; val h = v.height
+            val cw = (w + 1) / 2; val ch = (h + 1) / 2
+            v.frames.indices.iterator.map { f =>
+              val fr = v.frames(f)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              val n = w * h
+              while (p < n) {
+                val x = p % w; val y = p / w
+                val luY = fr(p) & 0xff
+                val cu = fr(n + (y / 2) * cw + x / 2) & 0xff
+                val cv = fr(n + cw * ch + (y / 2) * cw + x / 2) & 0xff
+                val c = luY - 16; val dd = cu - 128; val e = cv - 128
+                @inline def cl(t: Int): Int =
+                  if (t < 0) 0 else math.min(t >> 8, 255)
+                sr += cl(298 * c + 409 * e + 128)
+                sg += cl(298 * c - 100 * dd - 208 * e + 128)
+                sb += cl(298 * c + 516 * dd + 128)
+                p += 1
+              }
+              VideoRgbFeatures(id, Some(f), Some(w), Some(h),
+                Some(sr.toDouble / n), Some(sg.toDouble / n),
+                Some(sb.toDouble / n))
+            }
+          case _ =>
+            Iterator.single(VideoRgbFeatures(id, None, None, None, None, None, None))
+        }
+      }
+    }
+  }
+
   /** One parsed WARC record; a malformed container yields a single
     * row with null record fields (null-not-fail). */
   final case class WarcRecordRow(

@@ -761,6 +761,36 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // BT.601 color conversion (m22): C420 Y4M frames → per-channel
+    // RGB means through the published limited-range fixed-point math
+    // (298/409/100/208/516 coefficients, >> 8, [0,255] clip) — the
+    // color path a video pipeline runs before pixels feed an image
+    // model (m4/m14 consume luma only; this exercises the CHROMA
+    // planes and the 2×2 subsampling addressing). The negative-total
+    // clip happens BEFORE the shift, so the oracle's integer division
+    // replays the shift exactly in any engine.
+    "m22_yuv_rgb" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (8, 4)
+          val (cw, ch) = (4, 2)
+          val frames = (0 until 3).map { f =>
+            val y = Array.tabulate[Byte](w * h)(p => ((id * 7 + f * 11 + p * 3) % 256).toByte)
+            val u = Array.tabulate[Byte](cw * ch)(q => ((id * 5 + f * 3 + q * 9) % 256).toByte)
+            val v = Array.tabulate[Byte](cw * ch)(q => ((id * 3 + f * 7 + q * 13) % 256).toByte)
+            y ++ u ++ v
+          }.toArray
+          (id, graft.operators.Y4mCodec.encode(w, h, 25, 1, "420", frames))
+        }
+      graft.operators.Multimodal.decodeVideoRgb(media)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id", "frame_idx")
+    },
+
     // WARC record parse (m21): crawl containers split into framed
     // records by HONORING Content-Length — the bodies deliberately
     // embed the `\r\n\r\n` record separator between tokens 3 and 4,
@@ -3918,6 +3948,32 @@ object DocQueries {
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
          |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the BT.601 fixed-point formulas replicated per pixel: chroma
+    // sample q = (y/2)·4 + (x/2); negative totals clip to 0 before
+    // the // 256, so no engine shift convention is in play
+    "m22_yuv_rgb" -> {
+      val yv = "((s_suppkey*7 + f*11 + p*3) % 256)"
+      val q = "(((p // 8) // 2) * 4 + (p % 8) // 2)"
+      val uv = s"((s_suppkey*5 + f*3 + $q*9) % 256)"
+      val vv = s"((s_suppkey*3 + f*7 + $q*13) % 256)"
+      def cl(t: String) =
+        s"(CASE WHEN ($t) < 0 THEN 0 ELSE least(($t) // 256, 255) END)"
+      val r = cl(s"298*($yv - 16) + 409*($vv - 128) + 128")
+      val g = cl(s"298*($yv - 16) - 100*($uv - 128) - 208*($vv - 128) + 128")
+      val b = cl(s"298*($yv - 16) + 516*($uv - 128) + 128")
+      def mean(ch: String) =
+        s"CAST(list_aggregate(list_transform(generate_series(0, 31), " +
+          s"p -> CAST($ch AS BIGINT)), 'sum') AS DOUBLE) / 32"
+      s"""SELECT s_suppkey AS id, f AS frame_idx,
+         |  CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+         |  ${mean(r)} AS mean_r,
+         |  ${mean(g)} AS mean_g,
+         |  ${mean(b)} AS mean_b
+         |FROM supplier CROSS JOIN
+         |  (SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS f)
+         |ORDER BY id, frame_idx""".stripMargin
     },
 
     // closed-form record geometry: k tokens "tok{v}" (v = (id·7 +

@@ -1010,4 +1010,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getString(2) == wantRoute, s"case ${r.getInt(0)}: route")
     }
   }
+
+  test("m22: BT.601 conversion hits the published anchor colors exactly") {
+    import SparkTest.spark.implicits._
+    // hand-built 2x2 C420 frames: one flat (Y, U, V) triple per frame
+    def vid(y: Int, u: Int, v: Int): Array[Byte] = {
+      val frame = Array.fill[Byte](4)(y.toByte) ++
+        Array[Byte](u.toByte) ++ Array[Byte](v.toByte)
+      graft.operators.Y4mCodec.encode(2, 2, 25, 1, "420", Array(frame))
+    }
+    val cases = Seq(
+      (0L, vid(16, 128, 128), (0.0, 0.0, 0.0)),     // video black
+      (1L, vid(235, 128, 128), (255.0, 255.0, 255.0)), // video white
+      (2L, vid(126, 128, 128), (128.0, 128.0, 128.0)), // mid gray: (298*110+128)>>8 = 128
+      (3L, vid(81, 90, 240), (255.0, 0.0, 0.0)))     // BT.601 pure red
+    val rows = Multimodal.decodeVideoRgb(
+        SparkTest.spark.createDataset(cases.map(c => (c._1, c._2))))
+      .collect().map(r => r.id -> ((r.mean_r.get, r.mean_g.get, r.mean_b.get)))
+      .toMap
+    cases.foreach { case (id, _, want) =>
+      assert(rows(id) == want, s"case $id: expected $want got ${rows(id)}")
+    }
+    // non-420 colorspaces take the null row, not a garbage decode
+    val mono = graft.operators.Y4mCodec.encode(2, 2, 25, 1, "mono",
+      Array(Array.fill[Byte](4)(7)))
+    val nr = Multimodal.decodeVideoRgb(
+      SparkTest.spark.createDataset(Seq((9L, mono)))).collect()
+    assert(nr.length == 1 && nr(0).frame_idx.isEmpty && nr(0).mean_r.isEmpty)
+  }
 }
