@@ -1302,6 +1302,41 @@ object DocQueries {
         .orderBy("train_id")
     },
 
+    // decontamination against a PERSISTED eval-gram index (d73): the
+    // index-is-data read path for d35 — the eval set's distinct
+    // 13-gram fingerprints build ONCE (Materialize.ensure, the
+    // d47/d50/e28 lifecycle) and every train batch screens against
+    // the stored 8-byte hash table; at 100 TB the eval side is
+    // re-derived per benchmark release, not per screen. Shares d35's
+    // ORACLE text verbatim, so persisted ≡ recompute is proven at the
+    // driver gate itself, not just in spec.
+    "d73_decontaminate_indexed" -> q { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val docs = table(s, d, "documents")
+      val toks = Text.tokens(lower(col("text")))
+      def grams(side: DataFrame, idAs: String) = side
+        .select(col("doc_id").as(idAs),
+          explode(array_distinct(transform(
+            graft.functions.Native.wordShingles(toks, 13),
+            sh => graft.functions.Native.polyHash(sh, 1000003L)))).as("gram"))
+      val dir = ScratchDirs.stable("d73_eval_grams", d)
+      val evalGrams = graft.sources.Materialize.ensure(s, s"$dir/grams") {
+        grams(docs.filter(col("doc_id") % 10 === 0), "eval_id")
+          .select("gram").distinct()
+          .write.mode("overwrite").parquet(s"$dir/grams")
+      }.withColumn("hit", lit(1))
+      grams(docs.filter(col("doc_id") % 10 =!= 0), "train_id")
+        .join(evalGrams, Seq("gram"), "left_outer")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("overlap",
+          col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+        .withColumn("drop_doc", (col("overlap") >= 0.5).cast(IntegerType))
+        .orderBy("train_id")
+    },
+
     // incremental corpus dedup (the text-side e11): even docs build the
     // persisted fingerprint index, odd docs arrive as the delta and
     // screen against it — survivors land in their own ingest generation
@@ -4264,29 +4299,11 @@ object DocQueries {
 
     // 13-gram shingles (whole-text fallback under 13 tokens — the
     // winnow/d24 convention), polyHash fingerprints, BIGINT-cast sums
-    "d35_decontaminate" ->
-      raw"""WITH tk AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(generate_series(1, len(toks) - 12),
-        |        i -> array_to_string(toks[i:i+12], ' ')) END,
-        |      s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_split_to_array(s2, ''),
-        |          c2 -> CAST(ascii(c2) AS BIGINT))),
-        |        (a, b) -> (a*31 + b) % 1000003)))) AS gram
-        |  FROM tk),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-        |agg AS (SELECT tr.doc_id AS train_id, COUNT(*) AS n_grams,
-        |    CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0) tr
-        |  LEFT JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
-        |SELECT train_id, n_grams, n_hit,
-        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap,
-        |  CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
-        |       THEN 1 ELSE 0 END AS drop_doc
-        |FROM agg WHERE n_hit > 0 ORDER BY train_id""".stripMargin,
+    // d73 reads the PERSISTED eval-gram index; the screen itself is
+    // the same math, so the two queries share ONE oracle text
+    "d73_decontaminate_indexed" -> decontamOracle,
+
+    "d35_decontaminate" -> decontamOracle,
 
     // exact semantics regardless of Bloom false positives: the filter
     // only prunes the plan, never the answer — plain left join logic
@@ -4554,4 +4571,32 @@ object DocQueries {
         |       THEN 1 ELSE 0 END AS keep
         |FROM s ORDER BY doc_id""".stripMargin
   )
+
+  /** The d35/d73 decontamination oracle — ONE text for the recompute
+    * and the indexed read path (the index is pure materialization, so
+    * sharing the oracle is what proves persisted ≡ recompute at the
+    * driver gate, not just in spec). */
+  private def decontamOracle: String =
+    raw"""WITH tk AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(generate_series(1, len(toks) - 12),
+      |        i -> array_to_string(toks[i:i+12], ' ')) END,
+      |      s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_split_to_array(s2, ''),
+      |          c2 -> CAST(ascii(c2) AS BIGINT))),
+      |        (a, b) -> (a*31 + b) % 1000003)))) AS gram
+      |  FROM tk),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |agg AS (SELECT tr.doc_id AS train_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0) tr
+      |  LEFT JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+      |SELECT train_id, n_grams, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap,
+      |  CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
+      |       THEN 1 ELSE 0 END AS drop_doc
+      |FROM agg WHERE n_hit > 0 ORDER BY train_id""".stripMargin
 }
