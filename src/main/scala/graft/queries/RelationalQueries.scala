@@ -1364,6 +1364,29 @@ object RelationalQueries {
         .orderBy("user_id", "hour")
     },
 
+    // nearest as-of join with tolerance (q70): the pandas
+    // merge_asof(direction='nearest', tolerance=...) semantics q18's
+    // backward-only join can't express — each error matches its
+    // CLOSEST click within ±5 s, ties resolving backward. The plan is
+    // the same union-merge as q18 run in both directions over ONE
+    // user_id shuffle (backward `last` + forward `first` windows on
+    // one sort) — never a range join, any click density. The oracle
+    // is the brute-force range join + argmin (oracle-side cost only).
+    "q70_asof_nearest" -> q { (s, d) =>
+      val ev = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.asOfNearest(errors, clicks, Seq("user_id"),
+          "ts_us", "ts_us",
+          Map("click_id" -> "click_id", "ts_us" -> "click_ts_us"),
+          tolerance = 5000000L)
+        .orderBy("event_id")
+    },
+
     // per-key decile report (q69): NTILE over a KEYED window — the
     // distribution-profiling op (balance deciles per nation) that a
     // global-ntile would solve with a single-partition sort; keying
@@ -1693,6 +1716,31 @@ object RelationalQueries {
         |  c.click_id, c.ts_us AS click_ts_us
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+
+    // brute-force nearest pick: every in-tolerance candidate ranked by
+    // (distance, forward-flag) — backward wins ties, matching the
+    // merge plan's side ordering; (user, ts)-deduped clicks make the
+    // rank total
+    "q70_asof_nearest" ->
+      """WITH errors AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT e.event_id, c.click_id, c.ts_us AS click_ts_us,
+        |    abs(e.ts_us - c.ts_us) AS dist,
+        |    CASE WHEN c.ts_us <= e.ts_us THEN 0 ELSE 1 END AS fwd
+        |  FROM errors e JOIN clicks c ON c.user_id = e.user_id
+        |  WHERE abs(e.ts_us - c.ts_us) <= 5000000),
+        |pick AS (SELECT event_id, click_id, click_ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY dist, fwd) AS rn
+        |  FROM cand)
+        |SELECT e.user_id, e.event_id, e.ts_us, p.click_id, p.click_ts_us
+        |FROM errors e LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+        |  ON p.event_id = e.event_id
         |ORDER BY e.event_id""".stripMargin,
 
     "q19_window_suite" ->

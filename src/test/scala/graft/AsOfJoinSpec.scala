@@ -43,4 +43,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
+
+  test("nearest: closest within tolerance, ties backward, exact ts is distance 0") {
+    import spark.implicits._
+    val left = Seq(
+      ("k", 100L), // bwd at 90 (d=10) vs fwd at 115 (d=15) -> bwd
+      ("k", 110L), // bwd at 90 (d=20) vs fwd at 115 (d=5)  -> fwd
+      ("k", 90L),  // exact-ts right row -> distance 0 backward
+      ("k", 300L), // nothing within +-25 -> null
+      ("k", 120L)  // bwd 115 (d=5) vs fwd 125 (d=5): TIE -> backward
+    ).toDF("key", "lts")
+    val right = Seq(("k", 90L, "a"), ("k", 115L, "b"), ("k", 125L, "c"))
+      .toDF("key", "rts", "v")
+    val out = AsOfJoin.asOfNearest(left, right, Seq("key"), "lts", "rts",
+        Map("v" -> "v"), tolerance = 25L)
+      .orderBy("lts").collect()
+      .map(r => r.getAs[Long]("lts") -> Option(r.getAs[String]("v"))).toMap
+    assert(out == Map(100L -> Some("a"), 110L -> Some("b"),
+      90L -> Some("a"), 300L -> None, 120L -> Some("b")))
+  }
 }
