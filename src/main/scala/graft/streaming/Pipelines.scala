@@ -617,6 +617,22 @@ object Pipelines {
         coalesce(col("m")("a") === 1, lit(true)).as("allowed"))
   }
 
+  /** Ingest-time WARC record split — the m21 twin: arriving crawl
+    * containers expand into their Content-Length-framed records
+    * through the SAME `Multimodal.decodeWarcRecords` per-partition
+    * parser (one parser context per task, payloads never shuffle,
+    * malformed containers yield the null row instead of failing the
+    * batch). Stateless flatMap: no watermark, no state store,
+    * replay-identical — the very front of a crawl ingest, upstream of
+    * every text screen in this file. */
+  def streamWarcIngest(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    graft.operators.Multimodal.decodeWarcRecords(
+        stream.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])])
+      .toDF()
+  }
+
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature
     * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),

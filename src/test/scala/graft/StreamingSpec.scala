@@ -816,6 +816,46 @@ class StreamingSpec extends AnyFunSuite {
       && streamed.exists(t => t._3 && t._2 != null))
   }
 
+  test("stream WARC ingest splits records exactly like the batch parser") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the m21 container synthesis for a handful of ids, plus one
+    // malformed payload to exercise the null-row branch mid-stream
+    def container(id: Long): Array[Byte] = {
+      val recs = (0 until (2 + id % 3).toInt).map { r =>
+        val k = (5 + (id + r) % 4).toInt
+        val toks = (0 until k).map(j => s"tok${(id * 7 + r * 13 + j) % 50}")
+        val body = toks.take(3).mkString(" ") + "\r\n\r\n" +
+          toks.drop(3).mkString(" ")
+        (s"http://site$id.example/p$r", body)
+      }
+      graft.operators.WarcCodec.encode(recs)
+    }
+    val payloads = (1L to 6L).map(id => (id, container(id))) :+
+      (99L, "not a warc at all".getBytes("US-ASCII"))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Pipelines.streamWarcIngest(in.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("warc_out")
+      .outputMode("append").start()
+    in.addData(payloads: _*)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), Option(r.getAs[Integer]("rec_idx")),
+        Option(r.getAs[String]("uri")),
+        Option(r.getAs[Integer]("content_length")),
+        Option(r.getAs[String]("body")))
+    val streamed = spark.table("warc_out").collect().map(key).toSet
+    q.stop()
+    val batch = graft.operators.Multimodal.decodeWarcRecords(
+        spark.createDataset(payloads)).toDF().collect().map(key).toSet
+    assert(streamed == batch,
+      "stream and batch record splits must be identical")
+    assert(streamed.exists(t => t._1 == 99L && t._2.isEmpty),
+      "the malformed container must surface as the null row, not an error")
+    assert(streamed.count(_._2.nonEmpty) ==
+      (1L to 6L).map(id => 2 + id % 3).sum)
+  }
+
   test("quality screen agrees with the d33 batch gate on real corpus rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
