@@ -1426,6 +1426,48 @@ object Similarity {
       .toDF("rank", "vec_id", "rel", "mmr")
   }
 
+  /** Rocchio α/β literals for [[prfExpand]] — literals for the same
+    * reason as [[MmrLambda]]: the oracle must write the identical
+    * constants. */
+  val PrfAlpha = 1.0
+  val PrfBeta = 0.75
+
+  /** Pseudo-relevance feedback query expansion (Rocchio 1971, the
+    * α·q + β·centroid(top-k) form every classic retrieval stack
+    * ships): retrieve the query's top-`fbK` (the e1 brute pass),
+    * fold their mean INTO the query vector, re-retrieve with the
+    * expanded query. The feedback fold runs on the driver over the
+    * collected top-`fbK` vectors in cand_id order (bounded by a query
+    * CONSTANT — the e33/d45 precedent; ~tens of vectors at 100 TB
+    * too), so the expanded query is a deterministic literal and the
+    * second pass is exactly the e1 shape: one corpus scan, broadcast
+    * query, TakeOrderedAndProject top-k. `was_feedback` marks which
+    * results the expansion pulled from the feedback set itself. */
+  def prfExpand(corpus: DataFrame, queryId: Long, fbK: Int, k: Int): DataFrame = {
+    val q0 = corpus.filter(col("vec_id") === queryId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val fb = bruteForceTopK(corpus, corpus.filter(col("vec_id") === queryId), fbK)
+      .select("cand_id").collect().map(_.getLong(0)).sorted
+    val fbVecs = corpus.filter(col("vec_id").isin(fb: _*))
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    val qExp = Array.tabulate(q0.length) { dd =>
+      var s = 0.0
+      fbVecs.foreach(v => s += v(dd).toDouble)
+      PrfAlpha * q0(dd).toDouble + PrfBeta * (s / fbK.toDouble)
+    }
+    corpus.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("cand_id"),
+        Vectors.cosine(col("embedding"), array(qExp.map(lit): _*))
+          .as("cos_expanded"),
+        col("vec_id").isin(fb: _*).as("was_feedback"))
+      .orderBy(col("cos_expanded").desc, col("cand_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_expanded").desc, col("cand_id"))))
+      .select("rank", "cand_id", "cos_expanded", "was_feedback")
+  }
+
   /** Farthest-first traversal (Gonzalez 1985, the classic k-center
     * 2-approximation) — the coverage-maximizing seeding that
     * initializes a quantizer (k-means++ without the randomness) or

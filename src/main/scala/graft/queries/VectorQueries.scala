@@ -503,6 +503,19 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Rocchio pseudo-relevance feedback (e37): retrieve top-10, fold
+    // their mean into the query (α=1.0, β=0.75 — the classic PRF
+    // constants), re-retrieve with the expanded query. The feedback
+    // fold is driver-side over the collected CONSTANT-bounded top-k
+    // in cand_id order (the e33 pattern), so the expanded query is a
+    // deterministic literal and the second pass is the e1 shape.
+    // FULL oracle (both passes + the per-dim expansion in SQL).
+    "e37_prf_expand" -> q { (s, d) =>
+      Similarity.prfExpand(table(s, d, "embeddings"),
+          queryId = 0L, fbK = 10, k = 10)
+        .orderBy("rank")
+    },
+
     // PQ approximation-error report (e36): mean |ADC − exact ‖q−x‖²|
     // over the SAME probed candidates for raw codes (e9) vs residual
     // codes (e35) — the measured justification for residual encoding.
@@ -833,6 +846,36 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "e33_mmr_select" -> mmrOracle,
     "e34_kcenter_init" -> kcenterOracle(5),
+
+    // both retrieval passes + the per-dim Rocchio expansion: the
+    // feedback vectors fold in cand_id order (list(... ORDER BY
+    // vec_id)), the same order the driver sums in
+    "e37_prf_expand" -> {
+      val a = Similarity.PrfAlpha
+      val b = Similarity.PrfBeta
+      s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored0 AS (SELECT e.vec_id AS cand_id, ${cosSql("qe", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> 0),
+         |fb AS (SELECT cand_id FROM (
+         |  SELECT cand_id, ROW_NUMBER() OVER (ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored0) t WHERE rnk <= 10),
+         |fbv AS (SELECT list(list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY e.vec_id) AS vs
+         |  FROM embeddings e JOIN fb ON fb.cand_id = e.vec_id),
+         |qx AS (SELECT list_transform(generate_series(1, 64), d ->
+         |    CAST($a AS DOUBLE) * CAST(qe[d] AS DOUBLE) +
+         |    CAST($b AS DOUBLE) * (list_aggregate(list_transform(vs, v -> v[d]), 'sum') / 10.0)) AS qv
+         |  FROM q0 CROSS JOIN fbv),
+         |scored AS (SELECT e.vec_id AS cand_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos_expanded,
+         |    e.vec_id IN (SELECT cand_id FROM fb) AS was_feedback
+         |  FROM embeddings e CROSS JOIN qx WHERE e.vec_id <> 0)
+         |SELECT rank, cand_id, cos_expanded, was_feedback FROM (
+         |  SELECT cand_id, cos_expanded, was_feedback,
+         |    ROW_NUMBER() OVER (ORDER BY cos_expanded DESC, cand_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
 
     // the e9 raw chain + the e35 residual chain + the exact L2² fold,
     // unpivoted to one (method, fixed-point error) stream — raw LUTs
