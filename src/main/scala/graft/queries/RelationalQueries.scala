@@ -1364,6 +1364,31 @@ object RelationalQueries {
         .orderBy("user_id", "hour")
     },
 
+    // CUSUM drift detection (q71): Page's cumulative-sum control
+    // chart (Page 1954) over each user's hourly event counts — the
+    // SEQUENTIAL drift detector that fires on a sustained small shift
+    // long before q67's per-point z-score does. The recurrence
+    // S_t = max(0, S_{t−1} + (x_t − k)) is not a window aggregate,
+    // but its closed form IS: S_t = P_t − min_{j≤t} P_j over the
+    // prefix sums P of (x − k) — two cumulative windows on one keyed
+    // sort, no recursion, no UDAF state. All-integer (counts and a
+    // literal reference rate k = 3), so cross-engine bit-exact; the
+    // q67/q68 single-user_id-exchange pattern (plan-gate material).
+    "q71_cusum" -> q { (s, d) =>
+      val wC = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", sum(col("cnt") - 1L).over(wC))
+        .withColumn("s", col("p") - min(col("p")).over(wC))
+        .select(col("user_id"), col("hour"), col("cnt"), col("s").as("cusum"),
+          (col("s") > 3L).as("alarm"))
+        .orderBy("user_id", "hour")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -1717,6 +1742,24 @@ object RelationalQueries {
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
         |ORDER BY e.event_id""".stripMargin,
+
+    // the same prefix-sum/running-min closed form of the max(0, ·)
+    // recurrence, over the same hourly aggregation
+    "q71_cusum" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pf AS (SELECT user_id, hour, cnt,
+        |    SUM(cnt - 1) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM hourly)
+        |SELECT user_id, hour, cnt,
+        |  CAST(p - MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum,
+        |  (p - MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 3 AS alarm
+        |FROM pf ORDER BY user_id, hour""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the
