@@ -970,6 +970,26 @@ class PlanSpec extends AnyFunSuite {
       "float vectors must never key an exchange — codes and ids only")
   }
 
+  test("q70: the nearest as-of join plans with NO join operator at all") {
+    val p = plan("q70_asof_nearest")
+    assert(!p.contains("Join"),
+      "nearest-asof must be the union-merge — any Join node means a range join snuck in")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 2,
+      s"expected the clicks dedup agg + the one union-merge window exchange, saw $exchanges")
+  }
+
+  test("q71: CUSUM's agg and both cumulative windows ride one user_id exchange") {
+    val p = plan("q71_cusum")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit user_id repartition")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the hourly agg and the two prefix windows must share one exchange, saw $exchanges")
+    assert(!p.contains("Join"), "the closed form is window-only — no self-join")
+  }
+
   test("t24_scd2: the whole version history rides one RECID exchange") {
     val p = plan("t24_scd2_intervals")
     assert(!p.contains("CartesianProduct"))
