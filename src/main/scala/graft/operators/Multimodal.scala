@@ -1924,6 +1924,49 @@ object Multimodal {
     }
   }
 
+  final case class LetterboxFeatures(
+      id: Long, out_w: Option[Int], out_h: Option[Int],
+      pad_left: Option[Int], pad_top: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
+
+  /** Per-partition aspect-preserving LETTERBOX to a t×t canvas — the
+    * "everything to one square input size without distortion" step
+    * image-model pipelines run where a bare resize would stretch:
+    * integer box-average downscale to (w·t/max(w,h), h·t/max(w,h)),
+    * centered on a black canvas ((t−w')/2, (t−h')/2 pads, floor).
+    * Canvas means divide by t² (pad pixels contribute 0), so the
+    * whole geometry is closed-form oracle-able; null-not-fail on
+    * malformed payloads. */
+  def letterboxImages(media: Dataset[(Long, Array[Byte])], t: Int): Dataset[LetterboxFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        PpmCodec.decode(payload) match {
+          case Some(img) =>
+            val mx = math.max(img.width, img.height)
+            val tw = math.max(1, img.width * t / mx)
+            val th = math.max(1, img.height * t / mx)
+            val r = PpmCodec.resizeBox(img, tw, th)
+            val sums = new Array[Long](3)
+            var i = 0
+            val n = tw * th
+            while (i < n) {
+              var c = 0
+              while (c < 3) { sums(c) += r.rgb(i * 3 + c) & 0xff; c += 1 }
+              i += 1
+            }
+            val area = t.toDouble * t
+            LetterboxFeatures(id, Some(t), Some(t),
+              Some((t - tw) / 2), Some((t - th) / 2),
+              Some(sums(0).toDouble / area), Some(sums(1).toDouble / area),
+              Some(sums(2).toDouble / area))
+          case None =>
+            LetterboxFeatures(id, None, None, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** One parsed WARC record; a malformed container yields a single
     * row with null record fields (null-not-fail). */
   final case class WarcRecordRow(

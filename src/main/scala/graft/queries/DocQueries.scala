@@ -761,6 +761,29 @@ object DocQueries {
         .orderBy("id")
     },
 
+    // aspect-preserving letterbox (m23): the "everything to one square
+    // input size without distortion" normalization image models need
+    // where a bare resize (m2's box path) would stretch — 16×8 PPMs
+    // scale to 8×4 (exact 2×2 box means, floor) and center on an 8×8
+    // black canvas (pad_top 2). Canvas means divide by t², so the
+    // pad geometry sits ON the hash-checked path, not just the pixels.
+    "m23_image_letterbox" -> q { (s, d) =>
+      import s.implicits._
+      val media = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long")).as[Long]
+        .map { id =>
+          val (w, h) = (16, 8)
+          val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+          (id, graft.operators.PpmCodec.encode(w, h, rgb))
+        }
+      graft.operators.Multimodal.letterboxImages(media, t = 8)
+        .toDF()
+        .select(col("id"), col("out_w"), col("out_h"),
+          col("pad_left"), col("pad_top"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("id")
+    },
+
     // BT.601 color conversion (m22): C420 Y4M frames → per-channel
     // RGB means through the published limited-range fixed-point math
     // (298/409/100/208/516 coefficients, >> 8, [0,255] clip) — the
@@ -2468,6 +2491,27 @@ object DocQueries {
         .limit(20)
     },
 
+    // soft deduplication (d74): the drop→REWEIGHT alternative (the
+    // SoftDeDup idea, arXiv:2401.00396 — duplicated text keeps
+    // contributing, at 1/commonness of its duplicate set, instead of
+    // a hard keep/drop): every doc carries sample_weight =
+    // 1/n_copies of its exact-content group — the loss-weighting
+    // column a training loader multiplies in. One keyed count on the
+    // 16-byte content hash + the probe join SHARING that exchange
+    // (the d24 canonical-exchange pattern); text never keys a
+    // shuffle; ONE double division at the edge.
+    "d74_soft_dedup_weights" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val hashed = table(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("h"))
+        .repartition(col("h"))
+      val counts = hashed.groupBy("h").agg(count(lit(1)).as("n_copies"))
+      hashed.join(counts, "h")
+        .select(col("doc_id"), col("n_copies"),
+          (lit(1.0) / col("n_copies").cast(DoubleType)).as("sample_weight"))
+        .orderBy("doc_id")
+    },
+
     // robots.txt politeness filter (d72): apply per-domain robots
     // rules to the URL corpus with Google's published matching
     // algorithm (REP, RFC 9309): among rules whose path is a PREFIX
@@ -3663,6 +3707,16 @@ object DocQueries {
         |WHERE cxy >= 5
         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
 
+    // same exact-content grouping (md5 of the lowercased text — the
+    // d4/d60 key), one edge division
+    "d74_soft_dedup_weights" ->
+      """WITH h AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+        |c AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)
+        |SELECT doc_id, n_copies,
+        |  1.0 / CAST(n_copies AS DOUBLE) AS sample_weight
+        |FROM h JOIN c USING (h)
+        |ORDER BY doc_id""".stripMargin,
+
     // the same hash-derived rule synthesis; the argmax replays as a
     // (length, allow, path)-ordered window — rows with no matching
     // rule surface as the left join's single null row → default allow
@@ -3982,6 +4036,25 @@ object DocQueries {
          |    i -> $mag), 'sum') AS DOUBLE) / $n AS mean_abs,
          |  CAST(list_max(list_transform(generate_series(0, $n - 1),
          |    i -> $mag)) AS INTEGER) AS peak_abs
+         |FROM supplier ORDER BY id""".stripMargin
+    },
+
+    // the scaled pixel is the floored 2×2 box mean of the generator
+    // bytes; canvas means divide by 64 (the 32 pad pixels are 0)
+    "m23_image_letterbox" -> {
+      def v(dx: Int, dy: Int, c: String) =
+        s"((s_suppkey*31 + ((2*(p // 8) + $dy)*16 + (2*(p % 8) + $dx))*3 + $c) % 256)"
+      def rp(c: String) =
+        s"((${v(0, 0, c)} + ${v(1, 0, c)} + ${v(0, 1, c)} + ${v(1, 1, c)}) // 4)"
+      def mean(c: String) =
+        s"CAST(list_aggregate(list_transform(generate_series(0, 31), " +
+          s"p -> ${rp(c)}), 'sum') AS DOUBLE) / 64"
+      s"""SELECT s_suppkey AS id,
+         |  CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+         |  CAST(0 AS INTEGER) AS pad_left, CAST(2 AS INTEGER) AS pad_top,
+         |  ${mean("0")} AS mean_r,
+         |  ${mean("1")} AS mean_g,
+         |  ${mean("2")} AS mean_b
          |FROM supplier ORDER BY id""".stripMargin
     },
 
