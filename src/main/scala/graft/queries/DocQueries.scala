@@ -2428,12 +2428,18 @@ object DocQueries {
         explode(col("hs")).as("h"))
       // (doc, h) rows are distinct, so df is a plain count — no Expand
       val dfx = g.groupBy("h").agg(count(lit(1)).as("df"))
+      // the prefix table IS the index — materialize it once for its
+      // two join sides (probe + corpus); without this the whole
+      // corpus-sized df+window derivation re-computes per consumer
+      // (plan-verified double chain; neutral at toy SF where the
+      // verify join dominates, 2× the derivation cost at scale)
       val pfx = g.join(dfx, Seq("h"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
         .filter(col("rk") <=
           col("n") - ((col("n") * 3 + 4) / 5).cast("long") + 1)
         .select("doc_id", "n", "h")
+        .localCheckpoint()
       val cand = pfx.filter(col("doc_id") < 64).as("a").join(pfx.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
             least(col("a.n"), col("b.n")) * 5 >=
