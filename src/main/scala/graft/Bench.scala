@@ -292,12 +292,34 @@ object Bench {
             name -> (resultsPre(name).sec, timeQuery(spark, sfDir, name))
         }
       }.toMap
-      (splice(resultsPre, invMid),
-        s""","sf1_dir":"$dir","total_sf1":${r1.values.map(_.sec).sum}""" +
-          s""","queries_sf1":${js(r1)},"mem_sf1":${jsMem(r1)}""" +
+      // warmth SYMMETRY: a pair still inverted after the mid's
+      // isolated re-measure is comparing an isolated mid row against a
+      // deep-warm in-suite sf1 row (round 8: d67 mid 2.59 s isolated
+      // vs sf1 1.30 s deep-warm, while an equal-warmth sf1 run reads
+      // ~3.4 s — the decade actually scales normally). For those rows
+      // ONLY, the sf1 side re-measures under the same isolated warmth
+      // and the scaling table takes it in EITHER direction, so the
+      // committed per-query decade compares like with like.
+      val midFinal = splice(resultsPre, invMid)
+      val warmth = invMid.keys.toSeq.sorted.flatMap { name =>
+        r1.get(name).collect {
+          case b if midFinal(name).sec >
+              math.max(b.sec, OverheadFloor) * InvertedCap =>
+            System.err.println(
+              f"[bench] $name: still inverted after the mid splice " +
+                f"(${midFinal(name).sec}%.2f s vs sf1 ${b.sec}%.2f s deep-warm) " +
+                "— re-measuring the sf1 side at equal warmth")
+            name -> (b.sec, timeQuery(spark, dir, name))
+        }
+      }.toMap
+      val r1Final = r1 ++ warmth.map { case (n, (_, iso)) => n -> iso }
+      (midFinal,
+        s""","sf1_dir":"$dir","total_sf1":${r1Final.values.map(_.sec).sum}""" +
+          s""","queries_sf1":${js(r1Final)},"mem_sf1":${jsMem(r1Final)}""" +
           outlierBlock("outliers_sf1", out1) +
           outlierBlock("outliers_sf1_expensive", exp1) +
-          outlierBlock("outliers_mid_inverted", invMid))
+          outlierBlock("outliers_mid_inverted", invMid) +
+          outlierBlock("outliers_sf1_warmth", warmth))
     }
     val total = results.values.map(_.sec).sum
 
