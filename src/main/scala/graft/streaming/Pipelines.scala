@@ -633,6 +633,21 @@ object Pipelines {
       .toDF()
   }
 
+  /** Ingest-time soft-dedup weighting — the d74 twin: arriving
+    * documents take sample_weight = 1/n_copies against a STATIC
+    * commonness table (the d74 batch aggregate of the historical
+    * corpus, shipped like streamEpochUpsample's mixture artifact);
+    * content unseen in history weights 1.0 — ingest never drops or
+    * zero-weights a novel doc. Stateless: one broadcast left join +
+    * one in-row division, replay-identical. */
+  def streamSoftDedupWeights(stream: DataFrame, commonness: DataFrame): DataFrame =
+    stream
+      .withColumn("h", md5(lower(col("text"))))
+      .join(broadcast(commonness), Seq("h"), "left_outer")
+      .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
+      .select(col("doc_id"), col("n_copies"),
+        (lit(1.0) / col("n_copies").cast("double")).as("sample_weight"))
+
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature
     * IN-ROW (`Dedup.minhashSignatureExpr` — no explode/groupBy state),

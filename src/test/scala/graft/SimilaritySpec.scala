@@ -804,6 +804,21 @@ class SimilaritySpec extends AnyFunSuite {
       "residual encoding must differ from raw-vector encoding somewhere")
   }
 
+  test("e36: the fixed-point error means are invariant under repartitioning") {
+    // the 100 TB determinism claim: floor(err·2^20) long sums make the
+    // cross-row mean independent of partition count and row order
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqErrorReport(df, df.filter(col("vec_id") < 5))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val base = run(emb)
+    assert(run(emb.repartition(3)) == base,
+      "3-partition run must reproduce the exact report")
+    assert(run(emb.repartition(17, col("vec_id"))) == base,
+      "17-way keyed repartition must reproduce the exact report")
+  }
+
   test("e34: farthest-first trace equals an independent local greedy derivation") {
     val got = SparkEntry.queries("e34_kcenter_init")(spark, sf).collect()
       .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),

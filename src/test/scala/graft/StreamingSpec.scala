@@ -856,6 +856,37 @@ class StreamingSpec extends AnyFunSuite {
       (1L to 6L).map(id => 2 + id % 3).sum)
   }
 
+  test("stream soft-dedup weights agree with the d74 batch reweighting") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").limit(60).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val commonness = graft.sources.Tables.table(spark, sf, "documents")
+      .select(md5(lower(col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_copies"))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamSoftDedupWeights(
+        in.toDF().toDF("doc_id", "text"), commonness)
+      .writeStream.format("memory").queryName("softdedup_out")
+      .outputMode("append").start()
+    // real corpus rows PLUS one novel doc exercising the unseen branch
+    in.addData(docs.toSeq :+ (999999L, "a brand new never seen text"): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("softdedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("sample_weight")))).toMap
+    q.stop()
+    val batch = SparkEntry.queries("d74_soft_dedup_weights")(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("sample_weight")))).toMap
+    assert(docs.forall { case (id, _) => streamed(id) == batch(id) },
+      "stream weights must equal the batch reweighting on historical content")
+    assert(streamed(999999L) == ((1L, 1.0)),
+      "novel content must pass through at weight 1.0")
+  }
+
   test("quality screen agrees with the d33 batch gate on real corpus rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
