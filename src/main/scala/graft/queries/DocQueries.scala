@@ -2502,17 +2502,18 @@ object DocQueries {
     // contributing, at 1/commonness of its duplicate set, instead of
     // a hard keep/drop): every doc carries sample_weight =
     // 1/n_copies of its exact-content group — the loss-weighting
-    // column a training loader multiplies in. One keyed count on the
-    // 16-byte content hash + the probe join SHARING that exchange
-    // (the d24 canonical-exchange pattern); text never keys a
-    // shuffle; ONE double division at the edge.
+    // column a training loader multiplies in. A count-over-window on
+    // the 16-byte content hash: ONE scan, ONE exchange, NO join
+    // (plan-gated — the count-then-join-back spelling scans the
+    // corpus twice and wastes a broadcast); text never keys a
+    // shuffle; one double division at the edge.
     "d74_soft_dedup_weights" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DoubleType
-      val hashed = table(s, d, "documents")
+      table(s, d, "documents")
         .select(col("doc_id"), md5(lower(col("text"))).as("h"))
-        .repartition(col("h"))
-      val counts = hashed.groupBy("h").agg(count(lit(1)).as("n_copies"))
-      hashed.join(counts, "h")
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("h")))
         .select(col("doc_id"), col("n_copies"),
           (lit(1.0) / col("n_copies").cast(DoubleType)).as("sample_weight"))
         .orderBy("doc_id")

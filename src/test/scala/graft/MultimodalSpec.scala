@@ -1011,6 +1011,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m23: letterbox geometry is exact on odd aspect ratios and degenerate strips") {
+    import SparkTest.spark.implicits._
+    def ppm(w: Int, h: Int, v: Byte): Array[Byte] =
+      PpmCodec.encode(w, h, Array.fill[Byte](w * h * 3)(v))
+    // (payload, expected (out_w, out_h, pad_left, pad_top, mean)) at t=8;
+    // mean = v · (w'·h')/64 exactly since all pixels share one value
+    val cases = Seq(
+      (1L, ppm(6, 3, 100), (8, 8, 0, 2, 100.0 * 8 * 4 / 64)),   // 6x3 -> 8x4
+      (2L, ppm(3, 6, 100), (8, 8, 2, 0, 100.0 * 4 * 8 / 64)),   // tall: 3x6 -> 4x8
+      (3L, ppm(5, 5, 60), (8, 8, 0, 0, 60.0)),                  // square fills
+      (4L, ppm(32, 1, 80), (8, 8, 0, 3, 80.0 * 8 * 1 / 64)),    // extreme strip -> 8x1
+      (5L, ppm(1, 1, 40), (8, 8, 0, 0, 40.0))                   // 1x1 -> 8x8 fill
+    )
+    val rows = graft.operators.Multimodal.letterboxImages(
+        SparkTest.spark.createDataset(cases.map(c => (c._1, c._2))), t = 8)
+      .collect().map(r => r.id ->
+        ((r.out_w.get, r.out_h.get, r.pad_left.get, r.pad_top.get,
+          r.mean_r.get))).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(rows(id) == want, s"case $id: expected $want got ${rows(id)}")
+    }
+    // malformed payload -> the null row
+    val nr = graft.operators.Multimodal.letterboxImages(
+      SparkTest.spark.createDataset(Seq((9L, "nope".getBytes("US-ASCII")))), 8)
+      .collect()
+    assert(nr.length == 1 && nr(0).out_w.isEmpty && nr(0).mean_r.isEmpty)
+  }
+
   test("m22: BT.601 conversion hits the published anchor colors exactly") {
     import SparkTest.spark.implicits._
     // hand-built 2x2 C420 frames: one flat (Y, U, V) triple per frame

@@ -990,6 +990,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the closed form is window-only — no self-join")
   }
 
+  test("d73: the indexed screen joins (id, hash) rows — text never keys an exchange") {
+    val p = plan("d73_decontaminate_indexed")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text"),
+      "only 8-byte gram hashes and doc ids may key exchanges")
+    assert(p.contains("Scan parquet"),
+      "the eval side must READ the persisted gram index, not re-derive it")
+  }
+
+  test("d74: soft-dedup weights are one scan, one exchange, no join") {
+    val p = plan("d74_soft_dedup_weights")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1,
+      s"the window form reads the corpus ONCE, saw $scans scans")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"the commonness window needs exactly one content-hash exchange, saw $exchanges")
+    assert(!p.contains("Join"), "count-over-window — no self-join anywhere")
+  }
+
   test("t24_scd2: the whole version history rides one RECID exchange") {
     val p = plan("t24_scd2_intervals")
     assert(!p.contains("CartesianProduct"))
