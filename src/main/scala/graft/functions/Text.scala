@@ -129,14 +129,20 @@ object Text {
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000000000000L)
 
   /** The d15/d69 portable multiplicative hash of a numeric id —
-    * deterministic under any partitioning, identical in DuckDB. */
+    * deterministic under any partitioning, identical in DuckDB. The
+    * id reduces mod 2^31−1 BEFORE the multiply so the product stays
+    * below 2^63 for any BIGINT id: without the reduction, ids above
+    * ~3.47e9 overflow Long — Spark wraps silently while DuckDB errors
+    * on BIGINT overflow, forking the engines exactly at the
+    * multi-billion-document scales the shard/FIM queries target. */
   def portableHash(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(2147483647L))
+    pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
 
   /** A SECOND independent id hash (LCG constants) for permutation
-    * sort keys — d69's within-shard order and d70's second FIM cut. */
+    * sort keys — d69's within-shard order and d70's second FIM cut.
+    * Same pre-reduction as [[portableHash]] (max product ~2.37e18). */
   def portableHash2(id: Column): Column =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483647L))
+    pmod(pmod(id, lit(2147483647L)) * lit(1103515245L) + lit(12345L), lit(2147483647L))
 
   /** Training-shard assignment (d69 + streaming twin shared kernel). */
   def shardOf(id: Column, nShards: Long): Column =

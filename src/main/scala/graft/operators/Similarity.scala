@@ -1444,17 +1444,23 @@ object Similarity {
     * query, TakeOrderedAndProject top-k. `was_feedback` marks which
     * results the expansion pulled from the feedback set itself. */
   def prfExpand(corpus: DataFrame, queryId: Long, fbK: Int, k: Int): DataFrame = {
-    val q0 = corpus.filter(col("vec_id") === queryId)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val qRows = corpus.filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    require(qRows.nonEmpty, s"prfExpand: query vector vec_id=$queryId not found in corpus")
+    val q0 = qRows(0).getSeq[Float](0).toArray
     val fb = bruteForceTopK(corpus, corpus.filter(col("vec_id") === queryId), fbK)
       .select("cand_id").collect().map(_.getLong(0)).sorted
     val fbVecs = corpus.filter(col("vec_id").isin(fb: _*))
       .select("vec_id", "embedding").collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    require(fbVecs.nonEmpty, s"prfExpand: no feedback neighbors retrieved for vec_id=$queryId")
+    // Rocchio centroid over the vectors actually RETRIEVED — on a
+    // corpus with fewer than fbK neighbors dividing by fbK would
+    // silently scale the feedback term down
     val qExp = Array.tabulate(q0.length) { dd =>
       var s = 0.0
       fbVecs.foreach(v => s += v(dd).toDouble)
-      PrfAlpha * q0(dd).toDouble + PrfBeta * (s / fbK.toDouble)
+      PrfAlpha * q0(dd).toDouble + PrfBeta * (s / fbVecs.length.toDouble)
     }
     corpus.filter(col("vec_id") =!= queryId)
       .select(col("vec_id").as("cand_id"),

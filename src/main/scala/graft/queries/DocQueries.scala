@@ -360,7 +360,7 @@ object DocQueries {
     // the key, not rand()); output = per-language sample counts
     "d15_hash_sample" -> q { (s, d) =>
       table(s, d, "documents")
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % 100 < 10)
+        .filter(Text.portableHash(col("doc_id")) % 100 < 10)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
@@ -3647,7 +3647,7 @@ object DocQueries {
 
     "d15_hash_sample" ->
       """SELECT lang, COUNT(*) AS n_sampled FROM documents
-        |WHERE ((doc_id * 2654435761) % 2147483647) % 100 < 10
+        |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d23_boilerplate_clean" -> {
@@ -3785,8 +3785,8 @@ object DocQueries {
         |    WHERE (CAST(32 AS BIGINT) << g.j) * 2048 >=
         |      (SELECT count(*) FROM documents)), CAST(32 AS BIGINT) << 20) AS n_shards),
         |k AS (SELECT doc_id,
-        |    ((doc_id * 2654435761) % 2147483647) % n_shards AS shard,
-        |    (doc_id * 1103515245 + 12345) % 2147483647 AS sort_key
+        |    (((doc_id % 2147483647) * 2654435761) % 2147483647) % n_shards AS shard,
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS sort_key
         |  FROM documents CROSS JOIN ns)
         |SELECT doc_id, shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
@@ -3799,8 +3799,8 @@ object DocQueries {
     "d70_fim_transform" ->
       """WITH t AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    (doc_id * 2654435761) % 2147483647 AS h1,
-        |    (doc_id * 1103515245 + 12345) % 2147483647 AS h2
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h1,
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h2
         |  FROM documents),
         |c AS (SELECT doc_id, text, toks, h1 % 2 = 0 AS fim_applied,
         |    len(toks) AS n,

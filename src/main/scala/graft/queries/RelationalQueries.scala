@@ -1369,11 +1369,15 @@ object RelationalQueries {
     // SEQUENTIAL drift detector that fires on a sustained small shift
     // long before q67's per-point z-score does. The recurrence
     // S_t = max(0, S_{t−1} + (x_t − k)) is not a window aggregate,
-    // but its closed form IS: S_t = P_t − min_{j≤t} P_j over the
-    // prefix sums P of (x − k) — two cumulative windows on one keyed
-    // sort, no recursion, no UDAF state. All-integer (counts and a
-    // literal reference rate k = 3), so cross-engine bit-exact; the
-    // q67/q68 single-user_id-exchange pattern (plan-gate material).
+    // but its closed form IS: S_t = P_t − min(0, min_{j≤t} P_j) over
+    // the prefix sums P of (x − k) — the LEAST(0, ·) is the virtual
+    // P_0 = 0 of Page's S_0 = 0 start (without it, a series whose
+    // prefix sums stay positive would deflate by min P_j and alarm
+    // late or never) — two cumulative windows on one keyed sort, no
+    // recursion, no UDAF state. All-integer (counts, reference rate
+    // k = 1, decision threshold h = 3 — alarm when S_t > h), so
+    // cross-engine bit-exact; the q67/q68 single-user_id-exchange
+    // pattern (plan-gate material).
     "q71_cusum" -> q { (s, d) =>
       val wC = Window.partitionBy("user_id").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1383,7 +1387,7 @@ object RelationalQueries {
         .groupBy("user_id", "hour")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("p", sum(col("cnt") - 1L).over(wC))
-        .withColumn("s", col("p") - min(col("p")).over(wC))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wC)))
         .select(col("user_id"), col("hour"), col("cnt"), col("s").as("cusum"),
           (col("s") > 3L).as("alarm"))
         .orderBy("user_id", "hour")
@@ -1744,7 +1748,8 @@ object RelationalQueries {
         |ORDER BY e.event_id""".stripMargin,
 
     // the same prefix-sum/running-min closed form of the max(0, ·)
-    // recurrence, over the same hourly aggregation
+    // recurrence, over the same hourly aggregation; LEAST(0, MIN(p))
+    // supplies Page's virtual P_0 = 0 start
     "q71_cusum" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
@@ -1755,10 +1760,10 @@ object RelationalQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
         |  FROM hourly)
         |SELECT user_id, hour, cnt,
-        |  CAST(p - MIN(p) OVER (PARTITION BY user_id ORDER BY hour
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum,
-        |  (p - MIN(p) OVER (PARTITION BY user_id ORDER BY hour
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 3 AS alarm
+        |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum,
+        |  (p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 3 AS alarm
         |FROM pf ORDER BY user_id, hour""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by

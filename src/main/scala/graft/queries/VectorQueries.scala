@@ -864,7 +864,7 @@ object VectorQueries {
          |  FROM embeddings e JOIN fb ON fb.cand_id = e.vec_id),
          |qx AS (SELECT list_transform(generate_series(1, 64), d ->
          |    CAST($a AS DOUBLE) * CAST(qe[d] AS DOUBLE) +
-         |    CAST($b AS DOUBLE) * (list_aggregate(list_transform(vs, v -> v[d]), 'sum') / 10.0)) AS qv
+         |    CAST($b AS DOUBLE) * (list_aggregate(list_transform(vs, v -> v[d]), 'sum') / CAST(len(vs) AS DOUBLE))) AS qv
          |  FROM q0 CROSS JOIN fbv),
          |scored AS (SELECT e.vec_id AS cand_id,
          |    ${cosSql("qv", "e.embedding")} AS cos_expanded,

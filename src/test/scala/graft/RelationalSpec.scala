@@ -233,6 +233,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should flag at least one anomalous hour")
   }
 
+  test("q71: the closed form equals Page's recurrence replayed locally") {
+    // S_0 = 0, S_t = max(0, S_{t-1} + (x_t - k)), k = 1, alarm at S > 3.
+    // Regression for the missing virtual P_0: a user whose prefix sums
+    // never dip below 0 (series starts hot) must NOT have its cusum
+    // deflated by min_j P_j — hour 1 of a cnt=5,5,5 series is 4, not 0.
+    val got = SparkEntry.queries("q71_cusum")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 3600000000 AS hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var sawPositiveStart = false
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val counts = rows.groupBy(_._2).map { case (h, xs) => (h, xs.length.toLong) }
+        .toSeq.sortBy(_._1)
+      var sPrev = 0L
+      counts.foreach { case (h, c) =>
+        val sT = math.max(0L, sPrev + (c - 1L))
+        val (gotCnt, gotS, gotAlarm) = got((u, h))
+        assert(gotCnt == c, s"user $u hour $h: cnt")
+        assert(gotS == sT, s"user $u hour $h: cusum $gotS != recurrence $sT")
+        assert(gotAlarm == (sT > 3L), s"user $u hour $h: alarm flag")
+        if (h == counts.head._1 && c > 1L) sawPositiveStart = true
+        sPrev = sT
+      }
+    }
+    assert(sawPositiveStart,
+      "fixture should include a series starting above the reference rate")
+  }
+
   test("q68: each user's series is gap-free, zero-filled, and forward-carried") {
     val rows = SparkEntry.queries("q68_gapfill")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
