@@ -423,6 +423,53 @@ object Dedup {
       writeClusterMap(docs, path, idCol, textCol, maxHamming)
     }
 
+  /** The corpus's DUPLICATED k-shingle hash set — every shingle hash
+    * occurring in at least two distinct documents (min ≠ max doc id:
+    * no countDistinct, no Expand). This is the dup-set side of the
+    * d66 duplicated-span extraction; a shingle repeated only WITHIN
+    * one document is not cross-document duplication and stays out.
+    * Per-doc `array_distinct` before the explode cannot change any
+    * hash's min/max doc id, so the set is identical to one derived
+    * from the full positional grid — while shuffling each (doc, gram)
+    * pair once instead of once per occurrence. */
+  def dupGramSet(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+      .select(col("doc_id"), shingleHash(col("gram")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+
+  /** Persist the duplicated-gram set as a table — the span-side analog
+    * of [[writeClusterMap]]: at corpus scale span removal runs
+    * repeatedly per corpus generation (screen, cut, re-screen), and
+    * the corpus-wide dup-set aggregate — the one full shuffle of the
+    * gram grid — must be paid ONCE, not per query. Each row is a lone
+    * 8-byte hash, so the stored artifact is tiny next to the corpus
+    * and usually broadcast-joins back at read time. */
+  def writeDupGrams(docs: DataFrame, path: String, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit =
+    dupGramSet(docs, k, idCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writeDupGrams]] table. */
+  def readDupGrams(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read the persisted duplicated-gram set, building it first iff
+    * `path` carries no committed `_SUCCESS` marker — the memoized
+    * d47/d50/e28 lifecycle on the span side. Deterministic in `docs`,
+    * so a reread can never go stale against the same generation. */
+  def ensureDupGrams(docs: DataFrame, path: String, k: Int = 5,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.sources.Materialize.ensure(docs.sparkSession, path) {
+      writeDupGrams(docs, path, k, idCol, textCol)
+    }
+
   /** Persist the SimHash fingerprint index as a TABLE — the text-side
     * analog of `Similarity.writeIvfIndex`: an index is data. Each
     * document costs 16 bytes (id + 64-bit fingerprint) regardless of

@@ -2357,34 +2357,34 @@ object DocQueries {
     // suffix array materialization (the hash-marked grid IS the
     // suffix-array hit list at shingle resolution)
     "d66_dup_spans" -> q { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val K = 5
       // same fan-out + compute-once shape as d67: the positional hash
       // grid feeds both the dup-set aggregate and the join back
-      val sh = table(s, d, "documents")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_toks"),
-          posexplode(Dedup.shingles(col("text"), K)).as(Seq("p", "gram")))
-        .select(col("doc_id"), col("n_toks"),
-          (col("p") + 1).cast("long").as("spos"),
-          Dedup.shingleHash(col("gram")).as("h"))
-        .localCheckpoint()
+      val sh = spanGrid(table(s, d, "documents"), K).localCheckpoint()
       val dup = sh.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
         .filter(col("mn") =!= col("mx")).select("h")
-      val wD = Window.partitionBy("doc_id").orderBy("spos")
-      sh.join(dup, Seq("h"))
-        .withColumn("ns",
-          when(lag(col("spos"), 1).over(wD).isNull ||
-            col("spos") - lag(col("spos"), 1).over(wD) > K, 1L).otherwise(0L))
-        .withColumn("span_id", sum(col("ns")).over(
-          wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "span_id")
-        .agg(min(col("spos")).as("start_tok"),
-          least(max(col("spos")) + (K - 1), max(col("n_toks")).cast("long"))
-            .as("end_tok"),
-          count(lit(1)).as("n_dup_grams"))
-        .orderBy("doc_id", "start_tok")
+      dupSpanMerge(sh, dup, K)
+    },
+
+    // d66's PRODUCTION shape: span extraction against the PERSISTED
+    // duplicated-gram set (Dedup.ensureDupGrams — the d47/d50/e28
+    // index-is-data lifecycle on the span side). d66 re-derives the
+    // corpus-wide dup-set aggregate — the one full shuffle of the
+    // positional gram grid — inside every invocation; at 100 TB span
+    // removal runs repeatedly per corpus generation (screen, cut,
+    // re-screen), so the dup set is a table built once and every pass
+    // is ONE doc scan + a join against stored 8-byte hashes (usually
+    // broadcast) + the per-doc span merge. No shingle re-explode, no
+    // grid aggregate on the dup-set side — plan-gated. Same oracle
+    // text as d66: persisted ≡ recompute is proven at the driver gate
+    // itself (the d47/d73 precedent), also spec-pinned in DedupSpec.
+    "d66_spans_indexed" -> q { (s, d) =>
+      val K = 5
+      val docs = table(s, d, "documents")
+      val dir = ScratchDirs.stable("d66_dup_grams", d)
+      val dup = Dedup.ensureDupGrams(docs, s"$dir/dup_grams", K)
+      dupSpanMerge(spanGrid(docs, K), dup, K)
     },
 
     // EXACT set-similarity screen with PREFIX FILTERING (the
@@ -2904,6 +2904,42 @@ object DocQueries {
       |        i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       |          FROM documents) a) b) c""".stripMargin
+  }
+
+  /** The positional K-shingle hash grid shared by d66 (self-contained
+    * build) and d66_spans_indexed (persisted dup set): one doc_id-keyed
+    * exchange fans the shingling out, then positions travel with 8-byte
+    * hashes — the text never keys an exchange. `spos` is 1-based token
+    * position (the span coordinate system both oracles speak). */
+  private def spanGrid(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_toks"),
+        posexplode(Dedup.shingles(col("text"), k)).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("n_toks"),
+        (col("p") + 1).cast("long").as("spos"),
+        Dedup.shingleHash(col("gram")).as("h"))
+
+  /** The gaps-and-islands span merge shared by d66 and
+    * d66_spans_indexed: duplicated shingle-start positions ≤ k apart
+    * chain into one maximal [start_tok, end_tok] range per doc — ONE
+    * doc_id window, linear per doc, identical whichever side the dup
+    * set came from (in-query aggregate or persisted table). */
+  private def dupSpanMerge(sh: DataFrame, dup: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wD = Window.partitionBy("doc_id").orderBy("spos")
+    sh.join(dup, Seq("h"))
+      .withColumn("ns",
+        when(lag(col("spos"), 1).over(wD).isNull ||
+          col("spos") - lag(col("spos"), 1).over(wD) > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("ns")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("spos")).as("start_tok"),
+        least(max(col("spos")) + (k - 1), max(col("n_toks")).cast("long"))
+          .as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .orderBy("doc_id", "start_tok")
   }
 
   /** The keep-best-per-cluster selection shared by d37 (self-contained
@@ -3521,6 +3557,8 @@ object DocQueries {
     "d65_ngram_novelty" -> noveltyOracle,
 
     "d66_dup_spans" -> dupSpansOracle,
+    // shared oracle TEXT: persisted ≡ recompute certified at the gate
+    "d66_spans_indexed" -> dupSpansOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 

@@ -775,6 +775,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted dup-gram set: write/read equals recompute, ensure memoizes") {
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val direct = hs(Dedup.dupGramSet(corpus))
+    assert(direct.nonEmpty, "test corpus should share 5-shingles across docs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dgrams").toString
+    Dedup.writeDupGrams(corpus, s"$dir/g")
+    assert(hs(Dedup.readDupGrams(spark, s"$dir/g")) == direct,
+      "persisted dup set must equal the recompute")
+    // memoization: a committed path must READ, not rebuild — proven by
+    // handing ensure a DIFFERENT corpus for the same path
+    assert(hs(Dedup.ensureDupGrams(corpus, s"$dir/g")) == direct)
+    assert(hs(Dedup.ensureDupGrams(docs, s"$dir/g")) == direct,
+      "a committed path must never rebuild")
+    assert(hs(Dedup.ensureDupGrams(docs, s"$dir/g2")) == hs(Dedup.dupGramSet(docs)))
+  }
+
+  test("d66_spans_indexed (persisted dup set) equals d66 (self-contained) row-for-row") {
+    val a = SparkEntry.queries("d66_dup_spans")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("d66_spans_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a == b, "read-path spans must be indistinguishable from the build path")
+  }
+
   test("d67: prefix-filtered join finds EXACTLY the all-pairs Jaccard >= 0.6 set") {
     val got = SparkEntry.queries("d67_prefix_join")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

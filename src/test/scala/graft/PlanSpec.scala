@@ -901,6 +901,23 @@ class PlanSpec extends AnyFunSuite {
       "the dup join must be the hash equi-join")
   }
 
+  test("d66_spans_indexed: reads the stored dup set — one doc scan, no grid re-aggregate") {
+    // ensureDupGrams commits the artifact during query construction,
+    // so the inspected plan is the warm read path
+    val p = plan("d66_spans_indexed")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dup_grams"),
+      "query must read the persisted dup-gram table")
+    val docScans = p.linesIterator.count(_.contains("documents.parquet"))
+    assert(docScans == 1,
+      s"exactly ONE documents scan (the positional grid), saw $docScans")
+    assert(!p.contains("min(doc_id") && !p.contains("max(doc_id"),
+      "the dup-set aggregate must never re-derive at read time")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("gram") && !exchanges.contains("text"),
+      "only the 8-byte shingle hash and doc_id may key exchanges")
+  }
+
   test("d67: candidates come only from the prefix hash equi-join — no all-pairs path") {
     val p = plan("d67_prefix_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
