@@ -18,6 +18,8 @@ case class SessionWindow(userId: Long, startTs: Timestamp, endTs: Timestamp,
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
 /** One exploded page line arriving at ingest (streamLineDedup). */
 case class LineItem(docId: Long, lineIdx: Int, line: String)
+/** A [[LineItem]] carrying its event time (streamLineDedupTtl). */
+case class TimedLineItem(docId: Long, lineIdx: Int, line: String, ts: Timestamp)
 /** The first-occurrence keeper of one distinct line. */
 case class LineKeeper(line: String, docId: Long, lineIdx: Int)
 /** One user event for funnel tracking (streamFunnel). */
@@ -67,21 +69,31 @@ object Pipelines {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
   /** Stream-stream equi-join WITHIN a time interval — the KSQL
-    * `JOIN … WITHIN n` surface. Both sides are watermarked; the
-    * time-band condition bounds the join state Spark must keep (rows
-    * age out once the watermark passes their band), so state is
-    * O(key-rate × interval), not unbounded.
-    */
+    * `[INNER|LEFT|FULL] JOIN … WITHIN n` surface. Both sides are
+    * watermarked; the time-band condition bounds the join state Spark
+    * must keep (rows age out once the watermark passes their band),
+    * so state is O(key-rate × interval), not unbounded.
+    *
+    * `joinType` "inner" (default), "left_outer", or "full_outer":
+    * KSQL's outer interval joins emit a null-padded row for an
+    * unmatched side once the watermark passes the end of its band —
+    * the clicks-to-impressions join where a click with no impression
+    * inside the hour must still report. Spark defers the null-padded
+    * emission to the first micro-batch AFTER the watermark clears the
+    * band (correctness over latency — a match could still arrive up
+    * to that point), which is the same contract KSQL documents for
+    * its grace period. */
   def streamStreamJoinWithin(left: DataFrame, right: DataFrame,
                              leftKey: String, rightKey: String,
                              leftTs: String, rightTs: String,
                              within: String = "1 hour",
-                             watermarkDelay: String = "10 minutes"): DataFrame = {
+                             watermarkDelay: String = "10 minutes",
+                             joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     l.join(r, expr(
       s"$leftKey = $rightKey AND $rightTs BETWEEN $leftTs - INTERVAL $within " +
-        s"AND $leftTs + INTERVAL $within"))
+        s"AND $leftTs + INTERVAL $within"), joinType)
   }
 
   /** Streaming exact dedup on key columns, state bounded by the
@@ -93,13 +105,16 @@ object Pipelines {
 
   /** Streaming corpus-lifetime LINE dedup — the d57 streaming twin at
     * the ingest boundary: exploded page lines keep only their FIRST
-    * occurrence, keyed state = one marker per distinct line (tiny,
-    * grows with distinct lines — at a real deployment scale this gets
-    * a TTL/generation reset; the batch d57 is the order-free
-    * whole-corpus rule). Within a micro-batch the keeper is the
-    * smallest (doc_id, line_idx) — the batch tie-break — so the stream
-    * equals the batch rule whenever arrival order respects doc order,
-    * and is deterministic under replay regardless. */
+    * occurrence, keyed state = one marker per distinct line. Within a
+    * micro-batch the keeper is the smallest (doc_id, line_idx) — the
+    * batch tie-break — so the stream equals the batch rule whenever
+    * arrival order respects doc order, and is deterministic under
+    * replay regardless.
+    *
+    * The state here is corpus-lifetime (one marker per distinct line
+    * forever) — correct for bounded backfills; an unbounded crawl
+    * stream uses [[streamLineDedupTtl]], whose event-time TTL evicts
+    * markers the watermark has aged out. */
   def streamLineDedup(lines: Dataset[LineItem]): Dataset[LineKeeper] = {
     import lines.sparkSession.implicits._
     lines.groupByKey(_.line)
@@ -111,6 +126,54 @@ object Pipelines {
             val first = rows.minBy(r => (r.docId, r.lineIdx))
             state.update(1L)
             Iterator(LineKeeper(line, first.docId, first.lineIdx))
+          }
+      }
+  }
+
+  /** [[streamLineDedup]] with BOUNDED state — the unbounded-crawl
+    * form: each line's marker carries an EVENT-TIME timeout `stateTtl`
+    * past its latest sighting, refreshed on every arrival, so hot
+    * boilerplate stays deduped while a line unseen for one TTL window
+    * evicts once the watermark passes it and re-admits as a fresh
+    * keeper on its next arrival (the generation reset). State is
+    * O(lines seen within one TTL window), not O(corpus lifetime).
+    * Event time (not processing time) keeps eviction REPLAY-
+    * DETERMINISTIC — a checkpoint restart replays the same watermark
+    * sequence and evicts identically, where a wall-clock TTL would
+    * depend on when the job happened to run (and a processing-time
+    * timeout busy-spins empty micro-batches while armed). */
+  def streamLineDedupTtl(lines: Dataset[TimedLineItem],
+                         watermarkDelay: String = "10 minutes",
+                         stateTtlMs: Long = 30L * 86400000L): Dataset[LineKeeper] = {
+    import lines.sparkSession.implicits._
+    val ttlMillis = stateTtlMs
+    lines.withWatermark("ts", watermarkDelay)
+      .as[TimedLineItem]
+      .groupByKey(_.line)
+      .flatMapGroupsWithState[Long, LineKeeper](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (line: String, rows: Iterator[TimedLineItem], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // aged out with no arrivals since the TTL: drop the marker —
+            // the line's next sighting re-admits it as a fresh keeper
+            state.remove()
+            Iterator.empty
+          } else {
+            val items = rows.toSeq
+            val maxTs = items.iterator.map(_.ts.getTime).max
+            // a straggler older than (watermark - ttl) must still arm a
+            // legal timeout: clamp above the current watermark
+            val fireAt = math.max(maxTs + ttlMillis,
+              state.getCurrentWatermarkMs() + 1L)
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val first = items.minBy(r => (r.docId, r.lineIdx))
+                state.update(1L)
+                Iterator.single(LineKeeper(line, first.docId, first.lineIdx))
+              }
+            state.setTimeoutTimestamp(fireAt)
+            out
           }
       }
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.FieldSpec
-import graft.streaming.{FunnelEvent, LineItem, Pipelines}
+import graft.streaming.{FunnelEvent, LineItem, Pipelines, TimedLineItem}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTest._
@@ -147,6 +147,45 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("ssj_out").collect()
     q.stop()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L), s"got ${out.toSeq}")
+  }
+
+  test("stream-stream LEFT OUTER join WITHIN null-pads unmatched lefts at watermark expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.streamStreamJoinWithin(
+      clicks.toDF().toDF("c_user", "c_ts"), buys.toDF().toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts", within = "10 minutes",
+      watermarkDelay = "1 minute", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").start()
+    clicks.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00")))
+    buys.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00")))  // match for 1; none for 2
+    q.processAllAvailable()
+    val early = spark.table("ssloj_out").collect()
+    assert(early.map(_.getLong(0)).toSeq == Seq(1L),
+      s"before the watermark clears user 2's band, only the inner match may emit: ${early.toSeq}")
+    // advance BOTH watermarks far past 00:00 + within + delay so user 2's
+    // band can never match again ...
+    clicks.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    buys.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // ... and run one more batch: Spark emits evicted null-padded rows in
+    // the batch AFTER the watermark update (correctness over latency)
+    clicks.addData((10L, Timestamp.valueOf("2024-01-01 02:00:30")))
+    buys.addData((10L, Timestamp.valueOf("2024-01-01 02:00:30")))
+    q.processAllAvailable()
+    val out = spark.table("ssloj_out").collect()
+    q.stop()
+    val unmatched = out.filter(r => r.getLong(0) == 2L)
+    assert(unmatched.length == 1, s"user 2 must emit exactly once: ${out.toSeq}")
+    assert(unmatched.head.isNullAt(2) && unmatched.head.isNullAt(3),
+      "the unmatched left row must carry a null-padded right side")
+    assert(out.filter(r => r.getLong(0) == 9L)
+      .forall(r => !r.isNullAt(2)), "in-band rows still inner-match")
   }
 
   test("sliding (hopping) window aggregates count events in overlapping windows") {
@@ -568,6 +607,52 @@ class StreamingSpec extends AnyFunSuite {
       ("unique alpha", 1L, 0), ("terms apply", 1L, 1),
       ("unique beta", 2L, 0), ("unique gamma", 3L, 2)),
       "every line keeps exactly its first (doc, idx) occurrence")
+  }
+
+  test("stream line dedup TTL evicts aged markers, re-admits the line, bounds state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[TimedLineItem]
+    // event-time TTL 1 hour, watermark delay 1 minute
+    val q = Pipelines.streamLineDedupTtl(in.toDS(),
+        watermarkDelay = "1 minute", stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("linettl_out")
+      .outputMode("append").start()
+    in.addData(TimedLineItem(1L, 0, "terms apply", t("2024-01-01 00:00:00")),
+      TimedLineItem(1L, 1, "unique alpha", t("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // a re-send inside the TTL window is still deduped (and refreshes
+    // the marker's timeout to 01:10)
+    in.addData(TimedLineItem(2L, 0, "terms apply", t("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    // push the watermark past every armed timeout (03:00 - 1min >> 01:10)
+    in.addData(TimedLineItem(4L, 0, "fresh delta", t("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    // timeouts FIRE in the next batch (watermark updates at batch end):
+    // this batch evicts the aged "terms apply"/"unique alpha" markers
+    in.addData(TimedLineItem(5L, 0, "watermark pusher", t("2024-01-01 03:01:00")))
+    q.processAllAvailable()
+    // the aged line re-admits as a FRESH keeper (the generation reset)
+    in.addData(TimedLineItem(3L, 0, "terms apply", t("2024-01-01 03:02:00")))
+    q.processAllAvailable()
+    val out = spark.table("linettl_out").collect()
+      .map(r => (r.getAs[String]("line"), r.getAs[Long]("docId"),
+        r.getAs[Int]("lineIdx"))).toSet
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+    q.stop()
+    assert(out == Set(
+      ("terms apply", 1L, 0), ("unique alpha", 1L, 1),
+      ("fresh delta", 4L, 0), ("watermark pusher", 5L, 0),
+      ("terms apply", 3L, 0)),
+      s"TTL must dedup within a generation and re-admit across them: $out")
+    // 4 distinct lines entered over the stream's lifetime but evicted
+    // markers LEFT state: survivors are bounded by one TTL window's
+    // lines (fresh delta, watermark pusher, re-admitted terms apply),
+    // not corpus lifetime
+    assert(stateRows.exists(_ <= 3L),
+      s"aged markers must leave the state store, saw $stateRows rows")
   }
 
   test("stream epoch upsample makes the batch d59 copies, replay-stable") {
