@@ -319,4 +319,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(n == 5, s"expected 5 containers, got $n")
     assert(Tables.readAvro(spark, s"$dir/multi").count() == sup.count())
   }
+
+  test("avro task commit: torn attempts never surface, a rewrite republishes cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_tc").toString
+    val sup = Tables.table(spark, sf, "supplier")
+    Tables.writeAvro(sup.repartition(5), s"$dir/t")
+    // a task that died mid-write leaves an attempt-unique _tmp container:
+    // readers must never observe it (only published part-*.avro names)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t", "_tmp-part-00000-attempt-999.avro"),
+      Array[Byte](0x4f, 0x62, 0x6a, 1, 0, 0)) // torn: header magic then EOF
+    val back = Tables.readAvro(spark, s"$dir/t")
+    assert(back.count() == sup.count(),
+      "a torn uncommitted attempt must be invisible to readers")
+    assert(back.exceptAll(sup).isEmpty && sup.exceptAll(back).isEmpty)
+    // a retried/replayed WRITE over the same path republishes complete
+    // containers and clears every stale file — including the torn tmp
+    // and the parts of the previous (5-partition) layout
+    Tables.writeAvro(sup.repartition(2), s"$dir/t")
+    val names = new java.io.File(s"$dir/t").listFiles().map(_.getName)
+      .filter(_.endsWith(".avro")).sorted.toSeq
+    assert(names == Seq("part-00000.avro", "part-00001.avro"),
+      s"rewrite must leave exactly the new layout's containers, got $names")
+    val back2 = Tables.readAvro(spark, s"$dir/t")
+    assert(back2.exceptAll(sup).isEmpty && sup.exceptAll(back2).isEmpty)
+  }
 }
