@@ -52,6 +52,13 @@ object Native {
     GraftBridge.column(graft.plans.Sq8Score(
       GraftBridge.expression(q), GraftBridge.expression(code), mns.toSeq, scales.toSeq))
 
+  /** Cell routing against a reference-object centroid table (flat or
+    * two-level) — constant codegen size at any nlist. */
+  def cellRoute(v: Column, superVs: Seq[Seq[Double]], branchCids: Seq[Seq[Long]],
+                branchVs: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(graft.plans.CellRoute(
+      GraftBridge.expression(v), superVs, branchCids, branchVs))
+
   /** One-pass winnowing fingerprints of a token array. */
   def winnowFingerprints(tokens: Column, k: Int, w: Int, modulus: Long): Column =
     GraftBridge.column(graft.plans.WinnowFingerprints(

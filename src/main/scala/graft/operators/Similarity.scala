@@ -847,6 +847,69 @@ object Similarity {
   private[graft] def cellAssignExpr(cents: Array[Array[Double]])(v: Column): Column =
     cellOf(centScoresFor(cents)(v))
 
+  /** Cell assignment as ONE stateless Column at ANY nlist — the
+    * scalable successor of [[cellAssignExpr]], shared by the persisted
+    * index build ([[writeIvfIndex]]/[[appendToIvfIndex]]) and the
+    * streaming router (`Pipelines.streamCellRoute`), so batch cells
+    * and stream routing cannot drift: one kernel.
+    *
+    * The centroid table travels as a codegen REFERENCE OBJECT
+    * (plans.CellRoute), not unrolled literals, so generated code is
+    * constant-size — the ~128-centroid Janino bound of the inlined
+    * form is gone. Above `flatCap` centroids, routing goes two-level
+    * ([[semCellsTwoLevel]]'s exact rule: supers = the first ⌈√nlist⌉
+    * (next power of two) centroids by cid, each centroid joins its
+    * argmax-cosine super ties-to-lowest-sid, vectors route super
+    * first then argmax within the branch) — n·O(√nlist) score work,
+    * matching the autoNlist growth the batch semantic family already
+    * has. The remaining bound is the centroid table itself (it rides
+    * the closure/broadcast like every router's codebook must).
+    *
+    * `cids(i)` is the cell id of `cents(i)`; both ascend by cid so
+    * first-best-wins IS the lowest-cid/lowest-sid tie rule. */
+  private[graft] def cellRouteExpr(cids: Array[Long], cents: Array[Array[Double]],
+                                   flatCap: Int = FlatAssignCap)(v: Column): Column = {
+    require(cids.length == cents.length && cents.nonEmpty)
+    val n = cents.length
+    if (n <= flatCap)
+      Native.cellRoute(v, Seq(cents.head.toSeq),
+        Seq(cids.toSeq), Seq(cents.map(_.toSeq).toSeq))
+    else {
+      var s = 1
+      while (s.toLong * s < n) s <<= 1
+      val supers = cents.take(s)
+      // branch of every centroid: argmax cosine over supers, ties to
+      // the lowest sid — the same sequential fold as CosineSim, driver-
+      // side, so branches equal semCellsTwoLevel's bit for bit
+      def cosD(a: Array[Double], b: Array[Double]): Double = {
+        val m = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < m) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val byBranch = Array.fill(s)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
+      var ci = 0
+      while (ci < n) {
+        var best = Double.NegativeInfinity; var b = 0; var i = 0
+        while (i < supers.length) {
+          val sc = cosD(cents(ci), supers(i))
+          if (sc > best) { best = sc; b = i }
+          i += 1
+        }
+        byBranch(b) += ((cids(ci), cents(ci)))
+        ci += 1
+      }
+      require(byBranch.forall(_.nonEmpty),
+        "a super's branch is empty (duplicate centroids?) — routing would drop its vectors")
+      Native.cellRoute(v, supers.map(_.toSeq).toSeq,
+        byBranch.map(_.map(_._1).toSeq).toSeq,
+        byBranch.map(_.map(_._2.toSeq).toSeq).toSeq)
+    }
+  }
+
   private def cellAssign(corpus: DataFrame,
                          centScores: Column => Column): DataFrame =
     corpus
@@ -1315,10 +1378,15 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     // cell written as INT: hive partition inference reads the column
     // back as IntegerType, so the probe join must not wrap the
-    // partition column in a cast (a cast would block pruning)
-    cellAssign(corpus, centScoresFor(cents))
-      .select(col("cand_id").as("vec_id"), col("ce").as("embedding"),
-        col("cell").cast("int").as("cell"))
+    // partition column in a cast (a cast would block pruning).
+    // Assignment rides cellRouteExpr — the SAME kernel the streaming
+    // router mounts, so persisted cells and ingest routing cannot
+    // drift at any nlist (and the build no longer hits the inlined-
+    // literal Janino bound above ~128 centroids)
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        cellRouteExpr((1L to cents.length).toArray, cents)(col("embedding"))
+          .cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -1335,12 +1403,13 @@ object Similarity {
     * rebuild-on-drift loop FAISS/SCaNN deployments run. */
   def appendToIvfIndex(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+    val withCids = spark.read.parquet(s"$path/centroids")
       .orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
-    cellAssign(delta, centScoresFor(cents))
-      .select(col("cand_id").as("vec_id"), col("ce").as("embedding"),
-        col("cell").cast("int").as("cell"))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    delta
+      .select(col("vec_id"), col("embedding"),
+        cellRouteExpr(withCids.map(_._1), withCids.map(_._2))(col("embedding"))
+          .cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }

@@ -133,3 +133,115 @@ object LshBuckets {
     new GenericArrayData(out)
   }
 }
+
+/** Cell routing of a vector against a centroid table that travels as
+  * a codegen REFERENCE OBJECT, not unrolled literals — the router for
+  * cell counts the inlined-literal probe expression cannot reach (it
+  * outgrows Janino method limits near ~128 centroids; this expression's
+  * generated code is one static call at ANY nlist).
+  *
+  * One or two levels, mirroring `Similarity.semCellsTwoLevel`'s rule:
+  * with a single branch the scan is the flat argmax-cosine assignment
+  * (ties to the lowest cid — `array_position(scores, array_max)`
+  * semantics); with multiple branches the vector first takes its
+  * argmax-cosine super (ties to the lowest sid), then the argmax
+  * centroid WITHIN that super's branch — n·O(√nlist) score work, the
+  * IMI shape. Cosine is the same sequential float→double fold as
+  * [[CosineSim]], so assignments are bit-identical to every batch
+  * variant. Returns the winning centroid's cid (LongType).
+  */
+case class CellRoute(child: Expression, superVs: Seq[Seq[Double]],
+                     branchCids: Seq[Seq[Long]],
+                     branchVs: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+  // Seq params keep case-class equality value-based (semanticEquals/CSE)
+  require(superVs.nonEmpty && superVs.length == branchCids.length &&
+    branchCids.length == branchVs.length,
+    "one (cids, centroids) branch per super")
+  require(branchCids.forall(_.nonEmpty),
+    "every super's branch must hold at least one centroid (itself)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_route expects array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_route"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val supersArr: Array[Array[Double]] =
+    superVs.map(_.toArray).toArray
+  @transient private lazy val cidsArr: Array[Array[Long]] =
+    branchCids.map(_.toArray).toArray
+  @transient private lazy val centsArr: Array[Array[Array[Double]]] =
+    branchVs.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    CellRoute.compute(input.asInstanceOf[ArrayData], isFloat,
+      supersArr, cidsArr, centsArr)
+
+  // centroid matrices go into codegen reference objects rather than
+  // giant literal strings — code size is constant in nlist
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supersRef = ctx.addReferenceObj("cellRouteSupers", supersArr, "double[][]")
+    val cidsRef = ctx.addReferenceObj("cellRouteCids", cidsArr, "long[][]")
+    val centsRef = ctx.addReferenceObj("cellRouteCents", centsArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CellRoute.compute($c, $isFloat, " +
+        s"$supersRef, $cidsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellRoute =
+    copy(child = newChild)
+}
+
+object CellRoute {
+  /** The [[CosineSim]] fold over a raw centroid array — same op order,
+    * bit-identical scores. */
+  private def cos(v: ArrayData, vFloat: Boolean, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x: Double = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val y: Double = c(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def compute(v: ArrayData, vFloat: Boolean, supers: Array[Array[Double]],
+              cids: Array[Array[Long]],
+              cents: Array[Array[Array[Double]]]): Long = {
+    // level 1: argmax super, strict > keeps the FIRST best = lowest sid
+    var branch = 0
+    if (supers.length > 1) {
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i < supers.length) {
+        val s = cos(v, vFloat, supers(i))
+        if (s > best) { best = s; branch = i }
+        i += 1
+      }
+    }
+    // level 2: argmax within the branch, first best = lowest cid
+    // (branch cids are sorted ascending at construction)
+    val bc = cents(branch)
+    val bi = cids(branch)
+    var best = Double.NegativeInfinity
+    var cell = bi(0)
+    var j = 0
+    while (j < bc.length) {
+      val s = cos(v, vFloat, bc(j))
+      if (s > best) { best = s; cell = bi(j) }
+      j += 1
+    }
+    cell
+  }
+}

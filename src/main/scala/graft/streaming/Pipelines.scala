@@ -938,16 +938,22 @@ object Pipelines {
     * cell's partition before it lands next to its neighbors (the
     * streaming twin of the batch cell-assignment geometry e3/e13/e19
     * share). STATELESS by construction: the centroids are a bounded
-    * one-time collect baked into the projection as literals (the
-    * probe-family expression — keep nlist ≲ 128, the documented
-    * Janino bound), so there is no per-batch static-side re-scan, no
-    * state store, and a replayed epoch routes identically. */
+    * one-time collect riding the projection as a codegen reference
+    * object (`Similarity.cellRouteExpr` — the SAME kernel the index
+    * build assigns with, so persisted cells and ingest routing cannot
+    * drift), so there is no per-batch static-side re-scan, no state
+    * store, and a replayed epoch routes identically. Generated code is
+    * constant-size at any nlist (the old inlined-literal form's ~128
+    * Janino bound is gone), and above `FlatAssignCap` centroids the
+    * route goes two-level (⌈√nlist⌉ supers, then within-branch — the
+    * e19 shape), matching the batch side's autoNlist growth. */
   def streamCellRoute(stream: DataFrame, indexPath: String): DataFrame = {
-    val cents = stream.sparkSession.read.parquet(s"$indexPath/centroids")
+    val withCids = stream.sparkSession.read.parquet(s"$indexPath/centroids")
       .orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     stream.select(col("vec_id"),
-      graft.operators.Similarity.cellAssignExpr(cents)(col("embedding")).as("cell"))
+      graft.operators.Similarity.cellRouteExpr(
+        withCids.map(_._1), withCids.map(_._2))(col("embedding")).as("cell"))
   }
 
   /** The KSQL TABLE materialization over a CDC stream: latest record

@@ -386,6 +386,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"${diffs.size} cells diverge from the reference, e.g. ${diffs.take(3)}")
   }
 
+  test("cellRouteExpr two-level equals the distributed semCellsTwoLevel rule") {
+    // the reference-object router (one stateless Column, the stream
+    // ingest kernel) forced into its two-level regime must assign the
+    // EXACT cells the distributed join-based quantizer does — same
+    // supers, same tie rules, bit-identical cosines
+    val dim = 16
+    val nl = 256
+    val n = 800
+    val vecs = Array.tabulate(n)(i => synthVec(i.toLong * 104729L + 5L, dim))
+    import spark.implicits._
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.bootCentroidCols(corpus, nl)
+    val want = Similarity.semCellsTwoLevel(corpus, cents, nl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centArr = cents.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val got = corpus.select(col("vec_id"),
+        Similarity.cellRouteExpr(centArr.map(_._1), centArr.map(_._2),
+          flatCap = 64)(col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    val diffs = want.keys.filter(k => got(k) != want(k))
+    assert(diffs.isEmpty,
+      s"${diffs.size} cells diverge from semCellsTwoLevel, e.g. ${diffs.take(3)}")
+  }
+
   test("two-level equals flat assignment on margin-separated clusters above the cap") {
     // the regime the hierarchy is FOR: corpora whose nearest super
     // agrees with the nearest centroid's branch. supers well apart,

@@ -1109,6 +1109,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream cell route at nlist 1024 matches the persisted cells, replay-identical") {
+    // the regime the old inlined-literal router could not reach (~128
+    // centroid Janino bound): 1024 centroids ride a codegen reference
+    // object, and the route agrees with the index build's own cells
+    // because both mount the same cellRouteExpr kernel
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = 16
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (((i * 2654435761L + d * 40503L) % 1000L).toFloat - 500f) / 500f)
+    val corpus = (0L until 1200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_route1k").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, s"$dir/idx", nlist = 1024)
+    val want = spark.read.parquet(s"$dir/idx/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Pipelines.streamCellRoute(
+        in.toDS().toDF("vec_id", "embedding"), s"$dir/idx")
+      .writeStream.format("memory").queryName("cell_route_1k")
+      .outputMode("append").start()
+    val rows = (0L until 60L).map(i => (i, vec(i)))
+    in.addData(rows)
+    q.processAllAvailable()
+    in.addData(rows.take(10)) // replayed epoch content: identical routing
+    q.processAllAvailable()
+    val got = spark.table("cell_route_1k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    q.stop()
+    assert(got.length == 70)
+    got.foreach { case (id, cell) =>
+      assert(cell == want(id), s"vec $id routed to $cell, index says ${want(id)}")
+    }
+  }
+
   test("streamTurnValidate: drops each structural defect, keeps valid conversations, replays identically") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
