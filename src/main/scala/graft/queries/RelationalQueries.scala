@@ -1196,7 +1196,6 @@ object RelationalQueries {
     // At 100 TB the bucket width trades explode factor vs per-bucket
     // skew; zero-match sessions survive via the left join
     "q64_interval_join" -> q { (s, d) =>
-      val B = 3600L * 1000000L // 1-hour buckets in epoch micros
       val sess = queries("q14_sessionize")(s, d)
         .select(col("user_id"), col("sess_id"), col("n_events"),
           col("start_us"), col("end_us"))
@@ -1204,20 +1203,7 @@ object RelationalQueries {
         .filter(col("event_type") === "error")
         .select(col("user_id").as("err_user"),
           expr("ts div 1000").as("err_us"))
-      val sessB = sess.withColumn("bucket",
-        explode(sequence(expr(s"start_us div $B"), expr(s"end_us div $B"))))
-      val errB = err.withColumn("bucket", expr(s"err_us div $B"))
-      val cnt = sessB.join(errB, Seq("bucket"))
-        .filter(col("err_us") >= col("start_us") &&
-          col("err_us") <= col("end_us") &&
-          col("err_user") =!= col("user_id"))
-        .groupBy("user_id", "sess_id")
-        .agg(count(lit(1)).as("cnt"))
-      sess.join(cnt, Seq("user_id", "sess_id"), "left")
-        .select(col("user_id"), col("sess_id"), col("n_events"),
-          col("start_us"), col("end_us"),
-          coalesce(col("cnt"), lit(0L)).as("n_foreign_errors"))
-        .orderBy("user_id", "sess_id")
+      foreignErrorCounts(sess, err)
     },
 
     // dynamic partition pruning: the fact table materializes ONCE as a
@@ -1438,6 +1424,47 @@ object RelationalQueries {
         .orderBy("c_nationkey", "decile")
     }
   )
+
+  /** The q64 interval-join kernel: count, per session, the error
+    * events of OTHER users inside the session's [start_us, end_us] —
+    * a range join with no equi key, done scalably: time decomposes
+    * into fixed-width buckets, each session explodes to the buckets
+    * it overlaps, each point event lands in exactly ONE bucket (the
+    * candidate set needs no dedup), and the range predicate evaluates
+    * as a residual on the bucket equi-join. Zero-match sessions
+    * survive via the left join.
+    *
+    * The bucket width is DATA-DRIVEN: the p99 session span (a 1-row
+    * approx-percentile aggregate over the tiny session table, floored
+    * at one minute) — with a fixed width, long-session skew degrades
+    * the explode factor unboundedly (a week-long session × 1-hour
+    * buckets = 168 candidate rows); at the p99 span a typical session
+    * explodes to ≤ 2 buckets and only the tail beyond p99 pays more.
+    * The width only shapes CANDIDATE generation — the residual filter
+    * fixes the semantics — so the result (and the brute-force oracle)
+    * is width-independent, and the stats pass is one narrow scan of
+    * the already-aggregated session rows, cheap next to the explode
+    * it bounds. */
+  private[graft] def foreignErrorCounts(sess: DataFrame, err: DataFrame): DataFrame = {
+    val p99 = sess
+      .agg(expr("approx_percentile(end_us - start_us, 0.99, 10000)"))
+      .collect()(0).getLong(0)
+    val B = math.max(p99, 60L * 1000000L)
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(expr(s"start_us div $B"), expr(s"end_us div $B"))))
+    val errB = err.withColumn("bucket", expr(s"err_us div $B"))
+    val cnt = sessB.join(errB, Seq("bucket"))
+      .filter(col("err_us") >= col("start_us") &&
+        col("err_us") <= col("end_us") &&
+        col("err_user") =!= col("user_id"))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("cnt"))
+    sess.join(cnt, Seq("user_id", "sess_id"), "left")
+      .select(col("user_id"), col("sess_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        coalesce(col("cnt"), lit(0L)).as("n_foreign_errors"))
+      .orderBy("user_id", "sess_id")
+  }
 
   /** The one SQL spelling of discounted line revenue — every oracle
     * that sums it (plain or under CASE) must share this text so the

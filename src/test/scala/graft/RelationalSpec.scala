@@ -172,6 +172,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.exists(_ == 0L), "and sessions with none (left-join path)")
   }
 
+  test("q64: the data-driven bucket width bounds the explode under long-session skew") {
+    import spark.implicits._
+    // a fixture a FIXED 1-hour width would degrade on: one 10-day
+    // session next to many short ones. The p99-span width keeps the
+    // candidate explode linear in sessions while the residual filter
+    // keeps the counts exact.
+    val hour = 3600L * 1000000L
+    val sessions = (1L to 40L).map(i =>
+      (i, 1L, 3L, i * 100L * hour, i * 100L * hour + 2 * hour)) :+
+      (99L, 1L, 5L, 0L, 240L * hour) // the 10-day outlier
+    val sess = sessions.toDF("user_id", "sess_id", "n_events", "start_us", "end_us")
+    val errs = Seq(
+      (99L, 5L * 100L * hour + hour),    // inside user 5's session
+      (99L, 7L * 100L * hour + hour),    // inside user 7's session
+      (5L, 50L * hour),                  // inside the outlier (user 99)
+      (5L, 500L * hour))                 // inside nothing
+      .toDF("err_user", "err_us")
+    val got = graft.queries.RelationalQueries
+      .foreignErrorCounts(sess, errs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val expected = sessions.map { case (u, sid, _, a, b) =>
+      (u, sid) -> Seq((99L, 5L * 100L * hour + hour), (99L, 7L * 100L * hour + hour),
+        (5L, 50L * hour), (5L, 500L * hour))
+        .count { case (eu, t) => eu != u && t >= a && t <= b }.toLong
+    }.toMap
+    assert(got == expected, "counts must be width-independent and exact")
+    // the width the stats pass picks: p99 of spans (2h for 40 of 41
+    // rows) — the outlier explodes to ~120 buckets instead of the 240
+    // a fixed 1-hour grid would cost, and NO width choice can change
+    // the answer (asserted above); what the data-driven rule bounds is
+    // the per-session explode factor relative to the corpus's own p99
+    val spans = sessions.map { case (_, _, _, a, b) => b - a }
+    val p99 = spans.sorted.apply(((spans.length - 1) * 99) / 100)
+    assert(p99 == 2 * hour, "fixture p99 must be the short-session span")
+  }
+
   test("q65: the partitioned-pruned aggregate equals the flat-table aggregate") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
