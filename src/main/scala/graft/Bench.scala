@@ -328,12 +328,31 @@ object Bench {
       outlierBlock("outliers_small", outliersSmall)
     val extra =
       if (small.isEmpty) ""
-      else s""","sf_small":"${smallDir.get}","total_small":${smallFinal.values.map(_.sec).sum},"queries_small":${js(smallFinal)}"""
+      else s""","sf_small":"${smallDir.get}","queries_small":${js(smallFinal)}"""
+    // field order matters to the DRIVER, not to JSON: its capture keeps
+    // only the stdout TAIL (~2000 chars), so the summary scalars sit at
+    // the very END of the line — the headline numbers always survive
+    // the window, where the old metric-first layout lost them behind
+    // 25 KB of per-query maps (BENCH_r08's parsed: null)
+    val summary = s""","metric":"total","unit":"sec"""" +
+      (if (small.isEmpty) ""
+       else s""","total_small":${smallFinal.values.map(_.sec).sum}""") +
+      s""","n_queries":${results.size},"value":$total"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"mem":${jsMem(results)},"sf":"$sfDir","codegen_fallback":"disallowed"$outlierJson$extra$sf1Json}"""
+      s"""{"sf":"$sfDir","codegen_fallback":"disallowed","queries":${js(results)},"mem":${jsMem(results)}$outlierJson$extra$sf1Json$summary}"""
     println(line)
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
+    // the compact headline twin, derived from the SAME spliced in-memory
+    // results (one measurement pipeline): per-round BENCH artifacts copy
+    // this file, so round-over-round per-query diffs compare all 225+
+    // queries at equal warmth instead of whatever 62-query fragment the
+    // stdout tail happened to keep (the round-8 phantom-regression
+    // source: q36/d21 flagged 2.5× on tail fragments of unequal warmth)
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${js(results)}}"""
+    Files.write(Paths.get("bench_headline.json"),
+      (headline + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

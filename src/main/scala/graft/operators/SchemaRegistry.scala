@@ -103,6 +103,21 @@ object SchemaRegistry {
 
   private val VarRef = """\$\{([A-Za-z0-9_]+)\}""".r
 
+  /** `GET /api/createTestData?collectionName` semantics
+    * (`services/index.js:93-99`, `routes/index.js:12`): seed a named
+    * collection with the CURRENT template set — the reference reads
+    * every template (`getAllTemplates`) and upserts each into the
+    * target collection via `updateAllTemplates` (a null template
+    * removes its key). Here a "collection" is a parquet table under
+    * `path` (the [[saveTemplates]] layout), so the test-data seeding
+    * endpoint is: snapshot the live template store into a fresh
+    * collection table. Returns the seeded (template_name, template)
+    * pairs like the endpoint returns the update result. */
+  def createTestData(spark: SparkSession, path: String): Seq[(String, String)] = {
+    saveTemplates(spark, path)
+    templates.toSeq.sortBy(_._1)
+  }
+
   /** Persist the template store next to the schemas ([[save]]). */
   def saveTemplates(spark: SparkSession, path: String): Unit = {
     import spark.implicits._

@@ -79,4 +79,27 @@ class SchemaRegistrySpec extends AnyFunSuite {
         Some("CREATE ${tableName} WITH (${options})"))
     } finally SchemaRegistry.removeTemplate("T_P")
   }
+
+  test("createTestData seeds a collection with the live template set (routes/index.js:12)") {
+    val dir = Files.createTempDirectory("graft_seed").toString
+    try {
+      SchemaRegistry.putTemplate("T_S1", "SELECT ${cols} FROM ${src}")
+      SchemaRegistry.putTemplate("T_S2", "CREATE STREAM ${name}")
+      val seeded = SchemaRegistry.createTestData(spark, s"$dir/coll")
+      // the endpoint returns the upserted set ...
+      assert(seeded.toMap.view.filterKeys(_.startsWith("T_S")).toMap == Map(
+        "T_S1" -> "SELECT ${cols} FROM ${src}",
+        "T_S2" -> "CREATE STREAM ${name}"))
+      // ... and the target collection is a real table the registry can
+      // load back from a cold start
+      SchemaRegistry.removeTemplate("T_S1")
+      SchemaRegistry.removeTemplate("T_S2")
+      SchemaRegistry.loadTemplates(spark, s"$dir/coll")
+      assert(SchemaRegistry.getTemplate("T_S1") == Some("SELECT ${cols} FROM ${src}"))
+      assert(SchemaRegistry.getTemplate("T_S2") == Some("CREATE STREAM ${name}"))
+    } finally {
+      SchemaRegistry.removeTemplate("T_S1")
+      SchemaRegistry.removeTemplate("T_S2")
+    }
+  }
 }
