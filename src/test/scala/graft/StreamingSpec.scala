@@ -188,6 +188,36 @@ class StreamingSpec extends AnyFunSuite {
       .forall(r => !r.isNullAt(2)), "in-band rows still inner-match")
   }
 
+  test("stream-stream FULL OUTER join WITHIN also null-pads unmatched rights") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Pipelines.streamStreamJoinWithin(
+      clicks.toDF().toDF("c_user", "c_ts"), buys.toDF().toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts", within = "10 minutes",
+      watermarkDelay = "1 minute", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfoj_out")
+      .outputMode("append").start()
+    clicks.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00")))  // no buy
+    buys.addData((2L, Timestamp.valueOf("2024-01-01 00:00:00")))    // no click
+    q.processAllAvailable()
+    clicks.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    buys.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    clicks.addData((10L, Timestamp.valueOf("2024-01-01 02:00:30")))
+    buys.addData((10L, Timestamp.valueOf("2024-01-01 02:00:30")))
+    q.processAllAvailable()
+    val out = spark.table("ssfoj_out").collect()
+    q.stop()
+    val lonelyClick = out.filter(r => !r.isNullAt(0) && r.getLong(0) == 1L)
+    val lonelyBuy = out.filter(r => !r.isNullAt(2) && r.getLong(2) == 2L)
+    assert(lonelyClick.length == 1 && lonelyClick.head.isNullAt(2),
+      s"the buy-less click must emit null-padded once: ${out.toSeq}")
+    assert(lonelyBuy.length == 1 && lonelyBuy.head.isNullAt(0),
+      s"the click-less buy must emit null-padded once: ${out.toSeq}")
+  }
+
   test("sliding (hopping) window aggregates count events in overlapping windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
