@@ -2387,6 +2387,45 @@ object DocQueries {
       dupSpanMerge(spanGrid(docs, K), dup, K)
     },
 
+    // the surgical CUT d66's spans exist for (the removal half of
+    // ExactSubstr, Lee et al. arXiv:2107.06499): every doc re-emits
+    // with its duplicated [start_tok, end_tok] ranges EXCISED from the
+    // normalized token stream — where d11/d37 drop whole documents,
+    // this keeps the unique remainder (the paper's measured win: cut
+    // docs, don't discard them). Rides the SAME persisted dup-gram
+    // set as d66_spans_indexed (one `ensureDupGrams` artifact per
+    // generation serves screen AND cut); the per-doc span list
+    // aggregates to one array row and BROADCASTS back onto the doc
+    // scan, so the text itself never keys an exchange — the cut is an
+    // in-row indexed-lambda filter over the token array (dup density
+    // bounds the span side; if it ever outgrew a broadcast the join
+    // falls back to one doc_id exchange). Cleaning operates on the
+    // lowercased whitespace-normalized token stream — the coordinate
+    // system every shingle op in the suite speaks — so cut output is
+    // directly re-screenable. FULL oracle (same span CTEs + the same
+    // indexed list_filter in SQL).
+    "d75_span_cut" -> q { (s, d) =>
+      val K = 5
+      val docs = table(s, d, "documents")
+      val dir = ScratchDirs.stable("d66_dup_grams", d)
+      val dup = Dedup.ensureDupGrams(docs, s"$dir/dup_grams", K)
+      val spans = dupSpanMerge(spanGrid(docs, K), dup, K)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("start_tok").as("s"),
+          col("end_tok").as("e"))).as("spans"))
+      docs
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+        .join(broadcast(spans), Seq("doc_id"), "left")
+        .withColumn("kept", filter(col("toks"), (t, i) =>
+          coalesce(not(exists(col("spans"),
+            p => (i + 1) >= p("s") && (i + 1) <= p("e"))), lit(true))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+          array_join(col("kept"), " ").as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+
     // EXACT set-similarity screen with PREFIX FILTERING (the
     // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     // ICDE'08): every (probe, corpus) doc pair with token-Jaccard
@@ -2717,12 +2756,13 @@ object DocQueries {
        |FROM v WHERE 5*n_inter >= 3*n_union
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** d66's oracle: positional 5-shingles (struct list keeps the
-    * position through the unnest), the same polynomial hash, the dup
-    * set via min≠max doc_id, and the identical gaps-and-islands span
-    * merge over a doc_id window. */
-  private def dupSpansOracle: String =
-    s"""WITH t AS (
+  /** The d66 span-derivation CTE chain (positional 5-shingles — the
+    * struct list keeps the position through the unnest — the same
+    * polynomial hash, the dup set via min≠max doc_id, the identical
+    * gaps-and-islands merge over a doc_id window), shared by the
+    * three span oracles so the chains cannot drift. */
+  private def dupSpanCtes: String =
+    s"""t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
        |sh AS (
@@ -2748,13 +2788,41 @@ object DocQueries {
        |  SELECT doc_id, n_toks, spos,
        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY spos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-       |  FROM mk)
+       |  FROM mk)""".stripMargin
+
+  /** d66's oracle over [[dupSpanCtes]]. */
+  private def dupSpansOracle: String =
+    s"""WITH $dupSpanCtes
        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        |  MIN(spos) AS start_tok,
        |  LEAST(MAX(spos) + 4, CAST(MAX(n_toks) AS BIGINT)) AS end_tok,
        |  COUNT(*) AS n_dup_grams
        |FROM sp GROUP BY doc_id, span_id
        |ORDER BY doc_id, start_tok""".stripMargin
+
+  /** d75's oracle: the same span chain collapsed to a per-doc span
+    * list, then the identical 1-based indexed-lambda cut in SQL. */
+  private def spanCutOracle: String =
+    s"""WITH $dupSpanCtes,
+       |spandocs AS (
+       |  SELECT doc_id, MIN(spos) AS start_tok,
+       |    LEAST(MAX(spos) + 4, CAST(MAX(n_toks) AS BIGINT)) AS end_tok
+       |  FROM sp GROUP BY doc_id, span_id),
+       |spanlists AS (
+       |  SELECT doc_id, list({'s': start_tok, 'e': end_tok}) AS spans
+       |  FROM spandocs GROUP BY doc_id),
+       |c AS (
+       |  SELECT t.doc_id, t.toks,
+       |    CASE WHEN s.spans IS NULL THEN t.toks
+       |      ELSE list_filter(t.toks, (x, i) ->
+       |        len(list_filter(s.spans, p -> i >= p.s AND i <= p.e)) = 0) END AS kept
+       |  FROM t LEFT JOIN spanlists s USING (doc_id))
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_cut,
+       |  -- a fully-cut doc: DuckDB's array_to_string([]) is NULL where
+       |  -- Spark's array_join is '' — coalesce to the Spark spelling
+       |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+       |FROM c ORDER BY doc_id""".stripMargin
 
   private def noveltyOracle: String =
     s"""WITH sh AS (
@@ -3559,6 +3627,7 @@ object DocQueries {
     "d66_dup_spans" -> dupSpansOracle,
     // shared oracle TEXT: persisted ≡ recompute certified at the gate
     "d66_spans_indexed" -> dupSpansOracle,
+    "d75_span_cut" -> spanCutOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 

@@ -802,6 +802,30 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b, "read-path spans must be indistinguishable from the build path")
   }
 
+  test("d75: cleaned text equals a local positional cut of the d66 spans") {
+    val spans = SparkEntry.queries("d66_dup_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("d75_span_cut")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val corpus = graft.sources.Tables.table(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    corpus.foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      val sp = spans.getOrElse(id, Array.empty).map(s => (s._2, s._3))
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !sp.exists(p => i + 1 >= p._1 && i + 1 <= p._2) => t
+      }
+      val (nT, nC, cleaned) = got(id)
+      assert(nT == toks.length, s"doc $id: n_toks")
+      assert(nC == toks.length - kept.length, s"doc $id: n_cut")
+      assert(cleaned == kept.mkString(" "), s"doc $id: cleaned text")
+    }
+    assert(got.values.exists(_._2 > 0), "fixture should cut at least one span")
+    assert(got.values.exists(_._2 == 0L), "and leave span-free docs untouched")
+  }
+
   test("d67: prefix-filtered join finds EXACTLY the all-pairs Jaccard >= 0.6 set") {
     val got = SparkEntry.queries("d67_prefix_join")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -918,6 +918,18 @@ class PlanSpec extends AnyFunSuite {
       "only the 8-byte shingle hash and doc_id may key exchanges")
   }
 
+  test("d75: the cut is in-row — spans broadcast back, text never keys an exchange") {
+    val p = plan("d75_span_cut")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dup_grams"),
+      "the cut must ride the persisted dup-gram artifact")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-doc span lists must broadcast onto the doc scan")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text") && !exchanges.contains("toks"),
+      "document text/tokens must never key an exchange")
+  }
+
   test("d67: candidates come only from the prefix hash equi-join — no all-pairs path") {
     val p = plan("d67_prefix_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
