@@ -352,11 +352,18 @@ object Pipelines {
     * compresses to ~10 bits per duplicated gram and broadcasts inside
     * the expression. Emits (in_id, start_tok, end_tok, n_dup_grams)
     * per merged span, the exact d66 output unit. */
-  def streamSpanScreen(stream: DataFrame, bloomBits: Array[Long],
-                       numBits: Int, k: Int = 3, shingleK: Int = 5): DataFrame = {
+  /** The in-row bloom-marked span fold shared by [[streamSpanScreen]]
+    * and [[streamSpanCut]] (one kernel, the two twins cannot drift):
+    * positional shingle hashes, the membership probe, and the
+    * gaps-and-islands merge as one array fold over `text`, yielding
+    * `array<struct<start, last, n>>` of merged duplicated spans
+    * (`last` = the span's final shingle START; consumers extend by
+    * shingleK − 1 to the final covered token). */
+  private def bloomSpanFold(text: Column, bloomBits: Array[Long],
+                            numBits: Int, k: Int, shingleK: Int): Column = {
     import graft.operators.Dedup
     val spanT = "array<struct<start:bigint,last:bigint,n:bigint>>"
-    val hashed = transform(Dedup.shingles(col("text"), shingleK),
+    val hashed = transform(Dedup.shingles(text, shingleK),
       (g, i) => struct((i + lit(1)).cast("long").as("spos"),
         Dedup.shingleHash(g).as("h")))
     val marked = transform(filter(hashed,
@@ -364,7 +371,7 @@ object Pipelines {
       s => s.getField("spos"))
     // gaps-and-islands as a pure array fold: extend the open span while
     // the next marked position is <= shingleK away, else open a new one
-    val spans = aggregate(marked, array().cast(spanT),
+    aggregate(marked, array().cast(spanT),
       (acc, p) => when(size(acc) > 0 &&
           p - element_at(acc, -1).getField("last") <= shingleK,
         concat(slice(acc, lit(1), size(acc) - 1), array(struct(
@@ -373,12 +380,43 @@ object Pipelines {
           (element_at(acc, -1).getField("n") + 1).as("n")))))
         .otherwise(concat(acc,
           array(struct(p.as("start"), p.as("last"), lit(1L).as("n"))))))
+  }
+
+  def streamSpanScreen(stream: DataFrame, bloomBits: Array[Long],
+                       numBits: Int, k: Int = 3, shingleK: Int = 5): DataFrame = {
+    val spans = bloomSpanFold(col("text"), bloomBits, numBits, k, shingleK)
     stream.select(col("doc_id").as("in_id"),
         graft.functions.Text.tokenCount(col("text")).cast("long").as("n_toks"),
         explode(spans).as("sp"))
       .select(col("in_id"), col("sp.start").as("start_tok"),
         least(col("sp.last") + (shingleK - 1), col("n_toks")).as("end_tok"),
         col("sp.n").as("n_dup_grams"))
+  }
+
+  /** Ingest-time duplicated-SPAN cut — the d75 streaming twin: each
+    * arriving doc re-emits with its bloom-marked duplicated token
+    * ranges EXCISED from the normalized token stream (the removal
+    * half of ExactSubstr applied at the ingest boundary, before the
+    * doc ever lands). Same [[bloomSpanFold]] kernel as the screen and
+    * the same honest bloom trade: no true span survives (no false
+    * negatives), a false positive at worst cuts a stray gram's
+    * tokens. Stateless, zero-shuffle — the spans and the indexed
+    * token filter are all in-row; emits the exact d75 output unit
+    * (in_id, n_toks, n_cut, cleaned_text), replay-identical. */
+  def streamSpanCut(stream: DataFrame, bloomBits: Array[Long],
+                    numBits: Int, k: Int = 3, shingleK: Int = 5): DataFrame = {
+    val spans = bloomSpanFold(col("text"), bloomBits, numBits, k, shingleK)
+    stream.select(col("doc_id").as("in_id"),
+        graft.functions.Text.tokens(lower(col("text"))).as("toks"),
+        spans.as("spans"))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        !exists(col("spans"), sp =>
+          (i + 1) >= sp.getField("start") &&
+            (i + 1) <= sp.getField("last") + (shingleK - 1))))
+      .select(col("in_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+        array_join(col("kept"), " ").as("cleaned_text"))
   }
 
   /** Ingest-time IMAGE near-dup screen — the m5 streaming twin:

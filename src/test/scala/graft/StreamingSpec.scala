@@ -414,6 +414,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq.sortBy(_._1) == Seq((1L, 1L, 6L, 2L)), s"got ${out.toSeq}")
   }
 
+  test("bloom span cut excises the marked ranges in-row, statelessly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val K = 5
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta unique tail one"),
+      (200L, "prefix words alpha beta gamma delta epsilon zeta other"))
+      .toDF("doc_id", "text")
+    val dup = corpus
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), K)).as("g"))
+      .select(col("doc_id"), Dedup.shingleHash(col("g")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val numBits = 8192
+    val bits = Dedup.bloomBuild(dup, "h", numBits, 3)
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamSpanCut(
+        in.toDF().toDF("doc_id", "text"), bits, numBits, 3, K)
+      .writeStream.format("memory").queryName("span_cut_out")
+      .outputMode("append").start()
+    in.addData(
+      // shared phrase leads: shingle starts 1,2 chain → tokens 1..6 cut
+      (1L, "alpha beta gamma delta epsilon zeta closing words here now"),
+      (2L, "totally fresh content with no duplicated phrases at all ok"))
+    q.processAllAvailable()
+    val out = spark.table("span_cut_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    q.stop()
+    assert(out.toSeq == Seq(
+      (1L, 10L, 6L, "closing words here now"),
+      (2L, 10L, 0L, "totally fresh content with no duplicated phrases at all ok")),
+      s"got ${out.toSeq}")
+  }
+
   test("stream-static PQ/ADC screen scores arriving vectors against corpus codes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
