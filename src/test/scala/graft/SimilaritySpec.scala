@@ -386,6 +386,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"${diffs.size} cells diverge from the reference, e.g. ${diffs.take(3)}")
   }
 
+  test("flat cellRouteExpr equals the legacy inlined-literal assignment") {
+    // the reference-object kernel must be a drop-in for the literal
+    // probe expression in the regime both can reach (<=128 centroids):
+    // identical argmax, identical lowest-cid ties, bit-identical cosines
+    val dim = 16
+    val nl = 96
+    val n = 400
+    val vecs = Array.tabulate(n)(i => synthVec(i.toLong * 52361L + 11L, dim))
+    import spark.implicits._
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "embedding")
+    val cents = vecs.take(nl).map(_.map(_.toDouble))
+    val legacy = corpus.select(col("vec_id"),
+        Similarity.cellAssignExpr(cents)(col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val routed = corpus.select(col("vec_id"),
+        Similarity.cellRouteExpr((1L to nl.toLong).toArray, cents)(col("embedding"))
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(routed == legacy,
+      "reference-object flat routing must equal the literal expression cell-for-cell")
+  }
+
   test("cellRouteExpr two-level equals the distributed semCellsTwoLevel rule") {
     // the reference-object router (one stateless Column, the stream
     // ingest kernel) forced into its two-level regime must assign the
