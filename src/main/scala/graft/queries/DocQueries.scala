@@ -2395,11 +2395,17 @@ object DocQueries {
     // docs, don't discard them). Rides the SAME persisted dup-gram
     // set as d66_spans_indexed (one `ensureDupGrams` artifact per
     // generation serves screen AND cut); the per-doc span list
-    // aggregates to one array row and BROADCASTS back onto the doc
-    // scan, so the text itself never keys an exchange — the cut is an
-    // in-row indexed-lambda filter over the token array (dup density
-    // bounds the span side; if it ever outgrew a broadcast the join
-    // falls back to one doc_id exchange). Cleaning operates on the
+    // aggregates to one array row per dup-carrying doc and joins back
+    // onto the doc scan BY doc_id with NO forced hint: the span side
+    // is O(docs-with-cross-doc-dup-spans) — on a dup-heavy crawl that
+    // is a large corpus fraction, far over any broadcast budget, and a
+    // pinned broadcast() would OOM instead of degrading — so the
+    // planner (static stats + AQE) broadcasts while the side is small
+    // and falls back to the natural doc_id equi-exchange when it
+    // isn't (both sides are already doc_id-keyed). At test SF the
+    // plan still broadcasts (PlanSpec-gated); the cut itself is an
+    // in-row indexed-lambda filter over the token array either way,
+    // so text never keys an exchange. Cleaning operates on the
     // lowercased whitespace-normalized token stream — the coordinate
     // system every shingle op in the suite speaks — so cut output is
     // directly re-screenable. FULL oracle (same span CTEs + the same
@@ -2415,7 +2421,7 @@ object DocQueries {
           col("end_tok").as("e"))).as("spans"))
       docs
         .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
-        .join(broadcast(spans), Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
         .withColumn("kept", filter(col("toks"), (t, i) =>
           coalesce(not(exists(col("spans"),
             p => (i + 1) >= p("s") && (i + 1) <= p("e"))), lit(true))))

@@ -923,6 +923,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("dup_grams"),
       "the cut must ride the persisted dup-gram artifact")
+    // no forced hint in the query (the span side is O(dup-docs) —
+    // unbounded on a dup-heavy crawl): this asserts the PLANNER still
+    // picks the broadcast from size stats at test SF, while at scale
+    // the same join degrades to the doc_id equi-exchange instead of
+    // OOMing on a pinned broadcast
     assert(p.contains("BroadcastHashJoin"),
       "the per-doc span lists must broadcast onto the doc scan")
     val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
