@@ -1204,11 +1204,12 @@ object RelationalQueries {
         .select(col("user_id").as("err_user"),
           expr("ts div 1000").as("err_us"))
       // the width stats pass is deterministic in the input generation,
-      // so it memoizes per corpus dir (the ScratchDirs.stable
-      // contract): production pays it once per generation, and the
-      // bench headline measures the join, not a stats re-derivation
-      foreignErrorCounts(sess, err,
-        Some(q64BucketCache.getOrElseUpdate(d, sessionBucketWidth(sess))))
+      // so it persists as a 1-row artifact per corpus dir (the
+      // Materialize.ensure contract every other per-generation
+      // derivation rides): production pays it once per generation, a
+      // fresh session reads the committed row, and the bench headline
+      // measures the join, not a stats re-derivation
+      foreignErrorCounts(sess, err, Some(ensureBucketWidth(sess, d)))
     },
 
     // dynamic partition pruning: the fact table materializes ONCE as a
@@ -1450,16 +1451,36 @@ object RelationalQueries {
     * is width-independent, and the stats pass is one narrow scan of
     * the already-aggregated session rows, cheap next to the explode
     * it bounds (q64 memoizes it per input generation). */
-  private val q64BucketCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-
   /** p99 session span, floored at one minute — [[foreignErrorCounts]]'s
-    * data-driven bucket width. */
+    * data-driven bucket width. An empty session table makes
+    * approx_percentile return NULL — fall back to the 1-minute floor
+    * instead of throwing at query-construction time. */
   private[graft] def sessionBucketWidth(sess: DataFrame): Long = {
-    val p99 = sess
+    val row = sess
       .agg(expr("approx_percentile(end_us - start_us, 0.99, 10000)"))
-      .collect()(0).getLong(0)
+      .collect()(0)
+    val p99 = if (row.isNullAt(0)) 0L else row.getLong(0)
     math.max(p99, 60L * 1000000L)
+  }
+
+  /** The q64 width memo on the SAME build-once artifact lifecycle every
+    * other per-generation derivation rides (`Materialize.ensure` under
+    * `ScratchDirs.stable`): the 1-row width table commits next to the
+    * other artifacts, so any later consumer — including a second
+    * SparkSession pointed at the same scratch generation — READS the
+    * committed width instead of re-paying the stats pass. (This
+    * replaces a per-JVM TrieMap, the one per-generation memo the
+    * artifact convention didn't cover.) The width only shapes
+    * candidate generation, so the memo can never affect results —
+    * width-independence is what the brute-force oracle proves. */
+  private[graft] def ensureBucketWidth(sess: DataFrame, d: String): Long = {
+    val spark = sess.sparkSession
+    import spark.implicits._
+    val dir = graft.ScratchDirs.stable("q64_bucket_width", d)
+    graft.sources.Materialize.ensure(spark, dir) {
+      Seq(sessionBucketWidth(sess)).toDF("bucket_us")
+        .repartition(1).write.mode("overwrite").parquet(dir)
+    }.collect()(0).getLong(0)
   }
 
   private[graft] def foreignErrorCounts(sess: DataFrame, err: DataFrame,

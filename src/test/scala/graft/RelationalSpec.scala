@@ -208,6 +208,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(p99 == 2 * hour, "fixture p99 must be the short-session span")
   }
 
+  test("q64: a committed bucket-width artifact is READ, never recomputed") {
+    import spark.implicits._
+    // the Materialize.ensure lifecycle proof for the width memo: commit
+    // a SENTINEL width at the artifact path, then ask for the width of
+    // a session table whose real p99 is very different — getting the
+    // sentinel back proves the stats pass did not re-run (what a
+    // second session pointed at the same generation dir sees)
+    val gen = java.nio.file.Files.createTempDirectory("q64_width_gen").toString
+    val dir = graft.ScratchDirs.stable("q64_bucket_width", gen)
+    val sentinel = 777L * 1000000L
+    Seq(sentinel).toDF("bucket_us")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val hour = 3600L * 1000000L
+    val sess = Seq((1L, 1L, 3L, 0L, 10L * hour))
+      .toDF("user_id", "sess_id", "n_events", "start_us", "end_us")
+    assert(graft.queries.RelationalQueries.ensureBucketWidth(sess, gen)
+      == sentinel, "committed width must be read, not re-derived")
+    // and an uncommitted generation pays the build exactly once
+    val gen2 = java.nio.file.Files.createTempDirectory("q64_width_gen2").toString
+    val w1 = graft.queries.RelationalQueries.ensureBucketWidth(sess, gen2)
+    assert(w1 == 10L * hour, "first call derives the real p99 span")
+    val other = Seq((1L, 1L, 3L, 0L, 99L * hour))
+      .toDF("user_id", "sess_id", "n_events", "start_us", "end_us")
+    assert(graft.queries.RelationalQueries.ensureBucketWidth(other, gen2) == w1,
+      "second call reads the committed row — the stats pass never re-runs")
+  }
+
+  test("q64: an empty session table falls back to the 1-minute width floor") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("user_id", "sess_id", "n_events", "start_us", "end_us")
+    // approx_percentile over zero rows returns NULL — the guard must
+    // yield the floor instead of an NPE at query-construction time
+    assert(graft.queries.RelationalQueries.sessionBucketWidth(empty)
+      == 60L * 1000000L)
+  }
+
   test("q65: the partitioned-pruned aggregate equals the flat-table aggregate") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
