@@ -33,7 +33,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).as("n_tokens"),
-        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)).as("h"))
+        graft.functions.Text.portableHash(col("doc_id")).as("h"))
       .select(col("doc_id"), col("n_tokens"), col("h"),
         pmod(col("h"), lit(nShards)).as("shard"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

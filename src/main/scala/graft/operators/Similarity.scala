@@ -435,7 +435,7 @@ object Similarity {
   def diversitySample(corpus: DataFrame, k: Int, nlist: Int = 0,
                       knownN: Long = -1L): DataFrame = {
     val cells = semCells(corpus, nlist, knownN)
-    val h = pmod(col("vec_id") * lit(2654435761L), lit(2147483647L))
+    val h = graft.functions.Text.portableHash(col("vec_id"))
     val w = Window.partitionBy("cell").orderBy(h.asc, col("vec_id").asc)
     cells.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

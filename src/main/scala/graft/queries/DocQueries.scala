@@ -482,7 +482,7 @@ object DocQueries {
       docs.join(broadcast(cnt),
           col("lang") === col("cl") && col("source") === col("cs"))
         .crossJoin(broadcast(minc))
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+        .filter(Text.portableHash(col("doc_id")) % M *
           col("cnt") < col("mincnt") * M)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
@@ -1494,7 +1494,7 @@ object DocQueries {
             .cast(LongType).as("target"))
       val M = 1000003L
       docs.join(broadcast(t), "source")
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M
+        .filter(Text.portableHash(col("doc_id")) % M
           * col("cnt") < col("target") * M)
         .groupBy("source", "cnt", "target")
         .agg(count(lit(1)).as("n_kept"))
@@ -1976,9 +1976,12 @@ object DocQueries {
       val span = 3
       val toks = Text.tokens(lower(col("text")))
       val emptyArr = array().cast("array<string>")
+      // portableHash pre-reduces its argument mod 2^31−1 before the
+      // multiply, so the product can't wrap; doc_id·131 + b itself
+      // stays in-long for any doc_id < 7.0e16 (all real id spaces)
       def off(b: Column): Column =
-        (pmod((col("doc_id") * 131 + b) * lit(2654435761L),
-          lit(2147483647L)) % (blk - span + 1)).cast("int")
+        (Text.portableHash(col("doc_id") * 131 + b)
+          % (blk - span + 1)).cast("int")
       def sentinel(b: Column): Column =
         concat(lit("<extra_id_"), b.cast("string"), lit(">"))
       table(s, d, "documents")
@@ -2087,7 +2090,7 @@ object DocQueries {
           when(col("score") >= col("t2"), lit(1))
             .when(col("score") >= col("t1"), lit(2))
             .otherwise(lit(3)).as("phase"),
-          pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)).as("shuffle_key"))
+          Text.portableHash(col("doc_id")).as("shuffle_key"))
         .orderBy("phase", "shuffle_key", "doc_id")
     },
 
@@ -2117,7 +2120,7 @@ object DocQueries {
       docs.join(broadcast(t), "lang")
         .select(col("doc_id"), col("lang"),
           (expr("target DIV cnt") +
-            when(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % col("cnt")
+            when(Text.portableHash(col("doc_id")) % col("cnt")
               < col("target") % col("cnt"), lit(1L)).otherwise(lit(0L)))
             .as("n_copies"))
         .filter(col("n_copies") > 0)
@@ -3311,7 +3314,7 @@ object DocQueries {
         |  FROM c CROSS JOIN m)
         |SELECT d.source, t.cnt, t.target, COUNT(*) AS n_kept
         |FROM documents d JOIN t ON d.source = t.source
-        |WHERE ((d.doc_id * 2654435761) % 2147483647) % 1000003 * t.cnt
+        |WHERE (((d.doc_id % 2147483647) * 2654435761) % 2147483647) % 1000003 * t.cnt
         |  < t.target * 1000003
         |GROUP BY d.source, t.cnt, t.target
         |ORDER BY d.source""".stripMargin,
@@ -3340,7 +3343,7 @@ object DocQueries {
         |  CASE WHEN score >= t2 THEN CAST(1 AS INTEGER)
         |       WHEN score >= t1 THEN CAST(2 AS INTEGER)
         |       ELSE CAST(3 AS INTEGER) END AS phase,
-        |  (doc_id * 2654435761) % 2147483647 AS shuffle_key
+        |  ((doc_id % 2147483647) * 2654435761) % 2147483647 AS shuffle_key
         |FROM scored CROSS JOIN th
         |ORDER BY phase, shuffle_key, doc_id""".stripMargin,
 
@@ -3355,7 +3358,7 @@ object DocQueries {
         |k AS (
         |  SELECT d.doc_id, d.lang,
         |    t.target // t.cnt +
-        |      CASE WHEN ((d.doc_id * 2654435761) % 2147483647) % t.cnt < t.target % t.cnt
+        |      CASE WHEN (((d.doc_id % 2147483647) * 2654435761) % 2147483647) % t.cnt < t.target % t.cnt
         |        THEN 1 ELSE 0 END AS n_copies
         |  FROM documents d JOIN t ON d.lang = t.lang)
         |SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
@@ -3940,7 +3943,7 @@ object DocQueries {
         |FROM documents
         |JOIN c ON documents.lang = c.lang AND documents.source = c.source
         |CROSS JOIN m
-        |WHERE ((doc_id * 2654435761) % 2147483647) % 1000003 * cnt
+        |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647) % 1000003 * cnt
         |  < mincnt * 1000003
         |ORDER BY doc_id""".stripMargin,
 
@@ -4401,7 +4404,7 @@ object DocQueries {
         |  SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
         |      AS n_tokens,
-        |    ((doc_id * 2654435761) % 2147483647) AS h
+        |    (((doc_id % 2147483647) * 2654435761) % 2147483647) AS h
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, n_tokens, h % 8 AS shard,
@@ -4625,7 +4628,7 @@ object DocQueries {
     // convention); n_tokens/n_spans INTEGER to match Spark size()/cast
     "d55_span_corruption" -> {
       def off(bb: String) =
-        s"((((doc_id*131 + $bb) * 2654435761) % 2147483647) % 18)"
+        s"(((((doc_id*131 + $bb) % 2147483647) * 2654435761) % 2147483647) % 18)"
       raw"""WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
         |b AS (SELECT doc_id, toks,

@@ -1628,7 +1628,7 @@ object VectorQueries {
          |SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT vec_id, cell,
          |    ROW_NUMBER() OVER (PARTITION BY cell
-         |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rank
+         |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) AS rank
          |  FROM cell) t
          |WHERE rank <= 8 ORDER BY cell, rank""".stripMargin,
 

@@ -475,7 +475,7 @@ object Pipelines {
     val M = 1000003L
     stream.join(broadcast(stratumCounts), Seq("lang", "source"), "left_outer")
       .filter(col("cnt").isNull ||
-        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+        graft.functions.Text.portableHash(col("doc_id")) % M *
           col("cnt") < col("mincnt") * M)
       .drop("cnt", "mincnt")
   }
@@ -496,7 +496,7 @@ object Pipelines {
     val M = 1000003L
     stream.join(broadcast(sourceTargets), Seq("source"), "left_outer")
       .filter(col("cnt").isNull ||
-        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % M *
+        graft.functions.Text.portableHash(col("doc_id")) % M *
           col("cnt") < col("target") * M)
       .drop("cnt", "target")
   }
@@ -518,7 +518,7 @@ object Pipelines {
           .when(col("score") >= lit(t1), lit(2))
           .otherwise(lit(3)))
       .withColumn("shuffle_key",
-        pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+        graft.functions.Text.portableHash(col("doc_id")))
 
   /** Ingest-time content-type routing — the m18 streaming twin:
     * arriving payloads sniff through the SAME shared magic-byte
@@ -583,7 +583,7 @@ object Pipelines {
   def streamEpochUpsample(stream: DataFrame, langTargets: DataFrame): DataFrame = {
     val nCopies = when(col("cnt").isNull, lit(1L)).otherwise(
       expr("target DIV cnt") +
-        when(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % col("cnt")
+        when(graft.functions.Text.portableHash(col("doc_id")) % col("cnt")
           < col("target") % col("cnt"), lit(1L)).otherwise(lit(0L)))
     stream.join(broadcast(langTargets), Seq("lang"), "left_outer")
       .withColumn("n_copies", nCopies)
