@@ -463,6 +463,31 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // the SAME two-level rule through the production ROUTER kernel
+    // (e38): plans.CellRoute — the codegen reference-object expression
+    // the persisted index build (writeIvfIndex/appendToIvfIndex) and
+    // the streaming router (streamCellRoute) assign cells with — run
+    // ABOVE its flat cap, so the hierarchical in-expression branch
+    // (super argmax then within-branch argmax, ties to the lowest
+    // sid/cid) sits on a driver hash-checked oracle instead of only
+    // the spec pin against semCellsTwoLevel. flatCap = 16 forces the
+    // two-level path at nlist = 256 exactly the way e19 forces the
+    // DataFrame twin; the oracle is the SHARED e19 SQL text (one
+    // spelling, the two cannot drift). Plan-gated: the projection
+    // contains a multi-branch cell_route, no join, no shuffle — the
+    // router is one stateless expression over the scan
+    "e38_route_two_level" -> q { (s, d) =>
+      val emb = table(s, d, "embeddings")
+      val withCids = Similarity.bootCentroidCols(emb, 256)
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      emb.select(col("vec_id"),
+          Similarity.cellRouteExpr(withCids.map(_._1), withCids.map(_._2),
+            flatCap = 16)(col("embedding")).as("cell"))
+        .orderBy("vec_id")
+    },
+
     // index-health report (e20): per-cell occupancy share + drift of
     // the true cell mean away from the built centroid (1 − cosine) —
     // the rebuild trigger monitored over an index maintained by e11-
@@ -1638,26 +1663,12 @@ object VectorQueries {
     // cosine super (ties to the lowest sid); cell = argmax centroid
     // WITHIN the vector's branch (ties to the lowest cid) — exactly
     // Similarity.semCellsTwoLevel's three stages
-    "e19_two_level_cells" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
-         |    FROM embeddings WHERE vec_id < 256),
-         |sup AS (SELECT cid AS sid, ce AS sv FROM cents WHERE cid < 16),
-         |cbr AS (SELECT cid, ce, sid AS branch FROM (
-         |  SELECT cc.cid, cc.ce, sp.sid,
-         |    ROW_NUMBER() OVER (PARTITION BY cc.cid
-         |      ORDER BY ${cosSql("cc.ce", "sp.sv")} DESC, sp.sid) AS rn
-         |  FROM cents cc CROSS JOIN sup sp) t WHERE rn = 1),
-         |vbr AS (SELECT vec_id, embedding, sid AS branch FROM (
-         |  SELECT e.vec_id, e.embedding, sp.sid,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "sp.sv")} DESC, sp.sid) AS rn
-         |  FROM embeddings e CROSS JOIN sup sp) t WHERE rn = 1)
-         |SELECT vec_id, cell FROM (
-         |  SELECT v.vec_id, c.cid AS cell,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.embedding", "c.ce")} DESC, c.cid) AS rn
-         |  FROM vbr v JOIN cbr c ON v.branch = c.branch) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e19_two_level_cells" -> twoLevelCellsSql,
+
+    // the router kernel implements the identical rule, so it proves
+    // against the SAME oracle text — any drift between the expression
+    // and the DataFrame derivation fails one of the two rows
+    "e38_route_two_level" -> twoLevelCellsSql,
 
     // the e3 cell chain + the e5 fixed-point mean derivation, reported
     // per cell instead of refined: occupancy + 1 − cos(mean, centroid)
@@ -1686,6 +1697,35 @@ object VectorQueries {
          |FROM cents0 cc LEFT JOIN cm ON cm.cell = cc.cid CROSS JOIN tot
          |ORDER BY cell""".stripMargin
   )
+
+  /** The two-level hierarchical rule, stated once in SQL: supers =
+    * first 16 (= ceil(sqrt(256)) next power of two) of the 256
+    * bootstrap centroids; every centroid and every vector joins its
+    * argmax-cosine super (ties to the lowest sid); cell = argmax
+    * centroid WITHIN the vector's branch (ties to the lowest cid) —
+    * exactly Similarity.semCellsTwoLevel's three stages AND
+    * plans.CellRoute's in-expression branch (e19/e38 share this
+    * text). */
+  private def twoLevelCellsSql: String =
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+         |    FROM embeddings WHERE vec_id < 256),
+         |sup AS (SELECT cid AS sid, ce AS sv FROM cents WHERE cid < 16),
+         |cbr AS (SELECT cid, ce, sid AS branch FROM (
+         |  SELECT cc.cid, cc.ce, sp.sid,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.cid
+         |      ORDER BY ${cosSql("cc.ce", "sp.sv")} DESC, sp.sid) AS rn
+         |  FROM cents cc CROSS JOIN sup sp) t WHERE rn = 1),
+         |vbr AS (SELECT vec_id, embedding, sid AS branch FROM (
+         |  SELECT e.vec_id, e.embedding, sp.sid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "sp.sv")} DESC, sp.sid) AS rn
+         |  FROM embeddings e CROSS JOIN sup sp) t WHERE rn = 1)
+         |SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cid AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM vbr v JOIN cbr c ON v.branch = c.branch) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   /** Shared CTE chain producing the LSH-blocked near-dup `pairs`
     * (mirrors Similarity.lshNearDupPairs with the e2 plane constants). */

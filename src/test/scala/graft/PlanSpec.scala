@@ -574,6 +574,19 @@ class PlanSpec extends AnyFunSuite {
       "within-branch argmax must ride a branch equi-join exchange")
   }
 
+  test("e38: the two-level route is ONE expression over the scan — no join, no shuffle") {
+    val p = plan("e38_route_two_level")
+    // the router carries the centroid table inside the expression
+    // (codegen reference object), so the whole assignment is a
+    // stateless projection: the only plan features allowed are the
+    // scan, the cell_route projection, and the final presentation sort
+    assert(p.contains("cell_route"), "expected the CellRoute expression")
+    assert(!p.contains("Join"), "routing must not plan any join")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 0,
+      s"routing is in-row — no hash exchange belongs in this plan, saw $exchanges")
+  }
+
   test("d39: the snapshot diff joins fingerprints, never text") {
     val p = plan("d39_corpus_diff")
     assert(!p.contains("CartesianProduct"))
