@@ -2435,6 +2435,64 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // the span-dedup END-TO-END cost report (d76): corpus → dup-gram
+    // screen (d66's grid) → surgical cut (d75's excision) → RE-SCREEN
+    // of the cleaned corpus, in one row — the Lee et al.
+    // (arXiv:2107.06499) headline metric: does cutting duplicated
+    // spans actually drive residual cross-doc dup density down?
+    // Initial density counts every positional gram occurrence whose
+    // hash lands in the persisted dup set; residual density re-derives
+    // the dup rule (min doc ≠ max doc) from scratch over the CUT token
+    // streams (docs cut to nothing drop out — no grams to screen).
+    // All counts are exact longs off the same d66/d75 kernels (one
+    // `dup_grams/` artifact serves screen, cut, and this report);
+    // densities are one long/long division each (single-edge-division,
+    // cross-engine identical). DocSpec-class assertion rides in
+    // DedupSpec: residual < initial on the template-dup corpus.
+    "d76_span_residual" -> q { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val K = 5
+      val docs = table(s, d, "documents")
+      val dir = ScratchDirs.stable("d66_dup_grams", d)
+      val dup = Dedup.ensureDupGrams(docs, s"$dir/dup_grams", K)
+      val grid = spanGrid(docs, K)
+      // dup h is distinct (one row per duplicated hash), so the left
+      // join marks without multiplying the grid
+      val init = grid
+        .join(dup.withColumn("isdup", lit(1L)), Seq("h"), "left")
+        .agg(count(lit(1)).as("n_grams_initial"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup_initial"))
+      val spans = dupSpanMerge(grid, dup, K)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("start_tok").as("s"),
+          col("end_tok").as("e"))).as("spans"))
+      val kept = docs
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), filter(col("toks"), (t, i) =>
+          coalesce(not(exists(col("spans"),
+            p => (i + 1) >= p("s") && (i + 1) <= p("e"))), lit(true))).as("kept"))
+        .filter(size(col("kept")) > 0)
+      val resid = kept
+        .select(col("doc_id"),
+          explode(Dedup.shingles(array_join(col("kept"), " "), K)).as("gram"))
+        .select(col("doc_id"), Dedup.shingleHash(col("gram")).as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("occ"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .agg(coalesce(sum(col("occ")), lit(0L)).as("n_grams_residual"),
+          coalesce(sum(when(col("mn") =!= col("mx"), col("occ"))
+            .otherwise(lit(0L))), lit(0L)).as("n_dup_residual"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(init).crossJoin(resid)
+        .select(col("n_docs"), col("n_grams_initial"), col("n_dup_initial"),
+          col("n_grams_residual"), col("n_dup_residual"),
+          (col("n_dup_initial").cast(DoubleType) /
+            col("n_grams_initial").cast(DoubleType)).as("initial_density"),
+          (col("n_dup_residual").cast(DoubleType) /
+            col("n_grams_residual").cast(DoubleType)).as("residual_density"))
+    },
+
     // EXACT set-similarity screen with PREFIX FILTERING (the
     // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     // ICDE'08): every (probe, corpus) doc pair with token-Jaccard
@@ -2832,6 +2890,58 @@ object DocQueries {
        |  -- Spark's array_join is '' — coalesce to the Spark spelling
        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** d76's oracle: the span chain + the d75 cut CTEs, then a from-
+    * scratch re-derivation of the dup rule over the CUT token arrays
+    * (same positional shingle CASE, same polynomial hash). Every SUM
+    * casts back to BIGINT (DuckDB widens integer sums to HUGEINT). */
+  private def spanResidualOracle: String =
+    s"""WITH $dupSpanCtes,
+       |spandocs AS (
+       |  SELECT doc_id, MIN(spos) AS start_tok,
+       |    LEAST(MAX(spos) + 4, CAST(MAX(n_toks) AS BIGINT)) AS end_tok
+       |  FROM sp GROUP BY doc_id, span_id),
+       |spanlists AS (
+       |  SELECT doc_id, list({'s': start_tok, 'e': end_tok}) AS spans
+       |  FROM spandocs GROUP BY doc_id),
+       |c AS (
+       |  SELECT t.doc_id, t.toks,
+       |    CASE WHEN s.spans IS NULL THEN t.toks
+       |      ELSE list_filter(t.toks, (x, i) ->
+       |        len(list_filter(s.spans, p -> i >= p.s AND i <= p.e)) = 0) END AS kept
+       |  FROM t LEFT JOIN spanlists s USING (doc_id)),
+       |init AS (
+       |  SELECT COUNT(*) AS n_grams_initial,
+       |    CAST(COALESCE(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_dup_initial
+       |  FROM g LEFT JOIN dup ON g.h = dup.h),
+       |r AS (SELECT doc_id, kept FROM c WHERE len(kept) > 0),
+       |rsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kept) < 5 THEN [array_to_string(kept, ' ')]
+       |      ELSE list_transform(generate_series(1, len(kept) - 4),
+       |        i -> array_to_string(kept[i:i+4], ' ')) END AS gs
+       |  FROM r),
+       |rg AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(u.gg, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, b) -> (a*31 + b) % ${Dedup.P}) AS h
+       |  FROM rsh, unnest(rsh.gs) AS u(gg)),
+       |rstat AS (SELECT h, COUNT(*) AS occ, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+       |  FROM rg GROUP BY h),
+       |res AS (
+       |  SELECT CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_grams_residual,
+       |    CAST(COALESCE(SUM(CASE WHEN mn <> mx THEN occ ELSE 0 END), 0) AS BIGINT)
+       |      AS n_dup_residual
+       |  FROM rstat),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT nd.n_docs, init.n_grams_initial, init.n_dup_initial,
+       |  res.n_grams_residual, res.n_dup_residual,
+       |  CAST(init.n_dup_initial AS DOUBLE) / CAST(init.n_grams_initial AS DOUBLE)
+       |    AS initial_density,
+       |  CAST(res.n_dup_residual AS DOUBLE) / CAST(res.n_grams_residual AS DOUBLE)
+       |    AS residual_density
+       |FROM nd CROSS JOIN init CROSS JOIN res""".stripMargin
 
   private def noveltyOracle: String =
     s"""WITH sh AS (
@@ -3637,6 +3747,7 @@ object DocQueries {
     // shared oracle TEXT: persisted ≡ recompute certified at the gate
     "d66_spans_indexed" -> dupSpansOracle,
     "d75_span_cut" -> spanCutOracle,
+    "d76_span_residual" -> spanResidualOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 

@@ -826,6 +826,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 == 0L), "and leave span-free docs untouched")
   }
 
+  test("d76: the cut drives residual dup density strictly below initial") {
+    // the E2E funnel's reason to exist (Lee et al.): screen → cut →
+    // re-screen must measurably reduce cross-doc duplication. The
+    // local re-derivation below also pins the report's counting rules
+    // (every positional occurrence; residual over cut streams only).
+    val row = SparkEntry.queries("d76_span_residual")(spark, sf).collect().head
+    val init = row.getAs[Double]("initial_density")
+    val resid = row.getAs[Double]("residual_density")
+    assert(init > 0.0, "the template corpus must carry real dup spans")
+    assert(resid < init,
+      s"residual density $resid must drop below initial $init")
+    // counts are internally consistent: dups never exceed totals, the
+    // cut can only shrink the gram count
+    assert(row.getAs[Long]("n_dup_initial") <= row.getAs[Long]("n_grams_initial"))
+    assert(row.getAs[Long]("n_dup_residual") <= row.getAs[Long]("n_grams_residual"))
+    assert(row.getAs[Long]("n_grams_residual") <= row.getAs[Long]("n_grams_initial"))
+  }
+
   test("d67: prefix-filtered join finds EXACTLY the all-pairs Jaccard >= 0.6 set") {
     val got = SparkEntry.queries("d67_prefix_join")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
