@@ -450,6 +450,87 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("span cut -> idempotent sink: a torn, replayed epoch lands identical cut text") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Dedup
+    import spark.implicits._
+    // the last ExactSubstr piece without an exactly-once proof: the
+    // ingest-time cut is stateless and deterministic in the row alone
+    // (bloom probe + in-row fold), so the crash-recovery contract of
+    // the stratified-sample test must hold verbatim — a crash between
+    // the epoch's sink write and its commit replays to BYTE-IDENTICAL
+    // cleaned text, never duplicates, never divergent cuts.
+    val K = 5
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta unique tail one"),
+      (200L, "prefix words alpha beta gamma delta epsilon zeta other"))
+      .toDF("doc_id", "text")
+    val dup = corpus
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), K)).as("g"))
+      .select(col("doc_id"), Dedup.shingleHash(col("g")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val numBits = 8192
+    val bits = Dedup.bloomBuild(dup, "h", numBits, 3)
+    val base = JF.createTempDirectory("graft_spancut_crash").toString
+    val inDir = s"$base/in"; JF.createDirectories(JP.get(inDir))
+    def addFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      JF.write(JP.get(s"$inDir/f$n.csv"),
+        rows.map { case (i, t) => s"$i,$t" }.mkString("\n").getBytes)
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    def start(out: String, ckpt: String) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).csv(inDir)
+      Pipelines.streamSpanCut(stream, bits, numBits, 3, K)
+        .writeStream.foreachBatch(Pipelines.idempotentParquetSink(out))
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    def snapshot(out: String): Seq[(Long, Long, Long, String, Int)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("in_id"), r.getAs[Long]("n_toks"),
+          r.getAs[Long]("n_cut"), r.getAs[String]("cleaned_text"),
+          r.getAs[Int]("batch"))).sorted.toSeq
+    // epoch 0: one dup-leading doc; epoch 1: one clean + one dup doc
+    addFile(0, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta closing words here now")))
+    addFile(1, Seq(
+      (2L, "totally fresh content with no duplicated phrases at all ok"),
+      (3L, "alpha beta gamma delta epsilon zeta trailing remainder text here")))
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val q1 = start(out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(JF.exists(JP.get(s"$ckpt/commits/1")), "precondition: epoch 1 committed")
+    // crash state A: epoch 1 wrote but never committed (marker + .crc
+    // sibling go together — the local CheckpointFileManager renames
+    // them as one unit)
+    JF.delete(JP.get(s"$ckpt/commits/1"))
+    JF.deleteIfExists(JP.get(s"$ckpt/commits/.1.crc"))
+    // crash state B: the epoch's sink write itself was torn
+    val batch1 = JP.get(s"$out/batch=1")
+    val part = JF.list(batch1).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    JF.delete(part)
+    // more input arrives while "down"
+    addFile(2, Seq(
+      (4L, "words alpha beta gamma delta epsilon zeta and a unique coda")))
+    val q2 = start(out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // reference: the same three files, never interrupted
+    val qr = start(s"$base/ref_out", s"$base/ref_ckpt")
+    qr.processAllAvailable(); qr.stop()
+    val recovered = snapshot(out)
+    assert(recovered == snapshot(s"$base/ref_out"),
+      "recovered cut output must equal the uninterrupted run byte for byte")
+    // the replay re-executed the torn epoch AND the cut really cut
+    assert(recovered.exists(r => r._5 == 1 && r._3 > 0L),
+      "epoch 1's dup-leading doc must re-land with its span excised")
+    assert(recovered.count(_._1 == 3L) == 1, "replay must not duplicate doc 3")
+    assert(recovered.exists(r => r._1 == 2L && r._3 == 0L),
+      "the clean doc survives untouched")
+  }
+
   test("stream-static PQ/ADC screen scores arriving vectors against corpus codes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
