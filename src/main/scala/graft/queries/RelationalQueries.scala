@@ -1370,6 +1370,15 @@ object RelationalQueries {
     // k = 1, decision threshold h = 3 — alarm when S_t > h), so
     // cross-engine bit-exact; the q67/q68 single-user_id-exchange
     // pattern (plan-gate material).
+    //
+    // SCOPE NOTE: this form runs over OBSERVED hours only — hours with
+    // zero events produce no row, so every increment cnt − 1 is ≥ 0
+    // and S is monotone non-decreasing per user: a cumulative excess
+    // counter that, once alarmed, never resets. That is the right
+    // detector for "has this user EVER sustained excess rate"; for
+    // the resettable Page chart (alarm clears when the rate drops
+    // back), see q72_cusum_reset, which feeds the SAME closed form
+    // the gap-filled hourly grid so empty hours contribute x = 0.
     "q71_cusum" -> q { (s, d) =>
       val wC = Window.partitionBy("user_id").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1378,6 +1387,39 @@ object RelationalQueries {
         .repartition(col("user_id"))
         .groupBy("user_id", "hour")
         .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", sum(col("cnt") - 1L).over(wC))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wC)))
+        .select(col("user_id"), col("hour"), col("cnt"), col("s").as("cusum"),
+          (col("s") > 3L).as("alarm"))
+        .orderBy("user_id", "hour")
+    },
+
+    // RESETTABLE CUSUM (q72): q71's closed form fed the GAP-FILLED
+    // hourly grid (the q68 lead/sequence/explode kernel — no calendar
+    // join), so an hour with zero events contributes x = 0 and the
+    // recurrence S_t = max(0, S_{t−1} + (cnt_t − 1)) can actually
+    // decay and reset — Page's chart as published, where q71's
+    // observed-hours form is the monotone cumulative-excess variant.
+    // Still all-integer and still ONE user_id exchange: the same
+    // repartition serves the hourly aggregate, the lead() run window,
+    // and both cumulative windows (explode is narrow — partitioning
+    // survives the fill). Fill horizon: first..last observed hour per
+    // user (a dead series ends, it doesn't explode zeros forever).
+    "q72_cusum_reset" -> q { (s, d) =>
+      val wU = Window.partitionBy("user_id").orderBy("hour")
+      val wC = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hour"))
+        .repartition(col("user_id"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("obs_cnt"))
+        .withColumn("nxt", lead(col("hour"), 1).over(wU))
+        .select(col("user_id"), col("obs_cnt"), col("hour").as("obs_hour"),
+          explode(sequence(col("hour"),
+            coalesce(col("nxt") - 1L, col("hour")))).as("hour"))
+        .select(col("user_id"), col("hour"),
+          when(col("hour") === col("obs_hour"), col("obs_cnt"))
+            .otherwise(lit(0L)).as("cnt"))
         .withColumn("p", sum(col("cnt") - 1L).over(wC))
         .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wC)))
         .select(col("user_id"), col("hour"), col("cnt"), col("s").as("cusum"),
@@ -1822,6 +1864,32 @@ object RelationalQueries {
         |    SUM(cnt - 1) OVER (PARTITION BY user_id ORDER BY hour
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
         |  FROM hourly)
+        |SELECT user_id, hour, cnt,
+        |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum,
+        |  (p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 3 AS alarm
+        |FROM pf ORDER BY user_id, hour""".stripMargin,
+
+    // q71's closed form over q68's gap-filled grid: zero-event hours
+    // enter the recurrence as cnt = 0, so the detector can reset
+    "q72_cusum_reset" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id, hour, cnt,
+        |    LEAD(hour) OVER (PARTITION BY user_id ORDER BY hour) AS nxt
+        |  FROM hourly),
+        |filled AS (
+        |  SELECT user_id, g.h AS hour,
+        |    CAST(CASE WHEN g.h = runs.hour THEN cnt ELSE 0 END AS BIGINT) AS cnt
+        |  FROM runs, unnest(generate_series(hour, COALESCE(nxt - 1, hour))) AS g(h)),
+        |pf AS (SELECT user_id, hour, cnt,
+        |    SUM(cnt - 1) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM filled)
         |SELECT user_id, hour, cnt,
         |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum,

@@ -336,6 +336,40 @@ class RelationalSpec extends AnyFunSuite {
       "fixture should include a series starting above the reference rate")
   }
 
+  test("q72: the gap-filled closed form equals the recurrence AND actually resets") {
+    // same local replay as q71, but over the dense hour grid (zero
+    // hours contribute x = 0, increment -1) — the resettable Page
+    // chart. The fixture must exhibit a real reset: some row where
+    // cusum returns to 0 AFTER a strictly positive value.
+    val got = SparkEntry.queries("q72_cusum_reset")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val ev = graft.sources.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 3600000000 AS hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var sawReset = false
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val counts = rows.groupBy(_._2).map { case (h, xs) => (h, xs.length.toLong) }
+      val (h0, h1) = (rows.map(_._2).min, rows.map(_._2).max)
+      var sPrev = 0L
+      (h0 to h1).foreach { h =>
+        val c = counts.getOrElse(h, 0L)
+        val sT = math.max(0L, sPrev + (c - 1L))
+        val (gotCnt, gotS, gotAlarm) = got((u, h))
+        assert(gotCnt == c, s"user $u hour $h: cnt")
+        assert(gotS == sT, s"user $u hour $h: cusum $gotS != recurrence $sT")
+        assert(gotAlarm == (sT > 3L), s"user $u hour $h: alarm flag")
+        if (sPrev > 0L && sT == 0L) sawReset = true
+        sPrev = sT
+      }
+      // the grid is exactly [first, last] observed hour — no overhang
+      assert(!got.contains((u, h0 - 1)) && !got.contains((u, h1 + 1)),
+        s"user $u: fill horizon must stop at the observed bounds")
+    }
+    assert(sawReset,
+      "fixture must include a detector reset (q71's monotone form cannot)")
+  }
+
   test("q68: each user's series is gap-free, zero-filled, and forward-carried") {
     val rows = SparkEntry.queries("q68_gapfill")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
