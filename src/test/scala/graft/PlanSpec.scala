@@ -1037,6 +1037,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the closed form is window-only — no self-join")
   }
 
+  test("q72: the gap-filled CUSUM still rides one user_id exchange") {
+    val p = plan("q72_cusum_reset")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "expected the explicit user_id repartition")
+    // explode is narrow — the fill must inherit the partitioning, so
+    // the agg, the lead() run window, the grid explode, and both
+    // cumulative windows all share the single exchange
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).size
+    assert(exchanges == 1,
+      s"fill + recurrence must share one user_id exchange, saw $exchanges")
+    assert(!p.contains("Join"), "the grid generates by explode — no calendar join")
+  }
+
+  test("d76: the E2E span funnel never cartesians and never shuffles text") {
+    val p = plan("d76_span_residual")
+    assert(!p.contains("CartesianProduct"),
+      "1-row report joins must broadcast, facts must equi-join")
+    assert(p.contains("dup_grams"),
+      "the funnel must ride the persisted dup-gram artifact")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(!exchanges.contains("text") && !exchanges.contains("toks") &&
+      !exchanges.contains("kept") && !exchanges.contains("gram"),
+      "only 8-byte hashes and doc_id may key exchanges")
+  }
+
   test("d73: the indexed screen joins (id, hash) rows — text never keys an exchange") {
     val p = plan("d73_decontaminate_indexed")
     assert(!p.contains("CartesianProduct"))
