@@ -419,6 +419,73 @@ object Pipelines {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** Ingest-time eval-set DECONTAMINATION screen — the d35/d73
+    * streaming twin: arriving docs probe a Bloom filter built over the
+    * persisted eval 13-gram index (`Dedup.bloomBuild` over the d73
+    * `eval_grams/` artifact) ENTIRELY in-row — the same distinct
+    * 13-gram polyHash fingerprints as the batch screen, counted
+    * against the bloom in one array pass. Stateless, zero-shuffle,
+    * replay-identical. The bloom has no false negatives (no truly
+    * contaminated doc passes clean); a false positive at worst
+    * inflates n_hit by a stray gram — screen semantics, the same
+    * honest trade as streamSpanScreen. Emits the d35 verdict unit
+    * (doc_id, n_grams, n_hit, overlap, drop_doc at overlap ≥ 0.5);
+    * gram-free docs report 0 hits and never divide by zero. */
+  def streamDecontaminate(stream: DataFrame, bloomBits: Array[Long],
+                          numBits: Int, k: Int = 3,
+                          gramK: Int = 13): DataFrame = {
+    import graft.operators.Dedup
+    val hs = array_distinct(transform(
+      graft.functions.Native.wordShingles(
+        graft.functions.Text.tokens(lower(col("text"))), gramK),
+      sh => graft.functions.Native.polyHash(sh, 1000003L)))
+    stream
+      .withColumn("hs2", hs)
+      .withColumn("n_grams", size(col("hs2")).cast("long"))
+      .withColumn("n_hit", size(filter(col("hs2"),
+        h => Dedup.bloomMightContain(bloomBits, h, numBits, k))).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("overlap"))
+      .withColumn("drop_doc", (col("overlap") >= 0.5).cast("int"))
+  }
+
+  /** Ingest-time per-DOMAIN admission cap — the d32 streaming twin:
+    * at most `cap` documents ever land per domain, enforced by ONE
+    * long of keyed state (admitted-so-far) via
+    * flatMapGroupsWithState — state scales with live domains, not
+    * history, the latestPerKey posture. Within a micro-batch rows
+    * admit in doc_id order (the batch query's rank order), so a
+    * REPLAYED epoch re-makes identical decisions from the checkpoint
+    * state and the idempotent sink's exactly-once contract holds.
+    * The semantic seam vs batch d32, stated honestly: batch ranks the
+    * whole corpus by doc_id; the stream admits in arrival order
+    * across epochs (first-come) — the only cap a one-pass system can
+    * enforce without buffering the corpus. NoTimeout: domain state is
+    * one counter that must live as long as the cap does (event-time
+    * TTL would re-open a capped domain — wrong here by design). */
+  def streamDomainCap(stream: DataFrame, cap: Long): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("domain").cast("string"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (domain, rows, state) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap - admitted)
+          val take = rows.map(_._2).toSeq.sorted.take(
+            math.min(room, Int.MaxValue.toLong).toInt)
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator.zipWithIndex.map { case (id, i) =>
+            (domain, admitted + i + 1L, id)
+          }
+      }
+      .toDF("domain", "rk", "doc_id")
+  }
+
   /** Ingest-time IMAGE near-dup screen — the m5 streaming twin:
     * arriving image payloads decode + perceptually hash per partition
     * (real dHash over real pixels, `Multimodal.hashImages`), then

@@ -531,6 +531,68 @@ class StreamingSpec extends AnyFunSuite {
       "the clean doc survives untouched")
   }
 
+  test("stream decontamination screen flags eval-overlapping docs at ingest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    // eval doc: 13+ tokens so it carries 13-grams; the contaminated
+    // arrival repeats them verbatim, the clean one shares nothing
+    val evalText = (1 to 15).map(i => s"ev$i").mkString(" ")
+    val evalGrams = Seq((0L, evalText)).toDF("doc_id", "text")
+      .select(explode(array_distinct(transform(
+        graft.functions.Native.wordShingles(
+          graft.functions.Text.tokens(lower(col("text"))), 13),
+        sh => graft.functions.Native.polyHash(sh, 1000003L)))).as("h"))
+      .distinct()
+    val numBits = 8192
+    val bits = Dedup.bloomBuild(evalGrams, "h", numBits, 3)
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamDecontaminate(
+        in.toDF().toDF("doc_id", "text"), bits, numBits, 3)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, evalText), // verbatim eval copy: every gram hits
+      (2L, (1 to 15).map(i => s"fresh$i").mkString(" ")), // clean
+      (3L, "too short for grams")) // < 13 tokens: single whole-doc gram
+    q.processAllAvailable()
+    val out = spark.table("decon_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    q.stop()
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L && out(1L)._3 == 1,
+      s"verbatim eval copy must flag drop_doc, got ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0, "clean doc must pass")
+    assert(out(3L)._1 == 1L && out(3L)._2 == 0L,
+      "a short doc carries one whole-doc gram and passes")
+  }
+
+  test("stream domain cap admits at most N docs per domain across epochs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = Pipelines.streamDomainCap(
+        in.toDF().toDF("domain", "doc_id"), cap = 3L)
+      .writeStream.format("memory").queryName("cap_out")
+      .outputMode("append").start()
+    // epoch 0: a.com sends 2, b.com sends 1 (out of id order — the
+    // within-batch sort must admit 10 before 20)
+    in.addData(("a.com", 20L), ("a.com", 10L), ("b.com", 5L))
+    q.processAllAvailable()
+    // epoch 1: a.com sends 2 more (only ONE seat left), b.com 1 more
+    in.addData(("a.com", 30L), ("a.com", 40L), ("b.com", 6L))
+    q.processAllAvailable()
+    // epoch 2: a.com is full — nothing lands
+    in.addData(("a.com", 50L))
+    q.processAllAvailable()
+    val out = spark.table("cap_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    q.stop()
+    assert(out == Seq(
+      ("a.com", 1L, 10L), ("a.com", 2L, 20L), ("a.com", 3L, 30L),
+      ("b.com", 1L, 5L), ("b.com", 2L, 6L)),
+      s"cap must hold across epochs with rank continuity, got $out")
+  }
+
   test("stream-static PQ/ADC screen scores arriving vectors against corpus codes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
