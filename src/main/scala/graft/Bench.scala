@@ -77,8 +77,14 @@ object Bench {
 
   /** One measured query: best wall-clock over the adaptive runs, with
     * the TaskMetrics of THAT best run (the metrics belong to the
-    * number the artifact reports). */
-  private[graft] final case class Timed(sec: Double, peakMem: Long, spill: Long)
+    * number the artifact reports). `spread` is the run-to-run noise
+    * envelope of THIS measurement — (second-best − best) / best over
+    * the adaptive runs — committed next to the headline so a
+    * round-over-round diff can tell a regression from the ~10%/1.33×
+    * run variance two otherwise-identical suites exhibit: only a
+    * |Δ| beyond the two rounds' spreads is a finding. */
+  private[graft] final case class Timed(sec: Double, peakMem: Long, spill: Long,
+                                        spread: Double = 0.0)
 
   // adaptive min-of-N per query (2..5 runs): keep re-running while a
   // run still improves >20% on the best so far. Rationale, measured:
@@ -110,6 +116,7 @@ object Bench {
       Timed(sec, p, s)
     }
     var best = once()
+    var times = List(best.sec)
     var runs = 1
     var improving = true
     // keep running while improving OR while the best is still over
@@ -118,14 +125,20 @@ object Bench {
     // which the improvement test alone would accept as converged;
     // nearly every warm query in this suite is < 2 s, so a > 5 s
     // best buys the compiler more runs to catch up before we record
-    // it. A genuinely slow query pays at most 5 runs.
-    while (runs < 5 && (improving || best.sec > 5.0)) {
+    // it. A genuinely slow query pays at most 5 runs. Minimum depth
+    // is 3 (was 2): two r9 suites differed 10% total / 1.33× p90
+    // per-query at min-of-2, the same magnitude as the regressions
+    // the artifact exists to flag — the third run both tightens the
+    // min and gives the spread column a second independent sample.
+    while (runs < 5 && (improving || runs < 3 || best.sec > 5.0)) {
       val t = once()
+      times ::= t.sec
       improving = t.sec < best.sec * 0.8
       if (t.sec < best.sec) best = t
       runs += 1
     }
-    best
+    val sorted = times.sorted
+    best.copy(spread = (sorted(1) - sorted.head) / math.max(sorted.head, 1e-9))
   }
 
   private def timeSuite(spark: SparkSession, sfDir: String): Map[String, Timed] =
@@ -199,6 +212,11 @@ object Bench {
 
   private def js(m: Map[String, Timed]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v.sec }.mkString("{", ",", "}")
+
+  private def jsSpread(m: Map[String, Timed]): String =
+    m.map { case (k, v) =>
+      "\"" + k + "\":" + (math.rint(v.spread * 1000) / 1000)
+    }.mkString("{", ",", "}")
 
   private def jsMem(m: Map[String, Timed]): String =
     m.map { case (k, v) =>
@@ -315,7 +333,7 @@ object Bench {
       val r1Final = r1 ++ warmth.map { case (n, (_, iso)) => n -> iso }
       (midFinal,
         s""","sf1_dir":"$dir","total_sf1":${r1Final.values.map(_.sec).sum}""" +
-          s""","queries_sf1":${js(r1Final)},"mem_sf1":${jsMem(r1Final)}""" +
+          s""","queries_sf1":${js(r1Final)},"spread_sf1":${jsSpread(r1Final)},"mem_sf1":${jsMem(r1Final)}""" +
           outlierBlock("outliers_sf1", out1) +
           outlierBlock("outliers_sf1_expensive", exp1) +
           outlierBlock("outliers_mid_inverted", invMid) +
@@ -339,7 +357,7 @@ object Bench {
        else s""","total_small":${smallFinal.values.map(_.sec).sum}""") +
       s""","n_queries":${results.size},"value":$total"""
     val line =
-      s"""{"sf":"$sfDir","codegen_fallback":"disallowed","queries":${js(results)},"mem":${jsMem(results)}$outlierJson$extra$sf1Json$summary}"""
+      s"""{"sf":"$sfDir","codegen_fallback":"disallowed","queries":${js(results)},"spread":${jsSpread(results)},"mem":${jsMem(results)}$outlierJson$extra$sf1Json$summary}"""
     println(line)
     Files.write(Paths.get("bench_out.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
@@ -349,8 +367,11 @@ object Bench {
     // queries at equal warmth instead of whatever 62-query fragment the
     // stdout tail happened to keep (the round-8 phantom-regression
     // source: q36/d21 flagged 2.5× on tail fragments of unequal warmth)
+    // spread rides in the headline twin too: the per-round diff tool
+    // reads this file, and a delta is only reportable when it clears
+    // BOTH rounds' committed spreads
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${js(results)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${js(results)},"spread":${jsSpread(results)}}"""
     Files.write(Paths.get("bench_headline.json"),
       (headline + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
