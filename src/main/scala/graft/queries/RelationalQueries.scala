@@ -1427,6 +1427,34 @@ object RelationalQueries {
         .orderBy("user_id", "hour")
     },
 
+    // BUCKETED co-located fact⋈fact join (q73): both facts land ONCE
+    // as managed tables hash-bucketed and sorted by the join key
+    // (Tables.writeBucketed — the §2e surface), so the repeated join
+    // reads bucket-aligned files and plans SortMergeJoin with NO
+    // exchange on either side: at 100 TB this converts every
+    // recurring orderkey join from a corpus-wide shuffle into a
+    // scan (bucket count is the parallelism floor — 32 here, sized
+    // thousands in production). The build memoizes on the session
+    // catalog (tableExists — min-of-N re-runs measure the warm read
+    // path, the d47 convention); shuffle-freedom is PlanSpec-gated
+    // with broadcast disabled so the gate can't pass vacuously.
+    // FULL oracle: the plain join + the decimal-sum parity spelling.
+    "q73_bucketed_join" -> q { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"q73_lineitem_$tag"; val ot = s"q73_orders_$tag"
+      if (!s.catalog.tableExists(lt))
+        graft.sources.Tables.writeBucketed(table(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity"), lt, "l_orderkey")
+      if (!s.catalog.tableExists(ot))
+        graft.sources.Tables.writeBucketed(table(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"), ot, "o_orderkey")
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(d4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -1896,6 +1924,14 @@ object RelationalQueries {
         |  (p - LEAST(0, MIN(p) OVER (PARTITION BY user_id ORDER BY hour
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 3 AS alarm
         |FROM pf ORDER BY user_id, hour""".stripMargin,
+
+    // the bucketed layout cannot change the answer — the oracle is the
+    // plain join over the source tables
+    "q73_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the

@@ -1062,6 +1062,22 @@ class PlanSpec extends AnyFunSuite {
       "only 8-byte hashes and doc_id may key exchanges")
   }
 
+  test("q73: the bucketed fact join plans SMJ with no exchange on the join key") {
+    // broadcast disabled so the gate cannot pass vacuously — at test
+    // SF the optimizer would otherwise broadcast the orders side and
+    // never exercise the bucket alignment the query exists to prove
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q73_bucketed_join")
+      assert(p.contains("SortMergeJoin"), "expected the bucket-aligned SMJ")
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"),
+        "the join key must never be exchanged — the bucketed scan " +
+          "already satisfies the join's required distribution")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("d73: the indexed screen joins (id, hash) rows — text never keys an exchange") {
     val p = plan("d73_decontaminate_indexed")
     assert(!p.contains("CartesianProduct"))
