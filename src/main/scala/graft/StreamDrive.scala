@@ -43,6 +43,17 @@ object StreamDrive {
           in.addData(("a.com", 3L), ("b.com", 8L))
         }
       }),
+      "streamGopherScreen" -> (() => {
+        val in = MemoryStream[(Long, String)]
+        drive("streamGopherScreen")(
+          graft.streaming.Pipelines.streamGopherScreen(
+            in.toDF().toDF("doc_id", "text")).select("doc_id")) { () =>
+          in.addData(
+            (1L, ("the cat and the dog have gone out to see that " +
+              "fine market with all of our good old friends again today ") * 3),
+            (2L, "too short to pass"))
+        }
+      }),
       "streamDecontaminate" -> (() => {
         import graft.operators.Dedup
         val evalText = (1 to 15).map(i => s"ev$i").mkString(" ")

@@ -208,4 +208,21 @@ object Text {
         (i * stride).cast("int").as("start_tok"),
         slice(toks, i * stride + 1, lit(chunkSize)).as("chunk")))
   }
+
+  /** The Gopher rule GATE (Rae et al. 2021 table A1) over a
+    * `Native.gopherStats` struct — the one boolean shared by the
+    * batch d36 report and the streaming ingest screen, so the two
+    * verdicts can never drift: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, alphabetic-word fraction, required
+    * stopwords. Same operation order as the d36 chain (ratios divide
+    * exactly once each). */
+  def gopherPass(g: Column): Column = {
+    val nw = g("n_words").cast("double")
+    g("n_words") >= 50 && g("n_words") <= 100000 &&
+      (g("sum_wlen").cast("double") / nw) >= 3.0 &&
+      (g("sum_wlen").cast("double") / nw) <= 10.0 &&
+      (g("n_sym").cast("double") / nw) <= 0.1 &&
+      (g("n_alpha").cast("double") / nw) >= 0.8 &&
+      g("n_req_stop") >= 2
+  }
 }

@@ -1272,23 +1272,16 @@ object DocQueries {
           graft.functions.Native.gopherStats(col("text")).as("g"))
         .select(col("doc_id"),
           col("g")("n_words").as("n_words"),
-          col("g")("sum_wlen").as("sum_wlen"),
-          col("g")("n_sym").as("n_sym"),
-          col("g")("n_alpha").as("n_alpha"),
-          col("g")("n_req_stop").as("n_req_stop"))
-        .select(col("doc_id"), col("n_words"),
-          (col("sum_wlen").cast(DoubleType) / col("n_words").cast(DoubleType))
-            .as("mean_wlen"),
-          (col("n_sym").cast(DoubleType) / col("n_words").cast(DoubleType))
-            .as("sym_ratio"),
-          (col("n_alpha").cast(DoubleType) / col("n_words").cast(DoubleType))
-            .as("alpha_frac"),
-          col("n_req_stop"))
-        .withColumn("pass",
-          (col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-            col("sym_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
-            col("n_req_stop") >= 2).cast(IntegerType))
+          (col("g")("sum_wlen").cast(DoubleType) /
+            col("g")("n_words").cast(DoubleType)).as("mean_wlen"),
+          (col("g")("n_sym").cast(DoubleType) /
+            col("g")("n_words").cast(DoubleType)).as("sym_ratio"),
+          (col("g")("n_alpha").cast(DoubleType) /
+            col("g")("n_words").cast(DoubleType)).as("alpha_frac"),
+          col("g")("n_req_stop").as("n_req_stop"),
+          // the gate itself is the SHARED Text.gopherPass kernel (the
+          // streaming ingest screen mounts the same boolean)
+          Text.gopherPass(col("g")).cast(IntegerType).as("pass"))
         .orderBy("doc_id")
     },
 

@@ -1442,12 +1442,23 @@ object RelationalQueries {
     "q73_bucketed_join" -> q { (s, d) =>
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"q73_lineitem_$tag"; val ot = s"q73_orders_$tag"
-      if (!s.catalog.tableExists(lt))
-        graft.sources.Tables.writeBucketed(table(s, d, "lineitem")
-          .select("l_orderkey", "l_quantity"), lt, "l_orderkey")
-      if (!s.catalog.tableExists(ot))
-        graft.sources.Tables.writeBucketed(table(s, d, "orders")
-          .select("o_orderkey", "o_orderpriority"), ot, "o_orderkey")
+      // the memo is the SESSION CATALOG (bucket metadata lives there —
+      // without a persistent metastore a bucketed table cannot be
+      // re-mounted from files alone), so a fresh JVM rebuilds; its
+      // warehouse DIRECTORY however survives the JVM, and saveAsTable
+      // refuses an orphaned location — clear it before rebuilding
+      def ensure(name: String)(build: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          build
+        }
+      ensure(lt)(graft.sources.Tables.writeBucketed(table(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity"), lt, "l_orderkey"))
+      ensure(ot)(graft.sources.Tables.writeBucketed(table(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority"), ot, "o_orderkey"))
       s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),

@@ -704,6 +704,20 @@ object Pipelines {
       .filter(col("logit") >= minLogit)
   }
 
+  /** Ingest-time Gopher-rules gate — the d36 streaming twin: arriving
+    * docs evaluate the full Rae et al. table-A1 battery through ONE
+    * pass of the native `GopherStats` expression and the SHARED
+    * `Text.gopherPass` boolean (one gate definition — batch report
+    * and ingest screen cannot drift); only survivors land. Stateless,
+    * zero-shuffle, scan-speed, replay-identical — the heuristic
+    * pre-filter most pretraining pipelines run before any
+    * model-based screen (streamQualityScreen is the model stage). */
+  def streamGopherScreen(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("g", graft.functions.Native.gopherStats(col("text")))
+      .filter(graft.functions.Text.gopherPass(col("g")))
+      .drop("g")
+
   /** Ingest-time chunking — the d54 streaming twin: arriving documents
     * split into sliding-window token chunks through the SAME shared
     * kernel (`Text.ragChunks`, 64/48 geometry) the batch query uses,

@@ -566,6 +566,40 @@ class StreamingSpec extends AnyFunSuite {
       "a short doc carries one whole-doc gram and passes")
   }
 
+  test("stream gopher screen verdicts equal the batch d36 gate doc-for-doc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // drive the REAL corpus through the ingest screen and require the
+    // survivor set to equal the batch report's pass=1 set — the
+    // shared-kernel claim as an executable fact
+    val batch = SparkEntry.queries("d36_gopher_rules")(spark, sf).collect()
+      .filter(_.getAs[Int]("pass") == 1).map(_.getLong(0)).toSet
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the synthetic corpus may pass or fail wholesale, so two crafted
+    // docs pin both branches regardless: one satisfying every rule
+    // (60 words, short alphabetic words, stopwords present, no
+    // symbols), one failing the word-count floor
+    val passing = (900001L,
+      ("the cat and the dog have gone out to see that " +
+        "fine market with all of our good old friends again today ") * 3)
+    val failing = (900002L, "too short to pass the gate")
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamGopherScreen(in.toDF().toDF("doc_id", "text"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    in.addData(docs :+ passing :+ failing)
+    q.processAllAvailable()
+    val survived = spark.table("gopher_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(survived - passing._1 == batch,
+      s"ingest survivors must equal batch pass set (${survived.size} vs ${batch.size})")
+    assert(survived(passing._1), "the rule-satisfying doc must land")
+    assert(!survived(failing._1), "the under-length doc must be gated")
+  }
+
   test("stream domain cap admits at most N docs per domain across epochs") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
