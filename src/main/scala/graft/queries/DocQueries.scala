@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Engine.q
 import graft.ScratchDirs
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Dedup, SuffixArray}
 import graft.sources.Tables.table
 
 /** §2c text/dedup operators over the `documents` table. Oracle parity
@@ -2486,6 +2486,52 @@ object DocQueries {
             col("n_grams_residual").cast(DoubleType)).as("residual_density"))
     },
 
+    // distributed SUFFIX ARRAY over the corpus token grid, by PREFIX
+    // DOUBLING — the structure ExactSubstr dedup (Lee et al.
+    // arXiv:2107.06499) actually builds, where d66/d75 screen at one
+    // fixed shingle width. The paper's build is single-node (corpus ≤
+    // RAM); prefix doubling distributes it: round k dense-ranks
+    // (rank_k(pos), rank_k(pos + 2^k)) pairs, so 6 rounds order every
+    // suffix by its first 64 tokens, and each round is ONE keyed
+    // exchange of 8-byte rank pairs — token text keys nothing after
+    // round 0. The global dense rank itself is distributed (range-
+    // partition + per-partition offsets — operators/SuffixArray): no
+    // corpus-wide single-task Window anywhere. Emitted as a per-doc
+    // digest (suffix count + exact integer rank moments: Σrank and
+    // Σrank·pos pin every rank positionally), which keeps the result
+    // row count per-doc while the oracle certifies the full ranking —
+    // the oracle states the suffix array DECLARATIVELY (dense-rank by
+    // the 64-token slice; DuckDB orders LISTs lexicographically with
+    // shorter-prefix-first, exactly the doc-end-sentinel suffix
+    // order) and never sees a doubling round, so the two derivations
+    // are independent. SuffixArraySpec additionally pins the raw
+    // (doc, pos, rank) table against a local brute-force sort.
+    "d77_suffix_array" -> q { (s, d) =>
+      SuffixArray.suffixRanks(table(s, d, "documents"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_suffixes"),
+          sum(col("rank")).as("rank_sum"),
+          sum(col("rank") * col("pos")).as("rank_pos_sum"))
+        .orderBy("doc_id")
+    },
+
+    // the suffix array's consumer: a MULTI-RESOLUTION repeat screen —
+    // per document, the longest token run shared verbatim with ANY
+    // other document, read off the doubling ladder (width-w rank
+    // shared across ≥2 docs ⇔ a w-token match), at power-of-two
+    // resolution: a true repeat of length L reports in (L/2, L] —
+    // never an overestimate, less than 2× under. This is d66's gram
+    // screen generalized to every width at once: ONE build answers
+    // 1..64-token repeats where the gram grid would re-shingle per
+    // width. A shared rank at doc end certifies the (shorter) actual
+    // tail, hence the LEAST against remaining length — a doc whose
+    // whole 54-token suffix repeats reports 54, not the 64 level
+    // width. Per level: one rank-keyed min≠max aggregate + a join
+    // back; ranks are longs, text keys nothing.
+    "d78_repeat_screen" -> q { (s, d) =>
+      SuffixArray.repeatScreen(table(s, d, "documents")).orderBy("doc_id")
+    },
+
     // EXACT set-similarity screen with PREFIX FILTERING (the
     // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     // ICDE'08): every (probe, corpus) doc pair with token-Jaccard
@@ -2883,6 +2929,57 @@ object DocQueries {
        |  -- Spark's array_join is '' — coalesce to the Spark spelling
        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** d77's oracle: the suffix array stated DECLARATIVELY — dense-rank
+    * every (doc, pos) suffix by its first-64-token slice (DuckDB
+    * orders LISTs lexicographically, shorter-prefix-first — exactly
+    * the doc-end-sentinel suffix order the doubling's partner-rank-0
+    * encodes), then the identical per-doc digest. The oracle never
+    * sees a doubling round — construction and statement are
+    * independent derivations. Integer moments fit BIGINT with ~9
+    * decades of headroom (rank ≤ n, pos ≤ 100, ≤ 100 terms/doc);
+    * SUMs cast back from DuckDB's HUGEINT widening. */
+  private def suffixArrayOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sfx AS (
+      |  SELECT doc_id, pos, list_slice(toks, pos, pos + 63) AS pfx
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos)),
+      |rk AS (SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY pfx) AS r FROM sfx)
+      |SELECT doc_id, COUNT(*) AS n_suffixes,
+      |  CAST(SUM(r) AS BIGINT) AS rank_sum,
+      |  CAST(SUM(r * pos) AS BIGINT) AS rank_pos_sum
+      |FROM rk GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** d78's oracle: the repeat screen stated per level — for each
+    * width w = 2^k (k = 0..6), dense-rank suffixes by their first-w-
+    * token slice, flag ranks spanning ≥2 docs (MIN≠MAX doc), report
+    * per doc the max of LEAST(w, remaining) over flagged suffixes —
+    * the same actual-tail-length cap the Spark side applies. */
+  private def repeatScreenOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sfx AS (
+      |  SELECT doc_id, len(toks) AS n_toks, pos, toks
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos)),
+      |lv AS (SELECT unnest(generate_series(0, 6)) AS k),
+      |rk AS (
+      |  SELECT s.doc_id, s.n_toks, s.pos, (1 << l.k) AS w,
+      |    DENSE_RANK() OVER (PARTITION BY l.k
+      |      ORDER BY list_slice(s.toks, s.pos, s.pos + (1 << l.k) - 1)) AS r
+      |  FROM sfx s CROSS JOIN lv l),
+      |shared AS (SELECT w, r FROM rk GROUP BY 1, 2 HAVING MIN(doc_id) <> MAX(doc_id)),
+      |hit AS (
+      |  SELECT rk.doc_id,
+      |    MAX(LEAST(CAST(rk.w AS BIGINT), rk.n_toks - rk.pos + 1)) AS max_shared_len
+      |  FROM rk JOIN shared USING (w, r) GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+      |  COALESCE(h.max_shared_len, 0) AS max_shared_len
+      |FROM tk t LEFT JOIN hit h ON h.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** d76's oracle: the span chain + the d75 cut CTEs, then a from-
     * scratch re-derivation of the dup rule over the CUT token arrays
@@ -3741,6 +3838,8 @@ object DocQueries {
     "d66_spans_indexed" -> dupSpansOracle,
     "d75_span_cut" -> spanCutOracle,
     "d76_span_residual" -> spanResidualOracle,
+    "d77_suffix_array" -> suffixArrayOracle,
+    "d78_repeat_screen" -> repeatScreenOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 
