@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Engine.q
 import graft.ScratchDirs
 import graft.functions.Text
-import graft.operators.{Dedup, SuffixArray}
+import graft.operators.{Dedup, Graphs, SuffixArray}
 import graft.sources.Tables.table
 
 /** §2c text/dedup operators over the `documents` table. Oracle parity
@@ -2532,6 +2532,34 @@ object DocQueries {
       SuffixArray.repeatScreen(table(s, d, "documents")).orderBy("doc_id")
     },
 
+    // host-graph PAGERANK (Brin & Page 1998) — the link-centrality
+    // prior a web-corpus pipeline feeds into crawl scheduling and
+    // quality weighting (domain trust scores, the d33/d51 family's
+    // graph-side complement). The host link graph is synthesized
+    // deterministically from doc_ids (the T24 convention: both
+    // engines build the same graph, then compute) — 97 hosts, two
+    // out-links per doc, self-loops bumped to the next host so every
+    // host keeps out-degree ≥ 1 (no dangling mass). The recurrence is
+    // ALL-INTEGER — "random surfer units": each host starts with 10^12
+    // units, an iteration ships floor(floor(rank·85/100)/outdeg) along
+    // every edge and tops up a constant floor(10^12·15/100) teleport —
+    // so five power iterations are exact long arithmetic on both
+    // engines (doubles would drift associativity cross-engine; floors
+    // are deterministic). Scale shape: the rank vector is a TABLE
+    // keyed by host and the edge list a table keyed by src — one
+    // src-keyed join + one dst-keyed aggregate per iteration, no
+    // driver action anywhere: all five iterations unroll into ONE
+    // Catalyst plan (the edge scan's exchange is reused across
+    // iterations), so at 10^9 hosts nothing ever funnels through the
+    // driver — contrast d20's convergence-checked loop, which must
+    // act per round; PageRank's fixed iteration count needs no
+    // convergence action. PageRankSpec replays the recurrence locally
+    // from the same edge formula (independent derivation).
+    "d79_pagerank" -> q { (s, d) =>
+      Graphs.pagerank(Graphs.hostEdges(table(s, d, "documents")))
+        .orderBy("host")
+    },
+
     // EXACT set-similarity screen with PREFIX FILTERING (the
     // AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     // ICDE'08): every (probe, corpus) doc pair with token-Jaccard
@@ -2980,6 +3008,36 @@ object DocQueries {
       |  COALESCE(h.max_shared_len, 0) AS max_shared_len
       |FROM tk t LEFT JOIN hit h ON h.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** d79's oracle: the same deterministic host graph off doc_id, then
+    * five UNROLLED integer power-iteration CTE pairs (contribution
+    * aggregate + teleport top-up). Every arithmetic step is a long
+    * floor division (`//`), matching Spark's DIV exactly; SUMs cast
+    * back from DuckDB's HUGEINT widening. */
+  private def pagerankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst,
+         |    CAST(SUM(((r.rank * 85) // 100) // o.outd) AS BIGINT) AS inmass
+         |  FROM edges e JOIN r${i - 1} r ON r.host = e.src
+         |    JOIN outd o ON o.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT h.host, 150000000000 + COALESCE(c.inmass, 0) AS rank
+         |  FROM hosts h LEFT JOIN c$i c ON c.dst = h.host)"""
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS d1,
+       |    (doc_id * 17 + 3) % 97 AS d2 FROM documents),
+       |e0 AS (SELECT src, unnest([d1, d2]) AS dst FROM raw),
+       |edges AS (SELECT DISTINCT src,
+       |  CASE WHEN dst = src THEN (dst + 1) % 97 ELSE dst END AS dst FROM e0),
+       |outd AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY 1),
+       |hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM hosts),
+       |$iters
+       |SELECT host, rank FROM r5 ORDER BY host""".stripMargin
+  }
 
   /** d76's oracle: the span chain + the d75 cut CTEs, then a from-
     * scratch re-derivation of the dup rule over the CUT token arrays
@@ -3840,6 +3898,7 @@ object DocQueries {
     "d76_span_residual" -> spanResidualOracle,
     "d77_suffix_array" -> suffixArrayOracle,
     "d78_repeat_screen" -> repeatScreenOracle,
+    "d79_pagerank" -> pagerankOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 
