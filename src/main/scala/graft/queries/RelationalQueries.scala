@@ -1466,6 +1466,46 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // copy-on-write MERGE through the manifest table (q74): the
+    // sources/MergeTable lifecycle — create version 0 from orders,
+    // MERGE one deterministic update batch (keys ≡ 3 mod 17 get
+    // status 'U' and doubled price; keys ≡ 5 mod 31 re-key +10^9 and
+    // append as 'N') — then aggregate BOTH snapshots: version 0 must
+    // still answer the pre-merge state (snapshot isolation / time
+    // travel) and version 1 the upserted one, certified against a
+    // DuckDB oracle that states the merge RELATIONALLY (base minus
+    // matched keys, union updates). The merge itself is the §2e
+    // scale surface: only files holding a matched key rewrite (file
+    // pruning via _metadata.file_path), untouched files carry into
+    // the manifest by name, and visibility is one atomic manifest
+    // rename — MergeTableSpec pins pruning, crash debris, vacuum.
+    // Build memoizes on the manifest version (ScratchDirs.stable —
+    // min-of-N re-runs measure the read path, the d47 convention).
+    "q74_cow_merge" -> q { (s, d) =>
+      import graft.sources.MergeTable
+      val path = graft.ScratchDirs.stable("q74_merge", d) + "/table"
+      if (MergeTable.latestVersion(s, path) < 1) {
+        val orders = table(s, d, "orders")
+        if (MergeTable.latestVersion(s, path) < 0)
+          MergeTable.create(orders, path)
+        val ups = orders.filter(col("o_orderkey") % 17L === 3L)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+          .withColumn("o_orderstatus", lit("U"))
+          .unionByName(orders.filter(col("o_orderkey") % 31L === 5L)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+            .withColumn("o_orderstatus", lit("N")))
+        MergeTable.merge(s, path, ups, "o_orderkey")
+      }
+      def snap(v: Int) = MergeTable.read(s, path, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d4(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+        .withColumn("version", lit(v))
+      snap(0).unionByName(snap(1))
+        .select("version", "o_orderstatus", "n_orders", "sum_price")
+        .orderBy("version", "o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -1943,6 +1983,30 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the merge stated relationally: base minus matched keys, union
+    // the update batch; version 0 is the plain base
+    "q74_cow_merge" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5),
+        |v1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups)
+        |SELECT 0 AS version, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 1, o_orderstatus, COUNT(*),
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |FROM v1 GROUP BY 2
+        |ORDER BY version, o_orderstatus""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the

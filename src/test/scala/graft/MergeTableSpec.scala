@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MergeTable
+
+class MergeTableSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("mt_spec").toString
+
+  private def base = {
+    import spark.implicits._
+    // 4 files, keys clustered so file pruning is observable
+    (0L until 40L).map(k => (k, s"v$k", k % 7))
+      .toDF("id", "payload", "grp")
+      .repartitionByRange(4, col("id"))
+  }
+
+  test("create + read roundtrip, schema from the manifest") {
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    val back = MergeTable.read(spark, path)
+    assert(back.count() == 40)
+    assert(back.schema.fieldNames.toSet == Set("id", "payload", "grp"))
+    assert(MergeTable.latestVersion(spark, path) == 0)
+  }
+
+  test("merge upserts matched keys, appends new ones, and time-travels") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    val ups = Seq((3L, "NEW3", 99L), (17L, "NEW17", 99L), (100L, "ADD100", 99L))
+      .toDF("id", "payload", "grp")
+    val v = MergeTable.merge(spark, path, ups, "id")
+    assert(v == 1)
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(now.size == 41)
+    assert(now(3L) == ("NEW3", 99L) && now(17L) == ("NEW17", 99L))
+    assert(now(100L) == ("ADD100", 99L))
+    assert(now(4L) == ("v4", 4L), "unmatched rows untouched")
+    // time travel: version 0 still answers the pre-merge state
+    val v0 = MergeTable.read(spark, path, 0).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0.size == 40 && v0(3L) == "v3" && !v0.contains(100L))
+  }
+
+  test("merge rewrites ONLY files containing matched keys") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    def manifestFiles(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = MergeTable.latestVersion(spark, path)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split("\n").drop(1).filter(_.nonEmpty).toSet
+    }
+    val before = manifestFiles()
+    assert(before.size == 4)
+    // keys 0..9 live in the first range file only
+    val ups = Seq((2L, "X", 0L)).toDF("id", "payload", "grp")
+    MergeTable.merge(spark, path, ups, "id")
+    val after = manifestFiles()
+    val carried = before.intersect(after)
+    assert(carried.size == 3, s"expected 3 untouched files carried, got $carried")
+    assert(MergeTable.read(spark, path).count() == 40)
+  }
+
+  test("duplicate update keys are rejected, not resolved silently") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    val dup = Seq((3L, "A", 0L), (3L, "B", 0L)).toDF("id", "payload", "grp")
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path, dup, "id")
+    }
+  }
+
+  test("deleteWhere rewrites hit files; empty result still readable") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    MergeTable.deleteWhere(spark, path, col("grp") === 3L)
+    val left = MergeTable.read(spark, path)
+    assert(left.filter(col("grp") === 3L).count() == 0)
+    assert(left.count() == 40 - base.filter(col("grp") === 3L).count())
+    // delete everything: the schema survives in the manifest
+    MergeTable.deleteWhere(spark, path, lit(true))
+    val empty = MergeTable.read(spark, path)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSet == Set("id", "payload", "grp"))
+  }
+
+  test("unpublished staged files are invisible; vacuum collects them") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    // manufacture a crashed write: a data file present on disk but in
+    // no manifest, plus stage/tmp debris
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((999L, "GHOST", 0L)).toDF("id", "payload", "grp")
+      .write.parquet(s"$path/_stage-crashed")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/_stage-crashed"),
+      new org.apache.hadoop.fs.Path(s"$path/_stage-crashed-kept"))
+    fs.create(new org.apache.hadoop.fs.Path(path, "data-orphan.parquet"), true).close()
+    assert(MergeTable.read(spark, path).count() == 40, "ghosts invisible")
+    // a merge then a vacuum(keep=1): version 0's replaced file + the
+    // orphan + the stage debris all go; the table still answers
+    MergeTable.merge(spark, path,
+      Seq((2L, "X", 0L)).toDF("id", "payload", "grp"), "id")
+    val removed = MergeTable.vacuum(spark, path, keepVersions = 1)
+    assert(removed >= 3, s"expected manifest-0 + replaced file + debris, got $removed")
+    assert(MergeTable.read(spark, path).count() == 40)
+    intercept[IllegalArgumentException] {
+      MergeTable.read(spark, path, 0) // vacuumed version is gone
+    }
+  }
+
+  test("publishing an already-taken version aborts (optimistic concurrency)") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    intercept[IllegalArgumentException] {
+      MergeTable.create(base, path)
+    }
+  }
+}
