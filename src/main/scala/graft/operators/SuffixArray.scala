@@ -133,6 +133,34 @@ object SuffixArray {
   def suffixRanks(docs: DataFrame, maxLog2: Int = 6): DataFrame =
     rankLevels(docs, maxLog2).last._2
 
+  /** The PERSISTED rank ladder — the index-is-data lifecycle on the
+    * suffix side (the d47/d66_spans_indexed convention): the doubling
+    * build runs ONCE per corpus generation and lands each level as a
+    * parquet table under `dir/w=<width>`; every consumer afterwards
+    * reads stored 8-byte ranks instead of re-running six exchange
+    * rounds. The `_LADDER_DONE` marker commits the WHOLE ladder
+    * atomically-enough for the single-maintainer artifact convention
+    * (a torn build has no marker and rebuilds); the level set is
+    * data-dependent (early exit), so readers list `w=*` rather than
+    * assuming seven. */
+  def ensureLadder(docs: DataFrame, dir: String,
+                   maxLog2: Int = 6): Seq[(Int, DataFrame)] = {
+    val spark = docs.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dirPath, "_LADDER_DONE")
+    if (!fs.exists(marker)) {
+      rankLevels(docs, maxLog2).foreach { case (w, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/w=$w")
+      }
+      fs.create(marker, true).close()
+    }
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "w=*")))
+      .getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName.stripPrefix("w=").toInt).sorted
+      .map(w => (w, spark.read.parquet(s"$dir/w=$w")))
+  }
+
   /** Multi-resolution repeat screen over the rank ladder: for every
     * document, the longest token run it shares verbatim with ANY
     * OTHER document, measured at power-of-two resolution (a true
@@ -145,8 +173,13 @@ object SuffixArray {
     * is one rank-keyed aggregate (min≠max doc — no countDistinct)
     * and a join back; ranks are 8-byte longs, text keys nothing.
     */
-  def repeatScreen(docs: DataFrame, maxLog2: Int = 6): DataFrame = {
-    val levels = rankLevels(docs, maxLog2)
+  def repeatScreen(docs: DataFrame, maxLog2: Int = 6): DataFrame =
+    repeatScreen(docs, rankLevels(docs, maxLog2))
+
+  /** Screen over an externally supplied ladder (in-query build or the
+    * persisted [[ensureLadder]] tables — identical either way, which
+    * the driver gate certifies by sharing the oracle text). */
+  def repeatScreen(docs: DataFrame, levels: Seq[(Int, DataFrame)]): DataFrame = {
     val hits = levels.map { case (w, r) =>
       val shared = r.groupBy("rank")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

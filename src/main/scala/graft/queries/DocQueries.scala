@@ -2526,10 +2526,19 @@ object DocQueries {
     // width. A shared rank at doc end certifies the (shorter) actual
     // tail, hence the LEAST against remaining length — a doc whose
     // whole 54-token suffix repeats reports 54, not the 64 level
-    // width. Per level: one rank-keyed min≠max aggregate + a join
-    // back; ranks are longs, text keys nothing.
+    // width. Rides the PERSISTED rank ladder (ensureLadder — the
+    // d66_spans_indexed convention: d77 is the self-contained build
+    // demonstrator, this is the production consumer): at 100 TB the
+    // six doubling exchanges run once per corpus generation, then
+    // every screen pass reads stored 8-byte ranks. Per level: one
+    // rank-keyed min≠max aggregate + a join back; text keys nothing.
+    // Same screen code over built or stored levels; the spec pins
+    // persisted ≡ recomputed row-for-row.
     "d78_repeat_screen" -> q { (s, d) =>
-      SuffixArray.repeatScreen(table(s, d, "documents")).orderBy("doc_id")
+      val docs = table(s, d, "documents")
+      val ladder = SuffixArray.ensureLadder(docs,
+        ScratchDirs.stable("d78_ladder", d) + "/ladder")
+      SuffixArray.repeatScreen(docs, ladder).orderBy("doc_id")
     },
 
     // host-graph PAGERANK (Brin & Page 1998) — the link-centrality

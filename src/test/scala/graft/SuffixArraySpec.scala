@@ -101,6 +101,29 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted ladder ≡ recomputed, and a committed ladder never rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("sa_ladder")
+      .toString + "/ladder"
+    val stored = SuffixArray.ensureLadder(corpus, dir)
+    val direct = SuffixArray.rankLevels(corpus)
+    assert(stored.map(_._1) == direct.map(_._1), "level widths diverged")
+    stored.zip(direct).foreach { case ((w, p), (_, b)) =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(rows(p) == rows(b), s"width $w: persisted != recomputed")
+    }
+    val screenStored = SuffixArray.repeatScreen(corpus, stored).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val screenDirect = SuffixArray.repeatScreen(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(screenStored == screenDirect)
+    val marker = new java.io.File(dir, "_LADDER_DONE")
+    val t0 = marker.lastModified()
+    SuffixArray.ensureLadder(corpus, dir) // second ensure: read-only
+    assert(marker.lastModified() == t0, "committed ladder was rebuilt")
+  }
+
   test("repeat screen reports actual shared run lengths, capped honestly") {
     val got = SuffixArray.repeatScreen(corpus).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
