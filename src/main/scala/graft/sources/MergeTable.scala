@@ -210,6 +210,38 @@ object MergeTable {
     v + 1
   }
 
+  /** COW DELETE BY KEY SET: like [[deleteWhere]] but the doomed keys
+    * arrive as a DataFrame (single `key` column) — the CDC-apply
+    * shape, where a delete batch can be data-sized and must join, not
+    * collect into a driver-side predicate. Only files holding a
+    * matched key rewrite. Returns the new version. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 key: String): Int = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val v = versions(fs, dir).last
+    val (ddl, files) = readManifest(fs, dir, v)
+    val schema = StructType.fromDDL(ddl)
+    val ks = keys.select(col(key)).distinct()
+    val base = read(spark, path, v)
+      .withColumn("__mt_file", col("_metadata.file_path"))
+    val hitPaths = base.join(ks, Seq(key))
+      .select("__mt_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val hitNames = files.filter(f => hitPaths.exists(_.endsWith("/" + f)))
+    val next =
+      if (hitNames.isEmpty) files
+      else {
+        val survivors = spark.read.schema(schema)
+          .parquet(hitNames.map(f => new Path(dir, f).toString): _*)
+          .join(ks, Seq(key), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        files.filterNot(hitNames.toSet) ++ stage(survivors, dir, fs)
+      }
+    publish(fs, dir, v + 1, ddl, next)
+    v + 1
+  }
+
   /** Garbage-collect: keep the newest `keepVersions` manifests, drop
     * older manifests, every data file none of the kept manifests
     * reference, and any leftover `_stage-`/`_tmp-` debris (crashed or

@@ -1126,6 +1126,51 @@ object Pipelines {
       idempotentParquetSink(path)(
         graft.operators.Packing.sequencePack(batch, seqLen, nShards), epochId)
 
+  /** CDC APPLY onto the copy-on-write table — the reference's actual
+    * production consumer: its 4-stage KSQL pipeline exists to land
+    * T24 change records in a continuously maintained TABLE
+    * (reference src/controllers/index.js:573-610 RAW →
+    * SINK/DDL_TABLE), and this is that materialization on the §2e
+    * `MergeTable` — each micro-batch collapses to latest-per-key
+    * (the `latestPerKey` posture applied WITHIN the epoch: several
+    * updates to one key in a batch apply as their newest), splits on
+    * the op column (delete markers remove keys, everything else
+    * upserts), and lands via COW merge — only files holding touched
+    * keys rewrite, a snapshot reader never sees a half-applied epoch
+    * (visibility is one manifest rename).
+    *
+    * Exactly-once: the apply is IDEMPOTENT IN STATE — a replayed
+    * epoch (failure redelivers the same batch id) re-merges the same
+    * collapsed rows and re-deletes the same keys, landing the
+    * identical table CONTENT (the version counter advances; content,
+    * which is what a reader queries, does not change). Epochs arrive
+    * in offset order, so a later epoch's value for a key always
+    * applies after an earlier one's. Within-epoch ties on `tsCol`
+    * resolve by max_by's struct comparison — give CDC records
+    * monotone timestamps (T24 records carry them) for a fully
+    * deterministic replay. Spec-pinned: multi-update epochs,
+    * cross-epoch update, delete, and a double-applied epoch.
+    */
+  def mergeApplySink(path: String, keyCol: String, tsCol: String,
+                     opCol: String = "op",
+                     deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      import graft.sources.MergeTable
+      val spark = batch.sparkSession
+      val valueCols = batch.columns.toSeq
+        .filter(c => c != keyCol && c != tsCol)
+      val latest = latestPerKey(batch, keyCol, tsCol, valueCols)
+      val dels = latest.filter(col(opCol) === deleteOp)
+        .select(col(keyCol))
+      val ups = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+      if (MergeTable.latestVersion(spark, path) < 0)
+        MergeTable.create(ups, path)
+      else if (!ups.isEmpty)
+        MergeTable.merge(spark, path, ups, keyCol)
+      if (!dels.isEmpty)
+        MergeTable.deleteKeys(spark, path, dels, keyCol)
+    }
+
   /** Streaming Count-Min maintenance — the q61 sketch kept fresh by
     * an ingest stream, as a `foreachBatch` body: each micro-batch
     * lands its OWN (i, bucket, cnt) cell table under `batch=<epoch>`

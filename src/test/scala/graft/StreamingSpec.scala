@@ -1788,4 +1788,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out((999999L, 0L)) == false, "no history must mean no flag")
     assert(out.size == rows.size + 1, "every arriving row must pass through")
   }
+
+  test("CDC apply onto the COW table: upsert, delete, replayed epoch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_apply")
+      .toString + "/table"
+    val sink = Pipelines.mergeApplySink(dir, "recid", "ts")
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = in.toDF().toDF("recid", "ts", "op", "payload")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    // epoch 0: inserts, incl. TWO updates to key 2 — the newer wins
+    in.addData((1L, 10L, "U", "a1"), (2L, 10L, "U", "b1"),
+      (2L, 11L, "U", "b2"), (3L, 10L, "U", "c1"))
+    q.processAllAvailable()
+    // epoch 1: cross-epoch update of 1, DELETE of 3, new key 4
+    val e1 = Seq((1L, 20L, "U", "a2"), (3L, 20L, "D", "x"),
+      (4L, 20L, "U", "d1"))
+    in.addData(e1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def state() = graft.sources.MergeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("recid") ->
+        (r.getAs[Long]("ts"), r.getAs[String]("payload"))).toMap
+    val applied = state()
+    assert(applied == Map(1L -> (20L, "a2"), 2L -> (11L, "b2"),
+      4L -> (20L, "d1")), s"got $applied")
+    // failure-recovery redelivery of epoch 1: content must not change
+    // (the version counter advances; CONTENT is the reader's truth)
+    val vBefore = graft.sources.MergeTable.latestVersion(spark, dir)
+    sink(e1.toDF("recid", "ts", "op", "payload"), 1L)
+    assert(state() == applied, "double-applied epoch changed the table")
+    assert(graft.sources.MergeTable.latestVersion(spark, dir) > vBefore)
+    // the pre-delete snapshot still shows key 3 (time travel intact)
+    val v1 = graft.sources.MergeTable.read(spark, dir, 0).collect()
+      .map(_.getAs[Long]("recid")).toSet
+    assert(v1.contains(3L), "version 0 must still hold the deleted key")
+  }
 }
