@@ -37,15 +37,25 @@ object Graphs {
   /** Fixed-iteration integer PageRank over an (src, dst) edge table:
     * the rank vector is a TABLE keyed by host, the edge list a table
     * keyed by src — one src-keyed join + one dst-keyed aggregate per
-    * iteration, unrolled into a single Catalyst plan (the edge scan's
-    * exchange is reused across iterations). Hosts without in-edges
-    * settle at the teleport floor; dangling hosts cannot exist by
-    * `hostEdges` construction (documented there) — a caller supplying
-    * its own edges owns that invariant or accepts dropped mass. */
-  def pagerank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    * iteration. The GRAPH (edges, out-degrees, hosts) materializes
+    * ONCE up front (localCheckpoint — the d20/e5 iterative-operator
+    * convention): without it Catalyst re-derives the edge table from
+    * the source scan inside EVERY iteration's subplan (measured: a
+    * 281-node plan with five redundant scan+distinct chains), which
+    * at 10^9 hosts means five corpus re-derivations. The five-
+    * iteration rank RECURRENCE itself stays one lazy unrolled plan
+    * over the materialized graph — no convergence action, nothing
+    * data-sized through the driver. Hosts without in-edges settle at
+    * the teleport floor; dangling hosts cannot exist by [[hostEdges]]
+    * construction — a caller supplying its own edges owns that
+    * invariant or accepts dropped mass. */
+  def pagerank(edges0: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = edges0.localCheckpoint()
     val outd = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+      .localCheckpoint()
     val hosts = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host"))).distinct()
+      .localCheckpoint()
     var r = hosts.select(col("host"), lit(StartUnits).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edges

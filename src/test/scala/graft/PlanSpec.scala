@@ -1107,4 +1107,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly one RECID exchange for the lead() window, saw $exchanges")
   }
+
+  test("d78: the screen reads the STORED ladder — no doubling machinery at read time") {
+    // ensureLadder commits during construction; the inspected plan is
+    // the warm consumer path
+    val p = plan("d78_repeat_screen")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ladder"),
+      "the screen must scan the persisted w=<width> level tables")
+    assert(!p.contains("__sa_pid"),
+      "the distributed dense-rank kernel must not re-run at read time")
+    val docScans = p.linesIterator.count(_.contains("documents.parquet"))
+    assert(docScans == 1,
+      s"exactly ONE documents scan (the per-doc base), saw $docScans")
+  }
+
+  test("d79: the rank recurrence runs over the MATERIALIZED graph — no per-iteration re-derivation") {
+    val p = plan("d79_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Scan parquet"),
+      "iterations must read the checkpointed graph, not re-derive it " +
+        "from the corpus scan (5x redundant derivation at scale)")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "the materialized edge/host tables must feed the recurrence")
+  }
+
+  test("q74: the snapshot aggregate reads manifest files only — no merge at read time") {
+    val p = plan("q74_cow_merge")
+    assert(!p.contains("orders.parquet"),
+      "snapshots must read the table's own data files, never the source")
+    assert(p.linesIterator.count(_.contains("data-")) >= 2,
+      "both versions' manifest-listed data files must be scanned")
+    assert(!p.toLowerCase.contains("broadcastnestedloop") &&
+      !p.contains("CartesianProduct"))
+  }
 }
