@@ -2541,6 +2541,53 @@ object DocQueries {
       SuffixArray.repeatScreen(docs, ladder).orderBy("doc_id")
     },
 
+    // the MEMORIZATION AUDIT off the suffix array (the unit of the
+    // extraction-attack literature, Carlini et al. USENIX Sec'21 /
+    // Lee et al. arXiv:2107.06499 §6: the most-replicated verbatim
+    // contexts are the ones a trained model regurgitates): the top-20
+    // 64-token contexts by corpus copy count, each with its document
+    // spread, earliest exemplar (doc, pos) and honest context length
+    // (a group capped at doc end reports the actual shared tail, the
+    // d78 rule; trivial tails gated by ctx_len >= 8). Fixed-window
+    // counting would report every 1-token slide of one duplicated
+    // document as its own row (pre-flighted: a triplicated doc floods
+    // the top-20 with ~90 shifts of ONE event) — so the audit keeps
+    // only LEFT-MAXIMAL positions: a context counts where extending
+    // one token left CHANGES its copy count (pos 1, or the pos-1
+    // window's group has different support) — each memorization event
+    // reports once, at its boundary. Rides the SAME persisted ladder
+    // artifact as d78 — one suffix-array build per generation serves
+    // screen AND audit. Scale shape: copies ride a rank-keyed window
+    // count, left-maximality one doc-keyed lag, the report a
+    // (rank, doc) + rank rollup (two-level doc spread, NOT a
+    // countDistinct — no Expand); top-20 is sort+limit; text never
+    // appears — the report is coordinates into the corpus.
+    "d80_top_contexts" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val ladder = SuffixArray.ensureLadder(docs,
+        ScratchDirs.stable("d78_ladder", d) + "/ladder")
+      val wR = Window.partitionBy("rank")
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      ladder.last._2
+        .withColumn("copies", count(lit(1)).over(wR))
+        .withColumn("pc", lag(col("copies"), 1).over(wD))
+        .filter(col("copies") >= 2L &&
+          (col("pc").isNull || col("pc") =!= col("copies")))
+        .groupBy("rank", "doc_id")
+        .agg(max(col("copies")).as("copies"), min(col("pos")).as("mp"),
+          min(least(lit(64L), col("n_toks") - col("pos") + 1)).as("ml"))
+        .groupBy("rank")
+        .agg(max(col("copies")).as("n_copies"), count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          min_by(col("mp"), col("doc_id")).as("first_pos"),
+          min(col("ml")).as("ctx_len"))
+        .filter(col("ctx_len") >= 8L)
+        .select("n_copies", "n_docs", "first_doc", "first_pos", "ctx_len")
+        .orderBy(desc("n_copies"), col("first_doc"), col("first_pos"))
+        .limit(20)
+    },
+
     // host-graph PAGERANK (Brin & Page 1998) — the link-centrality
     // prior a web-corpus pipeline feeds into crawl scheduling and
     // quality weighting (domain trust scores, the d33/d51 family's
@@ -3017,6 +3064,39 @@ object DocQueries {
       |  COALESCE(h.max_shared_len, 0) AS max_shared_len
       |FROM tk t LEFT JOIN hit h ON h.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** d80's oracle: the audit stated over the declarative suffix ranks
+    * (the d77 oracle's rk CTE), with the same rank-window copy count,
+    * doc-window left-maximality lag, two-level (rank, doc) rollup,
+    * arg_min exemplar, and LEAST-capped context length. */
+  private def topContextsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sfx AS (
+      |  SELECT doc_id, len(toks) AS n_toks, pos,
+      |    list_slice(toks, pos, pos + 63) AS pfx
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos)),
+      |rk AS (SELECT doc_id, n_toks, pos,
+      |  DENSE_RANK() OVER (ORDER BY pfx) AS r FROM sfx),
+      |rk2 AS (SELECT doc_id, n_toks, pos, r,
+      |  COUNT(*) OVER (PARTITION BY r) AS copies FROM rk),
+      |lm AS (SELECT doc_id, n_toks, pos, r, copies,
+      |  LAG(copies) OVER (PARTITION BY doc_id ORDER BY pos) AS pc FROM rk2),
+      |keep AS (SELECT * FROM lm
+      |  WHERE copies >= 2 AND (pc IS NULL OR pc <> copies)),
+      |pd AS (
+      |  SELECT r, MAX(copies) AS copies, doc_id, MIN(pos) AS mp,
+      |    MIN(LEAST(64, n_toks - pos + 1)) AS ml
+      |  FROM keep GROUP BY 1, 3),
+      |g AS (
+      |  SELECT CAST(MAX(copies) AS BIGINT) AS n_copies, COUNT(*) AS n_docs,
+      |    MIN(doc_id) AS first_doc, ARG_MIN(mp, doc_id) AS first_pos,
+      |    MIN(ml) AS ctx_len
+      |  FROM pd GROUP BY r)
+      |SELECT n_copies, n_docs, first_doc, first_pos, ctx_len FROM g
+      |WHERE ctx_len >= 8
+      |ORDER BY n_copies DESC, first_doc, first_pos LIMIT 20""".stripMargin
 
   /** d79's oracle: the same deterministic host graph off doc_id, then
     * five UNROLLED integer power-iteration CTE pairs (contribution
@@ -3908,6 +3988,7 @@ object DocQueries {
     "d77_suffix_array" -> suffixArrayOracle,
     "d78_repeat_screen" -> repeatScreenOracle,
     "d79_pagerank" -> pagerankOracle,
+    "d80_top_contexts" -> topContextsOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 
