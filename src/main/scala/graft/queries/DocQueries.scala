@@ -1463,6 +1463,36 @@ object DocQueries {
         Dedup.ensureClusterMap(docs, s"$dir/cluster_map"))
     },
 
+    // LEAKAGE-SAFE train/val/test SPLIT ASSIGNMENT (d81): splitting
+    // per-document leaks — near-duplicates straddle the boundary and
+    // the eval split silently restates training text (the
+    // contamination channel d16/d35 screen for, created at split
+    // time). The safe unit is the NEAR-DUP CLUSTER: assignment hashes
+    // the cluster id (d20/d47's SimHash-CC map — the SAME persisted
+    // `cluster_map` artifact d47 reads, one build serving selection,
+    // reporting AND splitting), so every member of a cluster lands in
+    // the same split BY CONSTRUCTION, singletons hash their own id.
+    // The 90/5/5 gate rides the divisionless portable hash (the
+    // d15/d69 kernel — deterministic, engine-identical, stable under
+    // re-partitioning and re-runs, so an incremental re-split never
+    // migrates old docs). One broadcast-or-keyed join of 16-byte
+    // (id, cluster) rows + an in-row projection; FULL oracle (the
+    // keep-best CC chain + the same hash arithmetic).
+    "d81_cluster_split" -> q { (s, d) =>
+      val docs = table(s, d, "documents")
+      val dir = ScratchDirs.stable("d47_cluster_map", d)
+      val cm = Dedup.ensureClusterMap(docs, s"$dir/cluster_map")
+      docs.select(col("doc_id"))
+        .join(cm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("bucket", Text.portableHash(col("cluster")) % 100L)
+        .withColumn("split",
+          when(col("bucket") < 90L, "train")
+            .when(col("bucket") < 95L, "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+
     // temperature-scaled source resampling (d38): the mixture-
     // flattening step of the published pretraining data recipes
     // (GPT-3 / LLaMA sample sources ∝ count^α rather than raw size so
@@ -3480,6 +3510,28 @@ object DocQueries {
        |SELECT cluster, doc_id AS kept_doc, n_members, score
        |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** d81's oracle: the keep-best CC chain (cluster = least reachable
+    * id, singletons their own id) + the same divisionless portable
+    * hash gate — `%` binds left-to-right, so the spelling is the two
+    * pmods then the bucket mod, exactly the kernel's arithmetic. */
+  private def clusterSplitOracle: String =
+    s"""WITH RECURSIVE $simhashPairsChain,
+       |e AS (SELECT a_id AS s, b_id AS t FROM prs WHERE hamming <= 3
+       |      UNION SELECT b_id, a_id FROM prs WHERE hamming <= 3),
+       |reach AS (SELECT s, t FROM e
+       |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+       |clu AS (SELECT s AS doc_id, least(s, MIN(t)) AS cluster
+       |  FROM reach GROUP BY s),
+       |asg AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id),
+       |bkt AS (SELECT doc_id, cluster,
+       |  ((cluster % 2147483647) * 2654435761) % 2147483647 % 100 AS bucket
+       |  FROM asg)
+       |SELECT doc_id, cluster, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM bkt ORDER BY doc_id""".stripMargin
+
   /** The d8 content-fingerprint fold over an arbitrary text
     * expression — shared by the d39 oracle's two synthesized snapshot
     * versions so it can never drift from Text.fingerprint. */
@@ -3989,6 +4041,7 @@ object DocQueries {
     "d78_repeat_screen" -> repeatScreenOracle,
     "d79_pagerank" -> pagerankOracle,
     "d80_top_contexts" -> topContextsOracle,
+    "d81_cluster_split" -> clusterSplitOracle,
 
     "d67_prefix_join" -> prefixJoinOracle,
 

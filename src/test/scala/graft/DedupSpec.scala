@@ -868,4 +868,30 @@ class DedupSpec extends AnyFunSuite {
       "prefix filtering must be lossless vs the brute-force all-pairs verdict")
     assert(got.nonEmpty, "the template corpus must contain qualifying pairs")
   }
+
+  test("d81: cluster-level splits leak no near-dup pair across the boundary") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d81_cluster_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the safety property the operator exists for: a cluster never
+    // spans two splits (true BY CONSTRUCTION — split = f(cluster) —
+    // asserted on the real output so a refactor cannot silently break it)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c spans splits ${members.map(_._3).distinct.toSeq}")
+    }
+    // every near-dup PAIR the clusterer finds co-assigns
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val pairs = Dedup.simhashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the template corpus must contain near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) split across sets")
+    }
+    // the 90/5/5 gate actually routes (hash-distributed, loose bounds)
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.75 && frac < 0.99, s"train fraction $frac implausible")
+    assert(rows.map(_._3).distinct.length == 3, "all three splits in use")
+  }
 }
