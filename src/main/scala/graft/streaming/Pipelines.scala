@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.functions.Text
 import graft.operators.{FieldSpec, SchemaConverter}
 
 /** One user event for session-window tracking. */
@@ -829,6 +830,30 @@ object Pipelines {
       .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
       .select(col("doc_id"), col("n_copies"),
         (lit(1.0) / col("n_copies").cast("double")).as("sample_weight"))
+
+  /** Ingest-time LEAKAGE-SAFE split routing — d81's streaming twin:
+    * arriving docs join the persisted near-dup cluster map (the same
+    * d47/d81 `cluster_map` artifact; the caller materializes it) and
+    * route train/val/test by the SAME portable hash of the cluster id
+    * — a doc near-duplicating anything already clustered lands in its
+    * cluster's split, a fresh doc hashes its own id (exactly the
+    * batch singleton rule, so stream and batch verdicts agree doc for
+    * doc — spec-pinned). Stateless stream-static join + an in-row
+    * gate: no state store, replay-identical. The honest seam (the
+    * streamDomainCap convention): a NEW near-dup pair arriving wholly
+    * after the map was built routes by its members' own ids until the
+    * next map generation — ingest-time routing is as fresh as the
+    * last index build, the price every persisted-artifact screen in
+    * this suite states. */
+  def streamClusterSplit(stream: DataFrame, clusterMap: DataFrame): DataFrame =
+    stream
+      .join(broadcast(clusterMap), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("bucket", Text.portableHash(col("cluster")) % 100L)
+      .withColumn("split",
+        when(col("bucket") < 90L, "train")
+          .when(col("bucket") < 95L, "val").otherwise("test"))
 
   /** Ingest-time VERIFIED near-dup screen — the d49 cascade at the
     * stream boundary: arriving docs compute the d6 MinHash signature

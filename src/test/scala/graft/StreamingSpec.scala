@@ -1789,6 +1789,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.size == rows.size + 1, "every arriving row must pass through")
   }
 
+  test("streamClusterSplit routes exactly like the batch d81 verdicts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("d81_cluster_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val cm = graft.operators.Dedup.clusterMap(docs)
+    val in = MemoryStream[Long]
+    val q = Pipelines.streamClusterSplit(in.toDF().toDF("doc_id"), cm)
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    in.addData(batch.keys.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("split_out").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    q.stop()
+    assert(streamed == batch,
+      "stream routing must equal the batch split verdicts doc for doc")
+    // a doc the map has never seen routes by its own id (singleton rule)
+    val q2 = Pipelines.streamClusterSplit(in.toDF().toDF("doc_id"), cm)
+      .writeStream.format("memory").queryName("split_out2")
+      .outputMode("append").start()
+    in.addData(987654321L)
+    q2.processAllAvailable()
+    val fresh = spark.table("split_out2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    q2.stop()
+    assert(fresh(987654321L) == 987654321L, "unseen doc must self-cluster")
+  }
+
   test("CDC apply onto the COW table: upsert, delete, replayed epoch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
