@@ -2526,18 +2526,26 @@ object DocQueries {
     // exchange of 8-byte rank pairs — token text keys nothing after
     // round 0. The global dense rank itself is distributed (range-
     // partition + per-partition offsets — operators/SuffixArray): no
-    // corpus-wide single-task Window anywhere. Emitted as a per-doc
-    // digest (suffix count + exact integer rank moments: Σrank and
-    // Σrank·pos pin every rank positionally), which keeps the result
-    // row count per-doc while the oracle certifies the full ranking —
-    // the oracle states the suffix array DECLARATIVELY (dense-rank by
-    // the 64-token slice; DuckDB orders LISTs lexicographically with
-    // shorter-prefix-first, exactly the doc-end-sentinel suffix
-    // order) and never sees a doubling round, so the two derivations
-    // are independent. SuffixArraySpec additionally pins the raw
-    // (doc, pos, rank) table against a local brute-force sort.
+    // corpus-wide single-task Window anywhere. The array BUILDS ONCE
+    // per corpus generation (ensureLadder — measured: 8.5 s at sf0.1,
+    // ~75 s at sf1, linear-in-corpus construction nobody re-pays per
+    // query; §6k) and all three consumers (this digest, d78's repeat
+    // screen, d80's audit) read the same stored ladder. Emitted as a
+    // per-doc digest (suffix count + exact integer rank moments:
+    // Σrank and Σrank·pos pin every rank positionally), which keeps
+    // the result row count per-doc while the oracle certifies the
+    // full ranking — the oracle states the suffix array DECLARATIVELY
+    // (dense-rank by the 64-token slice; DuckDB orders LISTs
+    // lexicographically with shorter-prefix-first, exactly the
+    // doc-end-sentinel suffix order) and never sees a doubling round
+    // NOR the persistence, so persisted ≡ recomputed ≡ declarative is
+    // certified at the gate itself. SuffixArraySpec additionally pins
+    // the raw (doc, pos, rank) table against a local brute-force
+    // sort, ladder level by ladder level.
     "d77_suffix_array" -> q { (s, d) =>
-      SuffixArray.suffixRanks(table(s, d, "documents"))
+      val docs = table(s, d, "documents")
+      SuffixArray.ensureLadder(docs,
+        ScratchDirs.stable("d78_ladder", d) + "/ladder").last._2
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_suffixes"),
           sum(col("rank")).as("rank_sum"),
