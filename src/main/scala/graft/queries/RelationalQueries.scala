@@ -1487,7 +1487,7 @@ object RelationalQueries {
       if (MergeTable.latestVersion(s, path) < 1) {
         val orders = table(s, d, "orders")
         if (MergeTable.latestVersion(s, path) < 0)
-          MergeTable.create(orders, path)
+          MergeTable.create(orders, path, statsCol = Some("o_orderkey"))
         val ups = orders.filter(col("o_orderkey") % 17L === 3L)
           .withColumn("o_totalprice", col("o_totalprice") * 2.0)
           .withColumn("o_orderstatus", lit("U"))

@@ -6,15 +6,17 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Manifest-based copy-on-write table (SURVEY §2e) — the MERGE/DELETE
   * layer plain parquet directories lack. A table is a directory of
   * immutable `data-*.parquet` files plus numbered manifests; the
   * CURRENT version is the highest `manifest-N.txt`, and a manifest is
-  * the complete truth of a version: schema (line 1, DDL) + the exact
-  * data files (one name per line). This is the minimal shape of the
-  * log-structured table formats (Delta/Iceberg — public designs):
+  * the complete truth of a version: schema (line 1, DDL), the stats
+  * column (line 2, `-` if none), and the exact data files (one per
+  * line, with the file's true [min, max] of the stats column when
+  * tracked). This is the minimal shape of the log-structured table
+  * formats (Delta/Iceberg — public designs):
   *
   *  - SNAPSHOT ISOLATION: readers resolve ONE manifest and read
   *    exactly its files. Writers never mutate a published file — a
@@ -30,18 +32,43 @@ import org.apache.spark.sql.types.StructType
   *    rename two racing writers cannot both win the same version.
   *    (Maintenance ops — vacuum — assume a single maintainer, as in
   *    the public formats.)
+  *  - FILE-SKIPPING STATS: when a stats column is tracked (the merge
+  *    key), every entry carries the file's TRUE [min, max] of it, so
+  *    a merge/delete finds its candidate files by RANGE OVERLAP from
+  *    metadata alone — the base table is never scanned to locate
+  *    hits, only the (conservative, always-correct) candidate files
+  *    are opened. A key outside every file's range touches NOTHING.
   *
   * The 100 TB posture is COPY-ON-WRITE WITH FILE PRUNING: a merge
-  * rewrites ONLY the files that contain a matched key (found by
-  * joining the base's `_metadata.file_path` against the update keys —
-  * a keyed join, never a full rewrite); untouched files carry over to
-  * the new manifest by NAME. Only the file LIST (metadata-scale, like
-  * every table format's log) crosses the driver — row data never
-  * does.
+  * rewrites ONLY candidate files (their unmatched survivors + every
+  * update row land in fresh files); untouched files carry over to
+  * the new manifest by NAME. Only the file LIST (metadata-scale,
+  * like every table format's log) crosses the driver — row data
+  * never does. Candidate selection joins the update keys against the
+  * broadcast range table (a theta join over #files rows); at true
+  * scale an interval index over the ranges replaces the linear scan,
+  * the same refinement the public formats apply to their manifests.
   */
 object MergeTable {
 
   private val ManifestRe = """manifest-(\d{10})\.txt""".r
+
+  /** A manifest entry: a data file plus (optionally) the true
+    * [min, max] of the table's stats column within it. */
+  private[sources] case class Entry(name: String, mn: Option[Long], mx: Option[Long]) {
+    def line: String = mn match {
+      case Some(a) => s"$name\t$a\t${mx.get}"
+      case None    => name
+    }
+  }
+  private def parseEntry(l: String): Entry = l.split("\t") match {
+    case Array(n, a, b) => Entry(n, Some(a.toLong), Some(b.toLong))
+    case Array(n)       => Entry(n, None, None)
+    case _ => throw new IllegalArgumentException(s"bad manifest line: $l")
+  }
+
+  private case class Manifest(ddl: String, statsCol: Option[String],
+                              entries: Seq[Entry])
 
   private def fsFor(spark: SparkSession, dir: Path): FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,7 +84,7 @@ object MergeTable {
   private def manifestPath(dir: Path, v: Int): Path =
     new Path(dir, f"manifest-$v%010d.txt")
 
-  private def readManifest(fs: FileSystem, dir: Path, v: Int): (String, Seq[String]) = {
+  private def readManifest(fs: FileSystem, dir: Path, v: Int): Manifest = {
     val in = fs.open(manifestPath(dir, v))
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -65,19 +92,21 @@ object MergeTable {
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    (lines.head, lines.tail)
+    Manifest(lines.head,
+      Some(lines(1)).filter(_ != "-"),
+      lines.drop(2).map(parseEntry))
   }
 
   /** Publish version `v`: write the manifest under a `_tmp-` name,
     * then rename onto the versioned name — the single atomic step
     * that makes the new files visible. A failed rename (version
     * already published by a racing writer) aborts loudly. */
-  private def publish(fs: FileSystem, dir: Path, v: Int,
-                      ddl: String, files: Seq[String]): Unit = {
+  private def publish(fs: FileSystem, dir: Path, v: Int, m: Manifest): Unit = {
     val tmp = new Path(dir, s"_tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write((ddl +: files).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      (Seq(m.ddl, m.statsCol.getOrElse("-")) ++ m.entries.map(_.line))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(dir, v)
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
@@ -89,32 +118,63 @@ object MergeTable {
 
   /** Stage a DataFrame as immutable data files: Spark writes into an
     * invisible `_stage-` dir, then each part renames to a unique
-    * `data-*.parquet` in the table root. The names are returned for
-    * the manifest; until a manifest lists them the files are
+    * `data-*.parquet` in the table root. When a stats column is
+    * tracked, the staged files are read back ONCE (one scan, grouped
+    * by `_metadata.file_path`) for their true per-file [min, max] —
+    * data-sized work stays in executors; only #files stat rows reach
+    * the driver. Until a manifest lists them the files are
     * unreferenced (readers resolve manifests, never glob data files).
     */
-  private def stage(df: DataFrame, dir: Path, fs: FileSystem): Seq[String] = {
+  private def stage(df: DataFrame, dir: Path, fs: FileSystem,
+                    statsCol: Option[String]): Seq[Entry] = {
     val stageDir = new Path(dir, s"_stage-${UUID.randomUUID()}")
     df.write.parquet(stageDir.toString)
     val parts = Option(fs.globStatus(new Path(stageDir, "part-*.parquet")))
       .getOrElse(Array.empty).toSeq
-    val names = parts.zipWithIndex.map { case (st, i) =>
+    val renamed = parts.zipWithIndex.map { case (st, i) =>
       val name = s"data-${UUID.randomUUID()}-$i.parquet"
       if (!fs.rename(st.getPath, new Path(dir, name)))
         throw new java.io.IOException(s"could not stage ${st.getPath}")
       name
     }
     fs.delete(stageDir, true)
-    names
+    statsCol match {
+      case None => renamed.map(Entry(_, None, None))
+      case Some(_) if renamed.isEmpty => Seq.empty
+      case Some(c) =>
+        val stats = df.sparkSession.read
+          .parquet(renamed.map(n => new Path(dir, n).toString): _*)
+          .select(col(c), col("_metadata.file_path").as("__mt_file"))
+          .groupBy("__mt_file")
+          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+        renamed.map { n =>
+          stats.find { case (p, _) => p.endsWith("/" + n) } match {
+            case Some((_, (a, b))) => Entry(n, Some(a), Some(b))
+            // a part file with zero rows carries no range: it can
+            // never hold a hit, so an impossible range prunes it
+            case None => Entry(n, Some(Long.MaxValue), Some(Long.MinValue))
+          }
+        }
+    }
   }
 
-  /** Create a table at `path` from `df` as version 0. */
-  def create(df: DataFrame, path: String): Unit = {
+  /** Create a table at `path` from `df` as version 0. Pass the merge
+    * key as `statsCol` (must be a LONG column) to track per-file key
+    * ranges — the file-skipping metadata later merges prune with. */
+  def create(df: DataFrame, path: String,
+             statsCol: Option[String] = None): Unit = {
     val dir = new Path(path)
     val fs = fsFor(df.sparkSession, dir)
     fs.mkdirs(dir)
     require(versions(fs, dir).isEmpty, s"$path already holds a MergeTable")
-    publish(fs, dir, 0, df.schema.toDDL, stage(df, dir, fs))
+    statsCol.foreach { c =>
+      require(df.schema(c).dataType == LongType,
+        s"stats column '$c' must be LONG, got ${df.schema(c).dataType}")
+    }
+    publish(fs, dir, 0, Manifest(df.schema.toDDL, statsCol,
+      stage(df, dir, fs, statsCol)))
   }
 
   /** Latest version number, or -1 if the table does not exist. */
@@ -133,29 +193,83 @@ object MergeTable {
     require(vs.nonEmpty, s"no MergeTable at $path")
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v not present (have ${vs.mkString(",")})")
-    val (ddl, files) = readManifest(fs, dir, v)
-    val schema = StructType.fromDDL(ddl)
-    if (files.isEmpty)
+    val m = readManifest(fs, dir, v)
+    fromEntries(spark, dir, m, m.entries)
+  }
+
+  /** Range read over the stats column: files whose [min, max] cannot
+    * intersect [lo, hi] are never OPENED (manifest-level skipping on
+    * top of parquet's own row-group stats); the residual filter
+    * applies to the candidates. */
+  def readRange(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val m = readManifest(fs, dir, versions(fs, dir).last)
+    val c = m.statsCol.getOrElse(
+      throw new IllegalArgumentException(s"$path tracks no stats column"))
+    val live = m.entries.filter(e =>
+      e.mn.isEmpty || (e.mn.get <= hi && e.mx.get >= lo))
+    fromEntries(spark, dir, m, live)
+      .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  private def fromEntries(spark: SparkSession, dir: Path, m: Manifest,
+                          entries: Seq[Entry]): DataFrame = {
+    val schema = StructType.fromDDL(m.ddl)
+    if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(files.map(f => new Path(dir, f).toString): _*)
+        .parquet(entries.map(e => new Path(dir, e.name).toString): _*)
   }
+
+  /** Candidate files for a set of keys: with tracked ranges this is a
+    * metadata-only theta join of the (distinct) keys against the
+    * BROADCAST range table — the base is never scanned; a false
+    * positive only costs rewrite volume, never correctness (ranges
+    * are true min/max, so every real hit file is a candidate).
+    * Without stats it falls back to scanning the base for
+    * `_metadata.file_path` hits. */
+  private def candidateFiles(spark: SparkSession, dir: Path, m: Manifest,
+                             keys: DataFrame, key: String): Seq[Entry] =
+    m.statsCol match {
+      case Some(c) if c == key =>
+        val ranged = m.entries.filter(_.mn.isDefined)
+        val ranges = spark.createDataFrame(
+          ranged.map(e => (e.name, e.mn.get, e.mx.get)))
+          .toDF("__mt_name", "__mt_mn", "__mt_mx")
+        val hit = keys.select(col(key)).distinct()
+          .join(broadcast(ranges),
+            col(key) >= col("__mt_mn") && col(key) <= col("__mt_mx"))
+          .select("__mt_name").distinct()
+          .collect().map(_.getString(0)).toSet
+        val statless = m.entries.filter(_.mn.isEmpty)
+        m.entries.filter(e => hit.contains(e.name)) ++ statless
+      case _ =>
+        val base = fromEntries(spark, dir, m, m.entries)
+          .withColumn("__mt_file", col("_metadata.file_path"))
+        val hitPaths = base
+          .join(keys.select(col(key)).distinct(), Seq(key))
+          .select("__mt_file").distinct()
+          .collect().map(_.getString(0)).toSet
+        m.entries.filter(e => hitPaths.exists(_.endsWith("/" + e.name)))
+    }
 
   /** MERGE (upsert) by `key`: rows of `updates` replace same-key base
     * rows, new keys append. Copy-on-write with FILE PRUNING: only
-    * files containing a matched key are rewritten (their unmatched
-    * survivors + every update row land in fresh files); all other
-    * files carry into the new manifest untouched. Returns the new
-    * version. `updates` must carry unique keys — an ambiguous
-    * double-update is rejected, not resolved silently. */
+    * candidate files (range-overlap when the key is the tracked
+    * stats column — found WITHOUT scanning the base) are rewritten
+    * (their unmatched survivors + every update row land in fresh
+    * files); all other files carry into the new manifest untouched.
+    * Returns the new version. `updates` must carry unique keys — an
+    * ambiguous double-update is rejected, not resolved silently. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             key: String): Int = {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
-    val (ddl, files) = readManifest(fs, dir, v)
-    val schema = StructType.fromDDL(ddl)
+    val m = readManifest(fs, dir, v)
+    val schema = StructType.fromDDL(m.ddl)
     require(updates.columns.toSet == schema.fieldNames.toSet,
       s"update columns ${updates.columns.mkString(",")} != table ${schema.fieldNames.mkString(",")}")
     val ups = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -163,82 +277,73 @@ object MergeTable {
     require(uniq.getLong(0) == uniq.getLong(1),
       s"updates carry duplicate '$key' values — ambiguous merge")
 
-    val base = read(spark, path, v)
-      .withColumn("__mt_file", col("_metadata.file_path"))
-    val hitPaths = base
-      .join(ups.select(col(key)).distinct(), Seq(key))
-      .select("__mt_file").distinct()
-      .collect().map(_.getString(0)).toSet // file list: metadata-scale
-    val hitNames = files.filter(f => hitPaths.exists(_.endsWith("/" + f)))
+    val hits = candidateFiles(spark, dir, m, ups, key)
+    val hitNames = hits.map(_.name).toSet
     val survivors =
-      if (hitNames.isEmpty) ups // pure append
-      else spark.read.schema(schema)
-        .parquet(hitNames.map(f => new Path(dir, f).toString): _*)
+      if (hits.isEmpty) ups // pure append
+      else fromEntries(spark, dir, m, hits)
         .join(ups.select(col(key)), Seq(key), "left_anti")
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .unionByName(ups)
-    val rewritten = stage(survivors, dir, fs)
-    val next = files.filterNot(hitNames.toSet) ++ rewritten
-    publish(fs, dir, v + 1, ddl, next)
-    v + 1
-  }
-
-  /** COW DELETE: rewrite only the files holding rows matching `cond`,
-    * keeping their non-matching survivors; untouched files carry
-    * over. Returns the new version. */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
-    val dir = new Path(path)
-    val fs = fsFor(spark, dir)
-    val v = versions(fs, dir).last
-    val (ddl, files) = readManifest(fs, dir, v)
-    val schema = StructType.fromDDL(ddl)
-    val base = read(spark, path, v)
-      .withColumn("__mt_file", col("_metadata.file_path"))
-    val hitPaths = base.filter(cond)
-      .select("__mt_file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val hitNames = files.filter(f => hitPaths.exists(_.endsWith("/" + f)))
-    val next =
-      if (hitNames.isEmpty) files
-      else {
-        val survivors = spark.read.schema(schema)
-          .parquet(hitNames.map(f => new Path(dir, f).toString): _*)
-          .filter(!cond)
-        files.filterNot(hitNames.toSet) ++ stage(survivors, dir, fs)
-      }
-    publish(fs, dir, v + 1, ddl, next)
+    val rewritten = stage(survivors, dir, fs, m.statsCol)
+    publish(fs, dir, v + 1,
+      m.copy(entries = m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
     v + 1
   }
 
   /** COW DELETE BY KEY SET: like [[deleteWhere]] but the doomed keys
     * arrive as a DataFrame (single `key` column) — the CDC-apply
     * shape, where a delete batch can be data-sized and must join, not
-    * collect into a driver-side predicate. Only files holding a
-    * matched key rewrite. Returns the new version. */
+    * collect into a driver-side predicate. Only candidate files
+    * (range-pruned like [[merge]]) rewrite. Returns the new version. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
                  key: String): Int = {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
-    val (ddl, files) = readManifest(fs, dir, v)
-    val schema = StructType.fromDDL(ddl)
+    val m = readManifest(fs, dir, v)
+    val schema = StructType.fromDDL(m.ddl)
     val ks = keys.select(col(key)).distinct()
-    val base = read(spark, path, v)
-      .withColumn("__mt_file", col("_metadata.file_path"))
-    val hitPaths = base.join(ks, Seq(key))
-      .select("__mt_file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val hitNames = files.filter(f => hitPaths.exists(_.endsWith("/" + f)))
+    val hits = candidateFiles(spark, dir, m, ks, key)
+    val hitNames = hits.map(_.name).toSet
     val next =
-      if (hitNames.isEmpty) files
+      if (hits.isEmpty) m.entries
       else {
-        val survivors = spark.read.schema(schema)
-          .parquet(hitNames.map(f => new Path(dir, f).toString): _*)
+        val survivors = fromEntries(spark, dir, m, hits)
           .join(ks, Seq(key), "left_anti")
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        files.filterNot(hitNames.toSet) ++ stage(survivors, dir, fs)
+        m.entries.filterNot(e => hitNames(e.name)) ++
+          stage(survivors, dir, fs, m.statsCol)
       }
-    publish(fs, dir, v + 1, ddl, next)
+    publish(fs, dir, v + 1, m.copy(entries = next))
+    v + 1
+  }
+
+  /** COW DELETE by arbitrary predicate: rewrites only the files
+    * holding rows matching `cond`, found by ONE base scan (a general
+    * predicate cannot be answered from key ranges — the documented
+    * asymmetry vs [[deleteKeys]]); untouched files carry over.
+    * Returns the new version. */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val v = versions(fs, dir).last
+    val m = readManifest(fs, dir, v)
+    val base = fromEntries(spark, dir, m, m.entries)
+      .withColumn("__mt_file", col("_metadata.file_path"))
+    val hitPaths = base.filter(cond)
+      .select("__mt_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val hits = m.entries.filter(e => hitPaths.exists(_.endsWith("/" + e.name)))
+    val hitNames = hits.map(_.name).toSet
+    val next =
+      if (hits.isEmpty) m.entries
+      else {
+        val survivors = fromEntries(spark, dir, m, hits).filter(!cond)
+        m.entries.filterNot(e => hitNames(e.name)) ++
+          stage(survivors, dir, fs, m.statsCol)
+      }
+    publish(fs, dir, v + 1, m.copy(entries = next))
     v + 1
   }
 
@@ -254,7 +359,8 @@ object MergeTable {
     val fs = fsFor(spark, dir)
     val vs = versions(fs, dir)
     val keep = vs.takeRight(keepVersions)
-    val referenced = keep.flatMap(v => readManifest(fs, dir, v)._2).toSet
+    val referenced = keep.flatMap(v => readManifest(fs, dir, v).entries
+      .map(_.name)).toSet
     var removed = 0
     vs.dropRight(keepVersions).foreach { v =>
       if (fs.delete(manifestPath(dir, v), false)) removed += 1

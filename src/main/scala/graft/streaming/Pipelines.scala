@@ -1188,8 +1188,12 @@ object Pipelines {
       val dels = latest.filter(col(opCol) === deleteOp)
         .select(col(keyCol))
       val ups = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+      // track per-file key ranges when the key supports them (LONG):
+      // merges then find candidate files from manifest metadata alone
+      val stats = Some(keyCol).filter(k =>
+        ups.schema(k).dataType == org.apache.spark.sql.types.LongType)
       if (MergeTable.latestVersion(spark, path) < 0)
-        MergeTable.create(ups, path)
+        MergeTable.create(ups, path, statsCol = stats)
       else if (!ups.isEmpty)
         MergeTable.merge(spark, path, ups, keyCol)
       if (!dels.isEmpty)

@@ -60,7 +60,10 @@ class MergeTableSpec extends AnyFunSuite {
       val v = MergeTable.latestVersion(spark, path)
       val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      txt.split("\n").drop(1).filter(_.nonEmpty).toSet
+      // line 1 = schema DDL, line 2 = stats column; entries carry
+      // tab-separated [min, max] when stats are tracked
+      txt.split("\n").drop(2).filter(_.nonEmpty)
+        .map(_.split("\t")(0)).toSet
     }
     val before = manifestFiles()
     assert(before.size == 4)
@@ -71,6 +74,48 @@ class MergeTableSpec extends AnyFunSuite {
     val carried = before.intersect(after)
     assert(carried.size == 3, s"expected 3 untouched files carried, got $carried")
     assert(MergeTable.read(spark, path).count() == 40)
+  }
+
+  test("with tracked key ranges, merge never OPENS non-candidate files") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // corrupt a file whose key range CANNOT contain the merge keys:
+    // if the merge consulted anything but manifest metadata to locate
+    // candidates, reading this garbage would throw
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = fs.open(new org.apache.hadoop.fs.Path(path, "manifest-0000000000.txt"))
+    val m0 = try scala.io.Source.fromInputStream(v0).mkString finally v0.close()
+    val entries = m0.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); (p(0), p(1).toLong, p(2).toLong) }
+    assert(entries.length >= 2, s"expected several ranged files: ${entries.toSeq}")
+    // keys 35..39 live in exactly one range file; corrupt one that
+    // cannot hold them
+    val victim = entries.find(e => e._3 < 35L).get._1
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    val ups = Seq((36L, "X", 0L)).toDF("id", "payload", "grp")
+    MergeTable.merge(spark, path, ups, "id") // must not touch the victim
+    val after = manifestFiles(path)
+    assert(after.contains(victim), "non-candidate file must carry by name")
+    // the corrupted file is still referenced — a full read now fails,
+    // which is exactly the proof the merge never opened it
+    intercept[Throwable] {
+      MergeTable.read(spark, path).collect()
+    }
+    // a range read outside the victim's range skips it and succeeds
+    val ok = MergeTable.readRange(spark, path, 36L, 36L).collect()
+    assert(ok.map(r => r.getString(1)).toSeq == Seq("X"))
+  }
+
+  private def manifestFiles(path: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = MergeTable.latestVersion(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    txt.split("\n").drop(2).filter(_.nonEmpty).map(_.split("\t")(0)).toSet
   }
 
   test("duplicate update keys are rejected, not resolved silently") {
