@@ -347,6 +347,36 @@ object MergeTable {
     v + 1
   }
 
+  /** OPTIMIZE: rewrite the current version's small files into
+    * target-sized ones (a continuous CDC-apply produces a file per
+    * epoch per touched range — scans degrade until compaction, the
+    * Tables.compact problem at the table-format layer). Files at or
+    * above `smallBytes` keep their place BY NAME (their stats and
+    * their parquet row groups are already good); the small tail
+    * rewrites into ceil(bytes/target) files. Publishes a new version
+    * — readers of the old one are untouched, time travel intact, and
+    * the rewrite is content-neutral (spec-pinned). Returns the new
+    * version, or -1 when nothing needed compacting. */
+  def optimize(spark: SparkSession, path: String,
+               smallBytes: Long = 16L * 1024 * 1024,
+               targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val v = versions(fs, dir).last
+    val m = readManifest(fs, dir, v)
+    val sized = m.entries.map(e =>
+      (e, fs.getFileStatus(new Path(dir, e.name)).getLen))
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return -1 // nothing to gain from one file
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    val compacted = fromEntries(spark, dir, m, small.map(_._1))
+      .coalesce(nOut) // boundary change only — no shuffle, no reorder
+    val rewritten = stage(compacted, dir, fs, m.statsCol)
+    publish(fs, dir, v + 1, m.copy(entries = big.map(_._1) ++ rewritten))
+    v + 1
+  }
+
   /** Garbage-collect: keep the newest `keepVersions` manifests, drop
     * older manifests, every data file none of the kept manifests
     * reference, and any leftover `_stage-`/`_tmp-` debris (crashed or

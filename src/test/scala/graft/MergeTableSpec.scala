@@ -169,6 +169,41 @@ class MergeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize compacts the small-file tail, content-neutral, time-travel intact") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // a burst of single-row merges: each leaves one small rewrite file
+    (100L to 109L).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((k, s"add$k", 7L)).toDF("id", "payload", "grp"), "id")
+    }
+    val before = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val vBefore = MergeTable.latestVersion(spark, path)
+    val filesBefore = manifestFiles(path).size
+    val v = MergeTable.optimize(spark, path)
+    assert(v == vBefore + 1)
+    val filesAfter = manifestFiles(path).size
+    assert(filesAfter < filesBefore,
+      s"expected compaction, $filesBefore -> $filesAfter")
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(after == before, "optimize must be content-neutral")
+    // the pre-optimize version still reads (time travel intact)
+    val old = MergeTable.read(spark, path, vBefore).collect()
+    assert(old.length == before.length)
+    // ranges still present: a key-targeted merge stays pruned
+    MergeTable.merge(spark, path,
+      Seq((105L, "re", 7L)).toDF("id", "payload", "grp"), "id")
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now(105L) == "re" && now.size == before.length)
+    // a second optimize on an already-compact table is a no-op
+    MergeTable.vacuum(spark, path, keepVersions = 1)
+    assert(MergeTable.optimize(spark, path, smallBytes = 1L) == -1)
+  }
+
   test("publishing an already-taken version aborts (optimistic concurrency)") {
     import spark.implicits._
     val path = tmpDir()
