@@ -347,6 +347,43 @@ object MergeTable {
     v + 1
   }
 
+  /** CHANGE DATA FEED between two retained versions — the read-side
+    * complement of the CDC apply (`mergeApplySink` writes changes IN,
+    * this reads changes OUT, so downstream consumers can follow a
+    * table without rescanning it — the public formats' CDF). Rows
+    * align on `key`; emits the Delta-CDF shape: `_change_type` ∈
+    * insert / delete / update_preimage / update_postimage, where
+    * updates are keys present in both versions whose full row
+    * changed. Both snapshots prune to their own manifests; the diff
+    * is one key-aligned full-outer join — at scale the two file sets
+    * mostly COINCIDE (untouched files carry by name), so a
+    * manifest-aware consumer could skip shared files entirely; this
+    * implementation states the semantics, the file-diff refinement is
+    * the documented optimization seam. */
+  def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
+              key: String): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val before = read(spark, path, fromV)
+    val after = read(spark, path, toV)
+    val cols = before.columns.toSeq
+    val b = before.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__b"))
+    val a = after.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__a"))
+    val j = b.join(a, Seq("__k"), "full_outer")
+    val inserts = j.filter(col("__b").isNull)
+      .select(col("__a.*")).withColumn("_change_type", lit("insert"))
+    val deletes = j.filter(col("__a").isNull)
+      .select(col("__b.*")).withColumn("_change_type", lit("delete"))
+    val updatedKeys = j.filter(col("__b").isNotNull && col("__a").isNotNull &&
+      col("__b") =!= col("__a"))
+    val pre = updatedKeys.select(col("__b.*"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = updatedKeys.select(col("__a.*"))
+      .withColumn("_change_type", lit("update_postimage"))
+    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+  }
+
   /** OPTIMIZE: rewrite the current version's small files into
     * target-sized ones (a continuous CDC-apply produces a file per
     * epoch per touched range — scans degrade until compaction, the

@@ -204,6 +204,29 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.optimize(spark, path, smallBytes = 1L) == -1)
   }
 
+  test("changes() emits the CDF of a merge: insert/delete/update images") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.merge(spark, path,
+      Seq((3L, "NEW3", 99L), (100L, "ADD100", 99L)).toDF("id", "payload", "grp"), "id")
+    MergeTable.deleteKeys(spark, path, Seq(7L).toDF("id"), "id")
+    // v0 -> v2 in one feed: 3 updated, 100 inserted, 7 deleted
+    val cdf = MergeTable.changes(spark, path, 0, 2, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("payload")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(cdf == Seq(
+      ("delete", 7L, "v7"),
+      ("insert", 100L, "ADD100"),
+      ("update_postimage", 3L, "NEW3"),
+      ("update_preimage", 3L, "v3")), s"got $cdf")
+    // an untouched adjacent version pair: the delete step only
+    val cdf12 = MergeTable.changes(spark, path, 1, 2, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSeq
+    assert(cdf12 == Seq(("delete", 7L)), s"got $cdf12")
+  }
+
   test("publishing an already-taken version aborts (optimistic concurrency)") {
     import spark.implicits._
     val path = tmpDir()
