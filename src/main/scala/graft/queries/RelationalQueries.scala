@@ -1483,19 +1483,7 @@ object RelationalQueries {
     // min-of-N re-runs measure the read path, the d47 convention).
     "q74_cow_merge" -> q { (s, d) =>
       import graft.sources.MergeTable
-      val path = graft.ScratchDirs.stable("q74_merge", d) + "/table"
-      if (MergeTable.latestVersion(s, path) < 1) {
-        val orders = table(s, d, "orders")
-        if (MergeTable.latestVersion(s, path) < 0)
-          MergeTable.create(orders, path, statsCol = Some("o_orderkey"))
-        val ups = orders.filter(col("o_orderkey") % 17L === 3L)
-          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
-          .withColumn("o_orderstatus", lit("U"))
-          .unionByName(orders.filter(col("o_orderkey") % 31L === 5L)
-            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
-            .withColumn("o_orderstatus", lit("N")))
-        MergeTable.merge(s, path, ups, "o_orderkey")
-      }
+      val path = ensureMergedOrdersTable(s, d)
       def snap(v: Int) = MergeTable.read(s, path, v)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
@@ -1504,6 +1492,21 @@ object RelationalQueries {
       snap(0).unionByName(snap(1))
         .select("version", "o_orderstatus", "n_orders", "sum_price")
         .orderBy("version", "o_orderstatus")
+    },
+
+    // the CHANGE DATA FEED certified at the gate (q75): the row-level
+    // diff MergeTable.changes derives between q74's two snapshots —
+    // insert (appended keys), update pre-/post-images (matched keys;
+    // a matched row always differs here: status flips to 'U', price
+    // doubles), no deletes in this history — against a DuckDB oracle
+    // stating the same feed relationally from the update batch
+    // derivation. Shares q74's memoized table artifact (one build
+    // serves the snapshot aggregate AND the feed); the diff is one
+    // key-aligned full-outer join of two manifest-resolved snapshots.
+    "q75_table_cdf" -> q { (s, d) =>
+      val path = ensureMergedOrdersTable(s, d)
+      graft.sources.MergeTable.changes(s, path, 0, 1, "o_orderkey")
+        .orderBy("_change_type", "o_orderkey")
     },
 
     // nearest as-of join with tolerance (q70): the pandas
@@ -1576,6 +1579,28 @@ object RelationalQueries {
     * data-driven bucket width. An empty session table makes
     * approx_percentile return NULL — fall back to the 1-minute floor
     * instead of throwing at query-construction time. */
+  /** q74/q75's shared build: orders as a MergeTable (key-range stats
+    * on o_orderkey) merged ONCE with the deterministic update batch —
+    * memoized on the manifest version, so min-of-N re-runs and both
+    * consumers measure the read path. */
+  private def ensureMergedOrdersTable(s: SparkSession, d: String): String = {
+    import graft.sources.MergeTable
+    val path = graft.ScratchDirs.stable("q74_merge", d) + "/table"
+    if (MergeTable.latestVersion(s, path) < 1) {
+      val orders = table(s, d, "orders")
+      if (MergeTable.latestVersion(s, path) < 0)
+        MergeTable.create(orders, path, statsCol = Some("o_orderkey"))
+      val ups = orders.filter(col("o_orderkey") % 17L === 3L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(orders.filter(col("o_orderkey") % 31L === 5L)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      MergeTable.merge(s, path, ups, "o_orderkey")
+    }
+    path
+  }
+
   private[graft] def sessionBucketWidth(sess: DataFrame): Long = {
     val row = sess
       .agg(expr("approx_percentile(end_us - start_us, 0.99, 10000)"))
@@ -2007,6 +2032,29 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderstatus""".stripMargin,
+
+    // the same update-batch derivation, emitted as the change feed
+    "q75_table_cdf" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'insert' AS _change_type
+        |FROM ups WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
+        |  u.o_orderdate, u.o_orderpriority, 'update_postimage'
+        |FROM ups u WHERE u.o_orderkey IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'update_preimage'
+        |FROM orders WHERE o_orderkey % 17 = 3
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the
