@@ -142,7 +142,23 @@ object SuffixArray {
     * atomically-enough for the single-maintainer artifact convention
     * (a torn build has no marker and rebuilds); the level set is
     * data-dependent (early exit), so readers list `w=*` rather than
-    * assuming seven. */
+    * assuming seven.
+    *
+    * APPEND SEAM (deliberate): unlike the delta-maintained artifacts
+    * (e11's IVF delta, d34/d73's incremental screens — all per-key or
+    * per-pattern LOCAL, so new data composes by union), suffix ranks
+    * are a GLOBAL dense numbering over every corpus suffix: appending
+    * one document shifts the rank of every suffix that sorts after
+    * any of its prefixes, so there is no union-shaped delta — a true
+    * incremental path is the classical two-suffix-array MERGE
+    * (rank-order merge of old ladder + new-docs ladder, itself a full
+    * relabel of the rank column). The intended 100 TB posture is
+    * therefore REBUILD PER CORPUS GENERATION: the build is measured
+    * and ledgered (SURVEY §6k — 8.5 s sf0.1 / ~75 s sf1, linear per
+    * decade), runs once per generation, and every consumer
+    * (d77/d78/d80) reads the stored ranks. Appends BETWEEN
+    * generations ride the d34 incremental screen against the frozen
+    * ladder until the next generation rebuild picks them up. */
   def ensureLadder(docs: DataFrame, dir: String,
                    maxLog2: Int = 6): Seq[(Int, DataFrame)] = {
     val spark = docs.sparkSession

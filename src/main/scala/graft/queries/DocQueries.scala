@@ -2599,7 +2599,10 @@ object DocQueries {
     // count, left-maximality one doc-keyed lag, the report a
     // (rank, doc) + rank rollup (two-level doc spread, NOT a
     // countDistinct — no Expand); top-20 is sort+limit; text never
-    // appears — the report is coordinates into the corpus.
+    // keys an exchange — it enters ONCE, at the very end, when the
+    // 20-row report broadcast-joins back to the corpus to read each
+    // exemplar's actual context string (bounded: 20 rows × ≤ 64
+    // tokens), so the audit is actionable without a second query.
     "d80_top_contexts" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, d, "documents")
@@ -2607,7 +2610,7 @@ object DocQueries {
         ScratchDirs.stable("d78_ladder", d) + "/ladder")
       val wR = Window.partitionBy("rank")
       val wD = Window.partitionBy("doc_id").orderBy("pos")
-      ladder.last._2
+      val report = ladder.last._2
         .withColumn("copies", count(lit(1)).over(wR))
         .withColumn("pc", lag(col("copies"), 1).over(wD))
         .filter(col("copies") >= 2L &&
@@ -2624,6 +2627,17 @@ object DocQueries {
         .select("n_copies", "n_docs", "first_doc", "first_pos", "ctx_len")
         .orderBy(desc("n_copies"), col("first_doc"), col("first_pos"))
         .limit(20)
+      // read the exemplar text: the 20-row report broadcasts, so the
+      // corpus side is one (doc_id, text) projection hash-probed down
+      // to the ≤ 20 exemplar docs — the tokenGrid coordinate system
+      // (lowercased whitespace tokens, 1-based) re-applied to slice
+      docs.join(broadcast(report), col("doc_id") === col("first_doc"))
+        .withColumn("context", array_join(
+          slice(graft.functions.Text.tokens(lower(col("text"))),
+            col("first_pos").cast("int"), col("ctx_len").cast("int")), " "))
+        .select("n_copies", "n_docs", "first_doc", "first_pos", "ctx_len",
+          "context")
+        .orderBy(desc("n_copies"), col("first_doc"), col("first_pos"))
     },
 
     // host-graph PAGERANK (Brin & Page 1998) — the link-centrality
@@ -3106,7 +3120,9 @@ object DocQueries {
   /** d80's oracle: the audit stated over the declarative suffix ranks
     * (the d77 oracle's rk CTE), with the same rank-window copy count,
     * doc-window left-maximality lag, two-level (rank, doc) rollup,
-    * arg_min exemplar, and LEAST-capped context length. */
+    * arg_min exemplar, LEAST-capped context length, and the same
+    * bounded join back to the corpus for each exemplar's context
+    * string (list_slice over the tk token arrays). */
   private def topContextsOracle: String =
     """WITH tk AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -3131,10 +3147,16 @@ object DocQueries {
       |  SELECT CAST(MAX(copies) AS BIGINT) AS n_copies, COUNT(*) AS n_docs,
       |    MIN(doc_id) AS first_doc, ARG_MIN(mp, doc_id) AS first_pos,
       |    MIN(ml) AS ctx_len
-      |  FROM pd GROUP BY r)
-      |SELECT n_copies, n_docs, first_doc, first_pos, ctx_len FROM g
-      |WHERE ctx_len >= 8
-      |ORDER BY n_copies DESC, first_doc, first_pos LIMIT 20""".stripMargin
+      |  FROM pd GROUP BY r),
+      |sel AS (
+      |  SELECT n_copies, n_docs, first_doc, first_pos, ctx_len FROM g
+      |  WHERE ctx_len >= 8
+      |  ORDER BY n_copies DESC, first_doc, first_pos LIMIT 20)
+      |SELECT s.n_copies, s.n_docs, s.first_doc, s.first_pos, s.ctx_len,
+      |  array_to_string(list_slice(t.toks, s.first_pos,
+      |    s.first_pos + s.ctx_len - 1), ' ') AS context
+      |FROM sel s JOIN tk t ON t.doc_id = s.first_doc
+      |ORDER BY n_copies DESC, first_doc, first_pos""".stripMargin
 
   /** d79's oracle: the same deterministic host graph off doc_id, then
     * five UNROLLED integer power-iteration CTE pairs (contribution

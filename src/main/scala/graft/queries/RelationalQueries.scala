@@ -1509,6 +1509,30 @@ object RelationalQueries {
         .orderBy("_change_type", "o_orderkey")
     },
 
+    // SCHEMA EVOLUTION through the manifest table (q76): version 2 of
+    // q74's table merges a WIDENED batch — the v1 rows with key ≡ 7
+    // mod 23 re-merged carrying a new `o_score` column (deterministic:
+    // key mod 100). The reference's schemas DO evolve (its template
+    // CRUD exists to update field specs — services/index.js:31-79);
+    // at the table layer that means add-column on merge: the manifest
+    // DDL widens, files written BEFORE the evolution carry by name
+    // and project NULL for the new column at read time (mergeSchema
+    // semantics at the manifest layer — never a rewrite of the whole
+    // corpus for a new column). The aggregate proves the null-fill
+    // through values (n_scored counts only evolved rows) against a
+    // DuckDB oracle stating v2 relationally; MergeTableSpec pins the
+    // schema mechanics (old versions keep their own schema, CDF
+    // across the evolution, post-evolution column requirement).
+    "q76_schema_evolution" -> q { (s, d) =>
+      val path = ensureEvolvedOrdersTable(s, d)
+      graft.sources.MergeTable.read(s, path, 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_score")).as("n_scored"),
+          sum(col("o_score")).as("sum_score"))
+        .orderBy("o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -1596,6 +1620,23 @@ object RelationalQueries {
         .unionByName(orders.filter(col("o_orderkey") % 31L === 5L)
           .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
           .withColumn("o_orderstatus", lit("N")))
+      MergeTable.merge(s, path, ups, "o_orderkey")
+    }
+    path
+  }
+
+  /** q76's build step on the SAME memoized artifact: version 2 evolves
+    * the schema by re-merging the v1 rows with key ≡ 7 mod 23 widened
+    * with `o_score` (key mod 100 — deterministic on both engines).
+    * Updates derive FROM the v1 snapshot, so every non-new column
+    * round-trips unchanged and only the evolution is under test. */
+  private def ensureEvolvedOrdersTable(s: SparkSession, d: String): String = {
+    import graft.sources.MergeTable
+    val path = ensureMergedOrdersTable(s, d)
+    if (MergeTable.latestVersion(s, path) < 2) {
+      val ups = MergeTable.read(s, path, 1)
+        .filter(col("o_orderkey") % 23L === 7L)
+        .withColumn("o_score", col("o_orderkey") % 100L)
       MergeTable.merge(s, path, ups, "o_orderkey")
     }
     path
@@ -2055,6 +2096,30 @@ object RelationalQueries {
         |  o_orderdate, o_orderpriority, 'update_preimage'
         |FROM orders WHERE o_orderkey % 17 = 3
         |ORDER BY _change_type, o_orderkey""".stripMargin,
+
+    // v2 stated relationally: v1 (the q74 derivation) widened with the
+    // evolved column — NULL except where the evolution batch matched
+    "q76_schema_evolution" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5),
+        |v1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups),
+        |v2 AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 23 = 7 THEN o_orderkey % 100 END AS o_score
+        |  FROM v1)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  COUNT(o_score) AS n_scored,
+        |  CAST(SUM(o_score) AS BIGINT) AS sum_score
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the

@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Manifest-based copy-on-write table (SURVEY §2e) — the MERGE/DELETE
   * layer plain parquet directories lack. A table is a directory of
@@ -22,40 +22,83 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *    exactly its files. Writers never mutate a published file — a
   *    merge stages new files (invisible: staged under `_`-prefixed
   *    dirs until the manifest names them) and publishes by ONE atomic
-  *    manifest rename. A crash at any point leaves the last published
-  *    version intact; stray staged files are garbage, not corruption,
-  *    and `vacuum` collects them.
+  *    no-overwrite commit of the manifest. A crash at any point
+  *    leaves the last published version intact; stray staged files
+  *    are garbage, not corruption, and `vacuum` collects them.
   *  - TIME TRAVEL: any retained older manifest is a consistent
-  *    snapshot (`read(path, version)`).
-  *  - OPTIMISTIC CONCURRENCY: publishing renames onto
-  *    `manifest-(N+1)` — on filesystems with atomic no-overwrite
-  *    rename two racing writers cannot both win the same version.
-  *    (Maintenance ops — vacuum — assume a single maintainer, as in
-  *    the public formats.)
+  *    snapshot (`read(path, version)`). Each manifest carries its own
+  *    schema, so the schema HISTORY time-travels with the data.
+  *  - OPTIMISTIC CONCURRENCY WITH RETRY: publishing commits
+  *    `manifest-(N+1)` exclusively — on `file://` via a POSIX hard
+  *    link (atomic, fails if the destination exists: the LogStore
+  *    contract Delta documents per filesystem), elsewhere via
+  *    rename-if-absent (atomic no-overwrite only where the FS
+  *    contract provides it, e.g. HDFS; object stores need an external
+  *    commit service, exactly as the public formats document). A lost
+  *    race raises [[VersionConflictException]] and every mutator
+  *    ([[merge]]/[[deleteKeys]]/[[deleteWhere]]/[[optimize]]) RETRIES
+  *    FROM THE NEW LATEST (bounded attempts) — so a CDC apply sink
+  *    survives a racing `optimize`/`vacuum` maintainer instead of
+  *    crashing the stream. The loser's staged files become debris
+  *    `vacuum` collects; its re-derived attempt reads the winner's
+  *    manifest, so no committed work is ever lost.
   *  - FILE-SKIPPING STATS: when a stats column is tracked (the merge
   *    key), every entry carries the file's TRUE [min, max] of it, so
   *    a merge/delete finds its candidate files by RANGE OVERLAP from
   *    metadata alone — the base table is never scanned to locate
   *    hits, only the (conservative, always-correct) candidate files
   *    are opened. A key outside every file's range touches NOTHING.
+  *    The probe is an EQUI-join on a computed bin column (the file
+  *    ranges rasterize onto fixed-width bins driver-side, metadata
+  *    scale), not a per-key linear scan of all ranges — at 1M files ×
+  *    1M keys a theta join would plan 10^12 comparisons; the binned
+  *    probe hashes each key to its bin and compares only the files
+  *    overlapping that bin. Degenerate key spans (wider than 2^62)
+  *    fall back to the always-correct theta join.
+  *  - SCHEMA EVOLUTION: a merge batch may carry NEW columns (never
+  *    drop existing ones — an update row replaces its base row, so a
+  *    missing column would be an ambiguous partial update). The
+  *    manifest's DDL widens; files written before the evolution carry
+  *    by name and project NULL for the new columns at read time
+  *    (mergeSchema semantics at the manifest layer — parquet files
+  *    are read under the manifest schema, missing columns null-fill).
+  *
+  * KEY DISCIPLINE: when a stats/merge key is declared, [[create]]
+  * enforces it non-NULL and unique, [[merge]] rejects NULL or
+  * duplicate update keys, and the COW rewrite preserves uniqueness by
+  * construction (anti-join survivors ∪ unique updates) — so
+  * [[changes]]' per-version key-uniqueness precondition is an
+  * invariant of the tracked lifecycle, and is additionally guarded at
+  * feed time for tables built outside it.
   *
   * The 100 TB posture is COPY-ON-WRITE WITH FILE PRUNING: a merge
   * rewrites ONLY candidate files (their unmatched survivors + every
   * update row land in fresh files); untouched files carry over to
   * the new manifest by NAME. Only the file LIST (metadata-scale,
   * like every table format's log) crosses the driver — row data
-  * never does. Candidate selection joins the update keys against the
-  * broadcast range table (a theta join over #files rows); at true
-  * scale an interval index over the ranges replaces the linear scan,
-  * the same refinement the public formats apply to their manifests.
+  * never does.
   */
 object MergeTable {
+
+  /** A publish lost the optimistic-concurrency race: the target
+    * version already exists. Mutators catch this and retry from the
+    * new latest; it only escapes after the bounded retries drain. */
+  final class VersionConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  private val OccAttempts = 5
+
+  /** Test seam: invoked once (self-clearing) inside the next mutator
+    * attempt AFTER it resolved its base manifest and staged its files
+    * but BEFORE it publishes — the window where a racing writer's
+    * commit forces the OCC retry. Production value is a no-op. */
+  private[graft] var midCommitHook: () => Unit = () => ()
 
   private val ManifestRe = """manifest-(\d{10})\.txt""".r
 
   /** A manifest entry: a data file plus (optionally) the true
     * [min, max] of the table's stats column within it. */
-  private[sources] case class Entry(name: String, mn: Option[Long], mx: Option[Long]) {
+  private[graft] case class Entry(name: String, mn: Option[Long], mx: Option[Long]) {
     def line: String = mn match {
       case Some(a) => s"$name\t$a\t${mx.get}"
       case None    => name
@@ -98,9 +141,17 @@ object MergeTable {
   }
 
   /** Publish version `v`: write the manifest under a `_tmp-` name,
-    * then rename onto the versioned name — the single atomic step
-    * that makes the new files visible. A failed rename (version
-    * already published by a racing writer) aborts loudly. */
+    * then commit it onto the versioned name with an EXCLUSIVE
+    * no-overwrite step — never a blind rename, which on local
+    * filesystems and object stores silently replaces an existing
+    * destination (two racing writers would both "win" and one commit
+    * would vanish). On `file://` the commit is a POSIX hard link:
+    * atomic, and raises if the destination exists. Elsewhere it is
+    * rename-if-absent, atomic no-overwrite exactly where the FS
+    * contract provides it (HDFS) — the per-filesystem commit
+    * requirement the public formats document as their LogStore. A
+    * lost race raises [[VersionConflictException]] for the caller's
+    * retry loop. */
   private def publish(fs: FileSystem, dir: Path, v: Int, m: Manifest): Unit = {
     val tmp = new Path(dir, s"_tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -109,11 +160,41 @@ object MergeTable {
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(dir, v)
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"version $v already published (concurrent writer?) — retry from latest")
+    val committed =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else !fs.exists(dst) && fs.rename(tmp, dst)
+    fs.delete(tmp, false)
+    if (!committed)
+      throw new VersionConflictException(
+        s"version $v already published (concurrent writer) — retrying from latest")
+  }
+
+  /** Bounded optimistic-concurrency loop: `body` resolves the latest
+    * manifest itself, so each retry re-derives against the winner's
+    * version. Staged files of a lost attempt are unreferenced debris
+    * (vacuum collects); re-running the body is safe because mutations
+    * are deterministic in (base manifest, arguments). */
+  private def withOccRetry[T](what: String)(body: => T): T = {
+    var last: VersionConflictException = null
+    var i = 0
+    while (i < OccAttempts) {
+      try return body
+      catch { case e: VersionConflictException => last = e; i += 1 }
     }
+    throw new java.io.IOException(
+      s"$what lost the version race $OccAttempts times", last)
+  }
+
+  private def fireMidCommitHook(): Unit = {
+    val hook = midCommitHook
+    midCommitHook = () => ()
+    hook()
   }
 
   /** Stage a DataFrame as immutable data files: Spark writes into an
@@ -122,9 +203,11 @@ object MergeTable {
     * tracked, the staged files are read back ONCE (one scan, grouped
     * by `_metadata.file_path`) for their true per-file [min, max] —
     * data-sized work stays in executors; only #files stat rows reach
-    * the driver. Until a manifest lists them the files are
-    * unreferenced (readers resolve manifests, never glob data files).
-    */
+    * the driver. A part whose stats column is entirely NULL (or which
+    * holds zero rows) carries the impossible range: it can never hold
+    * a probe hit, so range pruning skips it — never an NPE mid-write.
+    * Until a manifest lists them the files are unreferenced (readers
+    * resolve manifests, never glob data files). */
   private def stage(df: DataFrame, dir: Path, fs: FileSystem,
                     statsCol: Option[String]): Seq[Entry] = {
     val stageDir = new Path(dir, s"_stage-${UUID.randomUUID()}")
@@ -148,21 +231,40 @@ object MergeTable {
           .groupBy("__mt_file")
           .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
           .collect()
-          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+          .flatMap(r =>
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some((r.getString(0), (r.getLong(1), r.getLong(2)))))
+          .toMap
         renamed.map { n =>
           stats.find { case (p, _) => p.endsWith("/" + n) } match {
             case Some((_, (a, b))) => Entry(n, Some(a), Some(b))
-            // a part file with zero rows carries no range: it can
-            // never hold a hit, so an impossible range prunes it
+            // zero rows or all-NULL stats: no range to track — the
+            // impossible range prunes the file from every probe
             case None => Entry(n, Some(Long.MaxValue), Some(Long.MinValue))
           }
         }
     }
   }
 
+  /** Reject NULL and duplicate values of the merge/stats key — the
+    * invariant every tracked table maintains (see KEY DISCIPLINE).
+    * One aggregation pass; the two failure modes get distinct
+    * messages so a NULL-key batch is not misdiagnosed as duplicates. */
+  private def requireUniqueKeys(df: DataFrame, key: String, what: String): Unit = {
+    val r = df.agg(count(lit(1)), count(col(key)), count_distinct(col(key))).head()
+    val (total, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(total == nonNull,
+      s"$what carries ${total - nonNull} NULL '$key' value(s) — NULL merge keys " +
+        "cannot match range pruning or the key join and are not supported")
+    require(nonNull == distinct,
+      s"$what carries duplicate '$key' values — ambiguous merge")
+  }
+
   /** Create a table at `path` from `df` as version 0. Pass the merge
     * key as `statsCol` (must be a LONG column) to track per-file key
-    * ranges — the file-skipping metadata later merges prune with. */
+    * ranges — the file-skipping metadata later merges prune with.
+    * A tracked key is validated non-NULL and unique here; merges
+    * preserve both by construction. */
   def create(df: DataFrame, path: String,
              statsCol: Option[String] = None): Unit = {
     val dir = new Path(path)
@@ -172,6 +274,7 @@ object MergeTable {
     statsCol.foreach { c =>
       require(df.schema(c).dataType == LongType,
         s"stats column '$c' must be LONG, got ${df.schema(c).dataType}")
+      requireUniqueKeys(df, c, "initial data")
     }
     publish(fs, dir, 0, Manifest(df.schema.toDDL, statsCol,
       stage(df, dir, fs, statsCol)))
@@ -185,7 +288,8 @@ object MergeTable {
 
   /** Read a snapshot: the latest manifest, or an explicit retained
     * `version` (time travel). The manifest's schema is authoritative
-    * — an empty version still answers with the right columns. */
+    * — an empty version still answers with the right columns, and a
+    * pre-evolution version answers with ITS schema. */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
@@ -194,7 +298,7 @@ object MergeTable {
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v not present (have ${vs.mkString(",")})")
     val m = readManifest(fs, dir, v)
-    fromEntries(spark, dir, m, m.entries)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
   }
 
   /** Range read over the stats column: files whose [min, max] cannot
@@ -209,44 +313,96 @@ object MergeTable {
       throw new IllegalArgumentException(s"$path tracks no stats column"))
     val live = m.entries.filter(e =>
       e.mn.isEmpty || (e.mn.get <= hi && e.mx.get >= lo))
-    fromEntries(spark, dir, m, live)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
-  private def fromEntries(spark: SparkSession, dir: Path, m: Manifest,
-                          entries: Seq[Entry]): DataFrame = {
-    val schema = StructType.fromDDL(m.ddl)
+  private def fromEntries(spark: SparkSession, dir: Path, schema: StructType,
+                          entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read.schema(schema)
         .parquet(entries.map(e => new Path(dir, e.name).toString): _*)
+
+  /** File-range probe via BINNED EQUI-JOIN: the manifest's ranges
+    * rasterize driver-side onto fixed-width bins (bin width chosen so
+    * the raster stays ≤ ~8 entries per file — metadata scale); each
+    * key computes its bin with pure integer arithmetic and
+    * BROADCAST-HASH-joins the raster on the bin, with the exact
+    * [mn, mx] residual applied after the hash match. Same answer as
+    * the naive theta join (the residual makes it exact), but the work
+    * per key is the files overlapping ONE bin, not all files. Spans
+    * wider than 2^62 (arithmetic would overflow) fall back to the
+    * theta probe. */
+  private[graft] def rangeCandidates(keys: DataFrame, key: String,
+                                       ranged: Seq[Entry]): Set[String] = {
+    val live = ranged.filter(e => e.mn.get <= e.mx.get)
+    if (live.isEmpty) return Set.empty
+    val gmin = live.map(_.mn.get).min
+    val gmax = live.map(_.mx.get).max
+    val span = BigInt(gmax) - BigInt(gmin) + 1
+    if (span > BigInt(Long.MaxValue) / 2)
+      return rangeCandidatesTheta(keys, key, live)
+    val spark = keys.sparkSession
+    // bin width: start near 4 bins/file and widen until the raster
+    // totals ≤ 8 entries/file (a file spanning the whole key space
+    // cannot blow the raster up to #files × #bins)
+    def rasterSize(w: Long): Long =
+      live.map(e => (e.mx.get - gmin) / w - (e.mn.get - gmin) / w + 1).sum
+    var nBins = math.min(4L * live.size, 1L << 20)
+    def widthFor(n: Long): Long =
+      ((span + n - 1) / n).max(1).toLong
+    var w = widthFor(nBins)
+    while (nBins > 1 && rasterSize(w) > 8L * live.size) {
+      nBins /= 2; w = widthFor(nBins)
+    }
+    val raster = live.flatMap(e =>
+      ((e.mn.get - gmin) / w to (e.mx.get - gmin) / w).map(b =>
+        (b, e.name, e.mn.get, e.mx.get)))
+    val rasterDf = spark.createDataFrame(raster)
+      .toDF("__mt_bin", "__mt_name", "__mt_mn", "__mt_mx")
+    keys.select(col(key).as("__mt_k")).na.drop().distinct()
+      .filter(col("__mt_k") >= gmin && col("__mt_k") <= gmax)
+      .withColumn("__mt_bin", expr(s"(__mt_k - ${gmin}L) div ${w}L"))
+      .join(broadcast(rasterDf), Seq("__mt_bin"))
+      .filter(col("__mt_k") >= col("__mt_mn") && col("__mt_k") <= col("__mt_mx"))
+      .select("__mt_name").distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** The naive per-key linear probe (#keys × #files comparisons) —
+    * the overflow fallback, and the spec's equality oracle for the
+    * binned probe. */
+  private[graft] def rangeCandidatesTheta(keys: DataFrame, key: String,
+                                            ranged: Seq[Entry]): Set[String] = {
+    val spark = keys.sparkSession
+    val ranges = spark.createDataFrame(
+      ranged.map(e => (e.name, e.mn.get, e.mx.get)))
+      .toDF("__mt_name", "__mt_mn", "__mt_mx")
+    keys.select(col(key)).na.drop().distinct()
+      .join(broadcast(ranges),
+        col(key) >= col("__mt_mn") && col(key) <= col("__mt_mx"))
+      .select("__mt_name").distinct()
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Candidate files for a set of keys: with tracked ranges this is a
-    * metadata-only theta join of the (distinct) keys against the
-    * BROADCAST range table — the base is never scanned; a false
-    * positive only costs rewrite volume, never correctness (ranges
-    * are true min/max, so every real hit file is a candidate).
-    * Without stats it falls back to scanning the base for
-    * `_metadata.file_path` hits. */
+    * metadata-only probe of the (distinct) keys against the manifest
+    * range table (see [[rangeCandidates]]) — the base is never
+    * scanned; a false positive only costs rewrite volume, never
+    * correctness (ranges are true min/max, so every real hit file is
+    * a candidate). Without stats it falls back to scanning the base
+    * for `_metadata.file_path` hits. */
   private def candidateFiles(spark: SparkSession, dir: Path, m: Manifest,
                              keys: DataFrame, key: String): Seq[Entry] =
     m.statsCol match {
       case Some(c) if c == key =>
-        val ranged = m.entries.filter(_.mn.isDefined)
-        val ranges = spark.createDataFrame(
-          ranged.map(e => (e.name, e.mn.get, e.mx.get)))
-          .toDF("__mt_name", "__mt_mn", "__mt_mx")
-        val hit = keys.select(col(key)).distinct()
-          .join(broadcast(ranges),
-            col(key) >= col("__mt_mn") && col(key) <= col("__mt_mx"))
-          .select("__mt_name").distinct()
-          .collect().map(_.getString(0)).toSet
+        val hit = rangeCandidates(keys, key, m.entries.filter(_.mn.isDefined))
         val statless = m.entries.filter(_.mn.isEmpty)
         m.entries.filter(e => hit.contains(e.name)) ++ statless
       case _ =>
-        val base = fromEntries(spark, dir, m, m.entries)
+        val base = fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
           .withColumn("__mt_file", col("_metadata.file_path"))
         val hitPaths = base
           .join(keys.select(col(key)).distinct(), Seq(key))
@@ -261,33 +417,42 @@ object MergeTable {
     * stats column — found WITHOUT scanning the base) are rewritten
     * (their unmatched survivors + every update row land in fresh
     * files); all other files carry into the new manifest untouched.
-    * Returns the new version. `updates` must carry unique keys — an
-    * ambiguous double-update is rejected, not resolved silently. */
+    * Returns the new version. `updates` must carry unique, non-NULL
+    * keys — an ambiguous double-update is rejected, not resolved
+    * silently. `updates` may carry NEW columns (schema evolution —
+    * the manifest widens, pre-evolution files null-fill on read) but
+    * never fewer than the table's. A lost publish race retries from
+    * the new latest (bounded). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            key: String): Int = {
+            key: String): Int = withOccRetry(s"merge into $path") {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
     val m = readManifest(fs, dir, v)
     val schema = StructType.fromDDL(m.ddl)
-    require(updates.columns.toSet == schema.fieldNames.toSet,
-      s"update columns ${updates.columns.mkString(",")} != table ${schema.fieldNames.mkString(",")}")
-    val ups = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val uniq = ups.agg(count(lit(1)), count_distinct(col(key))).head()
-    require(uniq.getLong(0) == uniq.getLong(1),
-      s"updates carry duplicate '$key' values — ambiguous merge")
+    val missing = schema.fieldNames.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"updates miss table column(s) ${missing.mkString(",")} — an update row " +
+        "replaces its whole base row, so every table column is required")
+    val added = updates.columns.filterNot(schema.fieldNames.contains)
+    val newSchema = StructType(schema.fields ++ added.map(c =>
+      StructField(c, updates.schema(c).dataType, nullable = true)))
+    val ups = updates.select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
+    requireUniqueKeys(ups, key, "updates")
 
     val hits = candidateFiles(spark, dir, m, ups, key)
     val hitNames = hits.map(_.name).toSet
     val survivors =
       if (hits.isEmpty) ups // pure append
-      else fromEntries(spark, dir, m, hits)
+      else fromEntries(spark, dir, newSchema, hits)
         .join(ups.select(col(key)), Seq(key), "left_anti")
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
         .unionByName(ups)
     val rewritten = stage(survivors, dir, fs, m.statsCol)
+    fireMidCommitHook()
     publish(fs, dir, v + 1,
-      m.copy(entries = m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
+      Manifest(newSchema.toDDL, m.statsCol,
+        m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
     v + 1
   }
 
@@ -295,26 +460,28 @@ object MergeTable {
     * arrive as a DataFrame (single `key` column) — the CDC-apply
     * shape, where a delete batch can be data-sized and must join, not
     * collect into a driver-side predicate. Only candidate files
-    * (range-pruned like [[merge]]) rewrite. Returns the new version. */
+    * (range-pruned like [[merge]]) rewrite. Retries a lost publish
+    * race from the new latest. Returns the new version. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
-                 key: String): Int = {
+                 key: String): Int = withOccRetry(s"deleteKeys from $path") {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
     val m = readManifest(fs, dir, v)
     val schema = StructType.fromDDL(m.ddl)
-    val ks = keys.select(col(key)).distinct()
+    val ks = keys.select(col(key)).na.drop().distinct()
     val hits = candidateFiles(spark, dir, m, ks, key)
     val hitNames = hits.map(_.name).toSet
     val next =
       if (hits.isEmpty) m.entries
       else {
-        val survivors = fromEntries(spark, dir, m, hits)
+        val survivors = fromEntries(spark, dir, schema, hits)
           .join(ks, Seq(key), "left_anti")
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         m.entries.filterNot(e => hitNames(e.name)) ++
           stage(survivors, dir, fs, m.statsCol)
       }
+    fireMidCommitHook()
     publish(fs, dir, v + 1, m.copy(entries = next))
     v + 1
   }
@@ -322,30 +489,38 @@ object MergeTable {
   /** COW DELETE by arbitrary predicate: rewrites only the files
     * holding rows matching `cond`, found by ONE base scan (a general
     * predicate cannot be answered from key ranges — the documented
-    * asymmetry vs [[deleteKeys]]); untouched files carry over.
-    * Returns the new version. */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
-    val dir = new Path(path)
-    val fs = fsFor(spark, dir)
-    val v = versions(fs, dir).last
-    val m = readManifest(fs, dir, v)
-    val base = fromEntries(spark, dir, m, m.entries)
-      .withColumn("__mt_file", col("_metadata.file_path"))
-    val hitPaths = base.filter(cond)
-      .select("__mt_file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val hits = m.entries.filter(e => hitPaths.exists(_.endsWith("/" + e.name)))
-    val hitNames = hits.map(_.name).toSet
-    val next =
-      if (hits.isEmpty) m.entries
-      else {
-        val survivors = fromEntries(spark, dir, m, hits).filter(!cond)
-        m.entries.filterNot(e => hitNames(e.name)) ++
-          stage(survivors, dir, fs, m.statsCol)
-      }
-    publish(fs, dir, v + 1, m.copy(entries = next))
-    v + 1
-  }
+    * asymmetry vs [[deleteKeys]]); untouched files carry over. SQL
+    * DELETE semantics: a row is deleted only where `cond` is TRUE —
+    * rows where it evaluates NULL survive, in rewritten and carried
+    * files alike (hit detection and the survivor filter share one
+    * null-collapsed condition, so file placement can never decide a
+    * row's fate). Retries a lost publish race. Returns the new
+    * version. */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Int =
+    withOccRetry(s"deleteWhere from $path") {
+      val dir = new Path(path)
+      val fs = fsFor(spark, dir)
+      val v = versions(fs, dir).last
+      val m = readManifest(fs, dir, v)
+      val schema = StructType.fromDDL(m.ddl)
+      val hitCond = coalesce(cond, lit(false))
+      val base = fromEntries(spark, dir, schema, m.entries)
+        .withColumn("__mt_file", col("_metadata.file_path"))
+      val hitPaths = base.filter(hitCond)
+        .select("__mt_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val hits = m.entries.filter(e => hitPaths.exists(_.endsWith("/" + e.name)))
+      val hitNames = hits.map(_.name).toSet
+      val next =
+        if (hits.isEmpty) m.entries
+        else {
+          val survivors = fromEntries(spark, dir, schema, hits).filter(!hitCond)
+          m.entries.filterNot(e => hitNames(e.name)) ++
+            stage(survivors, dir, fs, m.statsCol)
+        }
+      publish(fs, dir, v + 1, m.copy(entries = next))
+      v + 1
+    }
 
   /** CHANGE DATA FEED between two retained versions — the read-side
     * complement of the CDC apply (`mergeApplySink` writes changes IN,
@@ -354,18 +529,52 @@ object MergeTable {
     * align on `key`; emits the Delta-CDF shape: `_change_type` ∈
     * insert / delete / update_preimage / update_postimage, where
     * updates are keys present in both versions whose full row
-    * changed. Both snapshots prune to their own manifests; the diff
-    * is one key-aligned full-outer join — at scale the two file sets
-    * mostly COINCIDE (untouched files carry by name), so a
-    * manifest-aware consumer could skip shared files entirely; this
-    * implementation states the semantics, the file-diff refinement is
-    * the documented optimization seam. */
+    * changed.
+    *
+    * MANIFEST-AWARE: the diff reads ONLY the files NOT shared between
+    * the two manifests. Data files are immutable and carry between
+    * versions BY NAME, so a shared file's rows are bit-identical on
+    * both sides and can never produce a change row; and under the
+    * per-version key-uniqueness precondition a key whose file is
+    * shared lives in that same file in BOTH versions (its before-file
+    * and after-file coincide), so restricting both sides to the
+    * non-shared files loses nothing. At 100 TB with an epoch touching
+    * 0.1% of files, the feed therefore scans ~0.2% of the corpus, not
+    * 200% — the touched files fully determine it. Emits under the
+    * `toV` schema (pre-evolution files null-fill the added columns).
+    * The key-uniqueness precondition is guarded here (count vs
+    * distinct over the same non-shared files the diff reads) for
+    * tables built outside the tracked-key lifecycle that enforces it.
+    */
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
               key: String): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val before = read(spark, path, fromV)
-    val after = read(spark, path, toV)
-    val cols = before.columns.toSeq
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val vs = versions(fs, dir)
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"need retained versions, have ${vs.mkString(",")}")
+    val mb = readManifest(fs, dir, fromV)
+    val ma = readManifest(fs, dir, toV)
+    val schema = StructType.fromDDL(ma.ddl)
+    val shared = mb.entries.map(_.name).toSet
+      .intersect(ma.entries.map(_.name).toSet)
+    val before = fromEntries(spark, dir, schema,
+      mb.entries.filterNot(e => shared(e.name)))
+    val after = fromEntries(spark, dir, schema,
+      ma.entries.filterNot(e => shared(e.name)))
+    val guard = before.select(col(key)).withColumn("__side", lit(fromV))
+      .unionByName(after.select(col(key)).withColumn("__side", lit(toV)))
+      .groupBy("__side")
+      .agg(count(lit(1)).as("n"), count(col(key)).as("nn"),
+        count_distinct(col(key)).as("d"))
+      .collect()
+    guard.foreach { r =>
+      require(r.getLong(1) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        s"version ${r.getInt(0)} holds NULL or duplicate '$key' values in its " +
+          "changed files — changes() requires key-unique snapshots")
+    }
+    val cols = schema.fieldNames.toSeq
     val b = before.select(col(key).as("__k"),
       struct(cols.map(col): _*).as("__b"))
     val a = after.select(col(key).as("__k"),
@@ -375,8 +584,11 @@ object MergeTable {
       .select(col("__a.*")).withColumn("_change_type", lit("insert"))
     val deletes = j.filter(col("__a").isNull)
       .select(col("__b.*")).withColumn("_change_type", lit("delete"))
+    // null-safe struct compare: evolution null-fills pre-evolution
+    // rows, and plain =!= would return NULL (drop the change row)
+    // whenever an undecided field is NULL on either side
     val updatedKeys = j.filter(col("__b").isNotNull && col("__a").isNotNull &&
-      col("__b") =!= col("__a"))
+      !(col("__b") <=> col("__a")))
     val pre = updatedKeys.select(col("__b.*"))
       .withColumn("_change_type", lit("update_preimage"))
     val post = updatedKeys.select(col("__a.*"))
@@ -392,34 +604,39 @@ object MergeTable {
     * their parquet row groups are already good); the small tail
     * rewrites into ceil(bytes/target) files. Publishes a new version
     * — readers of the old one are untouched, time travel intact, and
-    * the rewrite is content-neutral (spec-pinned). Returns the new
-    * version, or -1 when nothing needed compacting. */
+    * the rewrite is content-neutral (spec-pinned). Retries a lost
+    * publish race (it may meet the CDC apply mid-epoch). Returns the
+    * new version, or -1 when nothing needed compacting. */
   def optimize(spark: SparkSession, path: String,
                smallBytes: Long = 16L * 1024 * 1024,
-               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val dir = new Path(path)
-    val fs = fsFor(spark, dir)
-    val v = versions(fs, dir).last
-    val m = readManifest(fs, dir, v)
-    val sized = m.entries.map(e =>
-      (e, fs.getFileStatus(new Path(dir, e.name)).getLen))
-    val (small, big) = sized.partition(_._2 < smallBytes)
-    if (small.size < 2) return -1 // nothing to gain from one file
-    val totalSmall = small.map(_._2).sum
-    val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-    val compacted = fromEntries(spark, dir, m, small.map(_._1))
-      .coalesce(nOut) // boundary change only — no shuffle, no reorder
-    val rewritten = stage(compacted, dir, fs, m.statsCol)
-    publish(fs, dir, v + 1, m.copy(entries = big.map(_._1) ++ rewritten))
-    v + 1
-  }
+               targetBytes: Long = 128L * 1024 * 1024): Int =
+    withOccRetry(s"optimize $path") {
+      val dir = new Path(path)
+      val fs = fsFor(spark, dir)
+      val v = versions(fs, dir).last
+      val m = readManifest(fs, dir, v)
+      val sized = m.entries.map(e =>
+        (e, fs.getFileStatus(new Path(dir, e.name)).getLen))
+      val (small, big) = sized.partition(_._2 < smallBytes)
+      if (small.size < 2) -1 // nothing to gain from one file
+      else {
+        val totalSmall = small.map(_._2).sum
+        val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+        val compacted = fromEntries(spark, dir, StructType.fromDDL(m.ddl),
+          small.map(_._1))
+          .coalesce(nOut) // boundary change only — no shuffle, no reorder
+        val rewritten = stage(compacted, dir, fs, m.statsCol)
+        publish(fs, dir, v + 1, m.copy(entries = big.map(_._1) ++ rewritten))
+        v + 1
+      }
+    }
 
   /** Garbage-collect: keep the newest `keepVersions` manifests, drop
     * older manifests, every data file none of the kept manifests
-    * reference, and any leftover `_stage-`/`_tmp-` debris (crashed or
-    * abandoned writes). Single-maintainer operation (the table-format
-    * convention): concurrent time-travel readers of dropped versions
-    * lose them. Returns the number of files removed. */
+    * reference, and any leftover `_stage-`/`_tmp-` debris (crashed,
+    * abandoned, or OCC-defeated writes). Single-maintainer operation
+    * (the table-format convention): concurrent time-travel readers of
+    * dropped versions lose them. Returns the number of files removed. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val dir = new Path(path)

@@ -235,4 +235,191 @@ class MergeTableSpec extends AnyFunSuite {
       MergeTable.create(base, path)
     }
   }
+
+  test("OCC retry: merge re-derives from the new latest when a racing writer wins") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // the racer publishes BETWEEN our stage and our publish — the
+    // exact window the exclusive manifest commit protects
+    MergeTable.midCommitHook = () =>
+      MergeTable.merge(spark, path,
+        Seq((5L, "RACE", 1L)).toDF("id", "payload", "grp"), "id")
+    val v = MergeTable.merge(spark, path,
+      Seq((3L, "MINE", 2L)).toDF("id", "payload", "grp"), "id")
+    assert(v == 2, "loser must re-derive and land AFTER the winner")
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now(5L) == "RACE" && now(3L) == "MINE",
+      "both commits must survive the race")
+    assert(now.size == 40)
+  }
+
+  test("OCC retry: a racing optimize maintainer cannot crash a mutator") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // pile up a small-file tail so optimize has something to compact
+    (100L to 103L).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((k, s"add$k", 7L)).toDF("id", "payload", "grp"), "id")
+    }
+    val vBefore = MergeTable.latestVersion(spark, path)
+    MergeTable.midCommitHook = () =>
+      assert(MergeTable.optimize(spark, path) > vBefore)
+    val v = MergeTable.merge(spark, path,
+      Seq((2L, "POST", 0L)).toDF("id", "payload", "grp"), "id")
+    assert(v == vBefore + 2, "merge retried past the maintainer's version")
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now(2L) == "POST" && now.size == 44)
+  }
+
+  test("changes() reads ONLY files not shared between the two manifests") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // touch one range file only: 3 of 4 files carry by name
+    MergeTable.merge(spark, path,
+      Seq((2L, "X", 0L)).toDF("id", "payload", "grp"), "id")
+    def filesOf(v: Int): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      txt.split("\n").drop(2).filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+    }
+    val shared = filesOf(0).intersect(filesOf(1))
+    assert(shared.size == 3)
+    val cdf = MergeTable.changes(spark, path, 0, 1, "id")
+    val scanned = cdf.inputFiles.map(_.split("/").last).toSet
+    assert(scanned.nonEmpty && scanned.intersect(shared).isEmpty,
+      s"the diff plan must scan no shared file, scanned $scanned")
+    // behavioral proof: corrupt a shared file — the feed still answers
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = shared.head
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    val feed = MergeTable.changes(spark, path, 0, 1, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(feed == Set(("update_preimage", 2L), ("update_postimage", 2L)))
+  }
+
+  test("manifest-aware changes() equals the full-snapshot derivation") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.merge(spark, path,
+      Seq((2L, "UPD2", 50L), (200L, "INS200", 50L))
+        .toDF("id", "payload", "grp"), "id")
+    MergeTable.deleteKeys(spark, path, Seq(35L).toDF("id"), "id")
+    def snap(v: Int): Map[Long, (String, Long)] =
+      MergeTable.read(spark, path, v).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val (b, a) = (snap(0), snap(2))
+    val expected =
+      (a.keySet -- b.keySet).map(k => ("insert", k, a(k)._1)) ++
+      (b.keySet -- a.keySet).map(k => ("delete", k, b(k)._1)) ++
+      (a.keySet & b.keySet).filter(k => a(k) != b(k)).flatMap(k =>
+        Seq(("update_preimage", k, b(k)._1), ("update_postimage", k, a(k)._1)))
+    val feed = MergeTable.changes(spark, path, 0, 2, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("payload"))).toSet
+    assert(feed == expected,
+      s"file-diff feed must equal the full-snapshot derivation: $feed vs $expected")
+  }
+
+  test("binned range probe candidates equal the theta probe, any range shape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val entries =
+      (0 until 300).map { i =>
+        val lo = rnd.nextInt(100000).toLong
+        MergeTable.Entry(s"f$i", Some(lo), Some(lo + rnd.nextInt(500)))
+      } ++
+      Seq(MergeTable.Entry("wide", Some(0L), Some(100500L)),    // spans everything
+        MergeTable.Entry("point", Some(77777L), Some(77777L)),  // single key
+        MergeTable.Entry("empty", Some(Long.MaxValue), Some(Long.MinValue))) // zero-row file
+    val keys = ((0 until 2000).map(_ => Some(rnd.nextInt(110000).toLong)) ++
+      Seq(None, Some(77777L), Some(77777L))).toDF("k") // nulls + dups
+    val binned = MergeTable.rangeCandidates(keys, "k", entries)
+    val theta = MergeTable.rangeCandidatesTheta(keys, "k", entries)
+    assert(binned == theta, s"probe mismatch: ${binned.diff(theta)} / ${theta.diff(binned)}")
+    assert(binned.contains("wide") && binned.contains("point") &&
+      !binned.contains("empty"))
+  }
+
+  test("schema evolution: widened merge adds columns, old files null-fill") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val ups = Seq((3L, "NEW3", 9L, 0.5), (100L, "ADD", 9L, 0.9))
+      .toDF("id", "payload", "grp", "score")
+    val v = MergeTable.merge(spark, path, ups, "id")
+    val now = MergeTable.read(spark, path)
+    assert(now.schema.fieldNames.toSeq == Seq("id", "payload", "grp", "score"))
+    val m = now.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m(3L) == ("NEW3", Some(0.5)) && m(100L) == ("ADD", Some(0.9)))
+    assert(m(4L) == ("v4", None), "pre-evolution rows project NULL")
+    assert(m.size == 41)
+    // the pre-evolution version still answers with ITS schema
+    assert(MergeTable.read(spark, path, 0).schema.fieldNames.toSeq ==
+      Seq("id", "payload", "grp"))
+    // the CDF across the evolution emits under the widened schema
+    val cdf = MergeTable.changes(spark, path, 0, v, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(cdf == Set(("insert", 100L, Some(0.9)),
+      ("update_preimage", 3L, None), ("update_postimage", 3L, Some(0.5))))
+    // after the evolution, every column is required again
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        Seq((6L, "x", 1L)).toDF("id", "payload", "grp"), "id")
+    }
+    assert(ex.getMessage.contains("score"))
+  }
+
+  test("NULL merge keys are rejected with their own message, not as duplicates") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path)
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        Seq((Option.empty[Long], "x", Some(1L)))
+          .toDF("id", "payload", "grp"), "id")
+    }
+    assert(ex.getMessage.contains("NULL"), s"got: ${ex.getMessage}")
+  }
+
+  test("create with a tracked key rejects NULL and duplicate keys up front") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val exDup = intercept[IllegalArgumentException] {
+      MergeTable.create(dup, tmpDir(), statsCol = Some("id"))
+    }
+    assert(exDup.getMessage.contains("duplicate"))
+    val withNull = Seq((Option.empty[Long], "a"), (Some(2L), "b")).toDF("id", "v")
+    val exNull = intercept[IllegalArgumentException] {
+      MergeTable.create(withNull, tmpDir(), statsCol = Some("id"))
+    }
+    assert(exNull.getMessage.contains("NULL"))
+  }
+
+  test("deleteWhere: NULL-evaluating rows survive regardless of file placement") {
+    import spark.implicits._
+    val path = tmpDir()
+    // nullable column in the predicate, nulls in BOTH the hit file
+    // (id 2, next to the true hit id 1) and a non-hit file (id 4)
+    val df = Seq((1L, Some(10L)), (2L, Option.empty[Long]),
+      (3L, Some(1L)), (4L, Option.empty[Long]))
+      .toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+    MergeTable.create(df, path)
+    MergeTable.deleteWhere(spark, path, col("v") > 5L)
+    val left = MergeTable.read(spark, path).collect().map(_.getLong(0)).toSet
+    assert(left == Set(2L, 3L, 4L),
+      s"only the TRUE row may go; NULL rows survive everywhere — got $left")
+  }
 }

@@ -1856,4 +1856,31 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("recid")).toSet
     assert(v1.contains(3L), "version 0 must still hold the deleted key")
   }
+
+  test("CDC apply survives a racing optimize maintainer mid-epoch (OCC retry)") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("cdc_race")
+      .toString + "/table"
+    val sink = Pipelines.mergeApplySink(dir, "recid", "ts")
+    // seed epochs: a small-file tail the maintainer will want
+    sink(Seq((1L, 10L, "U", "a1"), (2L, 10L, "U", "b1"))
+      .toDF("recid", "ts", "op", "payload"), 0L)
+    sink(Seq((3L, 11L, "U", "c1")).toDF("recid", "ts", "op", "payload"), 1L)
+    sink(Seq((4L, 12L, "U", "d1")).toDF("recid", "ts", "op", "payload"), 2L)
+    val vBefore = MergeTable.latestVersion(spark, dir)
+    // the maintainer compacts BETWEEN this epoch's manifest read and
+    // its publish — exactly the production race the stream must
+    // survive (pre-fix: VersionConflict crashed the query)
+    MergeTable.midCommitHook = () =>
+      assert(MergeTable.optimize(spark, dir) > vBefore,
+        "the injected maintainer must actually land a version")
+    sink(Seq((1L, 20L, "U", "a2"), (5L, 20L, "U", "e1"))
+      .toDF("recid", "ts", "op", "payload"), 3L)
+    val applied = MergeTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("recid") -> r.getAs[String]("payload")).toMap
+    assert(applied == Map(1L -> "a2", 2L -> "b1", 3L -> "c1",
+      4L -> "d1", 5L -> "e1"),
+      s"the epoch must land with correct content past the maintainer: $applied")
+  }
 }
