@@ -1533,6 +1533,47 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // INCREMENTAL VIEW MAINTENANCE off the change feed (q77) — the
+    // operation the CDF exists to enable at 100 TB: a downstream
+    // aggregate (orders by status) maintained from the v0 snapshot's
+    // MV plus ONLY the change rows, never a recompute over the new
+    // snapshot. Signed delta application is the classical IVM rule
+    // (insert/postimage +1, delete/preimage −1 — a status flip
+    // debits the old group and credits the new one; groups reaching
+    // zero drop). The 100 TB shape CHAINS the round's manifest-aware
+    // CDF: the feed reads only the files the epochs touched, so the
+    // maintenance cost scales with the CHANGE volume, not the table —
+    // exactly what a full recompute (the oracle's derivation) cannot
+    // do. Decimal-exact: deltas apply as DECIMAL(18,4) sums, one
+    // double conversion at the very end (the q74 convention). The
+    // oracle recomputes the v2 aggregate directly — incremental ≡
+    // recompute IS the correctness claim being certified. The
+    // evolution epoch's updates (rows differing only in o_score)
+    // cancel within their group, which the equality also proves.
+    "q77_cdf_mv" -> q { (s, d) =>
+      import graft.sources.MergeTable
+      val path = ensureEvolvedOrdersTable(s, d)
+      val mv0 = MergeTable.read(s, path, 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n0"), sum(d4(col("o_totalprice"))).as("p0"))
+      val delta = MergeTable.changes(s, path, 0, 2, "o_orderkey")
+        .withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("sgn")).as("dn"),
+          sum(when(col("sgn") === 1L, d4(col("o_totalprice")))
+            .otherwise(-d4(col("o_totalprice")))).as("dp"))
+      mv0.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("p0"), d4(lit(0))) + coalesce(col("dp"), d4(lit(0))))
+            .cast(DoubleType).as("sum_price"))
+        .filter(col("n_orders") > 0L)
+        .orderBy("o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -2120,6 +2161,27 @@ object RelationalQueries {
         |  COUNT(o_score) AS n_scored,
         |  CAST(SUM(o_score) AS BIGINT) AS sum_score
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the DIRECT v2 aggregate — equality with the Spark side's
+    // incrementally maintained MV is the IVM correctness claim
+    // (v2's (status, price) multiset equals v1's: the evolution
+    // epoch only adds a column)
+    "q77_cdf_mv" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5),
+        |v1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the
