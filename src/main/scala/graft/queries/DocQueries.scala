@@ -412,6 +412,58 @@ object DocQueries {
     // shuffle directly; the keeper rule is one row_number window, the
     // reassembly one grouped sort-collect. Docs with zero surviving
     // lines stay in the output (empty text) via the left join.
+    // CONTENT-DEFINED CHUNKING dedup (the LBFS/FastCDC idea —
+    // Muthitacharoen et al. SOSP'01, Xia et al. ATC'16 — at token
+    // granularity): chunk boundaries fall AFTER any token whose hash
+    // ≡ 0 mod 16 (gear-hash single-token rule: expected chunk ≈ 16
+    // tokens), so boundaries depend on CONTENT, not position — an
+    // insertion near the top of a page moves only its own chunk's
+    // boundary, and every later chunk re-aligns (d18's fixed
+    // passages shift globally under one inserted word; this is the
+    // insertion-robust passage dedup). Per source: chunk count,
+    // distinct chunks (identity = order-sensitive hash fold + length
+    // — the fpSql convention), duplicated-token volume and its
+    // fraction (the storage/compute a chunk store would save). Scale
+    // shape: ONE doc_id exchange serves the explode, the cumulative
+    // boundary window and the (doc, chunk) rollup (key-prefix reuse);
+    // only 16-byte chunk signatures reach the (source, sig) exchange
+    // — text never keys anything; the per-chunk collect is bounded
+    // by chunk length (~16 tokens, content-capped).
+    "d82_cdc_chunks" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val M = 1000003L
+      val docs = table(s, d, "documents").filter(trim(col("text")) =!= "")
+      val grid = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          posexplode(Text.tokens(lower(col("text")))).as(Seq("p", "tok")))
+        .select(col("doc_id"), col("source"), (col("p") + 1).as("pos"),
+          graft.functions.Native.polyHash(col("tok"), M).as("th"))
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = grid
+        .withColumn("chunk", coalesce(
+          sum(when(col("th") % 16L === 0L, 1L).otherwise(0L)).over(wD),
+          lit(0L)))
+        .groupBy("doc_id", "source", "chunk")
+        .agg(count(lit(1)).as("n_toks"),
+          transform(array_sort(collect_list(struct(col("pos"), col("th")))),
+            x => x("th")).as("ths"))
+        .withColumn("sig", aggregate(col("ths"), lit(0L),
+          (a, b) => (a * 31L + b) % 1000000000000000L))
+      chunks.groupBy("source", "sig", "n_toks")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum((col("cnt") - 1L) * col("n_toks")).as("dup_toks"),
+          sum(col("cnt") * col("n_toks")).as("tot_toks"))
+        .withColumn("dup_tok_frac",
+          col("dup_toks").cast("double") / col("tot_toks").cast("double"))
+        .select("source", "n_chunks", "n_distinct_chunks", "dup_toks",
+          "dup_tok_frac")
+        .orderBy("source")
+    },
+
     "d57_line_dedup" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val words = split(trim(col("text")), "\\s+")
@@ -5104,6 +5156,42 @@ object DocQueries {
         |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE)
         |    AS chars_per_token
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d82: the same gear-hash boundary rule (inline polyHash fold mod
+    // 1000003), cumulative boundary window, per-chunk ORDER BY list
+    // fold for the signature, then the (source, sig, n_toks) rollup;
+    // HUGEINT sums cast back, one double division at the end
+    "d82_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT doc_id, source, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(toks[pos], ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a*31 + b) % 1000003) AS th
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos)),
+        |c AS (
+        |  SELECT doc_id, source, pos, th,
+        |    COALESCE(SUM(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM g),
+        |ch AS (
+        |  SELECT doc_id, source, chunk, COUNT(*) AS n_toks,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(th ORDER BY pos)),
+        |      (a, b) -> (a*31 + b) % 1000000000000000) AS sig
+        |  FROM c GROUP BY 1, 2, 3),
+        |sg AS (SELECT source, sig, n_toks, COUNT(*) AS cnt
+        |  FROM ch GROUP BY 1, 2, 3)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct_chunks,
+        |  CAST(SUM((cnt-1)*n_toks) AS BIGINT) AS dup_toks,
+        |  CAST(SUM((cnt-1)*n_toks) AS DOUBLE) / CAST(SUM(cnt*n_toks) AS DOUBLE)
+        |    AS dup_tok_frac
+        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d57: the d23 page synthesis, a ROW_NUMBER keeper window over
     // (line → doc_id, line_idx), ORDER BY string_agg reassembly, and
