@@ -1574,6 +1574,36 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Z-ORDER read path at the driver gate (q78): the §2e clustered
+    // layout (Tables.writeZOrdered — Morton-interleaved 2-D sort,
+    // spec-proven narrow per file in BOTH dimensions) answering the
+    // query shape it exists for — a 2-D box (orderkey × partkey
+    // quartile windows, integer-div bounds so both engines agree
+    // exactly) — against a DuckDB oracle over the PLAIN table: layout
+    // equivalence certified at the gate, not just in spec. The box
+    // bounds collect once (1-row metadata action, the
+    // ensureBucketWidth convention) so the filters reach the scan as
+    // LITERALS — PushedFilters + parquet min/max skipping engage, and
+    // because every z-file is narrow in both dims the box touches
+    // O(box volume) files, not a full stripe (the single-sort
+    // failure mode). Build memoizes per generation (Materialize).
+    "q78_zorder_prune" -> q { (s, d) =>
+      val dir = graft.ScratchDirs.stable("q78_zorder", d) + "/lineitem_z"
+      val zli = graft.sources.Materialize.ensure(s, dir) {
+        graft.sources.Tables.writeZOrdered(
+          table(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+          dir, Seq("l_orderkey", "l_partkey"))
+      }
+      val r = zli.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val (mo, mp) = (r.getLong(0), r.getLong(1))
+      zli.filter(col("l_orderkey").between(mo / 4, mo / 2) &&
+          col("l_partkey").between(mp / 4, mp / 2))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(d4(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(d4(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -2182,6 +2212,18 @@ object RelationalQueries {
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same 2-D box over the PLAIN table — equality certifies the
+    // z-ordered layout is a pure rearrangement on its read path
+    "q78_zorder_prune" ->
+      """WITH b AS (
+        |  SELECT MAX(l_orderkey) AS mo, MAX(l_partkey) AS mp FROM lineitem)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN mo // 4 AND mo // 2
+        |  AND l_partkey BETWEEN mp // 4 AND mp // 2""".stripMargin,
 
     // brute-force nearest pick: every in-tolerance candidate ranked by
     // (distance, forward-flag) — backward wins ties, matching the
