@@ -96,17 +96,43 @@ object MergeTable {
 
   private val ManifestRe = """manifest-(\d{10})\.txt""".r
 
-  /** A manifest entry: a data file plus (optionally) the true
-    * [min, max] of the table's stats column within it. */
-  private[graft] case class Entry(name: String, mn: Option[Long], mx: Option[Long]) {
-    def line: String = mn match {
-      case Some(a) => s"$name\t$a\t${mx.get}"
-      case None    => name
+  /** Per-file stats: the true [min, max] of the tracked column within
+    * a data file. LONG keys carry numeric ranges; STRING keys (the
+    * reference's RECID shape) carry string ranges, percent-encoded in
+    * the manifest so tabs/newlines in key values cannot tear a line.
+    * [[EmptyRange]] marks a tracked file with nothing to range over
+    * (zero rows or all-NULL stats) — it can never hold a probe hit. */
+  private[graft] sealed trait Stats
+  private[graft] case object NoStats extends Stats
+  private[graft] case object EmptyRange extends Stats
+  private[graft] final case class LongRange(mn: Long, mx: Long) extends Stats
+  private[graft] final case class StrRange(mn: String, mx: String) extends Stats
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** A manifest entry: a data file plus its [[Stats]]. Line formats
+    * (legacy 3-field numeric lines parse as LONG ranges, so manifests
+    * written before the string-key support still read): `name` /
+    * `name\tE` / `name\tmn\tmx` / `name\tS\tenc(mn)\tenc(mx)`. */
+  private[graft] case class Entry(name: String, stats: Stats) {
+    def line: String = stats match {
+      case NoStats        => name
+      case EmptyRange     => s"$name\tE"
+      case LongRange(a, b) => s"$name\t$a\t$b"
+      case StrRange(a, b) => s"$name\tS\t${enc(a)}\t${enc(b)}"
     }
   }
-  private def parseEntry(l: String): Entry = l.split("\t") match {
-    case Array(n, a, b) => Entry(n, Some(a.toLong), Some(b.toLong))
-    case Array(n)       => Entry(n, None, None)
+  private def parseEntry(l: String): Entry = l.split("\t", -1) match {
+    case Array(n)           => Entry(n, NoStats)
+    case Array(n, "E")      => Entry(n, EmptyRange)
+    case Array(n, "S", a, b) => Entry(n, StrRange(dec(a), dec(b)))
+    // legacy impossible-range sentinels (mn > mx) normalize to E
+    case Array(n, a, b) =>
+      val (mn, mx) = (a.toLong, b.toLong)
+      Entry(n, if (mn <= mx) LongRange(mn, mx) else EmptyRange)
     case _ => throw new IllegalArgumentException(s"bad manifest line: $l")
   }
 
@@ -222,9 +248,10 @@ object MergeTable {
     }
     fs.delete(stageDir, true)
     statsCol match {
-      case None => renamed.map(Entry(_, None, None))
+      case None => renamed.map(Entry(_, NoStats))
       case Some(_) if renamed.isEmpty => Seq.empty
       case Some(c) =>
+        val isStr = df.schema(c).dataType == org.apache.spark.sql.types.StringType
         val stats = df.sparkSession.read
           .parquet(renamed.map(n => new Path(dir, n).toString): _*)
           .select(col(c), col("_metadata.file_path").as("__mt_file"))
@@ -233,14 +260,16 @@ object MergeTable {
           .collect()
           .flatMap(r =>
             if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some((r.getString(0), (r.getLong(1), r.getLong(2)))))
+            else Some((r.getString(0),
+              if (isStr) StrRange(r.getString(1), r.getString(2))
+              else LongRange(r.getLong(1), r.getLong(2)): Stats)))
           .toMap
         renamed.map { n =>
           stats.find { case (p, _) => p.endsWith("/" + n) } match {
-            case Some((_, (a, b))) => Entry(n, Some(a), Some(b))
+            case Some((_, rng)) => Entry(n, rng)
             // zero rows or all-NULL stats: no range to track — the
-            // impossible range prunes the file from every probe
-            case None => Entry(n, Some(Long.MaxValue), Some(Long.MinValue))
+            // empty range prunes the file from every probe
+            case None => Entry(n, EmptyRange)
           }
         }
     }
@@ -261,10 +290,11 @@ object MergeTable {
   }
 
   /** Create a table at `path` from `df` as version 0. Pass the merge
-    * key as `statsCol` (must be a LONG column) to track per-file key
-    * ranges — the file-skipping metadata later merges prune with.
-    * A tracked key is validated non-NULL and unique here; merges
-    * preserve both by construction. */
+    * key as `statsCol` (a LONG or STRING column — the latter is the
+    * reference's RECID shape) to track per-file key ranges — the
+    * file-skipping metadata later merges prune with. A tracked key is
+    * validated non-NULL and unique here; merges preserve both by
+    * construction. */
   def create(df: DataFrame, path: String,
              statsCol: Option[String] = None): Unit = {
     val dir = new Path(path)
@@ -272,8 +302,9 @@ object MergeTable {
     fs.mkdirs(dir)
     require(versions(fs, dir).isEmpty, s"$path already holds a MergeTable")
     statsCol.foreach { c =>
-      require(df.schema(c).dataType == LongType,
-        s"stats column '$c' must be LONG, got ${df.schema(c).dataType}")
+      val t = df.schema(c).dataType
+      require(t == LongType || t == org.apache.spark.sql.types.StringType,
+        s"stats column '$c' must be LONG or STRING, got $t")
       requireUniqueKeys(df, c, "initial data")
     }
     publish(fs, dir, 0, Manifest(df.schema.toDDL, statsCol,
@@ -301,18 +332,23 @@ object MergeTable {
     fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
   }
 
-  /** Range read over the stats column: files whose [min, max] cannot
-    * intersect [lo, hi] are never OPENED (manifest-level skipping on
-    * top of parquet's own row-group stats); the residual filter
-    * applies to the candidates. */
+  /** Range read over a LONG stats column: files whose [min, max]
+    * cannot intersect [lo, hi] are never OPENED (manifest-level
+    * skipping on top of parquet's own row-group stats); the residual
+    * filter applies to the candidates. */
   def readRange(spark: SparkSession, path: String, lo: Long, hi: Long): DataFrame = {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val m = readManifest(fs, dir, versions(fs, dir).last)
     val c = m.statsCol.getOrElse(
       throw new IllegalArgumentException(s"$path tracks no stats column"))
-    val live = m.entries.filter(e =>
-      e.mn.isEmpty || (e.mn.get <= hi && e.mx.get >= lo))
+    val live = m.entries.filter(_.stats match {
+      case NoStats         => true // conservative: no metadata to skip on
+      case EmptyRange      => false
+      case LongRange(a, b) => a <= hi && b >= lo
+      case _: StrRange =>
+        throw new IllegalArgumentException(s"$path tracks STRING stats — use a string range")
+    })
     fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
       .filter(col(c) >= lo && col(c) <= hi)
   }
@@ -327,7 +363,7 @@ object MergeTable {
 
   /** File-range probe via BINNED EQUI-JOIN: the manifest's ranges
     * rasterize driver-side onto fixed-width bins (bin width chosen so
-    * the raster stays ≤ ~8 entries per file — metadata scale); each
+    * the raster stays <= ~8 entries per file — metadata scale); each
     * key computes its bin with pure integer arithmetic and
     * BROADCAST-HASH-joins the raster on the bin, with the exact
     * [mn, mx] residual applied after the hash match. Same answer as
@@ -336,20 +372,40 @@ object MergeTable {
     * wider than 2^62 (arithmetic would overflow) fall back to the
     * theta probe. */
   private[graft] def rangeCandidates(keys: DataFrame, key: String,
-                                       ranged: Seq[Entry]): Set[String] = {
-    val live = ranged.filter(e => e.mn.get <= e.mx.get)
+                                     ranged: Seq[(String, Long, Long)]): Set[String] = {
+    val live = ranged.filter(e => e._2 <= e._3)
     if (live.isEmpty) return Set.empty
-    val gmin = live.map(_.mn.get).min
-    val gmax = live.map(_.mx.get).max
+    val gmin = live.map(_._2).min
+    val gmax = live.map(_._3).max
     val span = BigInt(gmax) - BigInt(gmin) + 1
     if (span > BigInt(Long.MaxValue) / 2)
       return rangeCandidatesTheta(keys, key, live)
-    val spark = keys.sparkSession
+    binnedProbe(
+      keys.select(col(key).as("__mt_k")).na.drop().distinct()
+        .filter(col("__mt_k") >= gmin && col("__mt_k") <= gmax)
+        .withColumn("__mt_kb", col("__mt_k")),
+      raster => raster.withColumn("__mt_resid",
+        col("__mt_k") >= col("__mt_mn") && col("__mt_k") <= col("__mt_mx")),
+      live, gmin, span)
+  }
+
+  /** The shared binned core: `live` carries (name, binMin, binMax) in
+    * an order-preserving non-negative integer bin space; `keysBinned`
+    * carries the probe value (`__mt_k`) plus its bin-space image
+    * (`__mt_kb`); `addResidual` appends the exact `__mt_resid`
+    * predicate (true string/long bounds) evaluated after the bin hash
+    * match — bins are conservative, the residual makes the candidate
+    * set exact. */
+  private def binnedProbe(keysBinned: DataFrame,
+                          addResidual: DataFrame => DataFrame,
+                          live: Seq[(String, Long, Long)],
+                          gmin: Long, span: BigInt): Set[String] = {
+    val spark = keysBinned.sparkSession
     // bin width: start near 4 bins/file and widen until the raster
-    // totals ≤ 8 entries/file (a file spanning the whole key space
-    // cannot blow the raster up to #files × #bins)
+    // totals <= 8 entries/file (a file spanning the whole key space
+    // cannot blow the raster up to #files x #bins)
     def rasterSize(w: Long): Long =
-      live.map(e => (e.mx.get - gmin) / w - (e.mn.get - gmin) / w + 1).sum
+      live.map(e => (e._3 - gmin) / w - (e._2 - gmin) / w + 1).sum
     var nBins = math.min(4L * live.size, 1L << 20)
     def widthFor(n: Long): Long =
       ((span + n - 1) / n).max(1).toLong
@@ -358,27 +414,25 @@ object MergeTable {
       nBins /= 2; w = widthFor(nBins)
     }
     val raster = live.flatMap(e =>
-      ((e.mn.get - gmin) / w to (e.mx.get - gmin) / w).map(b =>
-        (b, e.name, e.mn.get, e.mx.get)))
+      ((e._2 - gmin) / w to (e._3 - gmin) / w).map(b =>
+        (b, e._1, e._2, e._3)))
     val rasterDf = spark.createDataFrame(raster)
       .toDF("__mt_bin", "__mt_name", "__mt_mn", "__mt_mx")
-    keys.select(col(key).as("__mt_k")).na.drop().distinct()
-      .filter(col("__mt_k") >= gmin && col("__mt_k") <= gmax)
-      .withColumn("__mt_bin", expr(s"(__mt_k - ${gmin}L) div ${w}L"))
-      .join(broadcast(rasterDf), Seq("__mt_bin"))
-      .filter(col("__mt_k") >= col("__mt_mn") && col("__mt_k") <= col("__mt_mx"))
+    addResidual(keysBinned
+      .withColumn("__mt_bin", expr(s"(__mt_kb - ${gmin}L) div ${w}L"))
+      .join(broadcast(rasterDf), Seq("__mt_bin")))
+      .filter(col("__mt_resid"))
       .select("__mt_name").distinct()
       .collect().map(_.getString(0)).toSet
   }
 
-  /** The naive per-key linear probe (#keys × #files comparisons) —
+  /** The naive per-key linear probe (#keys x #files comparisons) —
     * the overflow fallback, and the spec's equality oracle for the
     * binned probe. */
   private[graft] def rangeCandidatesTheta(keys: DataFrame, key: String,
-                                            ranged: Seq[Entry]): Set[String] = {
+                                          ranged: Seq[(String, Long, Long)]): Set[String] = {
     val spark = keys.sparkSession
-    val ranges = spark.createDataFrame(
-      ranged.map(e => (e.name, e.mn.get, e.mx.get)))
+    val ranges = spark.createDataFrame(ranged)
       .toDF("__mt_name", "__mt_mn", "__mt_mx")
     keys.select(col(key)).na.drop().distinct()
       .join(broadcast(ranges),
@@ -387,19 +441,89 @@ object MergeTable {
       .collect().map(_.getString(0)).toSet
   }
 
+  /** First 7 UTF-8 bytes of a string, zero-padded, as a non-negative
+    * Long. ORDER-PRESERVING for Spark's binary string comparison
+    * (UTF8 bytes compared unsigned): s1 <= s2 implies u56(s1) <=
+    * u56(s2), so a key inside a file's true string range always lands
+    * inside the file's u56 bin span — the string probe's bin space.
+    * Strings sharing their first 7 bytes share a u56 (same bin); the
+    * exact string residual decides. */
+  private[graft] def u56(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** The same string-to-u56 mapping as a pure column expression (hex
+    * of the first 7 bytes, zero-right-padded, parsed base 16 — all
+    * codegen builtins, no UDF). */
+  private def u56Col(c: Column): Column =
+    conv(rpad(hex(substring(c.cast("binary"), lit(1), lit(7))), 14, "0"), 16, 10)
+      .cast(LongType)
+
+  /** STRING-key file-range probe (the reference's RECID shape): bins
+    * live in u56 space (order-preserving 7-byte prefix), the residual
+    * compares the TRUE string bounds — exact, never just the prefix.
+    * Same binned-equi-join scaling argument as the LONG probe; u56
+    * spans fit in 2^56, so no overflow fallback is needed. */
+  private[graft] def strRangeCandidates(keys: DataFrame, key: String,
+                                        ranged: Seq[(String, String, String)]): Set[String] = {
+    if (ranged.isEmpty) return Set.empty
+    val asBins = ranged.map(e => (e._1, u56(e._2), u56(e._3)))
+    val gmin = asBins.map(_._2).min
+    val gmax = asBins.map(_._3).max
+    val spark = keys.sparkSession
+    val boundsDf = spark.createDataFrame(ranged)
+      .toDF("__mt_name", "__mt_smn", "__mt_smx")
+    binnedProbe(
+      keys.select(col(key).as("__mt_k")).na.drop().distinct()
+        .withColumn("__mt_kb", u56Col(col("__mt_k")))
+        .filter(col("__mt_kb") >= gmin && col("__mt_kb") <= gmax),
+      raster => raster.join(broadcast(boundsDf), Seq("__mt_name"))
+        .withColumn("__mt_resid",
+          col("__mt_k") >= col("__mt_smn") && col("__mt_k") <= col("__mt_smx")),
+      asBins, gmin, BigInt(gmax) - BigInt(gmin) + 1)
+  }
+
+  /** String theta probe — the spec's equality oracle. */
+  private[graft] def strRangeCandidatesTheta(keys: DataFrame, key: String,
+                                             ranged: Seq[(String, String, String)]): Set[String] = {
+    val spark = keys.sparkSession
+    val ranges = spark.createDataFrame(ranged)
+      .toDF("__mt_name", "__mt_smn", "__mt_smx")
+    keys.select(col(key)).na.drop().distinct()
+      .join(broadcast(ranges),
+        col(key) >= col("__mt_smn") && col(key) <= col("__mt_smx"))
+      .select("__mt_name").distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
   /** Candidate files for a set of keys: with tracked ranges this is a
     * metadata-only probe of the (distinct) keys against the manifest
-    * range table (see [[rangeCandidates]]) — the base is never
-    * scanned; a false positive only costs rewrite volume, never
-    * correctness (ranges are true min/max, so every real hit file is
-    * a candidate). Without stats it falls back to scanning the base
-    * for `_metadata.file_path` hits. */
+    * range table ([[rangeCandidates]] / [[strRangeCandidates]] per
+    * the tracked column's type) — the base is never scanned; a false
+    * positive only costs rewrite volume, never correctness (ranges
+    * are true min/max, so every real hit file is a candidate).
+    * Without stats it falls back to scanning the base for
+    * `_metadata.file_path` hits. */
   private def candidateFiles(spark: SparkSession, dir: Path, m: Manifest,
                              keys: DataFrame, key: String): Seq[Entry] =
     m.statsCol match {
       case Some(c) if c == key =>
-        val hit = rangeCandidates(keys, key, m.entries.filter(_.mn.isDefined))
-        val statless = m.entries.filter(_.mn.isEmpty)
+        val longR = m.entries.collect {
+          case Entry(n, LongRange(a, b)) => (n, a, b) }
+        val strR = m.entries.collect {
+          case Entry(n, StrRange(a, b)) => (n, a, b) }
+        val hit = rangeCandidates(keys, key, longR) ++
+          strRangeCandidates(keys, key, strR)
+        // entries with no metadata at all stay conservative
+        // candidates; EmptyRange prunes by construction
+        val statless = m.entries.filter(_.stats == NoStats)
         m.entries.filter(e => hit.contains(e.name)) ++ statless
       case _ =>
         val base = fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
@@ -410,6 +534,7 @@ object MergeTable {
           .collect().map(_.getString(0)).toSet
         m.entries.filter(e => hitPaths.exists(_.endsWith("/" + e.name)))
     }
+
 
   /** MERGE (upsert) by `key`: rows of `updates` replace same-key base
     * rows, new keys append. Copy-on-write with FILE PRUNING: only

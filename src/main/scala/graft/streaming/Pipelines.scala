@@ -1188,10 +1188,13 @@ object Pipelines {
       val dels = latest.filter(col(opCol) === deleteOp)
         .select(col(keyCol))
       val ups = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
-      // track per-file key ranges when the key supports them (LONG):
-      // merges then find candidate files from manifest metadata alone
+      // track per-file key ranges when the key supports them (LONG, or
+      // STRING — the T24 RECID shape): merges then find candidate
+      // files from manifest metadata alone instead of a per-epoch base
+      // scan
       val stats = Some(keyCol).filter(k =>
-        ups.schema(k).dataType == org.apache.spark.sql.types.LongType)
+        ups.schema(k).dataType == org.apache.spark.sql.types.LongType ||
+          ups.schema(k).dataType == org.apache.spark.sql.types.StringType)
       if (MergeTable.latestVersion(spark, path) < 0)
         MergeTable.create(ups, path, statsCol = stats)
       else if (!ups.isEmpty)

@@ -336,11 +336,11 @@ class MergeTableSpec extends AnyFunSuite {
     val entries =
       (0 until 300).map { i =>
         val lo = rnd.nextInt(100000).toLong
-        MergeTable.Entry(s"f$i", Some(lo), Some(lo + rnd.nextInt(500)))
+        (s"f$i", lo, lo + rnd.nextInt(500))
       } ++
-      Seq(MergeTable.Entry("wide", Some(0L), Some(100500L)),    // spans everything
-        MergeTable.Entry("point", Some(77777L), Some(77777L)),  // single key
-        MergeTable.Entry("empty", Some(Long.MaxValue), Some(Long.MinValue))) // zero-row file
+      Seq(("wide", 0L, 100500L),          // spans everything
+        ("point", 77777L, 77777L),        // single key
+        ("empty", Long.MaxValue, Long.MinValue)) // zero-row file sentinel
     val keys = ((0 until 2000).map(_ => Some(rnd.nextInt(110000).toLong)) ++
       Seq(None, Some(77777L), Some(77777L))).toDF("k") // nulls + dups
     val binned = MergeTable.rangeCandidates(keys, "k", entries)
@@ -348,6 +348,66 @@ class MergeTableSpec extends AnyFunSuite {
     assert(binned == theta, s"probe mismatch: ${binned.diff(theta)} / ${theta.diff(binned)}")
     assert(binned.contains("wide") && binned.contains("point") &&
       !binned.contains("empty"))
+  }
+
+  test("string probe (u56 bins + exact residual) equals the string theta probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def key(i: Int): String = f"REC${rnd.nextInt(90000) + 10000}%d.$i%04d"
+    // ranges incl. shared >7-byte prefixes (same u56 bin, residual
+    // must decide), a point range, and a full-span range
+    val entries =
+      (0 until 200).map { i =>
+        val a = key(i); val b = key(i)
+        (s"f$i", if (a <= b) a else b, if (a <= b) b else a)
+      } ++ Seq(
+        ("prefixed", "REC55555.0000AAAA", "REC55555.0000BBBB"),
+        ("point", "REC77777.0042", "REC77777.0042"),
+        ("wide", "", "ZZZZZZZZZZ"))
+    val keys = ((0 until 3000).map(i => Some(key(i))) ++
+      Seq(None, Some("REC77777.0042"), Some("REC55555.0000ABCD"))).toDF("k")
+    val binned = MergeTable.strRangeCandidates(keys, "k", entries)
+    val theta = MergeTable.strRangeCandidatesTheta(keys, "k", entries)
+    assert(binned == theta,
+      s"probe mismatch: ${binned.diff(theta)} / ${theta.diff(binned)}")
+    assert(binned.contains("wide") && binned.contains("point") &&
+      binned.contains("prefixed"))
+  }
+
+  test("STRING merge keys: tracked ranges prune, non-candidates never open") {
+    import spark.implicits._
+    val path = tmpDir()
+    // RECID-shaped keys clustered so range files separate cleanly
+    val df = (0 until 40).map(i => (f"REC$i%04d", s"v$i", i.toLong))
+      .toDF("recid", "payload", "grp")
+      .repartitionByRange(4, col("recid"))
+    MergeTable.create(df, path, statsCol = Some("recid"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "manifest-0000000000.txt"))
+    val m0 = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val entries = m0.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); assert(p(1) == "S"); (p(0), p(2), p(3)) }
+    assert(entries.length == 4, s"expected 4 ranged files: ${entries.toSeq}")
+    // corrupt a file whose string range cannot contain REC0036
+    val victim = entries.find(e => e._3 < "REC0035").get._1
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    MergeTable.merge(spark, path,
+      Seq(("REC0036", "X", 0L)).toDF("recid", "payload", "grp"), "recid")
+    assert(manifestFiles(path).contains(victim),
+      "non-candidate file must carry by name")
+    intercept[Throwable] { MergeTable.read(spark, path).collect() }
+    // keys with tab/newline/percent survive the manifest encoding
+    val path2 = tmpDir()
+    val odd = Seq(("a\tb", "t", 1L), ("c%20d", "p", 2L), ("e\nf", "n", 3L))
+      .toDF("recid", "payload", "grp")
+    MergeTable.create(odd, path2, statsCol = Some("recid"))
+    MergeTable.merge(spark, path2,
+      Seq(("a\tb", "T2", 9L)).toDF("recid", "payload", "grp"), "recid")
+    val now = MergeTable.read(spark, path2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now == Map("a\tb" -> "T2", "c%20d" -> "p", "e\nf" -> "n"))
   }
 
   test("schema evolution: widened merge adds columns, old files null-fill") {
