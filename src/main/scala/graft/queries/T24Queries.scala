@@ -233,6 +233,45 @@ object T24Queries {
         .orderBy(SchemaConverter.RecId)
     },
 
+    // the t24_cdc_latest scenario MATERIALIZED through the STRING-keyed
+    // manifest table (t24_cow_apply): the reference's production loop
+    // lands T24 change records in a maintained TABLE keyed by RECID —
+    // a STRING (reference controllers/index.js:573-610) — so this is
+    // the §2e MergeTable lifecycle under its real key type: create v0
+    // from the initial records, MERGE the odd-key updates (STATUS→X,
+    // ts 2), DELETE the mod-10 RECIDs (T24 delete markers), then read
+    // the latest snapshot against a DuckDB oracle stating the same
+    // apply relationally. The string key exercises the u56-binned
+    // manifest range probe at the driver gate (candidates from
+    // metadata, never a base scan — the per-epoch pruning a 100 TB
+    // RECID table needs). Build memoizes on the manifest version (the
+    // q74 convention: re-runs measure the read path).
+    "t24_cow_apply" -> q { (s, d) =>
+      import graft.sources.MergeTable
+      val path = graft.ScratchDirs.stable("t24_cow", d) + "/table"
+      if (MergeTable.latestVersion(s, path) < 2) {
+        val o = table(s, d, "orders")
+        val v1 = o.select(
+          col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+          lit(1L).as("cdc_ts"), col("o_orderstatus").as("STATUS"))
+        if (MergeTable.latestVersion(s, path) < 0)
+          MergeTable.create(v1, path, statsCol = Some(SchemaConverter.RecId))
+        if (MergeTable.latestVersion(s, path) < 1)
+          MergeTable.merge(s, path,
+            o.filter(col("o_orderkey") % 2 === 1)
+              .select(col("o_orderkey").cast("string").as(SchemaConverter.RecId),
+                lit(2L).as("cdc_ts"), lit("X").as("STATUS")),
+            SchemaConverter.RecId)
+        MergeTable.deleteKeys(s, path,
+          o.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey").cast("string").as(SchemaConverter.RecId)),
+          SchemaConverter.RecId)
+      }
+      MergeTable.read(s, path)
+        .select(SchemaConverter.RecId, "STATUS", "cdc_ts")
+        .orderBy(SchemaConverter.RecId)
+    },
+
     // SCD Type-2 validity intervals from the same CDC change log
     // t24_cdc_latest collapses: the core-banking warehouse keeps EVERY
     // version of a record as a [valid_from, valid_to] row (the
@@ -455,6 +494,14 @@ object T24Queries {
         |  CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END AS STATUS,
         |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS cdc_ts
         |FROM orders ORDER BY RECID""".stripMargin,
+
+    // the same apply stated relationally: merge result minus deleted
+    // RECIDs — t24_cdc_latest's CASE collapse with the delete filter
+    "t24_cow_apply" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN 'X' ELSE o_orderstatus END AS STATUS,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS cdc_ts
+        |FROM orders WHERE o_orderkey % 10 <> 0 ORDER BY RECID""".stripMargin,
 
     "t24_scd2_intervals" ->
       """WITH cdc AS (
