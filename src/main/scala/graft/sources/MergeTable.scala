@@ -353,6 +353,24 @@ object MergeTable {
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
+  /** BATCH KEY LOOKUP: the read-side analog of [[deleteKeys]] — the
+    * snapshot restricted to the files whose tracked range can hold
+    * any of `keys` (the same metadata-only candidate probe merges
+    * use; LONG or STRING key), then the exact semi-join. At 100 TB a
+    * point or batch lookup opens O(hit files), never the table — the
+    * CDC serving path (fetch current records for a RECID batch)
+    * without an external index. */
+  def readKeys(spark: SparkSession, path: String, keys: DataFrame,
+               key: String): DataFrame = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val m = readManifest(fs, dir, versions(fs, dir).last)
+    val ks = keys.select(col(key)).na.drop().distinct()
+    val hits = candidateFiles(spark, dir, m, ks, key)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), hits)
+      .join(ks, Seq(key), "left_semi")
+  }
+
   private def fromEntries(spark: SparkSession, dir: Path, schema: StructType,
                           entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)

@@ -467,6 +467,28 @@ class MergeTableSpec extends AnyFunSuite {
     assert(exNull.getMessage.contains("NULL"))
   }
 
+  test("readKeys answers a key batch from candidate files only") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // corrupt a file whose range cannot hold the probe keys: a lookup
+    // that consulted anything beyond manifest metadata would throw
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "manifest-0000000000.txt"))
+    val m0 = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val entries = m0.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); (p(0), p(1).toLong, p(2).toLong) }
+    val victim = entries.find(e => e._3 < 35L).get._1
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    val got = MergeTable.readKeys(spark, path,
+      Seq(36L, 38L, 999L).toDF("id"), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(36L -> "v36", 38L -> "v38"),
+      s"exact batch lookup from candidate files only — got $got")
+  }
+
   test("deleteWhere: NULL-evaluating rows survive regardless of file placement") {
     import spark.implicits._
     val path = tmpDir()
