@@ -424,33 +424,21 @@ object DocQueries {
     // distinct chunks (identity = order-sensitive hash fold + length
     // — the fpSql convention), duplicated-token volume and its
     // fraction (the storage/compute a chunk store would save). Scale
-    // shape: ONE doc_id exchange serves the explode, the cumulative
-    // boundary window and the (doc, chunk) rollup (key-prefix reuse);
-    // only 16-byte chunk signatures reach the (source, sig) exchange
-    // — text never keys anything; the per-chunk collect is bounded
-    // by chunk length (~16 tokens, content-capped).
+    // shape: chunking is ONE pure per-row expression
+    // (operators/Chunking — the SAME kernel the streaming ingest
+    // screen rides, so the twins cannot drift): token hashes,
+    // boundary positions, segment slicing and the signature fold all
+    // happen inside the row — NO doc exchange, no window; the explode
+    // feeds a map-side-combining hash aggregate directly, so only
+    // 16-byte chunk signatures ever reach an exchange. Per-row state
+    // is content-capped (~16 tokens per chunk).
     "d82_cdc_chunks" -> q { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val M = 1000003L
-      val docs = table(s, d, "documents").filter(trim(col("text")) =!= "")
-      val grid = docs.repartition(col("doc_id"))
-        .select(col("doc_id"), col("source"),
-          posexplode(Text.tokens(lower(col("text")))).as(Seq("p", "tok")))
-        .select(col("doc_id"), col("source"), (col("p") + 1).as("pos"),
-          graft.functions.Native.polyHash(col("tok"), M).as("th"))
-      val wD = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val chunks = grid
-        .withColumn("chunk", coalesce(
-          sum(when(col("th") % 16L === 0L, 1L).otherwise(0L)).over(wD),
-          lit(0L)))
-        .groupBy("doc_id", "source", "chunk")
-        .agg(count(lit(1)).as("n_toks"),
-          transform(array_sort(collect_list(struct(col("pos"), col("th")))),
-            x => x("th")).as("ths"))
-        .withColumn("sig", aggregate(col("ths"), lit(0L),
-          (a, b) => (a * 31L + b) % 1000000000000000L))
-      chunks.groupBy("source", "sig", "n_toks")
+      table(s, d, "documents").filter(trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(graft.operators.Chunking.chunkSigs(col("text"))).as("c"))
+        .select(col("source"), col("c.sig").as("sig"),
+          col("c.n_toks").as("n_toks"))
+        .groupBy("source", "sig", "n_toks")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("source")
         .agg(sum(col("cnt")).as("n_chunks"),

@@ -383,6 +383,31 @@ object Pipelines {
           array(struct(p.as("start"), p.as("last"), lit(1L).as("n"))))))
   }
 
+  /** Ingest-time CONTENT-DEFINED-CHUNK screen — the d82 streaming
+    * twin: each arriving doc chunks via the SAME pure per-row kernel
+    * as the batch report (`Chunking.chunkSigs` — gear-hash
+    * boundaries, order-sensitive signature fold; one kernel, the
+    * twins cannot drift), then each chunk probes the persisted
+    * corpus chunk store by (sig, n_toks) — a stream-static left
+    * join, append-safe, no state store and no streaming aggregation.
+    * Emits one row per (in_id, chunk_idx) with the chunk's length,
+    * signature and dup verdict — the unit a router drops or an
+    * excision step consumes. At 100 TB the store side is a parquet
+    * table of 16-byte signatures; the probe is the only join and the
+    * chunking itself shuffles nothing. */
+  def streamChunkScreen(stream: DataFrame, chunkStore: DataFrame): DataFrame =
+    stream
+      .select(col("doc_id").as("in_id"),
+        posexplode(graft.operators.Chunking.chunkSigs(col("text")))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("in_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_toks").as("n_toks"), col("c.sig").as("sig"))
+      .join(chunkStore.select(col("sig"), col("n_toks")).distinct()
+          .withColumn("__hit", lit(1L)),
+        Seq("sig", "n_toks"), "left_outer")
+      .select(col("in_id"), col("chunk_idx"), col("n_toks"), col("sig"),
+        (coalesce(col("__hit"), lit(0L)) === 1L).as("is_dup"))
+
   def streamSpanScreen(stream: DataFrame, bloomBits: Array[Long],
                        numBits: Int, k: Int = 3, shingleK: Int = 5): DataFrame = {
     val spans = bloomSpanFold(col("text"), bloomBits, numBits, k, shingleK)

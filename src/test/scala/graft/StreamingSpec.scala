@@ -1857,6 +1857,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1.contains(3L), "version 0 must still hold the deleted key")
   }
 
+  test("streamChunkScreen verdicts equal the batch kernel + store join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val store = docs
+      .select(explode(graft.operators.Chunking.chunkSigs(col("text"))).as("c"))
+      .select(col("c.sig").as("sig"), col("c.n_toks").as("n_toks")).distinct()
+    val corpusText = docs.filter(trim(col("text")) =!= "")
+      .orderBy("doc_id").select("text").as[String].head()
+    val novelText = (1 to 40).map(i => s"zzqx$i glorpwib$i").mkString(" ")
+    val incoming = Seq((900001L, corpusText), (900002L, novelText))
+    val expected = incoming.toDF("doc_id", "text")
+      .select(col("doc_id").as("in_id"),
+        posexplode(graft.operators.Chunking.chunkSigs(col("text")))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("in_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_toks").as("n_toks"), col("c.sig").as("sig"))
+      .join(store.withColumn("__hit", lit(1L)), Seq("sig", "n_toks"), "left_outer")
+      .select(col("in_id"), col("chunk_idx"), col("n_toks"), col("sig"),
+        (coalesce(col("__hit"), lit(0L)) === 1L).as("is_dup"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.streamChunkScreen(
+      in.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("chunk_screen")
+      .outputMode("append").start()
+    in.addData(incoming: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("chunk_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    q.stop()
+    assert(streamed == expected, "stream verdicts must equal the batch join")
+    // a verbatim corpus doc flags on every chunk; gibberish on none
+    assert(streamed.filter(_._1 == 900001L).forall(_._5))
+    assert(streamed.filter(_._1 == 900002L).forall(!_._5))
+  }
+
   test("CDC apply survives a racing optimize maintainer mid-epoch (OCC retry)") {
     import spark.implicits._
     import graft.sources.MergeTable
