@@ -577,4 +577,35 @@ object NativePropertySpec extends Properties("NativeKernels") {
         (if (a.contains(None) && b.contains(None)) 1 else 0)
       IntersectCount.compute(larr(a), larr(b)) == expect
     }
+
+  // arbitrary unicode incl. surrogate-pair and control characters —
+  // exactly the strings where UTF-16 (Java compareTo) and UTF-8-byte
+  // (Spark binary) orders can disagree, so the property must compare
+  // in the byte order the probe actually uses
+  private val anyStr: Gen[String] = Gen.frequency(
+    6 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+    3 -> Gen.listOf(Gen.choose(0, 0xFFFF).map(_.toChar)).map(_.mkString),
+    1 -> Gen.oneOf("", "\t", "a\tb", "x\ny", "%", "REC0001"))
+
+  private def byteLE(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  property("u56 string-prefix bin is monotone in UTF-8 byte order") =
+    forAll(anyStr, anyStr) { (a, b) =>
+      import graft.sources.MergeTable
+      if (byteLE(a, b)) MergeTable.u56(a) <= MergeTable.u56(b)
+      else MergeTable.u56(b) <= MergeTable.u56(a)
+    }
+
+  property("u56 is non-negative (a valid bin-space coordinate)") =
+    forAll(anyStr) { s => graft.sources.MergeTable.u56(s) >= 0L }
 }
