@@ -1228,6 +1228,30 @@ object Pipelines {
         MergeTable.deleteKeys(spark, path, dels, keyCol)
     }
 
+  /** CDC apply + MAINTAINED ROLLUP in one sink — [[mergeApplySink]]
+    * composed with `IncrementalView.maintain`: each micro-batch lands
+    * on the COW table (latest-per-key collapse, delete markers,
+    * file-pruned merge), then the downstream aggregate advances by
+    * applying ONLY that epoch's change feed (manifest-aware — the
+    * maintenance step costs the files the epoch touched). This closes
+    * the reference's whole production loop in one sink: KSQL CDC
+    * records → maintained TABLE → continuously fresh rollup, with
+    * both layers idempotent in state (a replayed epoch re-lands identical
+    * table content, and the MV redo is deterministic in the feed).
+    * The MV lag is at most the current epoch and catches up on the
+    * next batch — same single-maintainer convention as the table ops. */
+  def mergeApplyWithMvSink(path: String, mvDir: String, keyCol: String,
+                           tsCol: String, groupCol: String, sumCol: String,
+                           opCol: String = "op",
+                           deleteOp: String = "D"): (DataFrame, Long) => Unit = {
+    val apply = mergeApplySink(path, keyCol, tsCol, opCol, deleteOp)
+    (batch, epochId) => {
+      apply(batch, epochId)
+      graft.operators.IncrementalView.maintain(
+        batch.sparkSession, path, mvDir, keyCol, groupCol, sumCol)
+    }
+  }
+
   /** Streaming Count-Min maintenance — the q61 sketch kept fresh by
     * an ingest stream, as a `foreachBatch` body: each micro-batch
     * lands its OWN (i, bucket, cnt) cell table under `batch=<epoch>`

@@ -1899,6 +1899,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_._1 == 900002L).forall(!_._5))
   }
 
+  test("mergeApplyWithMvSink keeps the rollup equal to the table at every epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.IncrementalView
+    import graft.sources.MergeTable
+    val root = java.nio.file.Files.createTempDirectory("cdc_mv").toString
+    val dir = s"$root/table"; val mvDir = s"$root/mv"
+    val sink = Pipelines.mergeApplyWithMvSink(dir, mvDir, "recid", "ts", "grp", "amt")
+    def check(): Unit = {
+      val direct = MergeTable.read(spark, dir)
+        .groupBy("grp").agg(count(lit(1)), sum(col("amt").cast("decimal(20,4)")))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)).toMap
+      val mv = IncrementalView.read(spark, mvDir).collect()
+        .map(r => r.getAs[String]("grp") -> (r.getAs[Long]("n_rows"),
+          r.getAs[java.math.BigDecimal]("sum_val")
+            .stripTrailingZeros.toPlainString)).toMap
+      assert(mv == direct, s"MV must equal the table's rollup: $mv vs $direct")
+    }
+    sink(Seq((1L, 10L, "U", "a", 5.5), (2L, 10L, "U", "b", 2.0),
+      (2L, 11L, "U", "b", 3.0)).toDF("recid", "ts", "op", "grp", "amt"), 0L)
+    check()
+    // epoch 1: update flips key 1's group, delete key 2, insert key 3
+    val e1 = Seq((1L, 20L, "U", "b", 7.25), (2L, 20L, "D", "b", 0.0),
+      (3L, 20L, "U", "c", 1.0)).toDF("recid", "ts", "op", "grp", "amt")
+    sink(e1, 1L)
+    check()
+    // replayed epoch: table content unchanged, MV unchanged
+    val before = IncrementalView.read(spark, mvDir).collect().toSet
+    sink(e1, 1L)
+    check()
+    assert(IncrementalView.read(spark, mvDir).collect().toSet == before)
+  }
+
   test("CDC apply survives a racing optimize maintainer mid-epoch (OCC retry)") {
     import spark.implicits._
     import graft.sources.MergeTable
