@@ -1141,4 +1141,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("broadcastnestedloop") &&
       !p.contains("CartesianProduct"))
   }
+
+  test("d82: chunking shuffles nothing but signatures — no doc exchange, no window") {
+    val p = plan("d82_cdc_chunks")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "the per-row kernel must not re-introduce a doc_id exchange")
+    assert(!p.contains("Window"),
+      "chunk assignment must stay inside the row, not a doc window")
+    assert(p.contains("partial_count"),
+      "the explode must feed a map-side-combining aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q78: the 2-D box reaches the z-ordered scan as literal pushed filters") {
+    val p = plan("q78_zorder_prune")
+    assert(p.contains("GreaterThanOrEqual(l_orderkey") &&
+      p.contains("LessThanOrEqual(l_orderkey") &&
+      p.contains("GreaterThanOrEqual(l_partkey") &&
+      p.contains("LessThanOrEqual(l_partkey"),
+      "both dimensions' bounds must push to the scan (file/row-group skipping)")
+  }
+
+  test("q77: the IVM delta side reads MergeTable data files, never the source table") {
+    val p = plan("q77_cdf_mv")
+    assert(!p.contains("orders.parquet"),
+      "both the v0 MV seed and the feed must read the table's own files")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t24_cow_apply: the string-keyed snapshot reads its own manifest files") {
+    val p = plan("t24_cow_apply")
+    assert(!p.contains("orders.parquet"),
+      "the apply result must come from the table's data files")
+    assert(p.contains("data-"), "manifest-listed files must be scanned")
+  }
 }
