@@ -685,9 +685,11 @@ object MergeTable {
     * 0.1% of files, the feed therefore scans ~0.2% of the corpus, not
     * 200% — the touched files fully determine it. Emits under the
     * `toV` schema (pre-evolution files null-fill the added columns).
-    * The key-uniqueness precondition is guarded here (count vs
-    * distinct over the same non-shared files the diff reads) for
-    * tables built outside the tracked-key lifecycle that enforces it.
+    * The key-uniqueness precondition is an INVARIANT when `key` is
+    * the table's tracked stats column (create validates it, merge
+    * preserves it by construction), so the guard pass is skipped
+    * there; diffing on any OTHER key pays one count-vs-distinct pass
+    * over the same non-shared files the diff reads.
     */
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
               key: String): DataFrame = {
@@ -706,16 +708,20 @@ object MergeTable {
       mb.entries.filterNot(e => shared(e.name)))
     val after = fromEntries(spark, dir, schema,
       ma.entries.filterNot(e => shared(e.name)))
-    val guard = before.select(col(key)).withColumn("__side", lit(fromV))
-      .unionByName(after.select(col(key)).withColumn("__side", lit(toV)))
-      .groupBy("__side")
-      .agg(count(lit(1)).as("n"), count(col(key)).as("nn"),
-        count_distinct(col(key)).as("d"))
-      .collect()
-    guard.foreach { r =>
-      require(r.getLong(1) == r.getLong(2) && r.getLong(1) == r.getLong(3),
-        s"version ${r.getInt(0)} holds NULL or duplicate '$key' values in its " +
-          "changed files — changes() requires key-unique snapshots")
+    val enforcedByLifecycle =
+      mb.statsCol.contains(key) && ma.statsCol.contains(key)
+    if (!enforcedByLifecycle) {
+      val guard = before.select(col(key)).withColumn("__side", lit(fromV))
+        .unionByName(after.select(col(key)).withColumn("__side", lit(toV)))
+        .groupBy("__side")
+        .agg(count(lit(1)).as("n"), count(col(key)).as("nn"),
+          count_distinct(col(key)).as("d"))
+        .collect()
+      guard.foreach { r =>
+        require(r.getLong(1) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+          s"version ${r.getInt(0)} holds NULL or duplicate '$key' values in its " +
+            "changed files — changes() requires key-unique snapshots")
+      }
     }
     val cols = schema.fieldNames.toSeq
     val b = before.select(col(key).as("__k"),

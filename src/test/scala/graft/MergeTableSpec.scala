@@ -467,6 +467,51 @@ class MergeTableSpec extends AnyFunSuite {
     assert(exNull.getMessage.contains("NULL"))
   }
 
+  test("changes() guards key uniqueness on untracked keys, skips it on the tracked key") {
+    import spark.implicits._
+    // untracked table seeded with duplicate keys IN THE TOUCHED FILE
+    // (coalesce(1): everything shares the rewritten file, so the
+    // guard's diff-side scan must see the dups): the feed refuses
+    val path = tmpDir()
+    MergeTable.create(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), path)
+    MergeTable.deleteWhere(spark, path, col("v") === "c")
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.changes(spark, path, 0, 1, "id").collect()
+    }
+    assert(ex.getMessage.contains("key-unique"))
+  }
+
+  test("optimize preserves STRING range stats (post-compaction probes stay metadata-only)") {
+    import spark.implicits._
+    val path = tmpDir()
+    val df = (0 until 40).map(i => (f"REC$i%04d", s"v$i"))
+      .toDF("recid", "payload").repartitionByRange(4, col("recid"))
+    MergeTable.create(df, path, statsCol = Some("recid"))
+    (100 to 103).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((f"X$k%04d", s"add$k")).toDF("recid", "payload"), "recid")
+    }
+    assert(MergeTable.optimize(spark, path) > 0)
+    // the compacted manifest still carries TRUE string ranges
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = MergeTable.latestVersion(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+    val mtx = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val entries = mtx.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); assert(p(1) == "S", l); (p(0), p(2), p(3)) }
+    assert(entries.nonEmpty &&
+      entries.map(_._2).min == "REC0000" && entries.map(_._3).max == "X0103",
+      s"compacted files must carry true string min/max: ${entries.toSeq}")
+    // and the table still answers correctly through a further merge
+    MergeTable.merge(spark, path,
+      Seq(("REC0036", "XX")).toDF("recid", "payload"), "recid")
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now.size == 44 && now("REC0036") == "XX")
+  }
+
   test("readKeys answers a key batch from candidate files only") {
     import spark.implicits._
     val path = tmpDir()
