@@ -577,6 +577,14 @@ object MergeTable {
     require(missing.isEmpty,
       s"updates miss table column(s) ${missing.mkString(",")} — an update row " +
         "replaces its whole base row, so every table column is required")
+    // evolution may ADD columns, never retype existing ones: a coerced
+    // union would write files disagreeing with the manifest DDL
+    schema.fields.foreach { f =>
+      require(updates.schema(f.name).dataType == f.dataType,
+        s"column '${f.name}' type mismatch: table has ${f.dataType.sql}, " +
+          s"updates carry ${updates.schema(f.name).dataType.sql} — " +
+          "schema evolution adds columns, it never retypes")
+    }
     val added = updates.columns.filterNot(schema.fieldNames.contains)
     val newSchema = StructType(schema.fields ++ added.map(c =>
       StructField(c, updates.schema(c).dataType, nullable = true)))

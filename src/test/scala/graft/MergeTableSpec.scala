@@ -439,6 +439,13 @@ class MergeTableSpec extends AnyFunSuite {
         Seq((6L, "x", 1L)).toDF("id", "payload", "grp"), "id")
     }
     assert(ex.getMessage.contains("score"))
+    // and an existing column can never silently RETYPE
+    val ex2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, path,
+        Seq((6L, "x", "notALong", 0.1))
+          .toDF("id", "payload", "grp", "score"), "id")
+    }
+    assert(ex2.getMessage.contains("retypes"))
   }
 
   test("NULL merge keys are rejected with their own message, not as duplicates") {
