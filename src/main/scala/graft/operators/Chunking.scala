@@ -65,9 +65,12 @@ object Chunking {
             (x, b) => (x * 31L + b) % SigMod).as("sig")))
       }), 1)
     }), 1)
-    // split("") yields [""], not [] — guard on the raw text, so
-    // empty/whitespace docs chunk to nothing instead of one ""-token
-    when(trim(text) === "", array().cast("array<struct<n_toks:bigint,sig:bigint>>"))
+    // split("") yields [""], not [] — and trim(NULL) === "" is NULL,
+    // which would fall through to the kernel and fabricate one
+    // garbage chunk (size(null) = -1). Coalesce so NULL, empty and
+    // whitespace docs all chunk to NOTHING.
+    when(coalesce(trim(text), lit("")) === "",
+      array().cast("array<struct<n_toks:bigint,sig:bigint>>"))
       .otherwise(segs)
   }
 }

@@ -69,7 +69,14 @@ object IncrementalView {
                key: String, groupCol: String, sumCol: String): Int = {
     val latest = MergeTable.latestVersion(spark, tablePath)
     require(latest >= 0, s"no MergeTable at $tablePath")
-    val applied = currentVersion(spark, mvDir)
+    // a watermark pointing at a vacuumed version cannot delta-apply —
+    // reseed from the full latest snapshot instead of wedging the
+    // maintenance loop forever (the one legitimate reseed after init)
+    val watermark = currentVersion(spark, mvDir)
+    val applied =
+      if (watermark >= 0 &&
+        !MergeTable.retainedVersions(spark, tablePath).contains(watermark)) -1
+      else watermark
     if (applied >= latest) applied
     else {
       val next =
@@ -77,18 +84,21 @@ object IncrementalView {
           aggregate(MergeTable.read(spark, tablePath, latest), groupCol, sumCol)
         else {
           val prev = read(spark, mvDir)
-            .select(col(groupCol), col("n_rows").as("__n0"),
+            .select(col(groupCol).as("__g0"), col("n_rows").as("__n0"),
               col("sum_val").as("__s0"))
           val d = MergeTable.changes(spark, tablePath, applied, latest, key)
             .withColumn("__sgn",
               when(col("_change_type").isin("insert", "update_postimage"), 1L)
                 .otherwise(-1L))
-            .groupBy(groupCol)
+            .groupBy(col(groupCol).as("__g1"))
             .agg(sum(col("__sgn")).as("__dn"),
               sum((col(sumCol).cast(DecimalType(20, 4)) * col("__sgn"))
                 .cast(DecimalType(20, 4))).as("__ds"))
-          prev.join(d, Seq(groupCol), "full_outer")
-            .select(col(groupCol),
+          // null-safe group alignment: a NULL group is one group, not
+          // a never-matching pair of rows (plain equi-join would emit
+          // a duplicate NULL-group row per epoch)
+          prev.join(d, col("__g0") <=> col("__g1"), "full_outer")
+            .select(coalesce(col("__g0"), col("__g1")).as(groupCol),
               (coalesce(col("__n0"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
                 .as("n_rows"),
               (coalesce(col("__s0"), lit(0).cast(DecimalType(20, 4))) +

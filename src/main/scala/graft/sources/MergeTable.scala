@@ -38,10 +38,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    race raises [[VersionConflictException]] and every mutator
   *    ([[merge]]/[[deleteKeys]]/[[deleteWhere]]/[[optimize]]) RETRIES
   *    FROM THE NEW LATEST (bounded attempts) — so a CDC apply sink
-  *    survives a racing `optimize`/`vacuum` maintainer instead of
-  *    crashing the stream. The loser's staged files become debris
-  *    `vacuum` collects; its re-derived attempt reads the winner's
-  *    manifest, so no committed work is ever lost.
+  *    survives a racing `optimize` maintainer instead of crashing the
+  *    stream, and a racing `vacuum` is safe through its RETENTION
+  *    WINDOW (unreferenced files younger than `minAgeMs` are never
+  *    collected — an in-flight writer's staged-but-unpublished files
+  *    are unreferenced by design, and deleting them would let it
+  *    publish a manifest naming vanished files, a corruption the
+  *    version check cannot see). The loser's staged files become
+  *    debris `vacuum` collects once aged out; its re-derived attempt
+  *    reads the winner's manifest, so no committed work is ever lost.
   *  - FILE-SKIPPING STATS: when a stats column is tracked (the merge
   *    key), every entry carries the file's TRUE [min, max] of it, so
   *    a merge/delete finds its candidate files by RANGE OVERLAP from
@@ -68,8 +73,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * duplicate update keys, and the COW rewrite preserves uniqueness by
   * construction (anti-join survivors ∪ unique updates) — so
   * [[changes]]' per-version key-uniqueness precondition is an
-  * invariant of the tracked lifecycle, and is additionally guarded at
-  * feed time for tables built outside it.
+  * invariant of the tracked lifecycle (for tables created by THIS
+  * code — a tracked table imported from elsewhere was never
+  * validated; re-merge it once, or diff on a non-tracked key to get
+  * the guard). For non-tracked keys the feed runs a BEST-EFFORT
+  * guard over the files it diffs: a duplicate entirely inside the
+  * diffed files is caught; one split across a shared and a
+  * non-shared file is not visible to a manifest-aware diff — global
+  * uniqueness is the caller's precondition, stated, not assumed
+  * silently.
   *
   * The 100 TB posture is COPY-ON-WRITE WITH FILE PRUNING: a merge
   * rewrites ONLY candidate files (their unmatched survivors + every
@@ -315,6 +327,15 @@ object MergeTable {
   def latestVersion(spark: SparkSession, path: String): Int = {
     val dir = new Path(path)
     versions(fsFor(spark, dir), dir).lastOption.getOrElse(-1)
+  }
+
+  /** All retained (readable / time-travelable) version numbers —
+    * what `vacuum` has not dropped. Consumers holding a version
+    * watermark (e.g. IncrementalView) check it here before asking
+    * for a feed from it. */
+  def retainedVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new Path(path)
+    versions(fsFor(spark, dir), dir)
   }
 
   /** Read a snapshot: the latest manifest, or an explicit retained
@@ -567,7 +588,12 @@ object MergeTable {
     * never fewer than the table's. A lost publish race retries from
     * the new latest (bounded). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            key: String): Int = withOccRetry(s"merge into $path") {
+            key: String): Int = {
+    // key validation depends only on the batch, not the manifest —
+    // run it ONCE, outside the OCC loop, so a contended merge never
+    // re-pays the aggregation pass per retry
+    requireUniqueKeys(updates, key, "updates")
+    withOccRetry(s"merge into $path") {
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
@@ -589,7 +615,6 @@ object MergeTable {
     val newSchema = StructType(schema.fields ++ added.map(c =>
       StructField(c, updates.schema(c).dataType, nullable = true)))
     val ups = updates.select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
-    requireUniqueKeys(ups, key, "updates")
 
     val hits = candidateFiles(spark, dir, m, ups, key)
     val hitNames = hits.map(_.name).toSet
@@ -605,6 +630,7 @@ object MergeTable {
       Manifest(newSchema.toDDL, m.statsCol,
         m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
     v + 1
+    }
   }
 
   /** COW DELETE BY KEY SET: like [[deleteWhere]] but the doomed keys
@@ -791,10 +817,20 @@ object MergeTable {
   /** Garbage-collect: keep the newest `keepVersions` manifests, drop
     * older manifests, every data file none of the kept manifests
     * reference, and any leftover `_stage-`/`_tmp-` debris (crashed,
-    * abandoned, or OCC-defeated writes). Single-maintainer operation
-    * (the table-format convention): concurrent time-travel readers of
-    * dropped versions lose them. Returns the number of files removed. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
+    * abandoned, or OCC-defeated writes).
+    *
+    * RETENTION WINDOW: an in-flight writer's freshly staged files are
+    * unreferenced BY DESIGN until its manifest publishes — deleting
+    * them would let that writer publish a manifest naming vanished
+    * files (corruption OCC retry cannot see: no version was stolen).
+    * So unreferenced data files and `_`-debris are removed only when
+    * older than `minAgeMs` (default 1 h) — the Delta-retention
+    * contract: safe against any writer that stages-and-publishes
+    * faster than the window; pass 0 only when no writer can be
+    * in flight. Time-travel readers of dropped versions lose them
+    * (single-maintainer convention). Returns #files removed. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             minAgeMs: Long = 3600L * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val dir = new Path(path)
     val fs = fsFor(spark, dir)
@@ -802,6 +838,7 @@ object MergeTable {
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(v => readManifest(fs, dir, v).entries
       .map(_.name)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0
     vs.dropRight(keepVersions).foreach { v =>
       if (fs.delete(manifestPath(dir, v), false)) removed += 1
@@ -809,10 +846,12 @@ object MergeTable {
     Option(fs.globStatus(new Path(dir, "data-*.parquet")))
       .getOrElse(Array.empty)
       .filterNot(st => referenced.contains(st.getPath.getName))
+      .filter(_.getModificationTime <= cutoff)
       .foreach { st => if (fs.delete(st.getPath, false)) removed += 1 }
     Option(fs.listStatus(dir)).getOrElse(Array.empty)
-      .filter(st => st.getPath.getName.startsWith("_stage-") ||
-        st.getPath.getName.startsWith("_tmp-"))
+      .filter(st => (st.getPath.getName.startsWith("_stage-") ||
+        st.getPath.getName.startsWith("_tmp-")) &&
+        st.getModificationTime <= cutoff)
       .foreach { st => if (fs.delete(st.getPath, true)) removed += 1 }
     removed
   }

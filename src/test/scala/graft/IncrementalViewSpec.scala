@@ -53,6 +53,46 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(!mv(mvDir).contains("c") && mv(mvDir) == direct(path))
   }
 
+  test("NULL group keys stay ONE group across epochs (null-safe alignment)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivm_null").toString
+    val path = s"$root/table"; val mvDir = s"$root/mv"
+    val base = Seq((1L, Some("x"), 1.5), (2L, Option.empty[String], 2.0),
+      (3L, Option.empty[String], 3.0)).toDF("id", "grp", "amt")
+    MergeTable.create(base, path, statsCol = Some("id"))
+    IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    // epochs that touch the NULL group: update + insert
+    MergeTable.merge(spark, path,
+      Seq((2L, Option.empty[String], 9.0), (4L, Option.empty[String], 1.0))
+        .toDF("id", "grp", "amt"), "id")
+    IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    val rows = IncrementalView.read(spark, mvDir).collect()
+      .filter(_.isNullAt(0))
+    assert(rows.length == 1,
+      s"the NULL group must stay ONE row, got ${rows.length}")
+    assert(mv(mvDir) == direct(path))
+  }
+
+  test("a vacuumed watermark reseeds from the latest snapshot, never wedges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivm_vac").toString
+    val path = s"$root/table"; val mvDir = s"$root/mv"
+    val base = (0L until 10L).map(k => (k, if (k < 5) "x" else "y", k * 1.0))
+      .toDF("id", "grp", "amt")
+    MergeTable.create(base, path, statsCol = Some("id"))
+    IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    MergeTable.merge(spark, path,
+      Seq((2L, "y", 8.0)).toDF("id", "grp", "amt"), "id")
+    MergeTable.merge(spark, path,
+      Seq((20L, "z", 4.0)).toDF("id", "grp", "amt"), "id")
+    // the maintainer drops every version the MV has seen
+    MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
+    val v = IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    assert(v == MergeTable.latestVersion(spark, path))
+    assert(mv(mvDir) == direct(path),
+      "the reseed from the retained snapshot must restore exact state")
+  }
+
   test("a torn maintain (no _DONE marker) is invisible and redone") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivm_torn").toString

@@ -161,7 +161,14 @@ class MergeTableSpec extends AnyFunSuite {
     // orphan + the stage debris all go; the table still answers
     MergeTable.merge(spark, path,
       Seq((2L, "X", 0L)).toDF("id", "payload", "grp"), "id")
-    val removed = MergeTable.vacuum(spark, path, keepVersions = 1)
+    // default retention must PROTECT the fresh debris (an in-flight
+    // writer's staged files look exactly like this) …
+    val protectedRun = MergeTable.vacuum(spark, path, keepVersions = 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "data-orphan.parquet")),
+      "a fresh unreferenced file must survive the default retention window")
+    // … and minAgeMs = 0 (no writer in flight) collects everything
+    val removed = protectedRun +
+      MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
     assert(removed >= 3, s"expected manifest-0 + replaced file + debris, got $removed")
     assert(MergeTable.read(spark, path).count() == 40)
     intercept[IllegalArgumentException] {
@@ -200,7 +207,7 @@ class MergeTableSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(now(105L) == "re" && now.size == before.length)
     // a second optimize on an already-compact table is a no-op
-    MergeTable.vacuum(spark, path, keepVersions = 1)
+    MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
     assert(MergeTable.optimize(spark, path, smallBytes = 1L) == -1)
   }
 

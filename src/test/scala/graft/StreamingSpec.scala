@@ -1869,7 +1869,9 @@ class StreamingSpec extends AnyFunSuite {
     val corpusText = docs.filter(trim(col("text")) =!= "")
       .orderBy("doc_id").select("text").as[String].head()
     val novelText = (1 to 40).map(i => s"zzqx$i glorpwib$i").mkString(" ")
-    val incoming = Seq((900001L, corpusText), (900002L, novelText))
+    // a NULL-text record must chunk to NOTHING, not a garbage row
+    val incoming = Seq((900001L, corpusText), (900002L, novelText),
+      (900003L, null.asInstanceOf[String]))
     val expected = incoming.toDF("doc_id", "text")
       .select(col("doc_id").as("in_id"),
         posexplode(graft.operators.Chunking.chunkSigs(col("text")))
@@ -1894,9 +1896,12 @@ class StreamingSpec extends AnyFunSuite {
         r.getBoolean(4))).toSet
     q.stop()
     assert(streamed == expected, "stream verdicts must equal the batch join")
-    // a verbatim corpus doc flags on every chunk; gibberish on none
+    // a verbatim corpus doc flags on every chunk; gibberish on none;
+    // the NULL-text record emits no rows at all
     assert(streamed.filter(_._1 == 900001L).forall(_._5))
     assert(streamed.filter(_._1 == 900002L).forall(!_._5))
+    assert(!streamed.exists(_._1 == 900003L),
+      "null text must not fabricate chunk rows")
   }
 
   test("mergeApplyWithMvSink keeps the rollup equal to the table at every epoch") {
