@@ -1904,6 +1904,71 @@ class StreamingSpec extends AnyFunSuite {
       "null text must not fabricate chunk rows")
   }
 
+  test("E2E: the reference loop — RAW decode → COW table + rollup → point lookup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.sources.MergeTable
+    import graft.operators.IncrementalView
+    // the reference's whole production system in one chain: T24 RAW
+    // records (RECID + XMLRECORD map) decode through the schema
+    // pipeline, land on the STRING-keyed COW table with a maintained
+    // rollup, and serve point lookups from candidate files only
+    val in = MemoryStream[(String, Map[String, String])]
+    val raw = in.toDF().toDF("RECID", "XMLRECORD")
+    val schema = Seq(FieldSpec("OP"), FieldSpec("GRP"),
+      FieldSpec("AMT"), FieldSpec("TS"))
+    val decoded = Pipelines.t24Pipeline(raw, schema)
+      .select(col("RECID"), col("TS").cast("long").as("ts"),
+        col("OP").as("op"), col("GRP").as("grp"),
+        col("AMT").cast("double").as("amt"))
+    val root = java.nio.file.Files.createTempDirectory("e2e_loop").toString
+    val dir = s"$root/table"; val mvDir = s"$root/mv"
+    val q = decoded.writeStream
+      .foreachBatch(Pipelines.mergeApplyWithMvSink(
+        dir, mvDir, "RECID", "ts", "grp", "amt"))
+      .outputMode("append").start()
+    def rec(id: String, op: String, grp: String, amt: String, ts: String) =
+      (id, Map("OP" -> op, "GRP" -> grp, "AMT" -> amt, "TS" -> ts))
+    in.addData(rec("ACC1", "U", "retail", "10.5", "1"),
+      rec("ACC2", "U", "retail", "2.0", "1"),
+      rec("ACC3", "U", "corp", "7.0", "1"))
+    q.processAllAvailable()
+    in.addData(rec("ACC2", "U", "corp", "3.5", "2"),   // group flip
+      rec("ACC3", "D", "corp", "0", "2"),              // delete marker
+      rec("ACC4", "U", "retail", "1.0", "2"))          // insert
+    q.processAllAvailable()
+    q.stop()
+    // the table holds the latest state per RECID
+    val now = MergeTable.read(spark, dir).collect()
+      .map(r => r.getAs[String]("RECID") ->
+        (r.getAs[String]("grp"), r.getAs[Double]("amt"))).toMap
+    assert(now == Map("ACC1" -> ("retail", 10.5), "ACC2" -> ("corp", 3.5),
+      "ACC4" -> ("retail", 1.0)), s"got $now")
+    // STRING range stats are tracked (the manifest names RECID)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = MergeTable.latestVersion(spark, dir)
+    val inM = fs.open(new org.apache.hadoop.fs.Path(dir, f"manifest-$v%010d.txt"))
+    val mtx = try scala.io.Source.fromInputStream(inM).mkString finally inM.close()
+    assert(mtx.split("\n")(1) == "RECID", "string key must be stats-tracked")
+    // the maintained rollup equals the direct recompute
+    val direct = MergeTable.read(spark, dir).groupBy("grp")
+      .agg(count(lit(1)), sum(col("amt").cast("decimal(20,4)")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)).toMap
+    val mv = IncrementalView.read(spark, mvDir).collect()
+      .map(r => r.getAs[String]("grp") -> (r.getAs[Long]("n_rows"),
+        r.getAs[java.math.BigDecimal]("sum_val")
+          .stripTrailingZeros.toPlainString)).toMap
+    assert(mv == direct, s"rollup must track the table: $mv vs $direct")
+    // point lookup serves current records by RECID batch
+    val got = MergeTable.readKeys(spark, dir,
+      Seq("ACC2", "ACC4", "NOPE").toDF("RECID"), "RECID").collect()
+      .map(r => r.getAs[String]("RECID") -> r.getAs[Double]("amt")).toMap
+    assert(got == Map("ACC2" -> 3.5, "ACC4" -> 1.0))
+  }
+
   test("mergeApplyWithMvSink keeps the rollup equal to the table at every epoch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
