@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -15,23 +15,36 @@ import graft.sources.MergeTable
   * (signed delta rule: insert/update_postimage credit, delete/
   * update_preimage debit; a group-key flip debits the old group and
   * credits the new; zero-count groups drop). Because the feed is
-  * manifest-aware, one maintenance step costs the files the epochs
-  * TOUCHED, never a recompute over the table — the posture that keeps
-  * a 100 TB table's rollups fresh for the cost of the day's changes.
+  * manifest-aware (incl. across `optimize` via rewrite lineage), one
+  * maintenance step costs the files the epochs TOUCHED, never a
+  * recompute over the table — the posture that keeps a 100 TB table's
+  * rollups fresh for the cost of the day's changes.
+  *
+  * AGGREGATE SURFACE — the decomposable core: `count(*)` (always
+  * maintained as `n_rows`), any number of `sum` columns, and `avg`
+  * (derived as its sum over `n_rows` at READ time — no extra state).
+  * `min`/`max` are REJECTED, not approximated: they are not
+  * decomposable under deletes (removing the current minimum forces a
+  * full re-scan of the group — the classic IVM seam), so asking for
+  * them raises with that explanation instead of silently serving a
+  * stale bound.
   *
   * MV state is itself versioned-by-manifest-number: each maintenance
   * publishes `mvDir/v=<upstreamVersion>` with a `_DONE` marker;
   * readers resolve the highest COMPLETE version, so a torn maintain
   * (crash mid-write: no marker) is invisible and the next call redoes
   * the same deterministic delta from the last complete watermark —
-  * the idempotentParquetSink argument at the view layer. Sums apply
-  * as DECIMAL(20,4) (exact addition; one double conversion belongs to
-  * the consumer, never the state — repeated decimal→double→decimal
-  * roundtrips would accumulate drift across maintenance steps).
+  * the idempotentParquetSink argument at the view layer. Sums live at
+  * the PROMOTED precision DECIMAL(38,4) in state: narrowing back to
+  * the input precision after each delta apply would overflow-throw
+  * under ANSI (wedging the maintenance loop) or NULL-then-zero
+  * silently with ANSI off; the one double conversion belongs to the
+  * consumer, never the state.
   */
 object IncrementalView {
 
   private val VDirRe = """v=(\d+)""".r
+  private val StateDec = DecimalType(38, 4)
 
   /** Upstream version the current complete MV state reflects, or -1. */
   def currentVersion(spark: SparkSession, mvDir: String): Int = {
@@ -45,68 +58,136 @@ object IncrementalView {
       }).sorted.lastOption.getOrElse(-1)
   }
 
-  /** The maintained aggregate: (groupCol, n_rows, sum DECIMAL(20,4))
-    * as of the current complete MV version. */
+  /** The maintained state as stored: (groupCol, n_rows, one
+    * DECIMAL(38,4) column per maintained sum) as of the current
+    * complete MV version. */
   def read(spark: SparkSession, mvDir: String): DataFrame = {
     val v = currentVersion(spark, mvDir)
     require(v >= 0, s"no complete MV state under $mvDir")
     spark.read.parquet(s"$mvDir/v=$v")
   }
 
-  private def aggregate(df: DataFrame, groupCol: String, sumCol: String): DataFrame =
-    df.groupBy(groupCol)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(sumCol).cast(DecimalType(20, 4))).cast(DecimalType(20, 4))
-          .as("sum_val"))
+  /** The state plus the DERIVED averages the `avg` aggs requested:
+    * `avg_<c>` = `sum_<c>` (as double) / `n_rows` — double division
+    * of the exact decimal sum, the one conversion that belongs to the
+    * consumer. Zero-count groups were already dropped by maintenance,
+    * so the division is total. */
+  def readAggs(spark: SparkSession, mvDir: String,
+               aggs: Seq[(String, String)]): DataFrame = {
+    validateAggs(aggs)
+    val state = read(spark, mvDir)
+    aggs.collect { case ("avg", c) => c }.distinct.foldLeft(state)((df, c) =>
+      df.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col("n_rows")))
+  }
 
-  /** Advance the MV to the upstream table's latest version. First call
-    * seeds from the full latest snapshot (the one unavoidable full
-    * pass); every later call applies only `MergeTable.changes(applied,
-    * latest)`. Returns the upstream version the MV now reflects
-    * (no-op when already current). Single-maintainer, like the
-    * table-format maintenance ops. */
+  private def validateAggs(aggs: Seq[(String, String)]): Unit =
+    aggs.foreach {
+      case ("sum", _) | ("avg", _) => ()
+      case (op @ ("min" | "max"), c) =>
+        throw new IllegalArgumentException(
+          s"$op($c) is not decomposable under deletes: removing the current " +
+            s"$op forces a full re-scan of its group, so it cannot be " +
+            "maintained from the change feed — recompute it, or keep a " +
+            "sorted-structure sidecar outside this operator")
+      case (op, c) =>
+        throw new IllegalArgumentException(
+          s"unsupported aggregate $op($c): maintainAggs supports sum and avg " +
+            "(count(*) is always maintained as n_rows)")
+    }
+
+  /** Distinct source columns whose running DECIMAL(38,4) sums the
+    * requested aggs need in state (avg rides its sum + n_rows). */
+  private def sumCols(aggs: Seq[(String, String)]): Seq[String] =
+    aggs.map(_._2).distinct
+
+  /** Legacy single-sum surface (state column named `sum_val`): kept
+    * for the §2d sinks; [[maintainAggs]] is the general form. */
   def maintain(spark: SparkSession, tablePath: String, mvDir: String,
-               key: String, groupCol: String, sumCol: String): Int = {
-    val latest = MergeTable.latestVersion(spark, tablePath)
-    require(latest >= 0, s"no MergeTable at $tablePath")
+               key: String, groupCol: String, sumCol: String): Int =
+    maintainNamed(spark, tablePath, mvDir, key, groupCol,
+      Seq("sum_val" -> sumCol), -1)
+
+  /** Advance the MV to the upstream table's latest retained version
+    * (or an explicit retained `toVersion` — bounded catch-up). First
+    * call seeds from the full target snapshot (the one unavoidable
+    * full pass); every later call applies only
+    * `MergeTable.changes(applied, target)`. `aggs` are (op, column)
+    * pairs, op ∈ sum | avg — see the aggregate-surface contract
+    * above. Returns the upstream version the MV now reflects (no-op
+    * when already current). Single-maintainer, like the table-format
+    * maintenance ops. */
+  def maintainAggs(spark: SparkSession, tablePath: String, mvDir: String,
+                   key: String, groupCol: String,
+                   aggs: Seq[(String, String)],
+                   toVersion: Int = -1): Int = {
+    validateAggs(aggs)
+    maintainNamed(spark, tablePath, mvDir, key, groupCol,
+      sumCols(aggs).map(c => s"sum_$c" -> c), toVersion)
+  }
+
+  /** The maintenance core over explicit (stateName, srcCol) sums. */
+  private def maintainNamed(spark: SparkSession, tablePath: String,
+                            mvDir: String, key: String, groupCol: String,
+                            sums: Seq[(String, String)],
+                            toVersion: Int): Int = {
+    val retained = MergeTable.retainedVersions(spark, tablePath)
+    require(retained.nonEmpty, s"no MergeTable at $tablePath")
+    val target =
+      if (toVersion < 0) retained.last
+      else {
+        require(retained.contains(toVersion),
+          s"version $toVersion not retained (have ${retained.mkString(",")})")
+        toVersion
+      }
     // a watermark pointing at a vacuumed version cannot delta-apply —
-    // reseed from the full latest snapshot instead of wedging the
+    // reseed from the full target snapshot instead of wedging the
     // maintenance loop forever (the one legitimate reseed after init)
     val watermark = currentVersion(spark, mvDir)
-    val applied =
-      if (watermark >= 0 &&
-        !MergeTable.retainedVersions(spark, tablePath).contains(watermark)) -1
-      else watermark
-    if (applied >= latest) applied
+    val applied = if (watermark >= 0 && !retained.contains(watermark)) -1
+                  else watermark
+    if (applied >= target) applied
     else {
+      def grouped(df: DataFrame, nameOf: String => String): DataFrame =
+        df.groupBy(groupCol)
+          .agg(count(lit(1)).as(nameOf("n_rows")),
+            sums.map { case (n, c) => sum(col(c).cast(StateDec))
+              .cast(StateDec).as(nameOf(n)) }: _*)
       val next =
         if (applied < 0)
-          aggregate(MergeTable.read(spark, tablePath, latest), groupCol, sumCol)
+          grouped(MergeTable.read(spark, tablePath, target), identity)
         else {
           val prev = read(spark, mvDir)
-            .select(col(groupCol).as("__g0"), col("n_rows").as("__n0"),
-              col("sum_val").as("__s0"))
-          val d = MergeTable.changes(spark, tablePath, applied, latest, key)
-            .withColumn("__sgn",
-              when(col("_change_type").isin("insert", "update_postimage"), 1L)
-                .otherwise(-1L))
+            .select(col(groupCol).as("__g0") +:
+              ("n_rows" +: sums.map(_._1)).map(n => col(n).as(s"__p_$n")): _*)
+          // signed delta rule; negation (not multiplication) keeps
+          // the decimal type at the promoted state precision
+          val sgn = when(
+            col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L)
+          val d = MergeTable.changes(spark, tablePath, applied, target, key)
+            .withColumn("__sgn", sgn)
             .groupBy(col(groupCol).as("__g1"))
-            .agg(sum(col("__sgn")).as("__dn"),
-              sum((col(sumCol).cast(DecimalType(20, 4)) * col("__sgn"))
-                .cast(DecimalType(20, 4))).as("__ds"))
+            .agg(sum(col("__sgn")).as("__d_n_rows"),
+              sums.map { case (n, c) =>
+                val v = col(c).cast(StateDec)
+                sum(when(col("__sgn") === 1L, v).otherwise(-v))
+                  .cast(StateDec).as(s"__d_$n")
+              }: _*)
+          def applyDelta(n: String, zero: Column): Column =
+            coalesce(col(s"__p_$n"), zero) + coalesce(col(s"__d_$n"), zero)
           // null-safe group alignment: a NULL group is one group, not
           // a never-matching pair of rows (plain equi-join would emit
           // a duplicate NULL-group row per epoch)
           prev.join(d, col("__g0") <=> col("__g1"), "full_outer")
-            .select(coalesce(col("__g0"), col("__g1")).as(groupCol),
-              (coalesce(col("__n0"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-                .as("n_rows"),
-              (coalesce(col("__s0"), lit(0).cast(DecimalType(20, 4))) +
-                coalesce(col("__ds"), lit(0).cast(DecimalType(20, 4))))
-                .cast(DecimalType(20, 4)).as("sum_val"))
+            .select(coalesce(col("__g0"), col("__g1")).as(groupCol) +:
+              applyDelta("n_rows", lit(0L)).as("n_rows") +:
+              sums.map { case (n, _) =>
+                applyDelta(n, lit(0).cast(StateDec)).cast(StateDec).as(n)
+              }: _*)
             .filter(col("n_rows") > 0L)
         }
-      val out = s"$mvDir/v=$latest"
+      val out = s"$mvDir/v=$target"
       next.write.mode("overwrite").parquet(out)
       val fs = new Path(mvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(new Path(out, "_DONE"), true).close()
@@ -125,7 +206,7 @@ object IncrementalView {
         .getOrElse(Array.empty)
         .filterNot(st => keep.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
-      latest
+      target
     }
   }
 }

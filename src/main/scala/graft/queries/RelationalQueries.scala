@@ -1604,6 +1604,39 @@ object RelationalQueries {
           sum(d4(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     },
 
+    // the PACKAGED IVM operator at the driver gate (q79): where q77
+    // states the signed-delta rule inline, this drives
+    // `IncrementalView.maintainAggs` itself — seed the MV at version
+    // 0, then ADVANCE IT BY THE CHANGE FEED to the latest (the
+    // toVersion bound exists exactly so the delta path, not the
+    // seed, is what the gate certifies). The widened aggregate
+    // surface is under test: multiple decomposable aggs per group
+    // (count, sum, avg — avg derived at READ time as its
+    // decimal-exact sum over n_rows; min/max are rejected by the
+    // operator as non-decomposable under deletes). State sums live
+    // at the promoted DECIMAL(38,4) so no maintenance step ever
+    // narrows (the ANSI-overflow / silent-NULL seam); one double
+    // conversion at the end, per the q74 convention. The oracle
+    // recomputes the target snapshot directly — maintained ≡
+    // recompute is the certified claim, through the operator's own
+    // state lifecycle (versioned `_DONE` publishes) rather than a
+    // one-shot query plan.
+    "q79_mv_avg" -> q { (s, d) =>
+      import graft.operators.IncrementalView
+      val path = ensureEvolvedOrdersTable(s, d)
+      val mvDir = graft.ScratchDirs.stable("q79_mv", d) + "/mv"
+      val aggs = Seq("sum" -> "o_totalprice", "avg" -> "o_totalprice")
+      IncrementalView.maintainAggs(s, path, mvDir, "o_orderkey",
+        "o_orderstatus", aggs, toVersion = 0)
+      IncrementalView.maintainAggs(s, path, mvDir, "o_orderkey",
+        "o_orderstatus", aggs)
+      IncrementalView.readAggs(s, mvDir, aggs)
+        .select(col("o_orderstatus"), col("n_rows").as("n_orders"),
+          col("sum_o_totalprice").cast(DoubleType).as("sum_price"),
+          col("avg_o_totalprice").as("avg_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -2156,15 +2189,16 @@ object RelationalQueries {
         |    o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 31 = 5)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  o_orderdate, o_orderpriority, 'insert' AS _change_type
+        |  o_orderdate, o_orderpriority, 'insert' AS _change_type,
+        |  1 AS _commit_version
         |FROM ups WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
         |UNION ALL
         |SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
-        |  u.o_orderdate, u.o_orderpriority, 'update_postimage'
+        |  u.o_orderdate, u.o_orderpriority, 'update_postimage', 1
         |FROM ups u WHERE u.o_orderkey IN (SELECT o_orderkey FROM orders)
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  o_orderdate, o_orderpriority, 'update_preimage'
+        |  o_orderdate, o_orderpriority, 'update_preimage', 1
         |FROM orders WHERE o_orderkey % 17 = 3
         |ORDER BY _change_type, o_orderkey""".stripMargin,
 
@@ -2211,6 +2245,29 @@ object RelationalQueries {
         |  UNION ALL SELECT * FROM ups)
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the direct target-snapshot aggregate with avg — equality with
+    // the OPERATOR-maintained MV (seeded at v0, advanced by the feed)
+    // is the IVM claim for the widened aggregate surface; the avg
+    // divides the decimal-exact sum (as double) by the count on both
+    // engines so the IEEE division matches bit for bit
+    "q79_mv_avg" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5),
+        |v1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same 2-D box over the PLAIN table — equality certifies the

@@ -125,27 +125,69 @@ object MergeTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** A manifest entry: a data file plus its [[Stats]]. Line formats
-    * (legacy 3-field numeric lines parse as LONG ranges, so manifests
-    * written before the string-key support still read): `name` /
-    * `name\tE` / `name\tmn\tmx` / `name\tS\tenc(mn)\tenc(mx)`. */
-  private[graft] case class Entry(name: String, stats: Stats) {
-    def line: String = stats match {
-      case NoStats        => name
-      case EmptyRange     => s"$name\tE"
-      case LongRange(a, b) => s"$name\t$a\t$b"
-      case StrRange(a, b) => s"$name\tS\t${enc(a)}\t${enc(b)}"
+  /** REWRITE LINEAGE for content-neutral rewrites (`dataChange=false`
+    * in the public formats' terms): `optimize` stamps every file of a
+    * compaction group with one group id, the group size, and the
+    * CONTENT UNITS it rewrote (the compacted source files' own units,
+    * so lineage chains across repeated compactions). [[changes]] uses
+    * it to treat an INTACT group (all `size` members present) as
+    * holding exactly its origins' rows — so a feed spanning a
+    * compaction stays priced by the CHANGE volume instead of
+    * re-diffing the whole compacted tail. A group any member of which
+    * was since rewritten by a data change is void (its members fall
+    * back to opaque by-name identity — conservative, never wrong). */
+  private[graft] final case class Lineage(gid: String, size: Int,
+                                          origins: Seq[String])
+
+  /** Origin lists are manifest metadata: past this many units the
+    * entry drops lineage (the next feed re-reads it — conservative)
+    * rather than let the manifest grow unboundedly under a
+    * pure-append + optimize loop. */
+  private val MaxLineageUnits = 8192
+
+  /** A manifest entry: a data file plus its [[Stats]] and optional
+    * rewrite [[Lineage]]. Line formats (legacy 3-field numeric lines
+    * parse as LONG ranges, so manifests written before the string-key
+    * support still read): `name` / `name\tE` / `name\tmn\tmx` /
+    * `name\tS\tenc(mn)\tenc(mx)`, each optionally followed by
+    * `\tO\t<gid>\t<size>\t<enc(o1),enc(o2),...>`. */
+  private[graft] case class Entry(name: String, stats: Stats,
+                                  lineage: Option[Lineage] = None) {
+    def line: String = {
+      val core = stats match {
+        case NoStats        => name
+        case EmptyRange     => s"$name\tE"
+        case LongRange(a, b) => s"$name\t$a\t$b"
+        case StrRange(a, b) => s"$name\tS\t${enc(a)}\t${enc(b)}"
+      }
+      lineage match {
+        case Some(Lineage(g, k, os)) =>
+          s"$core\tO\t${enc(g)}\t$k\t${os.map(enc).mkString(",")}"
+        case None => core
+      }
     }
   }
-  private def parseEntry(l: String): Entry = l.split("\t", -1) match {
-    case Array(n)           => Entry(n, NoStats)
-    case Array(n, "E")      => Entry(n, EmptyRange)
-    case Array(n, "S", a, b) => Entry(n, StrRange(dec(a), dec(b)))
-    // legacy impossible-range sentinels (mn > mx) normalize to E
-    case Array(n, a, b) =>
-      val (mn, mx) = (a.toLong, b.toLong)
-      Entry(n, if (mn <= mx) LongRange(mn, mx) else EmptyRange)
-    case _ => throw new IllegalArgumentException(s"bad manifest line: $l")
+  private def parseEntry(l: String): Entry = {
+    val f = l.split("\t", -1)
+    // lineage rides as a fixed 4-field tail; no lineage-free core is
+    // ever 5+ fields, so the marker position cannot collide
+    val (core, lin) =
+      if (f.length >= 5 && f(f.length - 4) == "O")
+        (f.dropRight(4), Some(Lineage(dec(f(f.length - 3)),
+          f(f.length - 2).toInt,
+          f.last.split(",", -1).toSeq.filter(_.nonEmpty).map(dec))))
+      else (f, None)
+    val e = core match {
+      case Array(n)           => Entry(n, NoStats)
+      case Array(n, "E")      => Entry(n, EmptyRange)
+      case Array(n, "S", a, b) => Entry(n, StrRange(dec(a), dec(b)))
+      // legacy impossible-range sentinels (mn > mx) normalize to E
+      case Array(n, a, b) =>
+        val (mn, mx) = (a.toLong, b.toLong)
+        Entry(n, if (mn <= mx) LongRange(mn, mx) else EmptyRange)
+      case _ => throw new IllegalArgumentException(s"bad manifest line: $l")
+    }
+    e.copy(lineage = lin)
   }
 
   private case class Manifest(ddl: String, statsCol: Option[String],
@@ -191,6 +233,20 @@ object MergeTable {
     * lost race raises [[VersionConflictException]] for the caller's
     * retry loop. */
   private def publish(fs: FileSystem, dir: Path, v: Int, m: Manifest): Unit = {
+    // fail FAST on filesystems with no atomic no-overwrite commit
+    // primitive (object stores: exists()+rename() is check-then-act,
+    // two racers can both pass and one manifest silently vanishes —
+    // the public formats solve this with per-scheme LogStores / an
+    // external commit service). file:// commits via hard link; HDFS
+    // rename-if-absent is atomic by its own contract; anything else
+    // must opt in explicitly, acknowledging single-writer discipline.
+    require(fs.getScheme == "file" || fs.getScheme == "hdfs" ||
+      fs.getScheme == "viewfs" ||
+      fs.getConf.getBoolean("graft.mergetable.allowNonAtomicCommit", false),
+      s"filesystem scheme '${fs.getScheme}' provides no atomic no-overwrite " +
+        "rename contract, so optimistic concurrency cannot be guaranteed — " +
+        "set graft.mergetable.allowNonAtomicCommit=true only under an " +
+        "external single-writer guarantee")
     val tmp = new Path(dir, s"_tmp-manifest-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(
@@ -221,17 +277,28 @@ object MergeTable {
   private def withOccRetry[T](what: String)(body: => T): T = {
     var last: VersionConflictException = null
     var i = 0
-    while (i < OccAttempts) {
-      try return body
-      catch { case e: VersionConflictException => last = e; i += 1 }
-    }
+    try {
+      while (i < OccAttempts) {
+        try return body
+        catch { case e: VersionConflictException => last = e; i += 1 }
+      }
+    } finally
+      // a test-armed hook applies to THIS mutator invocation only —
+      // if the body threw before firing it, clearing here keeps the
+      // stale hook from detonating inside an unrelated later mutator
+      this.synchronized { midCommitHook = () => () }
     throw new java.io.IOException(
       s"$what lost the version race $OccAttempts times", last)
   }
 
   private def fireMidCommitHook(): Unit = {
-    val hook = midCommitHook
-    midCommitHook = () => ()
+    // read-then-clear under the lock so concurrent mutators can never
+    // both claim (or tear) one armed hook
+    val hook = this.synchronized {
+      val h = midCommitHook
+      midCommitHook = () => ()
+      h
+    }
     hook()
   }
 
@@ -270,20 +337,21 @@ object MergeTable {
           .groupBy("__mt_file")
           .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
           .collect()
-          .flatMap(r =>
+          .flatMap { r =>
             if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some((r.getString(0),
-              if (isStr) StrRange(r.getString(1), r.getString(2))
-              else LongRange(r.getLong(1), r.getLong(2)): Stats)))
-          .toMap
-        renamed.map { n =>
-          stats.find { case (p, _) => p.endsWith("/" + n) } match {
-            case Some((_, rng)) => Entry(n, rng)
-            // zero rows or all-NULL stats: no range to track — the
-            // empty range prunes the file from every probe
-            case None => Entry(n, EmptyRange)
+            else {
+              val p = r.getString(0)
+              // key by basename: staged names are UUID-unique, so the
+              // map lookup replaces an O(#files^2) suffix scan
+              Some((p.substring(p.lastIndexOf('/') + 1),
+                if (isStr) StrRange(r.getString(1), r.getString(2))
+                else LongRange(r.getLong(1), r.getLong(2)): Stats))
+            }
           }
-        }
+          .toMap
+        // zero rows or all-NULL stats: no range to track — the empty
+        // range prunes the file from every probe
+        renamed.map(n => Entry(n, stats.getOrElse(n, EmptyRange)))
     }
   }
 
@@ -369,6 +437,37 @@ object MergeTable {
       case LongRange(a, b) => a <= hi && b >= lo
       case _: StrRange =>
         throw new IllegalArgumentException(s"$path tracks STRING stats — use a string range")
+    })
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
+      .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Spark compares strings by UNSIGNED UTF-8 BYTE order (UTF8String),
+    * which differs from String.compareTo (UTF-16 code units) for
+    * supplementary characters — the manifest's string min/max were
+    * computed by Spark, so the driver-side overlap test must use the
+    * same order or a file could be wrongly pruned. */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** Range read over a STRING stats column (the reference's RECID
+    * shape — e.g. all records of one application via a prefix range):
+    * the same manifest-level skipping as the LONG variant, with the
+    * overlap test in Spark's own UTF-8 byte order and the exact
+    * residual on the candidates. */
+  def readRange(spark: SparkSession, path: String, lo: String, hi: String): DataFrame = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val m = readManifest(fs, dir, versions(fs, dir).last)
+    val c = m.statsCol.getOrElse(
+      throw new IllegalArgumentException(s"$path tracks no stats column"))
+    val live = m.entries.filter(_.stats match {
+      case NoStats        => true // conservative: no metadata to skip on
+      case EmptyRange     => false
+      case StrRange(a, b) => utf8Cmp(a, hi) <= 0 && utf8Cmp(b, lo) >= 0
+      case _: LongRange =>
+        throw new IllegalArgumentException(s"$path tracks LONG stats — use a long range")
     })
     fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
       .filter(col(c) >= lo && col(c) <= hi)
@@ -555,9 +654,9 @@ object MergeTable {
     m.statsCol match {
       case Some(c) if c == key =>
         val longR = m.entries.collect {
-          case Entry(n, LongRange(a, b)) => (n, a, b) }
+          case Entry(n, LongRange(a, b), _) => (n, a, b) }
         val strR = m.entries.collect {
-          case Entry(n, StrRange(a, b)) => (n, a, b) }
+          case Entry(n, StrRange(a, b), _) => (n, a, b) }
         val hit = rangeCandidates(keys, key, longR) ++
           strRangeCandidates(keys, key, strR)
         // entries with no metadata at all stay conservative
@@ -587,6 +686,27 @@ object MergeTable {
     * the manifest widens, pre-evolution files null-fill on read) but
     * never fewer than the table's. A lost publish race retries from
     * the new latest (bounded). */
+  /** Schema evolution contract shared by [[merge]] and [[applyBatch]]:
+    * updates may ADD columns (the manifest DDL widens; pre-evolution
+    * files null-fill at read), never drop or retype existing ones —
+    * an update row replaces its whole base row, and a coerced union
+    * would write files disagreeing with the manifest DDL. */
+  private def evolvedSchema(schema: StructType, updates: DataFrame): StructType = {
+    val missing = schema.fieldNames.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"updates miss table column(s) ${missing.mkString(",")} — an update row " +
+        "replaces its whole base row, so every table column is required")
+    schema.fields.foreach { f =>
+      require(updates.schema(f.name).dataType == f.dataType,
+        s"column '${f.name}' type mismatch: table has ${f.dataType.sql}, " +
+          s"updates carry ${updates.schema(f.name).dataType.sql} — " +
+          "schema evolution adds columns, it never retypes")
+    }
+    val added = updates.columns.filterNot(schema.fieldNames.contains)
+    StructType(schema.fields ++ added.map(c =>
+      StructField(c, updates.schema(c).dataType, nullable = true)))
+  }
+
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             key: String): Int = {
     // key validation depends only on the batch, not the manifest —
@@ -598,22 +718,7 @@ object MergeTable {
     val fs = fsFor(spark, dir)
     val v = versions(fs, dir).last
     val m = readManifest(fs, dir, v)
-    val schema = StructType.fromDDL(m.ddl)
-    val missing = schema.fieldNames.toSet -- updates.columns.toSet
-    require(missing.isEmpty,
-      s"updates miss table column(s) ${missing.mkString(",")} — an update row " +
-        "replaces its whole base row, so every table column is required")
-    // evolution may ADD columns, never retype existing ones: a coerced
-    // union would write files disagreeing with the manifest DDL
-    schema.fields.foreach { f =>
-      require(updates.schema(f.name).dataType == f.dataType,
-        s"column '${f.name}' type mismatch: table has ${f.dataType.sql}, " +
-          s"updates carry ${updates.schema(f.name).dataType.sql} — " +
-          "schema evolution adds columns, it never retypes")
-    }
-    val added = updates.columns.filterNot(schema.fieldNames.contains)
-    val newSchema = StructType(schema.fields ++ added.map(c =>
-      StructField(c, updates.schema(c).dataType, nullable = true)))
+    val newSchema = evolvedSchema(StructType.fromDDL(m.ddl), updates)
     val ups = updates.select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
 
     val hits = candidateFiles(spark, dir, m, ups, key)
@@ -630,6 +735,53 @@ object MergeTable {
       Manifest(newSchema.toDDL, m.statsCol,
         m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
     v + 1
+    }
+  }
+
+  /** ONE-COMMIT EPOCH APPLY: upserts and deletes of one CDC epoch
+    * land as a SINGLE new version — the [[merge]] + [[deleteKeys]]
+    * composition without the double cost (one candidate probe, one
+    * staging pass, one manifest commit; half the version churn
+    * feeding the compaction loop). The two key sets must be DISJOINT
+    * (the epoch-collapse contract: `latestPerKey` leaves each key
+    * either an upsert or a delete — an overlap would make apply order
+    * semantic and is rejected, not resolved silently). Either side
+    * may be empty; an entirely empty epoch commits nothing and
+    * returns the current version. Upserts may evolve the schema
+    * exactly as [[merge]] does. Retries a lost publish race from the
+    * new latest. Returns the version the epoch landed as. */
+  def applyBatch(spark: SparkSession, path: String, upserts: DataFrame,
+                 deletes: DataFrame, key: String): Int = {
+    requireUniqueKeys(upserts, key, "upserts")
+    require(upserts.join(deletes.select(col(key)), Seq(key), "left_semi").isEmpty,
+      "a key appears as BOTH upsert and delete in one epoch — collapse the " +
+        "batch to latest-per-key first (apply order would be ambiguous)")
+    withOccRetry(s"applyBatch into $path") {
+      val dir = new Path(path)
+      val fs = fsFor(spark, dir)
+      val v = versions(fs, dir).last
+      val m = readManifest(fs, dir, v)
+      val newSchema = evolvedSchema(StructType.fromDDL(m.ddl), upserts)
+      val ups = upserts.select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val dels = deletes.select(col(key)).na.drop().distinct()
+      val touched = ups.select(col(key)).unionByName(dels)
+      if (touched.isEmpty) v
+      else {
+        val hits = candidateFiles(spark, dir, m, touched, key)
+        val hitNames = hits.map(_.name).toSet
+        val survivors =
+          if (hits.isEmpty) ups // pure append
+          else fromEntries(spark, dir, newSchema, hits)
+            .join(touched, Seq(key), "left_anti")
+            .select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .unionByName(ups)
+        val rewritten = stage(survivors, dir, fs, m.statsCol)
+        fireMidCommitHook()
+        publish(fs, dir, v + 1,
+          Manifest(newSchema.toDDL, m.statsCol,
+            m.entries.filterNot(e => hitNames(e.name)) ++ rewritten))
+        v + 1
+      }
     }
   }
 
@@ -699,6 +851,55 @@ object MergeTable {
       v + 1
     }
 
+  /** The two sides' files a manifest-aware diff must actually scan.
+    * Two pruning layers, both exact under file immutability:
+    *  1. BY NAME: a file present in both manifests is bit-identical
+    *     on both sides — it can never produce a change row.
+    *  2. BY LINEAGE: an INTACT compaction group (all `size` members
+    *     still present) holds exactly its origin CONTENT UNITS' rows,
+    *     so when every one of those units is also present on the
+    *     other side (by name, or via its own intact group) the
+    *     group's rows are identical there too — `optimize` rewrites
+    *     stop looking like churn to the feed. A driver-side fixpoint
+    *     keeps the exclusion SYMMETRIC: when a file mixes excluded
+    *     and non-excluded units it must be scanned, so its units
+    *     return to the scan set on BOTH sides (rows of one unit are
+    *     not separable from their file after compaction).
+    * Units only survive a version step by name-carry or by
+    * content-neutral rewrite (any data change retires the touched
+    * files' names forever — UUIDs are never reused), so a unit on
+    * both sides always denotes the same rows.
+    */
+  private[graft] def diffEntries(mb: Manifest, ma: Manifest): (Seq[Entry], Seq[Entry]) = {
+    val nameShared = mb.entries.map(_.name).toSet
+      .intersect(ma.entries.map(_.name).toSet)
+    def remaining(m: Manifest): Seq[(Entry, Set[String])] = {
+      val groupCount = m.entries.flatMap(_.lineage.map(_.gid))
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      m.entries.filterNot(e => nameShared(e.name)).map { e =>
+        e -> (e.lineage match {
+          case Some(l) if groupCount(l.gid) == l.size => l.origins.toSet
+          case _ => Set(e.name)
+        })
+      }
+    }
+    val bu = remaining(mb)
+    val au = remaining(ma)
+    var excluded = bu.flatMap(_._2).toSet.intersect(au.flatMap(_._2).toSet)
+    var changed = excluded.nonEmpty
+    while (changed) {
+      changed = false
+      (bu.iterator ++ au.iterator).foreach { case (_, us) =>
+        if (!us.subsetOf(excluded) && us.exists(excluded)) {
+          excluded --= us
+          changed = true
+        }
+      }
+    }
+    (bu.filterNot(_._2.subsetOf(excluded)).map(_._1),
+      au.filterNot(_._2.subsetOf(excluded)).map(_._1))
+  }
+
   /** CHANGE DATA FEED between two retained versions — the read-side
     * complement of the CDC apply (`mergeApplySink` writes changes IN,
     * this reads changes OUT, so downstream consumers can follow a
@@ -706,21 +907,24 @@ object MergeTable {
     * align on `key`; emits the Delta-CDF shape: `_change_type` ∈
     * insert / delete / update_preimage / update_postimage, where
     * updates are keys present in both versions whose full row
-    * changed.
+    * changed, plus `_commit_version` — ENDPOINT attribution: this is
+    * a NET diff of the two snapshots, so every emitted row becomes
+    * visible at `toV` relative to `fromV` and is stamped `toV`
+    * (intermediate churn that nets out never appears). Consumers that
+    * need exact per-version attribution use [[changesByVersion]] and
+    * pay the pairwise walk.
     *
-    * MANIFEST-AWARE: the diff reads ONLY the files NOT shared between
-    * the two manifests. Data files are immutable and carry between
-    * versions BY NAME, so a shared file's rows are bit-identical on
-    * both sides and can never produce a change row; and under the
-    * per-version key-uniqueness precondition a key whose file is
-    * shared lives in that same file in BOTH versions (its before-file
-    * and after-file coincide), so restricting both sides to the
-    * non-shared files loses nothing. At 100 TB with an epoch touching
-    * 0.1% of files, the feed therefore scans ~0.2% of the corpus, not
-    * 200% — the touched files fully determine it. Emits under the
-    * `toV` schema (pre-evolution files null-fill the added columns).
-    * The key-uniqueness precondition is an INVARIANT when `key` is
-    * the table's tracked stats column (create validates it, merge
+    * MANIFEST-AWARE: the diff reads ONLY the files [[diffEntries]]
+    * cannot prove identical on both sides — files shared BY NAME, and
+    * compaction groups shared BY LINEAGE (so a feed spanning an
+    * `optimize` stays priced by the change volume: a rewrite-only
+    * version contributes zero scanned files, the public formats'
+    * `dataChange=false`). At 100 TB with an epoch touching 0.1% of
+    * files, the feed therefore scans ~0.2% of the corpus, not 200% —
+    * the touched files fully determine it. Emits under the `toV`
+    * schema (pre-evolution files null-fill the added columns). The
+    * key-uniqueness precondition is an INVARIANT when `key` is the
+    * table's tracked stats column (create validates it, merge
     * preserves it by construction), so the guard pass is skipped
     * there; diffing on any OTHER key pays one count-vs-distinct pass
     * over the same non-shared files the diff reads.
@@ -736,12 +940,9 @@ object MergeTable {
     val mb = readManifest(fs, dir, fromV)
     val ma = readManifest(fs, dir, toV)
     val schema = StructType.fromDDL(ma.ddl)
-    val shared = mb.entries.map(_.name).toSet
-      .intersect(ma.entries.map(_.name).toSet)
-    val before = fromEntries(spark, dir, schema,
-      mb.entries.filterNot(e => shared(e.name)))
-    val after = fromEntries(spark, dir, schema,
-      ma.entries.filterNot(e => shared(e.name)))
+    val (beforeE, afterE) = diffEntries(mb, ma)
+    val before = fromEntries(spark, dir, schema, beforeE)
+    val after = fromEntries(spark, dir, schema, afterE)
     val enforcedByLifecycle =
       mb.statsCol.contains(key) && ma.statsCol.contains(key)
     if (!enforcedByLifecycle) {
@@ -777,6 +978,28 @@ object MergeTable {
     val post = updatedKeys.select(col("__a.*"))
       .withColumn("_change_type", lit("update_postimage"))
     inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+      .withColumn("_commit_version", lit(toV))
+  }
+
+  /** EXACT per-version change attribution: the pairwise walk over
+    * every retained step in (fromV, toV], each step's rows stamped
+    * with the version that committed them — the Delta-CDF consumer
+    * contract (checkpoint mid-feed, audit WHEN a row changed).
+    * Unlike [[changes]]' endpoint diff this does NOT net out
+    * intermediate churn (a row inserted then deleted shows both).
+    * Cost: each step is its own manifest-aware diff, so the total is
+    * the sum of per-epoch touched files — still change-priced, never
+    * table-priced. */
+  def changesByVersion(spark: SparkSession, path: String, fromV: Int,
+                       toV: Int, key: String): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val dir = new Path(path)
+    val steps = versions(fsFor(spark, dir), dir)
+      .filter(v => v >= fromV && v <= toV)
+    require(steps.headOption.contains(fromV) && steps.lastOption.contains(toV),
+      s"need retained endpoints $fromV..$toV, have ${steps.mkString(",")}")
+    steps.sliding(2).map(p => changes(spark, path, p.head, p.last, key))
+      .reduce(_.unionByName(_))
   }
 
   /** OPTIMIZE: rewrite the current version's small files into
@@ -785,11 +1008,22 @@ object MergeTable {
     * Tables.compact problem at the table-format layer). Files at or
     * above `smallBytes` keep their place BY NAME (their stats and
     * their parquet row groups are already good); the small tail
-    * rewrites into ceil(bytes/target) files. Publishes a new version
-    * — readers of the old one are untouched, time travel intact, and
-    * the rewrite is content-neutral (spec-pinned). Retries a lost
-    * publish race (it may meet the CDC apply mid-epoch). Returns the
-    * new version, or -1 when nothing needed compacting. */
+    * rewrites into ceil(bytes/target) files. When a stats column is
+    * tracked the tail is RANGE-PARTITIONED AND SORTED by it — churn
+    * concentrates exactly where compaction runs, so coalescing there
+    * would pile up wide overlapping [min, max] ranges and bleed the
+    * binned probe's pruning after every compaction; the sorted
+    * rewrite leaves tight pairwise-disjoint ranges (and sorted
+    * parquet row groups) instead. Content-neutral either way
+    * (spec-pinned). The rewritten files carry [[Lineage]] — the
+    * compacted source units — so a later [[changes]] spanning this
+    * version treats them as shared-by-lineage and still scans only
+    * real data changes (the `dataChange=false` posture; without it a
+    * CDC table's apply and compaction maintenance loops fight).
+    * Publishes a new version — readers of the old one are untouched,
+    * time travel intact. Retries a lost publish race (it may meet the
+    * CDC apply mid-epoch). Returns the new version, or -1 when
+    * nothing needed compacting. */
   def optimize(spark: SparkSession, path: String,
                smallBytes: Long = 16L * 1024 * 1024,
                targetBytes: Long = 128L * 1024 * 1024): Int =
@@ -805,10 +1039,34 @@ object MergeTable {
       else {
         val totalSmall = small.map(_._2).sum
         val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-        val compacted = fromEntries(spark, dir, StructType.fromDDL(m.ddl),
+        val tail = fromEntries(spark, dir, StructType.fromDDL(m.ddl),
           small.map(_._1))
-          .coalesce(nOut) // boundary change only — no shuffle, no reorder
-        val rewritten = stage(compacted, dir, fs, m.statsCol)
+        val compacted = m.statsCol match {
+          // one small-tail-sized shuffle buys disjoint ranges — the
+          // probe keeps pruning through every compaction cycle
+          case Some(c) => tail.repartitionByRange(nOut, col(c))
+            .sortWithinPartitions(col(c))
+          // untracked: boundary change only — no shuffle, no reorder
+          case None => tail.coalesce(nOut)
+        }
+        val staged = stage(compacted, dir, fs, m.statsCol)
+        // content units of the compacted sources, chained through any
+        // earlier intact groups so lineage survives repeated cycles
+        val groupCount = m.entries.flatMap(_.lineage.map(_.gid))
+          .groupBy(identity).map { case (g, xs) => g -> xs.size }
+        val origins = small.map(_._1).flatMap { e =>
+          e.lineage match {
+            case Some(l) if groupCount(l.gid) == l.size => l.origins
+            case _ => Seq(e.name)
+          }
+        }.distinct
+        val rewritten =
+          if (staged.isEmpty || origins.size > MaxLineageUnits) staged
+          else {
+            val gid = UUID.randomUUID().toString
+            staged.map(_.copy(lineage =
+              Some(Lineage(gid, staged.size, origins))))
+          }
         publish(fs, dir, v + 1, m.copy(entries = big.map(_._1) ++ rewritten))
         v + 1
       }
@@ -838,7 +1096,19 @@ object MergeTable {
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(v => readManifest(fs, dir, v).entries
       .map(_.name)).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    // age against the FILESYSTEM's clock, not the driver's: mtimes
+    // are stamped by the FS, and clock skew against a remote store
+    // would silently shrink the retention window — exactly the
+    // in-flight-writer corruption it exists to prevent. A probe file
+    // written now reads back the FS's own notion of "now".
+    val fsNow = {
+      val probe = new Path(dir, s"_tmp-clock-${UUID.randomUUID()}")
+      try {
+        fs.create(probe, true).close()
+        fs.getFileStatus(probe).getModificationTime
+      } finally fs.delete(probe, false)
+    }
+    val cutoff = fsNow - minAgeMs
     var removed = 0
     vs.dropRight(keepVersions).foreach { v =>
       if (fs.delete(manifestPath(dir, v), false)) removed += 1

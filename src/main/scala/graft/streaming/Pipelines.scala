@@ -1190,17 +1190,26 @@ object Pipelines {
     * (visibility is one manifest rename).
     *
     * Exactly-once: the apply is IDEMPOTENT IN STATE — a replayed
-    * epoch (failure redelivers the same batch id) re-merges the same
-    * collapsed rows and re-deletes the same keys, landing the
-    * identical table CONTENT (the version counter advances; content,
-    * which is what a reader queries, does not change). Epochs arrive
-    * in offset order, so a later epoch's value for a key always
-    * applies after an earlier one's. Within-epoch ties on `tsCol`
-    * resolve by max_by's struct comparison — give CDC records
-    * monotone timestamps (T24 records carry them) for a fully
-    * deterministic replay. Spec-pinned: multi-update epochs,
-    * cross-epoch update, delete, and a double-applied epoch.
-    */
+    * epoch (failure redelivers the same batch id) re-applies the same
+    * collapsed rows, landing the identical table CONTENT (the version
+    * counter advances; content, which is what a reader queries, does
+    * not change). Epochs arrive in offset order, so a later epoch's
+    * value for a key always applies after an earlier one's.
+    * Within-epoch ties on `tsCol` resolve by max_by's struct
+    * comparison — give CDC records monotone timestamps (T24 records
+    * carry them) for a fully deterministic replay. Spec-pinned:
+    * multi-update epochs, cross-epoch update, delete, and a
+    * double-applied epoch.
+    *
+    * ONE COMMIT PER EPOCH: the collapsed batch PERSISTS for the
+    * epoch's duration (it feeds the upsert/delete splits and the
+    * apply — without the cache each would re-run the groupBy), and
+    * upserts + deletes land through `MergeTable.applyBatch` as a
+    * SINGLE manifest version: one candidate probe, one staging pass,
+    * half the version churn feeding the compaction loop. (The
+    * creating epoch's delete markers match nothing by construction —
+    * the collapse leaves each key either upsert or delete, and the
+    * table holds only the epoch's own upserts.) */
   def mergeApplySink(path: String, keyCol: String, tsCol: String,
                      opCol: String = "op",
                      deleteOp: String = "D"): (DataFrame, Long) => Unit =
@@ -1209,23 +1218,23 @@ object Pipelines {
       val spark = batch.sparkSession
       val valueCols = batch.columns.toSeq
         .filter(c => c != keyCol && c != tsCol)
-      val latest = latestPerKey(batch, keyCol, tsCol, valueCols)
-      val dels = latest.filter(col(opCol) === deleteOp)
-        .select(col(keyCol))
-      val ups = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
-      // track per-file key ranges when the key supports them (LONG, or
-      // STRING — the T24 RECID shape): merges then find candidate
-      // files from manifest metadata alone instead of a per-epoch base
-      // scan
-      val stats = Some(keyCol).filter(k =>
-        ups.schema(k).dataType == org.apache.spark.sql.types.LongType ||
-          ups.schema(k).dataType == org.apache.spark.sql.types.StringType)
-      if (MergeTable.latestVersion(spark, path) < 0)
-        MergeTable.create(ups, path, statsCol = stats)
-      else if (!ups.isEmpty)
-        MergeTable.merge(spark, path, ups, keyCol)
-      if (!dels.isEmpty)
-        MergeTable.deleteKeys(spark, path, dels, keyCol)
+      val latest = latestPerKey(batch, keyCol, tsCol, valueCols).persist()
+      try {
+        val dels = latest.filter(col(opCol) === deleteOp)
+          .select(col(keyCol))
+        val ups = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+        // track per-file key ranges when the key supports them (LONG,
+        // or STRING — the T24 RECID shape): applies then find
+        // candidate files from manifest metadata alone instead of a
+        // per-epoch base scan
+        val stats = Some(keyCol).filter(k =>
+          ups.schema(k).dataType == org.apache.spark.sql.types.LongType ||
+            ups.schema(k).dataType == org.apache.spark.sql.types.StringType)
+        if (MergeTable.latestVersion(spark, path) < 0)
+          MergeTable.create(ups, path, statsCol = stats)
+        else
+          MergeTable.applyBatch(spark, path, ups, dels, keyCol)
+      } finally latest.unpersist()
     }
 
   /** CDC apply + MAINTAINED ROLLUP in one sink — [[mergeApplySink]]
