@@ -93,6 +93,88 @@ class IncrementalViewSpec extends AnyFunSuite {
       "the reseed from the retained snapshot must restore exact state")
   }
 
+  test("maintainAggs: multi-sum + avg equal the direct recompute across delete epochs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivm_aggs").toString
+    val path = s"$root/table"; val mvDir = s"$root/mv"
+    val base = (0L until 30L).map(k =>
+      (k, if (k % 3 == 0) "a" else "b", k * 1.5, k * 2L))
+      .toDF("id", "grp", "amt", "qty").repartitionByRange(3, col("id"))
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val aggs = Seq("sum" -> "amt", "avg" -> "amt", "sum" -> "qty")
+    // seed, then epochs: group flip + inserts, then deletes
+    IncrementalView.maintainAggs(spark, path, mvDir, "id", "grp", aggs)
+    MergeTable.merge(spark, path,
+      Seq((3L, "b", 100.25, 7L), (50L, "c", 7.0, 1L), (51L, "c", 8.0, 2L))
+        .toDF("id", "grp", "amt", "qty"), "id")
+    MergeTable.deleteKeys(spark, path, Seq(1L, 6L, 50L, 51L).toDF("id"), "id")
+    IncrementalView.maintainAggs(spark, path, mvDir, "id", "grp", aggs)
+    val got = IncrementalView.readAggs(spark, mvDir, aggs).collect()
+      .map(r => r.getAs[String]("grp") -> ((r.getAs[Long]("n_rows"),
+        r.getAs[java.math.BigDecimal]("sum_amt").stripTrailingZeros.toPlainString,
+        r.getAs[java.math.BigDecimal]("sum_qty").stripTrailingZeros.toPlainString,
+        r.getAs[Double]("avg_amt")))).toMap
+    val want = MergeTable.read(spark, path).groupBy("grp")
+      .agg(count(lit(1)),
+        sum(col("amt").cast("decimal(38,4)")),
+        sum(col("qty").cast("decimal(38,4)")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString,
+        r.getDecimal(3).stripTrailingZeros.toPlainString,
+        r.getDecimal(2).doubleValue / r.getLong(1)))).toMap
+    assert(got == want, s"maintained aggs must equal recompute: $got vs $want")
+    assert(!got.contains("c"), "the emptied group must drop")
+    // sums live at the PROMOTED precision in state — no per-step narrowing
+    val state = IncrementalView.read(spark, mvDir)
+    Seq("sum_amt", "sum_qty").foreach { c =>
+      assert(state.schema(c).dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 4),
+        s"$c must be DECIMAL(38,4) in state, got ${state.schema(c).dataType}")
+    }
+  }
+
+  test("min/max are rejected as non-decomposable, not served stale") {
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalView.maintainAggs(spark, "/nowhere", "/nowhere_mv",
+        "id", "grp", Seq("min" -> "amt"))
+    }
+    assert(ex.getMessage.contains("not decomposable"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrementalView.readAggs(spark, "/nowhere_mv", Seq("max" -> "amt"))
+    }
+    assert(ex2.getMessage.contains("not decomposable"), ex2.getMessage)
+  }
+
+  test("maintenance across an optimize applies a zero-cost delta (lineage feed)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivm_opt").toString
+    val path = s"$root/table"; val mvDir = s"$root/mv"
+    val base = (0L until 20L).map(k => (k, if (k < 10) "x" else "y", k * 1.0))
+      .toDF("id", "grp", "amt").repartitionByRange(2, col("id"))
+    MergeTable.create(base, path, statsCol = Some("id"))
+    (100L to 103L).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((k, "z", k * 0.5)).toDF("id", "grp", "amt"), "id")
+    }
+    IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    val before = IncrementalView.read(spark, mvDir).collect().toSet
+    // compaction, then corrupt EVERY data file: if the maintenance
+    // step read ANY of them the delta apply would throw — the
+    // rewrite-lineage feed proves the optimize costs the MV nothing
+    assert(MergeTable.optimize(spark, path) > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, "data-*.parquet")))
+      .getOrElse(Array.empty).foreach { st =>
+        val out = fs.create(st.getPath, true)
+        out.write("NOT A PARQUET FILE".getBytes); out.close()
+      }
+    val v = IncrementalView.maintain(spark, path, mvDir, "id", "grp", "amt")
+    assert(v == MergeTable.latestVersion(spark, path))
+    assert(IncrementalView.read(spark, mvDir).collect().toSet == before,
+      "a rewrite-only upstream step must leave the MV state identical")
+  }
+
   test("a torn maintain (no _DONE marker) is invisible and redone") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivm_torn").toString

@@ -548,6 +548,208 @@ class MergeTableSpec extends AnyFunSuite {
       s"exact batch lookup from candidate files only — got $got")
   }
 
+  test("rewrite lineage: an optimize is INVISIBLE to the change feed") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // a CDC-shaped tail: several single-row merge epochs
+    (100L to 103L).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((k, s"add$k", 7L)).toDF("id", "payload", "grp"), "id")
+    }
+    val vPre = MergeTable.latestVersion(spark, path)
+    // force a MULTI-FILE compaction group (everything is small, so
+    // smallBytes catches all; targetBytes splits into several files)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = manifestFiles(path).toSeq.map(n =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(path, n)).getLen).sum
+    val vOpt = MergeTable.optimize(spark, path,
+      smallBytes = Long.MaxValue, targetBytes = totalBytes / 3)
+    assert(vOpt == vPre + 1)
+    assert(manifestFiles(path).size >= 2, "need a multi-file group")
+    // 1. the rewrite-only step scans ZERO files and emits ZERO rows
+    val feed = MergeTable.changes(spark, path, vPre, vOpt, "id")
+    assert(feed.inputFiles.isEmpty,
+      s"a dataChange=false step must read nothing, read ${feed.inputFiles.toSeq}")
+    assert(feed.count() == 0)
+    // 2. a feed SPANNING the compaction equals the snapshot derivation
+    def snap(v: Int): Map[Long, String] =
+      MergeTable.read(spark, path, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def derive(b: Map[Long, String], a: Map[Long, String]) =
+      (a.keySet -- b.keySet).map(k => ("insert", k)) ++
+        (b.keySet -- a.keySet).map(k => ("delete", k)) ++
+        (a.keySet & b.keySet).filter(k => a(k) != b(k)).flatMap(k =>
+          Seq(("update_preimage", k), ("update_postimage", k)))
+    val span = MergeTable.changes(spark, path, 0, vOpt, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(span == derive(snap(0), snap(vOpt)))
+    // 3. a post-compaction merge breaks ONLY its group member: the
+    // next feed scans that member + its replacement, never the rest
+    val groupBefore = manifestFiles(path)
+    val vM = MergeTable.merge(spark, path,
+      Seq((36L, "U36", 1L)).toDF("id", "payload", "grp"), "id")
+    val carried = groupBefore.intersect(manifestFiles(path))
+    val f2 = MergeTable.changes(spark, path, vOpt, vM, "id")
+    val scanned = f2.inputFiles.map(_.split("/").last).toSet
+    assert(scanned.nonEmpty && scanned.intersect(carried).isEmpty,
+      s"feed must not rescan carried group members, scanned $scanned")
+    assert(f2.collect().map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet ==
+      Set(("update_preimage", 36L), ("update_postimage", 36L)))
+    // and the feed spanning merges + compaction + merge still exact
+    val all = MergeTable.changes(spark, path, 0, vM, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(all == derive(snap(0), snap(vM)))
+    // 4. behavioral proof of (1): with EVERY data file in the table
+    // corrupted the rewrite-only feed still answers (it opens none)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, "data-*.parquet")))
+      .getOrElse(Array.empty).foreach { st =>
+        val out = fs.create(st.getPath, true)
+        out.write("NOT A PARQUET FILE".getBytes); out.close()
+      }
+    assert(MergeTable.changes(spark, path, vPre, vOpt, "id").count() == 0)
+  }
+
+  test("tracked optimize writes key-sorted files with pairwise-disjoint ranges") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // churn: interleaved key ranges across epochs, so a coalesce
+    // would produce wide overlapping ranges
+    Seq(100L, 5L, 200L, 15L, 150L, 25L).foreach { k =>
+      MergeTable.merge(spark, path,
+        Seq((k, s"u$k", 9L)).toDF("id", "payload", "grp"), "id")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val totalBytes = manifestFiles(path).toSeq.map(n =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(path, n)).getLen).sum
+    val v = MergeTable.optimize(spark, path,
+      smallBytes = Long.MaxValue, targetBytes = totalBytes / 3)
+    assert(v > 0)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val ranges = txt.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); (p(1).toLong, p(2).toLong) }.sortBy(_._1)
+    assert(ranges.length >= 2, s"need several compacted files: ${ranges.toSeq}")
+    ranges.sliding(2).foreach { w =>
+      assert(w(0)._2 < w(1)._1,
+        s"compacted ranges must be pairwise disjoint: ${ranges.toSeq}")
+    }
+    // content-neutral, and the probe prunes through the new layout
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before)
+    val victim = txt.split("\n").drop(2).filter(_.nonEmpty)
+      .map(_.split("\t")(0)).zip(ranges).find(_._2._2 < 100L).get._1
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    MergeTable.merge(spark, path,
+      Seq((150L, "re150", 9L)).toDF("id", "payload", "grp"), "id")
+    assert(manifestFiles(path).contains(victim),
+      "post-compaction merge must still open candidates only")
+  }
+
+  test("string readRange opens only overlapping files (and rejects type mixups)") {
+    import spark.implicits._
+    val path = tmpDir()
+    val df = (0 until 40).map(i => (f"REC$i%04d", s"v$i"))
+      .toDF("recid", "payload").repartitionByRange(4, col("recid"))
+    MergeTable.create(df, path, statsCol = Some("recid"))
+    // corrupt a file whose string range cannot overlap the probe
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "manifest-0000000000.txt"))
+    val m0 = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val entries = m0.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); (p(0), p(2), p(3)) }
+    val victim = entries.find(e => e._3 < "REC0030").get._1
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, victim), true)
+    out.write("NOT A PARQUET FILE".getBytes); out.close()
+    val got = MergeTable.readRange(spark, path, "REC0035", "REC0037")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("REC0035", "REC0036", "REC0037"),
+      s"exact residual over candidate files only — got $got")
+    // a LONG range on a STRING-tracked table is a type error, not a scan
+    intercept[IllegalArgumentException] {
+      MergeTable.readRange(spark, path, 0L, 10L)
+    }
+    // and the converse on a LONG-tracked table
+    val path2 = tmpDir()
+    MergeTable.create(base, path2, statsCol = Some("id"))
+    intercept[IllegalArgumentException] {
+      MergeTable.readRange(spark, path2, "a", "z")
+    }
+  }
+
+  test("applyBatch lands one epoch's upserts + deletes as ONE version") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val ups = Seq((3L, "NEW3", 99L), (100L, "ADD100", 99L))
+      .toDF("id", "payload", "grp")
+    val dels = Seq(7L, 999L).toDF("id") // 999 matches nothing: harmless
+    val v = MergeTable.applyBatch(spark, path, ups, dels, "id")
+    assert(v == 1, "upserts and deletes must share ONE commit")
+    assert(MergeTable.latestVersion(spark, path) == 1)
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // content ≡ the sequential merge-then-delete composition
+    assert(now.size == 40 && now(3L) == "NEW3" && now(100L) == "ADD100" &&
+      !now.contains(7L) && now(4L) == "v4")
+    // the single-version CDF carries all three change kinds
+    val cdf = MergeTable.changes(spark, path, 0, 1, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(cdf == Set(("insert", 100L), ("delete", 7L),
+      ("update_preimage", 3L), ("update_postimage", 3L)))
+    // an upsert∩delete overlap is ambiguous and rejected
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.applyBatch(spark, path,
+        Seq((5L, "x", 0L)).toDF("id", "payload", "grp"),
+        Seq(5L).toDF("id"), "id")
+    }
+    assert(ex.getMessage.contains("latest-per-key"))
+    // an entirely empty epoch commits nothing
+    val v2 = MergeTable.applyBatch(spark, path,
+      ups.limit(0), dels.limit(0), "id")
+    assert(v2 == 1 && MergeTable.latestVersion(spark, path) == 1)
+    // schema evolution flows through the single-commit path too
+    val v3 = MergeTable.applyBatch(spark, path,
+      Seq((3L, "S3", 1L, 0.5)).toDF("id", "payload", "grp", "score"),
+      Seq(8L).toDF("id"), "id")
+    assert(v3 == 2)
+    val evolved = MergeTable.read(spark, path)
+    assert(evolved.schema.fieldNames.contains("score"))
+    assert(evolved.count() == 39)
+  }
+
+  test("changesByVersion attributes rows to their commit; the endpoint diff nets") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // v1: insert 100 + update 3; v2: delete 100 (insert-then-delete
+    // nets out at the endpoints, but each commit must still show it)
+    MergeTable.merge(spark, path,
+      Seq((3L, "NEW3", 9L), (100L, "ADD", 9L)).toDF("id", "payload", "grp"), "id")
+    MergeTable.deleteKeys(spark, path, Seq(100L).toDF("id"), "id")
+    val walked = MergeTable.changesByVersion(spark, path, 0, 2, "id").collect()
+      .map(r => (r.getAs[Int]("_commit_version"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(walked == Set(
+      (1, "insert", 100L), (1, "update_preimage", 3L),
+      (1, "update_postimage", 3L), (2, "delete", 100L)), s"got $walked")
+    // endpoint diff: stamped toV, and the churn on 100 nets out
+    val netted = MergeTable.changes(spark, path, 0, 2, "id").collect()
+      .map(r => (r.getAs[Int]("_commit_version"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(netted == Set((2, "update_preimage", 3L),
+      (2, "update_postimage", 3L)), s"got $netted")
+  }
+
   test("deleteWhere: NULL-evaluating rows survive regardless of file placement") {
     import spark.implicits._
     val path = tmpDir()

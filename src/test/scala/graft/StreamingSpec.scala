@@ -1845,12 +1845,18 @@ class StreamingSpec extends AnyFunSuite {
     val applied = state()
     assert(applied == Map(1L -> (20L, "a2"), 2L -> (11L, "b2"),
       4L -> (20L, "d1")), s"got $applied")
+    // ONE commit per epoch: the creating epoch is v0, and epoch 1's
+    // upserts AND delete landed through applyBatch as v1 — never the
+    // old merge-then-deleteKeys two-version churn
+    assert(graft.sources.MergeTable.latestVersion(spark, dir) == 1,
+      "an epoch with upserts and deletes must land as ONE version")
     // failure-recovery redelivery of epoch 1: content must not change
-    // (the version counter advances; CONTENT is the reader's truth)
+    // (the version counter advances by exactly the one replayed
+    // commit; CONTENT is the reader's truth)
     val vBefore = graft.sources.MergeTable.latestVersion(spark, dir)
     sink(e1.toDF("recid", "ts", "op", "payload"), 1L)
     assert(state() == applied, "double-applied epoch changed the table")
-    assert(graft.sources.MergeTable.latestVersion(spark, dir) > vBefore)
+    assert(graft.sources.MergeTable.latestVersion(spark, dir) == vBefore + 1)
     // the pre-delete snapshot still shows key 3 (time travel intact)
     val v1 = graft.sources.MergeTable.read(spark, dir, 0).collect()
       .map(_.getAs[Long]("recid")).toSet
