@@ -126,6 +126,160 @@ object IncrementalView {
       sumCols(aggs).map(c => s"sum_$c" -> c), toVersion)
   }
 
+  // ---- MV state AS a MergeTable (snapshot isolation + CDF on the
+  // rollup itself) -------------------------------------------------
+  //
+  // The parquet-dir state above is the minimal shape; maintainTable
+  // stores the SAME maintained aggregate in a [[MergeTable]] keyed by
+  // an encoded group key, so the rollup inherits the table layer
+  // wholesale: snapshot isolation (a reader never sees a half-applied
+  // maintenance step), time travel over rollup history, point lookups
+  // by group through the string-range probe, and ITS OWN change feed
+  // (`MergeTable.changes` on the MV table answers "which rollup rows
+  // moved this epoch" — the second-order CDF a downstream alert or
+  // cache invalidation consumes). The upstream WATERMARK rides as a
+  // SENTINEL ROW (`__g_key = "W"`, carrying the applied version in
+  // `__w`) upserted in the SAME applyBatch commit as the group
+  // changes — state and watermark are atomic by construction, so a
+  // torn maintain is impossible rather than merely detectable (the
+  // `_DONE`-marker dance the parquet-dir variant needs).
+  //
+  // Group keys encode as "N" (NULL group) / "V" + canonical string —
+  // non-null and unique per version, as the tracked key requires.
+  // PRECONDITION (documented, not checked): distinct group values
+  // must render distinct strings — true for the atomic types a
+  // GROUP BY key can be.
+
+  private val WatermarkKey = "W"
+
+  private def gKey(groupCol: String): Column =
+    when(col(groupCol).isNull, lit("N"))
+      .otherwise(concat(lit("V"), col(groupCol).cast("string")))
+
+  /** Upstream version the MV table currently reflects, or -1. One
+    * candidate-file point lookup (the sentinel row), never a scan. */
+  def appliedVersion(spark: SparkSession, mvTablePath: String): Int = {
+    import spark.implicits._
+    if (MergeTable.latestVersion(spark, mvTablePath) < 0) -1
+    else MergeTable.readKeys(spark, mvTablePath,
+      Seq(WatermarkKey).toDF("__g_key"), "__g_key")
+      .select(col("__w")).collect()
+      .headOption.map(_.getLong(0).toInt).getOrElse(-1)
+  }
+
+  /** The maintained rollup from the MV table's LATEST snapshot (or a
+    * retained `version` — the rollup's own time travel), internals
+    * (sentinel row, encoded key, watermark column) stripped. */
+  def readTable(spark: SparkSession, mvTablePath: String,
+                version: Int = -1): DataFrame =
+    MergeTable.read(spark, mvTablePath, version)
+      .filter(col("__g_key") =!= WatermarkKey)
+      .drop("__g_key", "__w")
+
+  /** [[maintainAggs]] with the state in a [[MergeTable]] at
+    * `mvTablePath` (same aggregate surface and rejection rules; same
+    * seeding, delta and reseed-after-vacuum semantics). Each
+    * maintenance step lands as ONE applyBatch commit: changed groups
+    * upsert, emptied groups delete, untouched groups' files CARRY BY
+    * NAME (the rollup's own COW pruning), and the new watermark
+    * commits atomically with them. Returns the upstream version the
+    * MV now reflects. */
+  def maintainTable(spark: SparkSession, tablePath: String,
+                    mvTablePath: String, key: String, groupCol: String,
+                    aggs: Seq[(String, String)],
+                    toVersion: Int = -1): Int = {
+    import spark.implicits._
+    validateAggs(aggs)
+    val sums = sumCols(aggs).map(c => s"sum_$c" -> c)
+    val retained = MergeTable.retainedVersions(spark, tablePath)
+    require(retained.nonEmpty, s"no MergeTable at $tablePath")
+    val target =
+      if (toVersion < 0) retained.last
+      else {
+        require(retained.contains(toVersion),
+          s"version $toVersion not retained (have ${retained.mkString(",")})")
+        toVersion
+      }
+    val exists = MergeTable.latestVersion(spark, mvTablePath) >= 0
+    val watermark = if (exists) appliedVersion(spark, mvTablePath) else -1
+    val applied = if (watermark >= 0 && !retained.contains(watermark)) -1
+                  else watermark
+    if (applied >= target) return applied
+
+    val stateCols = Seq(col("__g_key"), col(groupCol), col("n_rows")) ++
+      sums.map { case (n, _) => col(n) } :+ col("__w")
+    val groupType =
+      MergeTable.read(spark, tablePath, target).schema(groupCol).dataType
+    def fullState(df: DataFrame): DataFrame =
+      df.groupBy(groupCol)
+        .agg(count(lit(1)).as("n_rows"),
+          sums.map { case (n, c) => sum(col(c).cast(StateDec))
+            .cast(StateDec).as(n) }: _*)
+        .withColumn("__g_key", gKey(groupCol))
+        .withColumn("__w", lit(null).cast("long"))
+    // the watermark row: committed in the SAME applyBatch as the
+    // group changes, so state and watermark can never tear apart
+    val sentinel: DataFrame =
+      spark.range(1).select(
+        lit(WatermarkKey).as("__g_key") +:
+          lit(null).cast(groupType).as(groupCol) +:
+          lit(0L).as("n_rows") +:
+          sums.map { case (n, _) => lit(0).cast(StateDec).as(n) } :+
+          lit(target.toLong).as("__w"): _*)
+
+    if (applied < 0) {
+      val seed = fullState(MergeTable.read(spark, tablePath, target))
+        .select(stateCols: _*)
+      val ups = seed.unionByName(sentinel)
+      if (!exists)
+        MergeTable.create(ups, mvTablePath, statsCol = Some("__g_key"))
+      else {
+        // reseed after an upstream vacuum: replace content wholesale —
+        // groups gone from the new seed delete, the rest upsert
+        val dels = MergeTable.read(spark, mvTablePath).select("__g_key")
+          .filter(col("__g_key") =!= WatermarkKey)
+          .join(seed.select("__g_key"), Seq("__g_key"), "left_anti")
+        MergeTable.applyBatch(spark, mvTablePath, ups, dels, "__g_key")
+      }
+    } else {
+      val sgn = when(
+        col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val d = MergeTable.changes(spark, tablePath, applied, target, key)
+        .withColumn("__sgn", sgn)
+        .groupBy(gKey(groupCol).as("__g_key"), col(groupCol).as("__dg"))
+        .agg(sum(col("__sgn")).as("__d_n"),
+          sums.map { case (n, c) =>
+            val v = col(c).cast(StateDec)
+            sum(when(col("__sgn") === 1L, v).otherwise(-v))
+              .cast(StateDec).as(s"__d_$n")
+          }: _*)
+      // prior rows of ONLY the affected groups: the table's own
+      // point-lookup probe — maintenance never scans the rollup
+      val prev = MergeTable.readKeys(spark, mvTablePath,
+        d.select("__g_key"), "__g_key")
+        .select(col("__g_key") +: (("n_rows" +: sums.map(_._1))
+          .map(n => col(n).as(s"__p_$n"))): _*)
+      val joined = d.join(prev, Seq("__g_key"), "left_outer")
+        .select(col("__g_key") +: col("__dg").as(groupCol) +:
+          ((coalesce(col("__p_n_rows"), lit(0L)) + col("__d_n")).as("n_rows") +:
+            sums.map { case (n, _) =>
+              (coalesce(col(s"__p_$n"), lit(0).cast(StateDec)) +
+                coalesce(col(s"__d_$n"), lit(0).cast(StateDec)))
+                .cast(StateDec).as(n)
+            }): _*)
+        .withColumn("__w", lit(null).cast("long"))
+        .persist()
+      try {
+        val ups = joined.filter(col("n_rows") > 0L).select(stateCols: _*)
+          .unionByName(sentinel)
+        val dels = joined.filter(col("n_rows") <= 0L).select("__g_key")
+        MergeTable.applyBatch(spark, mvTablePath, ups, dels, "__g_key")
+      } finally joined.unpersist()
+    }
+    target
+  }
+
   /** The maintenance core over explicit (stateName, srcCol) sums. */
   private def maintainNamed(spark: SparkSession, tablePath: String,
                             mvDir: String, key: String, groupCol: String,

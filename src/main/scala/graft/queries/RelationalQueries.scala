@@ -1637,6 +1637,41 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     },
 
+    // the ROLLUP'S OWN CHANGE FEED (q80): `maintainTable` stores the
+    // maintained aggregate IN a MergeTable (watermark as a sentinel
+    // row committed atomically with each epoch's group changes — a
+    // torn maintain is impossible by construction, not merely
+    // detectable), so the rollup inherits snapshot isolation, time
+    // travel, group point lookups, and a CDF of its own. This query
+    // emits that second-order feed — which ROLLUP rows moved when the
+    // upstream advanced v0→v2 — the shape a downstream alert or cache
+    // invalidation consumes at 100 TB instead of re-diffing the
+    // rollup. Seeded at upstream v0 (MV table version 0), advanced by
+    // the manifest-aware upstream feed in ONE applyBatch commit (MV
+    // version 1): changed groups upsert, untouched groups' files
+    // carry by name, so the MV diff below reads only moved groups.
+    // Oracle states both rollups relationally and derives the same
+    // insert / update pre-/post-image classification (no deletes in
+    // this history — every v0 status survives).
+    "q80_mv_table_cdf" -> q { (s, d) =>
+      import graft.operators.IncrementalView
+      import graft.sources.MergeTable
+      val path = ensureEvolvedOrdersTable(s, d)
+      val mvT = graft.ScratchDirs.stable("q80_mvt", d) + "/mv_table"
+      val aggs = Seq("sum" -> "o_totalprice")
+      IncrementalView.maintainTable(s, path, mvT, "o_orderkey",
+        "o_orderstatus", aggs, toVersion = 0)
+      IncrementalView.maintainTable(s, path, mvT, "o_orderkey",
+        "o_orderstatus", aggs)
+      MergeTable.changes(s, mvT, 0, 1, "__g_key")
+        .filter(col("__g_key") =!= "W")
+        .select(col("_change_type"), col("o_orderstatus"),
+          col("n_rows").as("n_orders"),
+          col("sum_o_totalprice").cast(DoubleType).as("sum_price"),
+          col("_commit_version"))
+        .orderBy("_change_type", "o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -2246,6 +2281,44 @@ object RelationalQueries {
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both rollups stated relationally; the feed classification is
+    // the same full-row diff the MV-table CDF derives (statuses only
+    // in the target are inserts, none vanish, the rest compare)
+    "q80_mv_table_cdf" ->
+      """WITH ups AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 5),
+        |v1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        |  UNION ALL SELECT * FROM ups),
+        |a0 AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1),
+        |a2 AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s
+        |  FROM v1 GROUP BY 1)
+        |SELECT 'insert' AS _change_type, o_orderstatus, n AS n_orders,
+        |  s AS sum_price, 1 AS _commit_version
+        |FROM a2 WHERE o_orderstatus NOT IN (SELECT o_orderstatus FROM a0)
+        |UNION ALL
+        |SELECT 'delete', o_orderstatus, n, s, 1
+        |FROM a0 WHERE o_orderstatus NOT IN (SELECT o_orderstatus FROM a2)
+        |UNION ALL
+        |SELECT 'update_preimage', a0.o_orderstatus, a0.n, a0.s, 1
+        |FROM a0 JOIN a2 USING (o_orderstatus)
+        |WHERE a0.n <> a2.n OR a0.s <> a2.s
+        |UNION ALL
+        |SELECT 'update_postimage', a2.o_orderstatus, a2.n, a2.s, 1
+        |FROM a0 JOIN a2 USING (o_orderstatus)
+        |WHERE a0.n <> a2.n OR a0.s <> a2.s
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
     // the direct target-snapshot aggregate with avg — equality with
     // the OPERATOR-maintained MV (seeded at v0, advanced by the feed)

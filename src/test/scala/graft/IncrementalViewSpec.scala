@@ -175,6 +175,72 @@ class IncrementalViewSpec extends AnyFunSuite {
       "a rewrite-only upstream step must leave the MV state identical")
   }
 
+  test("maintainTable: the rollup lives in a MergeTable — snapshot isolation, time travel, its own CDF") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivm_table").toString
+    val path = s"$root/table"; val mvT = s"$root/mv_table"
+    val base = ((0L until 30L).map(k =>
+      (k, Some(if (k % 3 == 0) "a" else "b"), k * 1.5)) ++
+      Seq((100L, Option.empty[String], 150.0), (101L, Option.empty[String], 1.0)))
+      .toDF("id", "grp", "amt").repartitionByRange(3, col("id"))
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val aggs = Seq("sum" -> "amt")
+    def direct(v: Int): Map[Option[String], (Long, String)] =
+      MergeTable.read(spark, path, v).groupBy("grp")
+        .agg(count(lit(1)), sum(col("amt").cast("decimal(38,4)")))
+        .collect().map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)).toMap
+    def mvNow(v: Int = -1): Map[Option[String], (Long, String)] =
+      IncrementalView.readTable(spark, mvT, v).collect()
+        .map(r => Option(r.getString(0)) -> (r.getAs[Long]("n_rows"),
+          r.getAs[java.math.BigDecimal]("sum_amt")
+            .stripTrailingZeros.toPlainString)).toMap
+    // seed at v0 (MV table version 0), watermark rides in-table
+    assert(IncrementalView.maintainTable(spark, path, mvT, "id", "grp",
+      aggs, toVersion = 0) == 0)
+    assert(IncrementalView.appliedVersion(spark, mvT) == 0)
+    assert(mvNow() == direct(0))
+    // epoch 1: group flip (3: a->b), new group c, NULL-group update
+    MergeTable.merge(spark, path,
+      Seq((3L, Some("b"), 100.25), (50L, Some("c"), 7.0),
+        (51L, Some("c"), 8.0), (100L, Option.empty[String], 9.0))
+        .toDF("id", "grp", "amt"), "id")
+    // epoch 2: empty group c, shrink group a
+    MergeTable.deleteKeys(spark, path, Seq(6L, 50L, 51L).toDF("id"), "id")
+    // advance stepwise so the rollup HISTORY is observable
+    assert(IncrementalView.maintainTable(spark, path, mvT, "id", "grp",
+      aggs, toVersion = 1) == 1)
+    assert(mvNow() == direct(1), "delta step must equal recompute at v1")
+    val v = IncrementalView.maintainTable(spark, path, mvT, "id", "grp", aggs)
+    assert(v == MergeTable.latestVersion(spark, path))
+    assert(IncrementalView.appliedVersion(spark, mvT) == v)
+    assert(mvNow() == direct(v))
+    assert(!mvNow().contains(Some("c")), "emptied group must DELETE from the table")
+    // no-op when current
+    assert(IncrementalView.maintainTable(spark, path, mvT, "id", "grp", aggs) == v)
+    // TIME TRAVEL on the rollup itself: MV version 1 = upstream v1
+    assert(mvNow(1) == direct(1))
+    // the rollup's OWN change feed: exactly the groups that moved
+    val cdf = MergeTable.changes(spark, mvT, 1, 2, "__g_key")
+      .filter(col("__g_key") =!= "W").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[String]("__g_key")))
+      .toSet
+    assert(cdf == Set(("delete", "Vc"),
+      ("update_preimage", "Va"), ("update_postimage", "Va")),
+      s"rollup CDF must show c emptied and a shrunk, got $cdf")
+    // point lookup by group through the string probe
+    val one = MergeTable.readKeys(spark, mvT,
+      Seq("Va").toDF("__g_key"), "__g_key").collect()
+    assert(one.length == 1 && one(0).getAs[Long]("n_rows") == direct(v)(Some("a"))._1)
+    // reseed after an upstream vacuum replaces content in place
+    MergeTable.merge(spark, path,
+      Seq((200L, Some("d"), 2.5)).toDF("id", "grp", "amt"), "id")
+    MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0L)
+    val v2 = IncrementalView.maintainTable(spark, path, mvT, "id", "grp", aggs)
+    assert(v2 == MergeTable.latestVersion(spark, path))
+    assert(mvNow() == direct(v2), "reseed must restore exact state")
+  }
+
   test("a torn maintain (no _DONE marker) is invisible and redone") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivm_torn").toString
