@@ -473,6 +473,48 @@ object MergeTable {
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
+  /** PREFIX READ over a STRING stats column — the T24 APPLICATION
+    * SCAN ("all FUNDS.TRANSFER records"): RECIDs of one application
+    * share its prefix, and prefix-sharing keys are CONTIGUOUS in
+    * UTF-8 byte order, so the prefix is exactly the range
+    * [prefix, nextPrefix) and manifest-level file skipping applies
+    * unchanged; the residual `startswith` pushes to the parquet scan.
+    * On an application-clustered layout the scan opens O(application
+    * size / file size) files, never the table. */
+  def readPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty,
+      "an empty prefix matches the whole table — use read()")
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val m = readManifest(fs, dir, versions(fs, dir).last)
+    val c = m.statsCol.getOrElse(
+      throw new IllegalArgumentException(s"$path tracks no stats column"))
+    val pb = prefix.getBytes(StandardCharsets.UTF_8)
+    // smallest byte string above every prefix extension: strip the
+    // trailing 0xFF run, bump the last remaining byte; an all-0xFF
+    // prefix has no upper bound (everything >= it matches the check)
+    val upper: Option[Array[Byte]] = {
+      var i = pb.length - 1
+      while (i >= 0 && pb(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else Some(pb.take(i + 1).updated(i, (pb(i) + 1).toByte))
+    }
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    val live = m.entries.filter(_.stats match {
+      case NoStats        => true // conservative: no metadata to skip on
+      case EmptyRange     => false
+      case StrRange(a, b) =>
+        cmp(b.getBytes(StandardCharsets.UTF_8), pb) >= 0 &&
+          upper.forall(u => cmp(a.getBytes(StandardCharsets.UTF_8), u) < 0)
+      case _: LongRange =>
+        throw new IllegalArgumentException(
+          s"$path tracks LONG stats — prefix scans need a STRING key")
+    })
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
+      .filter(col(c).startsWith(prefix))
+  }
+
   /** BATCH KEY LOOKUP: the read-side analog of [[deleteKeys]] — the
     * snapshot restricted to the files whose tracked range can hold
     * any of `keys` (the same metadata-only candidate probe merges

@@ -686,6 +686,44 @@ class MergeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readPrefix answers an application scan from its own files only") {
+    import spark.implicits._
+    val path = tmpDir()
+    // two "applications" clustered into separate range files
+    val df = ((0 until 20).map(i => (f"AC$i%04d", s"ac$i")) ++
+      (0 until 20).map(i => (f"FT$i%04d", s"ft$i")))
+      .toDF("recid", "payload").repartitionByRange(4, col("recid"))
+    MergeTable.create(df, path, statsCol = Some("recid"))
+    // corrupt every AC-range file: an FT scan must never open them
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, "manifest-0000000000.txt"))
+    val m0 = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    m0.split("\n").drop(2).filter(_.nonEmpty)
+      .map { l => val p = l.split("\t"); (p(0), p(3)) }
+      .filter(_._2 < "FT").foreach { case (n, _) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, n), true)
+        out.write("NOT A PARQUET FILE".getBytes); out.close()
+      }
+    val ft = MergeTable.readPrefix(spark, path, "FT").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(ft == (0 until 20).map(i => f"FT$i%04d"),
+      s"prefix scan must answer the whole application exactly — got $ft")
+    // boundary exactness: a prefix that is also a full key
+    val one = MergeTable.readPrefix(spark, path, "FT0007")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("FT0007"))
+    // empty prefixes and LONG-tracked tables reject
+    intercept[IllegalArgumentException] {
+      MergeTable.readPrefix(spark, path, "")
+    }
+    val path2 = tmpDir()
+    MergeTable.create(base, path2, statsCol = Some("id"))
+    intercept[IllegalArgumentException] {
+      MergeTable.readPrefix(spark, path2, "FT")
+    }
+  }
+
   test("applyBatch lands one epoch's upserts + deletes as ONE version") {
     import spark.implicits._
     val path = tmpDir()
