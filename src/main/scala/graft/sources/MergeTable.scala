@@ -920,7 +920,10 @@ object MergeTable {
         .groupBy(identity).map { case (g, xs) => g -> xs.size }
       m.entries.filterNot(e => nameShared(e.name)).map { e =>
         e -> (e.lineage match {
-          case Some(l) if groupCount(l.gid) == l.size => l.origins.toSet
+          // empty origins never occur (optimize compacts >= 2 files)
+          // but would make the unit set vacuously excludable — guard
+          case Some(l) if l.origins.nonEmpty && groupCount(l.gid) == l.size =>
+            l.origins.toSet
           case _ => Set(e.name)
         })
       }
