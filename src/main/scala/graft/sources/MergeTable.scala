@@ -1095,13 +1095,26 @@ object MergeTable {
           case None => tail.coalesce(nOut)
         }
         val staged = stage(compacted, dir, fs, m.statsCol)
-        // content units of the compacted sources, chained through any
-        // earlier intact groups so lineage survives repeated cycles
-        val groupCount = m.entries.flatMap(_.lineage.map(_.gid))
-          .groupBy(identity).map { case (g, xs) => g -> xs.size }
+        // content units of the compacted sources, chained through
+        // earlier intact groups so lineage survives repeated cycles.
+        // Chaining is sound ONLY when the member's WHOLE intact group
+        // compacts together: a group's origins describe the UNION of
+        // its members' rows, and a member compacted alone (e.g. the
+        // small remainder file of an earlier compaction, caught while
+        // its target-sized siblings stay put) holds an unknowable
+        // slice of them — inheriting the full origin set would let a
+        // later feed prove too much and skip files whose rows differ.
+        // The member's own NAME always denotes exactly its content,
+        // so it is the fallback unit.
+        val smallNames = small.map(_._1.name).toSet
+        val byGid = m.entries.filter(_.lineage.isDefined)
+          .groupBy(_.lineage.get.gid)
         val origins = small.map(_._1).flatMap { e =>
           e.lineage match {
-            case Some(l) if groupCount(l.gid) == l.size => l.origins
+            case Some(l) if l.origins.nonEmpty &&
+                byGid(l.gid).size == l.size &&
+                byGid(l.gid).forall(g => smallNames(g.name)) =>
+              l.origins
             case _ => Seq(e.name)
           }
         }.distinct

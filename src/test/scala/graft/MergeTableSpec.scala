@@ -803,4 +803,57 @@ class MergeTableSpec extends AnyFunSuite {
     assert(left == Set(2L, 3L, 4L),
       s"only the TRUE row may go; NULL rows survive everywhere — got $left")
   }
+
+  test("partial-group compaction must not inherit the whole group's origins") {
+    import spark.implicits._
+    val path = tmpDir()
+    // low keys carry fat payloads so the first compaction's range
+    // split leaves one BIG file (low keys) and one small one — the
+    // realistic remainder-file shape a later optimize re-compacts
+    // without its sibling
+    val df = (0L until 30L).map { k =>
+      (k, if (k < 15) s"v$k-" * 200 else s"v$k")
+    }.toDF("id", "payload").repartitionByRange(3, col("id"))
+    MergeTable.create(df, path, statsCol = Some("id"))      // v0: 3 files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizes(): Map[String, Long] = manifestFiles(path).toSeq.map(n =>
+      n -> fs.getFileStatus(new org.apache.hadoop.fs.Path(path, n)).getLen).toMap
+    // v1: compact ALL THREE into a two-file group
+    val total = sizes().values.sum
+    val v1 = MergeTable.optimize(spark, path,
+      smallBytes = Long.MaxValue, targetBytes = total / 2 + 1)
+    assert(v1 == 1 && manifestFiles(path).size == 2, "need a 2-file group")
+    // v2: append new keys (small payloads) as a fresh small file
+    val v2 = MergeTable.merge(spark, path,
+      (100L to 110L).map(k => (k, s"a$k")).toDF("id", "payload").coalesce(1), "id")
+    assert(v2 == 2)
+    // v3: re-compact ONLY the small group member + the appended file
+    // (the big sibling stays put) — the partial-group case
+    val bigSize = sizes().values.max
+    val v3 = MergeTable.optimize(spark, path,
+      smallBytes = bigSize, targetBytes = Long.MaxValue)
+    assert(v3 == 3, "partial compaction must have fired")
+    // v4: rewrite the big sibling via a merge on one of its keys
+    val v4 = MergeTable.merge(spark, path,
+      Seq((1L, "UPDATED")).toDF("id", "payload"), "id")
+    assert(v4 == 4)
+    // the feed v2 -> v4 must be exactly key 1's update; with the
+    // whole-group origins wrongly inherited at v3, both of v2's group
+    // members prove "identical" and the rewritten sibling's rows all
+    // come out as inserts
+    def snap(v: Int): Map[Long, String] =
+      MergeTable.read(spark, path, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def derive(b: Map[Long, String], a: Map[Long, String]) =
+      (a.keySet -- b.keySet).map(k => ("insert", k)) ++
+        (b.keySet -- a.keySet).map(k => ("delete", k)) ++
+        (a.keySet & b.keySet).filter(k => a(k) != b(k)).flatMap(k =>
+          Seq(("update_preimage", k), ("update_postimage", k)))
+    val feed = MergeTable.changes(spark, path, 2, 4, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(feed == derive(snap(2), snap(4)),
+      s"partial-group lineage over-claim: $feed vs ${derive(snap(2), snap(4))}")
+    assert(feed == Set(("update_preimage", 1L), ("update_postimage", 1L)))
+  }
 }
