@@ -1672,6 +1672,36 @@ object RelationalQueries {
         .orderBy("_change_type", "o_orderstatus")
     },
 
+    // MERGE-ON-READ DELETE through the table layer (q81): COW's
+    // write amplification answered with DELETION VECTORS — two
+    // scattered delete epochs land as (file, key) sidecars (one
+    // column-pruned candidate scan each, ZERO data files rewritten),
+    // readers anti-join them per file, and purgeDeletes materializes
+    // the dead rows as a dataChange=false rewrite. Three certified
+    // facts in one result: the v0->v2 feed emits exactly the deleted
+    // rows as deletes (both epochs, endpoint-netted), the MOR
+    // snapshot (v2) answers without the dead keys, and the purged
+    // snapshot (v3) answers identically — visibility is invariant
+    // across the MOR->materialized transition. DuckDB states all
+    // three from the delete predicate directly.
+    "q81_mor_delete" -> q { (s, d) =>
+      import graft.sources.MergeTable
+      val path = ensureMorOrdersTable(s, d)
+      def agg(df: DataFrame, part: String) = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(d4(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+        .withColumn("part", lit(part))
+      val feed = MergeTable.changes(s, path, 0, 2, "o_orderkey")
+        .filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version")
+      agg(feed, "feed_deletes")
+        .unionByName(agg(MergeTable.read(s, path, 2), "v_mor"))
+        .unionByName(agg(MergeTable.read(s, path, 3), "v_purged"))
+        .select("part", "o_orderstatus", "n", "sum_price")
+        .orderBy("part", "o_orderstatus")
+    },
+
     // nearest as-of join with tolerance (q70): the pandas
     // merge_asof(direction='nearest', tolerance=...) semantics q18's
     // backward-only join can't express — each error matches its
@@ -1777,6 +1807,32 @@ object RelationalQueries {
         .filter(col("o_orderkey") % 23L === 7L)
         .withColumn("o_score", col("o_orderkey") % 100L)
       MergeTable.merge(s, path, ups, "o_orderkey")
+    }
+    path
+  }
+
+  /** q81's build: a fresh tracked orders table driven through the
+    * merge-on-read delete lifecycle — two dv epochs (keys ≡ 2 mod 13,
+    * then ≡ 11 mod 19; the overlap is already dead in epoch 2 and
+    * contributes nothing) and a final purge. Memoized per generation
+    * like the q74 artifact. */
+  private def ensureMorOrdersTable(s: SparkSession, d: String): String = {
+    import graft.sources.MergeTable
+    val path = graft.ScratchDirs.stable("q81_mor", d) + "/table"
+    if (MergeTable.latestVersion(s, path) < 3) {
+      val orders = table(s, d, "orders")
+      if (MergeTable.latestVersion(s, path) < 0)
+        MergeTable.create(orders, path, statsCol = Some("o_orderkey"))
+      if (MergeTable.latestVersion(s, path) < 1)
+        MergeTable.deleteKeysMor(s, path,
+          orders.filter(col("o_orderkey") % 13L === 2L).select("o_orderkey"),
+          "o_orderkey")
+      if (MergeTable.latestVersion(s, path) < 2)
+        MergeTable.deleteKeysMor(s, path,
+          orders.filter(col("o_orderkey") % 19L === 11L).select("o_orderkey"),
+          "o_orderkey")
+      if (MergeTable.latestVersion(s, path) < 3)
+        MergeTable.purgeDeletes(s, path)
     }
     path
   }
@@ -2212,6 +2268,28 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderstatus""".stripMargin,
+
+    // all three parts stated from the delete predicate: the feed's
+    // deletes are the dead rows, both snapshots are the live rows
+    "q81_mor_delete" ->
+      """WITH dead AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 13 = 2 OR o_orderkey % 19 = 11),
+        |live AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderkey % 13 = 2 OR o_orderkey % 19 = 11))
+        |SELECT 'feed_deletes' AS part, o_orderstatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM dead GROUP BY 2
+        |UNION ALL
+        |SELECT 'v_mor', o_orderstatus, COUNT(*),
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |FROM live GROUP BY 2
+        |UNION ALL
+        |SELECT 'v_purged', o_orderstatus, COUNT(*),
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |FROM live GROUP BY 2
+        |ORDER BY part, o_orderstatus""".stripMargin,
 
     // the same update-batch derivation, emitted as the change feed
     "q75_table_cdf" ->

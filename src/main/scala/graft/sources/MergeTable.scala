@@ -145,14 +145,20 @@ object MergeTable {
     * pure-append + optimize loop. */
   private val MaxLineageUnits = 8192
 
-  /** A manifest entry: a data file plus its [[Stats]] and optional
-    * rewrite [[Lineage]]. Line formats (legacy 3-field numeric lines
-    * parse as LONG ranges, so manifests written before the string-key
-    * support still read): `name` / `name\tE` / `name\tmn\tmx` /
-    * `name\tS\tenc(mn)\tenc(mx)`, each optionally followed by
+  /** A manifest entry: a data file plus its [[Stats]], optional
+    * DELETION VECTORS (merge-on-read deletes — `dv-*.parquet`
+    * sidecars of (file, key) pairs whose keys are dead in THIS file;
+    * readers anti-join them, writers never touched the data file),
+    * and optional rewrite [[Lineage]]. Line formats (legacy 3-field
+    * numeric lines parse as LONG ranges, so manifests written before
+    * the string-key support still read): `name` / `name\tE` /
+    * `name\tmn\tmx` / `name\tS\tenc(mn)\tenc(mx)`, each optionally
+    * followed by `\tV\t<dvRows>\t<enc(dv1),enc(dv2),...>` and then
     * `\tO\t<gid>\t<size>\t<enc(o1),enc(o2),...>`. */
   private[graft] case class Entry(name: String, stats: Stats,
-                                  lineage: Option[Lineage] = None) {
+                                  lineage: Option[Lineage] = None,
+                                  dvs: Seq[String] = Nil,
+                                  dvRows: Long = 0L) {
     def line: String = {
       val core = stats match {
         case NoStats        => name
@@ -160,10 +166,13 @@ object MergeTable {
         case LongRange(a, b) => s"$name\t$a\t$b"
         case StrRange(a, b) => s"$name\tS\t${enc(a)}\t${enc(b)}"
       }
+      val withDv =
+        if (dvs.isEmpty) core
+        else s"$core\tV\t$dvRows\t${dvs.map(enc).mkString(",")}"
       lineage match {
         case Some(Lineage(g, k, os)) =>
-          s"$core\tO\t${enc(g)}\t$k\t${os.map(enc).mkString(",")}"
-        case None => core
+          s"$withDv\tO\t${enc(g)}\t$k\t${os.map(enc).mkString(",")}"
+        case None => withDv
       }
     }
   }
@@ -171,12 +180,20 @@ object MergeTable {
     val f = l.split("\t", -1)
     // lineage rides as a fixed 4-field tail; no lineage-free core is
     // ever 5+ fields, so the marker position cannot collide
-    val (core, lin) =
+    val (c1, lin) =
       if (f.length >= 5 && f(f.length - 4) == "O")
         (f.dropRight(4), Some(Lineage(dec(f(f.length - 3)),
           f(f.length - 2).toInt,
           f.last.split(",", -1).toSeq.filter(_.nonEmpty).map(dec))))
       else (f, None)
+    // deletion vectors ride as a fixed 3-field tail under the lineage
+    // tail; every dv-free core is <= 4 fields with "S" (never "V") at
+    // the probe position, so the marker cannot collide either
+    val (core, dvt) =
+      if (c1.length >= 4 && c1(c1.length - 3) == "V")
+        (c1.dropRight(3), Some((c1(c1.length - 2).toLong,
+          c1.last.split(",", -1).toSeq.filter(_.nonEmpty).map(dec))))
+      else (c1, None)
     val e = core match {
       case Array(n)           => Entry(n, NoStats)
       case Array(n, "E")      => Entry(n, EmptyRange)
@@ -187,8 +204,20 @@ object MergeTable {
         Entry(n, if (mn <= mx) LongRange(mn, mx) else EmptyRange)
       case _ => throw new IllegalArgumentException(s"bad manifest line: $l")
     }
-    e.copy(lineage = lin)
+    e.copy(lineage = lin,
+      dvs = dvt.map(_._2).getOrElse(Nil),
+      dvRows = dvt.map(_._1).getOrElse(0L))
   }
+
+  /** The CONTENT IDENTITY of an entry for the change-feed diff: the
+    * file name alone when no deletion vectors apply (an immutable
+    * file's name denotes exactly its rows), else the name plus the
+    * sorted dv list (visible rows = the file minus those dv keys —
+    * dv sidecars are immutable too, so the list IS the identity). Two
+    * manifests sharing a unit id are guaranteed the same visible rows
+    * for it. */
+  private def unitId(e: Entry): String =
+    if (e.dvs.isEmpty) e.name else e.name + "#" + e.dvs.sorted.mkString(",")
 
   private case class Manifest(ddl: String, statsCol: Option[String],
                               entries: Seq[Entry])
@@ -418,8 +447,33 @@ object MergeTable {
     val v = if (version >= 0) version else vs.last
     require(vs.contains(v), s"version $v not present (have ${vs.mkString(",")})")
     val m = readManifest(fs, dir, v)
-    fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries, m.statsCol)
   }
+
+  /** TIME TRAVEL BY TIMESTAMP: the newest retained version whose
+    * manifest was PUBLISHED at or before `tsMillis` — manifest mtime,
+    * stamped by the filesystem at commit, is the publication record
+    * (the public formats' timestamp-as-of resolution; mtimes are
+    * monotone across versions because publishes are sequential).
+    * Versions dropped by `vacuum` are not resolvable: asking for a
+    * time before the earliest retained manifest is an error, never a
+    * silent answer from the wrong snapshot. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val vs = versions(fs, dir)
+    require(vs.nonEmpty, s"no MergeTable at $path")
+    val at = vs.filter(v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"no retained version of $path existed at $tsMillis — the earliest " +
+        "retained manifest is newer (vacuumed history is not resolvable)")
+    at.last
+  }
+
+  /** Read the snapshot current as of `tsMillis` — see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, versionAsOf(spark, path, tsMillis))
 
   /** Range read over a LONG stats column: files whose [min, max]
     * cannot intersect [lo, hi] are never OPENED (manifest-level
@@ -438,7 +492,7 @@ object MergeTable {
       case _: StrRange =>
         throw new IllegalArgumentException(s"$path tracks STRING stats — use a string range")
     })
-    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live, m.statsCol)
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -469,7 +523,7 @@ object MergeTable {
       case _: LongRange =>
         throw new IllegalArgumentException(s"$path tracks LONG stats — use a long range")
     })
-    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live, m.statsCol)
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -511,7 +565,7 @@ object MergeTable {
         throw new IllegalArgumentException(
           s"$path tracks LONG stats — prefix scans need a STRING key")
     })
-    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), live, m.statsCol)
       .filter(col(c).startsWith(prefix))
   }
 
@@ -529,17 +583,53 @@ object MergeTable {
     val m = readManifest(fs, dir, versions(fs, dir).last)
     val ks = keys.select(col(key)).na.drop().distinct()
     val hits = candidateFiles(spark, dir, m, ks, key)
-    fromEntries(spark, dir, StructType.fromDDL(m.ddl), hits)
+    fromEntries(spark, dir, StructType.fromDDL(m.ddl), hits, m.statsCol)
       .join(ks, Seq(key), "left_semi")
   }
 
+  /** Resolve entries to their VISIBLE rows: plain parquet reads for
+    * dv-free entries; entries carrying deletion vectors anti-join the
+    * (broadcast-small by contract) dv sidecars scoped per file — a
+    * key deleted from file F and later re-inserted into a fresh file
+    * is untouched, because the dv row names F. `withFileCol` keeps a
+    * `__mt_file` column (the full file path) for callers that map
+    * rows back to entries. */
   private def fromEntries(spark: SparkSession, dir: Path, schema: StructType,
-                          entries: Seq[Entry]): DataFrame =
+                          entries: Seq[Entry],
+                          statsCol: Option[String] = None,
+                          withFileCol: Boolean = false): DataFrame = {
+    val outSchema =
+      if (withFileCol)
+        schema.add(StructField("__mt_file",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else schema
     if (entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(entries.map(e => new Path(dir, e.name).toString): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    def raw(es: Seq[Entry], needFile: Boolean): DataFrame = {
+      val base = spark.read.schema(schema)
+        .parquet(es.map(e => new Path(dir, e.name).toString): _*)
+      if (needFile) base.withColumn("__mt_file", col("_metadata.file_path"))
+      else base
+    }
+    val (dirty, clean) = entries.partition(_.dvs.nonEmpty)
+    if (dirty.isEmpty) raw(clean, withFileCol)
+    else {
+      val key = statsCol.getOrElse(throw new IllegalStateException(
+        "deletion vectors require a tracked stats key (unreachable: " +
+          "deleteKeysMor enforces it at write time)"))
+      val dv = spark.read.parquet(
+        dirty.flatMap(_.dvs).distinct.map(n => new Path(dir, n).toString): _*)
+      val applied0 = raw(dirty, needFile = true)
+        .join(broadcast(dv),
+          element_at(split(col("__mt_file"), "/"), -1) === col("__dv_file") &&
+            col(key) === col("__dv_k"),
+          "left_anti")
+      val applied =
+        if (withFileCol) applied0 else applied0.drop("__mt_file")
+      if (clean.isEmpty) applied
+      else raw(clean, withFileCol).unionByName(applied)
+    }
+  }
 
   /** File-range probe via BINNED EQUI-JOIN: the manifest's ranges
     * rasterize driver-side onto fixed-width bins (bin width chosen so
@@ -696,9 +786,9 @@ object MergeTable {
     m.statsCol match {
       case Some(c) if c == key =>
         val longR = m.entries.collect {
-          case Entry(n, LongRange(a, b), _) => (n, a, b) }
+          case Entry(n, LongRange(a, b), _, _, _) => (n, a, b) }
         val strR = m.entries.collect {
-          case Entry(n, StrRange(a, b), _) => (n, a, b) }
+          case Entry(n, StrRange(a, b), _, _, _) => (n, a, b) }
         val hit = rangeCandidates(keys, key, longR) ++
           strRangeCandidates(keys, key, strR)
         // entries with no metadata at all stay conservative
@@ -706,8 +796,8 @@ object MergeTable {
         val statless = m.entries.filter(_.stats == NoStats)
         m.entries.filter(e => hit.contains(e.name)) ++ statless
       case _ =>
-        val base = fromEntries(spark, dir, StructType.fromDDL(m.ddl), m.entries)
-          .withColumn("__mt_file", col("_metadata.file_path"))
+        val base = fromEntries(spark, dir, StructType.fromDDL(m.ddl),
+          m.entries, m.statsCol, withFileCol = true)
         val hitPaths = base
           .join(keys.select(col(key)).distinct(), Seq(key))
           .select("__mt_file").distinct()
@@ -767,7 +857,7 @@ object MergeTable {
     val hitNames = hits.map(_.name).toSet
     val survivors =
       if (hits.isEmpty) ups // pure append
-      else fromEntries(spark, dir, newSchema, hits)
+      else fromEntries(spark, dir, newSchema, hits, m.statsCol)
         .join(ups.select(col(key)), Seq(key), "left_anti")
         .select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
         .unionByName(ups)
@@ -813,7 +903,7 @@ object MergeTable {
         val hitNames = hits.map(_.name).toSet
         val survivors =
           if (hits.isEmpty) ups // pure append
-          else fromEntries(spark, dir, newSchema, hits)
+          else fromEntries(spark, dir, newSchema, hits, m.statsCol)
             .join(touched, Seq(key), "left_anti")
             .select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
             .unionByName(ups)
@@ -846,7 +936,7 @@ object MergeTable {
     val next =
       if (hits.isEmpty) m.entries
       else {
-        val survivors = fromEntries(spark, dir, schema, hits)
+        val survivors = fromEntries(spark, dir, schema, hits, m.statsCol)
           .join(ks, Seq(key), "left_anti")
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         m.entries.filterNot(e => hitNames(e.name)) ++
@@ -875,8 +965,8 @@ object MergeTable {
       val m = readManifest(fs, dir, v)
       val schema = StructType.fromDDL(m.ddl)
       val hitCond = coalesce(cond, lit(false))
-      val base = fromEntries(spark, dir, schema, m.entries)
-        .withColumn("__mt_file", col("_metadata.file_path"))
+      val base = fromEntries(spark, dir, schema, m.entries, m.statsCol,
+        withFileCol = true)
       val hitPaths = base.filter(hitCond)
         .select("__mt_file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -885,12 +975,140 @@ object MergeTable {
       val next =
         if (hits.isEmpty) m.entries
         else {
-          val survivors = fromEntries(spark, dir, schema, hits).filter(!hitCond)
+          val survivors = fromEntries(spark, dir, schema, hits, m.statsCol)
+            .filter(!hitCond)
           m.entries.filterNot(e => hitNames(e.name)) ++
             stage(survivors, dir, fs, m.statsCol)
         }
       publish(fs, dir, v + 1, m.copy(entries = next))
       v + 1
+    }
+
+  /** Write a deletion-vector sidecar (`dv-*.parquet`, columns
+    * `__dv_file` = data-file basename, `__dv_k` = dead key) and
+    * return its name. One file per delete epoch — dv batches are
+    * small by contract (scattered deletes; bulk deletes take the COW
+    * path), so the single-part coalesce is the right shape. */
+  private def writeDv(df: DataFrame, dir: Path, fs: FileSystem): String = {
+    val stageDir = new Path(dir, s"_stage-${UUID.randomUUID()}")
+    df.coalesce(1).write.parquet(stageDir.toString)
+    val part = Option(fs.globStatus(new Path(stageDir, "part-*.parquet")))
+      .getOrElse(Array.empty).headOption.getOrElse(
+        throw new java.io.IOException("deletion-vector write produced no file"))
+    val name = s"dv-${UUID.randomUUID()}.parquet"
+    if (!fs.rename(part.getPath, new Path(dir, name)))
+      throw new java.io.IOException(s"could not stage $name")
+    fs.delete(stageDir, true)
+    name
+  }
+
+  /** MERGE-ON-READ DELETE by key set: the answer to COW's write
+    * amplification for SCATTERED deletes — [[deleteKeys]] rewrites
+    * every candidate file in full, so at 100 TB deleting 1 000
+    * scattered RECIDs rewrites up to 1 000 × 128 MB of parquet for a
+    * few KB of dead keys. This variant writes a DELETION VECTOR
+    * sidecar instead (the public formats' DV design): one
+    * COLUMN-PRUNED scan of the candidate files (key column + file
+    * metadata only — not even the payload columns decode) finds the
+    * genuinely-alive victims per file, the dead (file, key) pairs
+    * land as one `dv-*.parquet`, and every data file keeps its place
+    * BY NAME. Readers anti-join the (broadcast-small) sidecars scoped
+    * per file, so a key deleted here and later re-inserted by a merge
+    * lands in a fresh file the old dv row can never touch. Deletes
+    * accumulate until [[purgeDeletes]] (or an [[optimize]] catching
+    * the file in its small tail) materializes them — the documented
+    * read-cost / write-cost trade the formats expose as MOR vs COW.
+    * Requires the tracked stats key (the CDC/RECID workload's shape;
+    * untracked tables keep the COW path). Deleting absent keys is a
+    * no-op that commits nothing. Returns the (possibly unchanged)
+    * version. */
+  def deleteKeysMor(spark: SparkSession, path: String, keys: DataFrame,
+                    key: String): Int = withOccRetry(s"deleteKeysMor from $path") {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val v = versions(fs, dir).last
+    val m = readManifest(fs, dir, v)
+    require(m.statsCol.contains(key),
+      s"merge-on-read deletes require the tracked stats key (table tracks " +
+        s"${m.statsCol.getOrElse("none")}, got '$key') — use deleteKeys/deleteWhere")
+    val schema = StructType.fromDDL(m.ddl)
+    val ks = keys.select(col(key)).na.drop().distinct()
+    val hits = candidateFiles(spark, dir, m, ks, key)
+    if (hits.isEmpty) v
+    else {
+      val victims = fromEntries(spark, dir, schema, hits, m.statsCol,
+          withFileCol = true)
+        .join(ks, Seq(key), "left_semi")
+        .select(
+          element_at(split(col("__mt_file"), "/"), -1).as("__dv_file"),
+          col(key).as("__dv_k"))
+        .persist()
+      try {
+        val perFile = victims.groupBy("__dv_file").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (perFile.isEmpty) v // keys absent (or already dead): no-op
+        else {
+          val dvName = writeDv(victims, dir, fs)
+          fireMidCommitHook()
+          val next = m.entries.map { e =>
+            perFile.get(e.name) match {
+              case Some(n) =>
+                e.copy(dvs = e.dvs :+ dvName, dvRows = e.dvRows + n)
+              case None => e
+            }
+          }
+          publish(fs, dir, v + 1, m.copy(entries = next))
+          v + 1
+        }
+      } finally victims.unpersist()
+    }
+  }
+
+  /** Materialize all deletion vectors: rewrite every dv'd file
+    * without its dead rows (key-sorted into tight disjoint ranges,
+    * like tracked compaction) and drop the dv references — the
+    * MOR-side analog of [[optimize]], run when accumulated dv
+    * anti-join cost outweighs one rewrite. Content-neutral w.r.t.
+    * VISIBLE rows, and each purged file's unit id (name#dvs) denotes
+    * exactly those rows, so the rewrite carries [[Lineage]] and a
+    * change feed spanning the purge scans ZERO files. Returns the new
+    * version, or -1 when no deletion vectors exist. */
+  def purgeDeletes(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024): Int =
+    withOccRetry(s"purgeDeletes $path") {
+      val dir = new Path(path)
+      val fs = fsFor(spark, dir)
+      val v = versions(fs, dir).last
+      val m = readManifest(fs, dir, v)
+      val dirty = m.entries.filter(_.dvs.nonEmpty)
+      if (dirty.isEmpty) -1
+      else {
+        val schema = StructType.fromDDL(m.ddl)
+        val visible = fromEntries(spark, dir, schema, dirty, m.statsCol)
+        val totalBytes = dirty.map(e =>
+          fs.getFileStatus(new Path(dir, e.name)).getLen).sum
+        val nOut = math.max(1L,
+          (totalBytes + targetBytes - 1) / targetBytes).toInt
+        val shaped = m.statsCol match {
+          case Some(c) => visible.repartitionByRange(nOut, col(c))
+            .sortWithinPartitions(col(c))
+          case None => visible.coalesce(nOut) // unreachable: dvs need a key
+        }
+        val staged = stage(shaped, dir, fs, m.statsCol)
+        val origins = dirty.map(unitId).distinct
+        val rewritten =
+          if (staged.isEmpty || origins.size > MaxLineageUnits) staged
+          else {
+            val gid = UUID.randomUUID().toString
+            staged.map(_.copy(lineage =
+              Some(Lineage(gid, staged.size, origins))))
+          }
+        val dirtyNames = dirty.map(_.name).toSet
+        fireMidCommitHook()
+        publish(fs, dir, v + 1, m.copy(entries =
+          m.entries.filterNot(e => dirtyNames(e.name)) ++ rewritten))
+        v + 1
+      }
     }
 
   /** The two sides' files a manifest-aware diff must actually scan.
@@ -913,18 +1131,26 @@ object MergeTable {
     * both sides always denotes the same rows.
     */
   private[graft] def diffEntries(mb: Manifest, ma: Manifest): (Seq[Entry], Seq[Entry]) = {
-    val nameShared = mb.entries.map(_.name).toSet
-      .intersect(ma.entries.map(_.name).toSet)
+    // identity includes the deletion-vector list: a file shared by
+    // name whose dv set differs between the versions has DIFFERENT
+    // visible rows (exactly the newly-dead keys) and must be scanned
+    // on both sides — still change-priced, only the dv'd file re-reads
+    val idShared = mb.entries.map(unitId).toSet
+      .intersect(ma.entries.map(unitId).toSet)
     def remaining(m: Manifest): Seq[(Entry, Set[String])] = {
-      val groupCount = m.entries.flatMap(_.lineage.map(_.gid))
-        .groupBy(identity).map { case (g, xs) => g -> xs.size }
-      m.entries.filterNot(e => nameShared(e.name)).map { e =>
+      val byGid = m.entries.filter(_.lineage.isDefined)
+        .groupBy(_.lineage.get.gid)
+      m.entries.filterNot(e => idShared(unitId(e))).map { e =>
         e -> (e.lineage match {
           // empty origins never occur (optimize compacts >= 2 files)
-          // but would make the unit set vacuously excludable — guard
-          case Some(l) if l.origins.nonEmpty && groupCount(l.gid) == l.size =>
+          // but would make the unit set vacuously excludable — guard.
+          // A deletion vector on any member voids the group's origin
+          // claim (the group no longer holds exactly its origins'
+          // rows); the member's own unit id stays sound.
+          case Some(l) if l.origins.nonEmpty && byGid(l.gid).size == l.size &&
+              byGid(l.gid).forall(_.dvs.isEmpty) =>
             l.origins.toSet
-          case _ => Set(e.name)
+          case _ => Set(unitId(e))
         })
       }
     }
@@ -986,8 +1212,8 @@ object MergeTable {
     val ma = readManifest(fs, dir, toV)
     val schema = StructType.fromDDL(ma.ddl)
     val (beforeE, afterE) = diffEntries(mb, ma)
-    val before = fromEntries(spark, dir, schema, beforeE)
-    val after = fromEntries(spark, dir, schema, afterE)
+    val before = fromEntries(spark, dir, schema, beforeE, mb.statsCol)
+    val after = fromEntries(spark, dir, schema, afterE, ma.statsCol)
     val enforcedByLifecycle =
       mb.statsCol.contains(key) && ma.statsCol.contains(key)
     if (!enforcedByLifecycle) {
@@ -1085,7 +1311,7 @@ object MergeTable {
         val totalSmall = small.map(_._2).sum
         val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
         val tail = fromEntries(spark, dir, StructType.fromDDL(m.ddl),
-          small.map(_._1))
+          small.map(_._1), m.statsCol)
         val compacted = m.statsCol match {
           // one small-tail-sized shuffle buys disjoint ranges — the
           // probe keeps pruning through every compaction cycle
@@ -1111,11 +1337,17 @@ object MergeTable {
           .groupBy(_.lineage.get.gid)
         val origins = small.map(_._1).flatMap { e =>
           e.lineage match {
+            // a dv'd member also blocks chaining: the group no longer
+            // holds exactly its origins' rows. unitId (name, or
+            // name#dvs) denotes exactly the member's VISIBLE rows —
+            // which is what the compaction read — so it is always a
+            // sound unit, and compacting a dv'd file materializes its
+            // deletions as a dataChange=false step.
             case Some(l) if l.origins.nonEmpty &&
                 byGid(l.gid).size == l.size &&
-                byGid(l.gid).forall(g => smallNames(g.name)) =>
+                byGid(l.gid).forall(g => smallNames(g.name) && g.dvs.isEmpty) =>
               l.origins
-            case _ => Seq(e.name)
+            case _ => Seq(unitId(e))
           }
         }.distinct
         val rewritten =
@@ -1129,6 +1361,24 @@ object MergeTable {
         v + 1
       }
     }
+
+  /** Follow the table's change feed as a STRUCTURED STREAMING source
+    * (offsets = table versions, each micro-batch a manifest-aware
+    * `changes` span, checkpointed exactly-once progress) — see
+    * [[MergeTableChangeSourceProvider]] for the full contract.
+    * `startingVersion < 0` (default) starts from the CURRENT latest
+    * version, i.e. only new changes; pass 0 for the retained
+    * history. */
+  def changeStream(spark: SparkSession, path: String, key: String,
+                   startingVersion: Int = -1,
+                   exactPerVersion: Boolean = false): DataFrame = {
+    val r = spark.readStream.format("mergetable-changes")
+      .option("path", path).option("key", key)
+      .option("exactPerVersion", exactPerVersion.toString)
+    (if (startingVersion >= 0)
+      r.option("startingVersion", startingVersion.toString)
+    else r).load()
+  }
 
   /** Garbage-collect: keep the newest `keepVersions` manifests, drop
     * older manifests, every data file none of the kept manifests
@@ -1153,7 +1403,7 @@ object MergeTable {
     val vs = versions(fs, dir)
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(v => readManifest(fs, dir, v).entries
-      .map(_.name)).toSet
+      .flatMap(e => e.name +: e.dvs)).toSet
     // age against the FILESYSTEM's clock, not the driver's: mtimes
     // are stamped by the FS, and clock skew against a remote store
     // would silently shrink the retention window — exactly the
@@ -1171,8 +1421,10 @@ object MergeTable {
     vs.dropRight(keepVersions).foreach { v =>
       if (fs.delete(manifestPath(dir, v), false)) removed += 1
     }
-    Option(fs.globStatus(new Path(dir, "data-*.parquet")))
-      .getOrElse(Array.empty)
+    (Option(fs.globStatus(new Path(dir, "data-*.parquet")))
+      .getOrElse(Array.empty) ++
+      Option(fs.globStatus(new Path(dir, "dv-*.parquet")))
+        .getOrElse(Array.empty))
       .filterNot(st => referenced.contains(st.getPath.getName))
       .filter(_.getModificationTime <= cutoff)
       .foreach { st => if (fs.delete(st.getPath, false)) removed += 1 }

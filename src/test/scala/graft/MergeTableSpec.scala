@@ -804,6 +804,232 @@ class MergeTableSpec extends AnyFunSuite {
       s"only the TRUE row may go; NULL rows survive everywhere — got $left")
   }
 
+  private def dataFileSet(path: String): Set[String] = manifestFiles(path)
+
+  private def manifestText(path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = MergeTable.latestVersion(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  test("merge-on-read delete: dv sidecar, untouched data files, time travel") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val filesBefore = dataFileSet(path)
+    val v1 = MergeTable.deleteKeysMor(spark, path,
+      Seq(3L, 17L, 999L).toDF("id"), "id") // 999 absent: ignored
+    assert(v1 == 1)
+    // NO data file was rewritten — the whole point of MOR
+    assert(dataFileSet(path) == filesBefore,
+      "a MOR delete must not touch data files")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(path,
+      "dv-*.parquet"))).getOrElse(Array.empty).length == 1)
+    // reads exclude the dead keys; time travel still shows them
+    val now = MergeTable.read(spark, path).collect().map(_.getLong(0)).toSet
+    assert(now == (0L until 40L).toSet -- Set(3L, 17L))
+    val v0 = MergeTable.read(spark, path, 0).collect().map(_.getLong(0)).toSet
+    assert(v0 == (0L until 40L).toSet)
+    // point lookups and range reads honor the dv
+    val k = MergeTable.readKeys(spark, path,
+      Seq(3L, 4L).toDF("id"), "id").collect().map(_.getLong(0)).toSet
+    assert(k == Set(4L))
+    val r = MergeTable.readRange(spark, path, 15L, 18L)
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(15L, 16L, 18L))
+    // deleting only-absent keys commits nothing
+    assert(MergeTable.deleteKeysMor(spark, path,
+      Seq(999L).toDF("id"), "id") == 1)
+    // a second epoch accumulates on the same file
+    val v2 = MergeTable.deleteKeysMor(spark, path, Seq(4L).toDF("id"), "id")
+    assert(v2 == 2)
+    assert(MergeTable.read(spark, path).count() == 37)
+    // deleting an ALREADY-dead key is invisible (victims come from
+    // visible rows, so nothing lands and no version commits)
+    assert(MergeTable.deleteKeysMor(spark, path, Seq(3L).toDF("id"), "id") == 2)
+  }
+
+  test("MOR delete requires the tracked key") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path) // untracked
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.deleteKeysMor(spark, path, Seq(3L).toDF("id"), "id")
+    }
+    assert(ex.getMessage.contains("tracked stats key"))
+  }
+
+  test("a merge re-inserting a MOR-deleted key is not re-killed by the old dv") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.deleteKeysMor(spark, path, Seq(3L).toDF("id"), "id")
+    assert(!MergeTable.read(spark, path).collect().map(_.getLong(0)).contains(3L))
+    // re-insert key 3: the merge lands it in a fresh file the old dv
+    // row (scoped to the ORIGINAL file) can never touch
+    MergeTable.merge(spark, path,
+      Seq((3L, "BACK", 0L)).toDF("id", "payload", "grp"), "id")
+    val back = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(3L) == "BACK")
+    assert(back.size == 40)
+  }
+
+  test("a merge rewriting a dv'd file drops its dv and keeps dead rows dead") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    // kill key 3, then update key 4 (same low-range file): the COW
+    // rewrite reads VISIBLE rows, so 3 stays dead in the new file and
+    // the rewritten entry carries no dv reference
+    MergeTable.deleteKeysMor(spark, path, Seq(3L).toDF("id"), "id")
+    MergeTable.merge(spark, path,
+      Seq((4L, "U4", 0L)).toDF("id", "payload", "grp"), "id")
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!now.contains(3L) && now(4L) == "U4" && now.size == 39)
+    // the rewritten file's entry must NOT reference the old dv — if
+    // every candidate was rewritten the manifest carries no V marker
+    // for the low range anymore (key 3's file was the only dv'd one)
+    assert(!manifestText(path).contains("\tV\t"),
+      "rewritten entries must drop their dv references")
+  }
+
+  test("change feed across MOR deletes: exact rows, dv'd-file-priced") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))  // 4 files
+    val v1 = MergeTable.deleteKeysMor(spark, path,
+      Seq(3L, 17L).toDF("id"), "id")
+    val feed = MergeTable.changes(spark, path, 0, v1, "id")
+    assert(feed.collect().map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet ==
+      Set(("delete", 3L), ("delete", 17L)))
+    // only the dv'd files are scanned (same names on both sides, so
+    // inputFiles dedup to the touched data files + the dv sidecar)
+    val touched = Seq(3L, 17L).map(k => k / 10) // range-partitioned by id
+    val scannedData = feed.inputFiles.filter(_.contains("data-")).toSet
+    assert(scannedData.size <= 2,
+      s"feed must scan only dv'd files, scanned ${scannedData.size}")
+    // behavioral: corrupt every file EXCEPT the dv'd ones + sidecars —
+    // the feed still answers
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = feed.inputFiles.map(_.split("/").last).toSet
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, "data-*.parquet")))
+      .getOrElse(Array.empty)
+      .filterNot(st => keep(st.getPath.getName))
+      .foreach { st =>
+        val out = fs.create(st.getPath, true)
+        out.write("NOT A PARQUET FILE".getBytes); out.close()
+      }
+    assert(MergeTable.changes(spark, path, 0, v1, "id").count() == 2)
+  }
+
+  test("purgeDeletes materializes dvs: content-neutral, zero-scan feed, vacuum") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.deleteKeysMor(spark, path, Seq(3L, 17L, 25L).toDF("id"), "id")
+    MergeTable.deleteKeysMor(spark, path, Seq(8L).toDF("id"), "id")
+    val vPre = MergeTable.latestVersion(spark, path)
+    val before = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val vP = MergeTable.purgeDeletes(spark, path)
+    assert(vP == vPre + 1)
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before, "purge must be content-neutral on visible rows")
+    assert(!manifestText(path).contains("\tV\t"), "no dv refs may remain")
+    // the purge is dataChange=false to the feed: zero files scanned
+    val feed = MergeTable.changes(spark, path, vPre, vP, "id")
+    assert(feed.inputFiles.isEmpty,
+      s"purge feed must read nothing, read ${feed.inputFiles.toSeq}")
+    assert(feed.count() == 0)
+    // a second purge is a no-op
+    assert(MergeTable.purgeDeletes(spark, path) == -1)
+    // vacuum(minAge=0) collects the now-unreferenced dv sidecars
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(path,
+      "dv-*.parquet"))).getOrElse(Array.empty).isEmpty,
+      "purged dv sidecars must be collectable")
+    // and the purged snapshot still answers in full
+    assert(MergeTable.read(spark, path).count() == 36)
+  }
+
+  test("fresh dv sidecars survive the vacuum retention window") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.deleteKeysMor(spark, path, Seq(3L).toDF("id"), "id")
+    MergeTable.purgeDeletes(spark, path)
+    // dv now unreferenced by the kept manifest, but FRESH: default
+    // retention must keep it (an in-flight reader of the pre-purge
+    // version may still be scanning it)
+    MergeTable.vacuum(spark, path, keepVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(path,
+      "dv-*.parquet"))).getOrElse(Array.empty).length == 1)
+  }
+
+  test("optimize materializes dvs of its small tail, still zero-scan to the feed") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    MergeTable.deleteKeysMor(spark, path, Seq(3L, 38L).toDF("id"), "id")
+    val vPre = MergeTable.latestVersion(spark, path)
+    val before = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val vOpt = MergeTable.optimize(spark, path,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(vOpt == vPre + 1)
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    assert(!manifestText(path).contains("\tV\t"),
+      "compaction must materialize the tail's dvs")
+    val feed = MergeTable.changes(spark, path, vPre, vOpt, "id")
+    assert(feed.inputFiles.isEmpty && feed.count() == 0,
+      "dv materialization via optimize is dataChange=false")
+  }
+
+  test("timestamp time travel resolves the manifest published at-or-before") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    Thread.sleep(30) // separate manifest mtimes (ms granularity)
+    MergeTable.merge(spark, path,
+      Seq((3L, "U3", 0L)).toDF("id", "payload", "grp"), "id")
+    Thread.sleep(30)
+    MergeTable.merge(spark, path,
+      Seq((3L, "U3b", 0L)).toDF("id", "payload", "grp"), "id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Int) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(path, f"manifest-$v%010d.txt"))
+      .getModificationTime
+    assert(MergeTable.versionAsOf(spark, path, mtime(0)) == 0)
+    assert(MergeTable.versionAsOf(spark, path, mtime(1)) == 1)
+    // between two commits resolves the earlier one
+    assert(MergeTable.versionAsOf(spark, path, mtime(2) - 1) == 1)
+    assert(MergeTable.versionAsOf(spark, path, System.currentTimeMillis() + 1000) == 2)
+    val v1 = MergeTable.readAsOf(spark, path, mtime(1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1(3L) == "U3")
+    // before the first commit: loud error, never a wrong snapshot
+    val ex = intercept[IllegalArgumentException] {
+      MergeTable.versionAsOf(spark, path, mtime(0) - 1000)
+    }
+    assert(ex.getMessage.contains("earliest"))
+  }
+
   test("partial-group compaction must not inherit the whole group's origins") {
     import spark.implicits._
     val path = tmpDir()
