@@ -1910,6 +1910,163 @@ class StreamingSpec extends AnyFunSuite {
       "null text must not fabricate chunk rows")
   }
 
+  test("change stream follows a MergeTable: versions as offsets, checkpointed restart") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    MergeTable.create(
+      (0L until 20L).map(k => (k, s"v$k")).toDF("id", "payload")
+        .repartitionByRange(2, col("id")),
+      path, statsCol = Some("id"))
+    // memory sinks cannot recover from a checkpoint — collect via
+    // foreachBatch (which can) so the restart leg is a real restart
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long, Int)]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = df.collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("id"), r.getAs[Int]("_commit_version")))
+      buf.synchronized { buf ++= rows }
+    }
+    def start() = MergeTable.changeStream(spark, path, "id", startingVersion = 0)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // no new versions yet: the source must report no offset
+      q1.processAllAvailable()
+      assert(buf.synchronized(buf.isEmpty))
+      // epoch 1: one update + one insert
+      MergeTable.merge(spark, path,
+        Seq((3L, "U3"), (100L, "NEW")).toDF("id", "payload"), "id")
+      q1.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) ==
+        Set(("update_preimage", 3L, 1), ("update_postimage", 3L, 1),
+          ("insert", 100L, 1)))
+      // epoch 2: a merge-on-read delete rides the same feed
+      MergeTable.deleteKeysMor(spark, path, Seq(7L).toDF("id"), "id")
+      q1.processAllAvailable()
+      assert(buf.synchronized(buf.toSet).map(t => (t._1, t._2))
+        .contains(("delete", 7L)))
+      assert(buf.synchronized(buf.size) == 4)
+    } finally q1.stop()
+    // epoch 3 lands while the stream is DOWN; the restarted stream
+    // must emit exactly the uncovered span (checkpointed offset = v2)
+    buf.synchronized(buf.clear())
+    MergeTable.merge(spark, path, Seq((11L, "U11")).toDF("id", "payload"), "id")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) ==
+        Set(("update_preimage", 11L, 3), ("update_postimage", 11L, 3)),
+        s"restart must resume at the checkpoint, got ${buf.synchronized(buf.toSet)}")
+    } finally q2.stop()
+  }
+
+  test("change stream default start: only NEW changes, history untouched") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_tail").toString
+    val path = s"$dir/table"
+    MergeTable.create(
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "payload"), path,
+      statsCol = Some("id"))
+    MergeTable.merge(spark, path, Seq((1L, "OLD")).toDF("id", "payload"), "id")
+    // default startingVersion = current latest (1): the pre-existing
+    // epoch must NOT replay
+    val q = MergeTable.changeStream(spark, path, "id")
+      .writeStream.format("memory").queryName("cdf_tail")
+      .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_tail").count() == 0)
+      MergeTable.merge(spark, path, Seq((2L, "NEW")).toDF("id", "payload"), "id")
+      q.processAllAvailable()
+      val got = spark.table("cdf_tail").collect()
+        .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+      assert(got == Set(("update_preimage", 2L), ("update_postimage", 2L)))
+    } finally q.stop()
+  }
+
+  test("change-stream replication: follow table A, apply into table B, converge") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_repl").toString
+    val a = s"$dir/a"
+    val b = s"$dir/b"
+    MergeTable.create(
+      (0L until 20L).map(k => (k, s"v$k")).toDF("id", "payload"), a,
+      statsCol = Some("id"))
+    // the CDF rows become a CDC batch for the apply sink: postimages
+    // and inserts upsert, deletes delete, preimages drop; the commit
+    // version is the per-key ordering timestamp
+    val apply = Pipelines.mergeApplySink(b, "id", "_commit_version")
+    val q = MergeTable.changeStream(spark, a, "id", startingVersion = 0)
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("op",
+        when(col("_change_type") === "delete", "D").otherwise("U"))
+      .drop("_change_type")
+      .writeStream.foreachBatch(apply)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def aRows() = MergeTable.read(spark, a).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+      def bRows() = MergeTable.read(spark, b).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+      // B does not exist until the first change flows; seed via one epoch
+      MergeTable.merge(spark, a,
+        Seq((3L, "U3"), (50L, "NEW50")).toDF("id", "payload"), "id")
+      q.processAllAvailable()
+      // replication starts from the CHANGES, so B holds the changed
+      // keys only until a full-history stream is used — use content
+      // equality on the touched keys here
+      assert(bRows() == Set((3L, "U3"), (50L, "NEW50")))
+      // more epochs: update, insert, MOR delete — B follows
+      MergeTable.merge(spark, a,
+        Seq((3L, "U3b"), (51L, "NEW51")).toDF("id", "payload"), "id")
+      MergeTable.deleteKeysMor(spark, a, Seq(50L).toDF("id"), "id")
+      q.processAllAvailable()
+      assert(bRows() == Set((3L, "U3b"), (51L, "NEW51")))
+      assert(aRows().intersect(bRows()) == bRows(),
+        "replica rows must agree with the source on every followed key")
+    } finally q.stop()
+  }
+
+  test("change stream fails loudly when vacuum outran the checkpoint") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_vac").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    MergeTable.create(
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "payload"), path,
+      statsCol = Some("id"))
+    def start(n: String) = MergeTable.changeStream(spark, path, "id",
+        startingVersion = 0)
+      .writeStream.foreachBatch((df: org.apache.spark.sql.DataFrame,
+        _: Long) => { df.count(); () })
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start("a")
+    try {
+      MergeTable.merge(spark, path, Seq((1L, "U1")).toDF("id", "payload"), "id")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // two more epochs, then vacuum down to ONLY the newest version:
+    // the checkpointed v1 watermark's history is gone
+    MergeTable.merge(spark, path, Seq((2L, "U2")).toDF("id", "payload"), "id")
+    MergeTable.merge(spark, path, Seq((3L, "U3")).toDF("id", "payload"), "id")
+    MergeTable.vacuum(spark, path, keepVersions = 1, minAgeMs = 0)
+    val q2 = start("b")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    q2.stop()
+    assert(ex.getMessage.contains("re-seed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("re-seed")),
+      s"must fail with the re-seed guidance, got: ${ex.getMessage}")
+  }
+
   test("E2E: the reference loop — RAW decode → COW table + rollup → point lookup") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
