@@ -1212,10 +1212,47 @@ object MergeTable {
     val ma = readManifest(fs, dir, toV)
     val schema = StructType.fromDDL(ma.ddl)
     val (beforeE, afterE) = diffEntries(mb, ma)
-    val before = fromEntries(spark, dir, schema, beforeE, mb.statsCol)
-    val after = fromEntries(spark, dir, schema, afterE, ma.statsCol)
     val enforcedByLifecycle =
       mb.statsCol.contains(key) && ma.statsCol.contains(key)
+    // PURE-MOR FAST PATH: when the span changed NOTHING but deletion
+    // vectors (every diffed entry is the same file on both sides with
+    // a strictly grown dv list — the shape of a deleteKeysMor epoch,
+    // which a CDC follower walks one version at a time), the feed is
+    // exactly the newly-dead keys' rows. The general full-outer diff
+    // would shuffle every dv'd file's rows TWICE; here ONE scan of
+    // the before-visible rows semi-joins the (broadcast-small) delta
+    // dv sidecars — no shuffle at all. Sound only in the pure shape:
+    // any rewrite/append in the span could re-insert a deleted key,
+    // which the key-aligned diff must classify as an update, so mixed
+    // spans fall through to the general path. Delta status is uniform
+    // per dv file (a sidecar attaches to every file it touches in ONE
+    // publish), and dv lists only grow for a fixed name (any data
+    // change retires the name), so the subset check is exact.
+    val afterByName = afterE.map(e => e.name -> e).toMap
+    val pureMor = enforcedByLifecycle && beforeE.nonEmpty &&
+      beforeE.map(_.name).toSet == afterE.map(_.name).toSet &&
+      beforeE.forall { eb =>
+        afterByName.get(eb.name).exists(ea =>
+          eb.dvs.toSet.subsetOf(ea.dvs.toSet) && eb.dvs.toSet != ea.dvs.toSet)
+      }
+    if (pureMor) {
+      val deltaDvs = beforeE.flatMap { eb =>
+        afterByName(eb.name).dvs.filterNot(eb.dvs.toSet)
+      }.distinct
+      val dv = spark.read.parquet(
+        deltaDvs.map(n => new Path(dir, n).toString): _*)
+      return fromEntries(spark, dir, schema, beforeE, mb.statsCol,
+          withFileCol = true)
+        .join(broadcast(dv),
+          element_at(split(col("__mt_file"), "/"), -1) === col("__dv_file") &&
+            col(key) === col("__dv_k"),
+          "left_semi")
+        .drop("__mt_file")
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(toV))
+    }
+    val before = fromEntries(spark, dir, schema, beforeE, mb.statsCol)
+    val after = fromEntries(spark, dir, schema, afterE, ma.statsCol)
     if (!enforcedByLifecycle) {
       val guard = before.select(col(key)).withColumn("__side", lit(fromV))
         .unionByName(after.select(col(key)).withColumn("__side", lit(toV)))

@@ -17,4 +17,17 @@ object StreamShim {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The mirror image for a V1 Sink: `addBatch` receives an
+    * INCREMENTALLY-planned Dataset whose logical plan still names
+    * streaming sources — re-analyzing it as a batch query (e.g. via
+    * `.rdd`) is rejected by the analyzer. Wrap the already-planned
+    * physical RDD as a plain batch frame instead (what the built-in
+    * V1 sinks do), so the sink body may persist and run multiple
+    * actions freely. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

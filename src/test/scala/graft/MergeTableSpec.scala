@@ -930,6 +930,36 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.changes(spark, path, 0, v1, "id").count() == 2)
   }
 
+  test("pure-MOR feed takes the no-shuffle fast path; mixed spans fall back") {
+    import spark.implicits._
+    val path = tmpDir()
+    MergeTable.create(base, path, statsCol = Some("id"))
+    val v1 = MergeTable.deleteKeysMor(spark, path,
+      Seq(3L, 17L).toDF("id"), "id")
+    val v2 = MergeTable.deleteKeysMor(spark, path, Seq(25L).toDF("id"), "id")
+    // the 0 -> v2 span changed nothing but dv lists: the feed must be
+    // the dead rows via scan + broadcast semi, never a full-outer
+    val feed = MergeTable.changes(spark, path, 0, v2, "id")
+    val got = feed.collect().map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("payload"))).toSet
+    assert(got == Set(("delete", 3L, "v3"), ("delete", 17L, "v17"),
+      ("delete", 25L, "v25")))
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter") && !plan.contains("SortMergeJoin"),
+      s"pure-MOR feed must not plan the general diff:\n$plan")
+    // a span mixing a MOR delete with a re-inserting merge must fall
+    // back: the key-aligned diff classifies the pair as an update
+    val v3 = MergeTable.merge(spark, path,
+      Seq((3L, "BACK", 9L)).toDF("id", "payload", "grp"), "id")
+    val mixed = MergeTable.changes(spark, path, 0, v3, "id").collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+    assert(mixed == Set(
+      ("update_preimage", 3L), ("update_postimage", 3L),
+      ("delete", 17L), ("delete", 25L)),
+      s"mixed span must use the key-aligned classification, got $mixed")
+  }
+
   test("purgeDeletes materializes dvs: content-neutral, zero-scan feed, vacuum") {
     import spark.implicits._
     val path = tmpDir()

@@ -2032,6 +2032,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two-format replication: mergetable-changes into mergetable-apply") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_repl").toString
+    val a = s"$dir/a"
+    val b = s"$dir/b"
+    MergeTable.create(
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "payload"), a,
+      statsCol = Some("id"))
+    val q = MergeTable.changeStream(spark, a, "id", startingVersion = 0)
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("op",
+        when(col("_change_type") === "delete", "D").otherwise("U"))
+      .drop("_change_type")
+      .writeStream.format("mergetable-apply")
+      .option("path", b).option("key", "id").option("ts", "_commit_version")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      MergeTable.merge(spark, a,
+        Seq((2L, "U2"), (90L, "NEW")).toDF("id", "payload"), "id")
+      q.processAllAvailable()
+      def bRows() = MergeTable.read(spark, b).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSet
+      assert(bRows() == Set((2L, "U2"), (90L, "NEW")))
+      MergeTable.deleteKeysMor(spark, a, Seq(90L).toDF("id"), "id")
+      MergeTable.merge(spark, a, Seq((2L, "U2b")).toDF("id", "payload"), "id")
+      q.processAllAvailable()
+      assert(bRows() == Set((2L, "U2b")))
+    } finally q.stop()
+    // a missing required option fails at start, not mid-stream
+    val ex = intercept[Exception] {
+      MergeTable.changeStream(spark, a, "id")
+        .writeStream.format("mergetable-apply")
+        .option("path", b)
+        .option("checkpointLocation", s"$dir/ckpt2").start()
+    }
+    assert(ex.getMessage.contains("key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("key")))
+  }
+
   test("change stream fails loudly when vacuum outran the checkpoint") {
     import spark.implicits._
     import graft.sources.MergeTable
