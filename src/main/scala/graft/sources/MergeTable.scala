@@ -125,6 +125,18 @@ object MergeTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+  /** enc() for STATS VALUES: a key whose encoding is a bare marker
+    * letter would collide with the tail probes at parse time (a
+    * string max of "O" followed by a dv tail reads as a lineage
+    * marker and bricks the manifest) — force percent-escape those
+    * four one-letter values; dec() reverses transparently. */
+  private def encS(s: String): String = {
+    val e = enc(s)
+    if (e == "O" || e == "V" || e == "E" || e == "S")
+      f"%%${e.head.toInt}%02X"
+    else e
+  }
+
   /** REWRITE LINEAGE for content-neutral rewrites (`dataChange=false`
     * in the public formats' terms): `optimize` stamps every file of a
     * compaction group with one group id, the group size, and the
@@ -164,7 +176,7 @@ object MergeTable {
         case NoStats        => name
         case EmptyRange     => s"$name\tE"
         case LongRange(a, b) => s"$name\t$a\t$b"
-        case StrRange(a, b) => s"$name\tS\t${enc(a)}\t${enc(b)}"
+        case StrRange(a, b) => s"$name\tS\t${encS(a)}\t${encS(b)}"
       }
       val withDv =
         if (dvs.isEmpty) core
@@ -342,19 +354,29 @@ object MergeTable {
     * a probe hit, so range pruning skips it — never an NPE mid-write.
     * Until a manifest lists them the files are unreferenced (readers
     * resolve manifests, never glob data files). */
-  private def stage(df: DataFrame, dir: Path, fs: FileSystem,
-                    statsCol: Option[String]): Seq[Entry] = {
+  /** Write `df` into an invisible `_stage-` dir and rename each part
+    * into the table root under `name(i)` — the one staging dance both
+    * data files and dv sidecars ride. */
+  private def stageParts(df: DataFrame, dir: Path, fs: FileSystem,
+                         name: Int => String): Seq[String] = {
     val stageDir = new Path(dir, s"_stage-${UUID.randomUUID()}")
     df.write.parquet(stageDir.toString)
     val parts = Option(fs.globStatus(new Path(stageDir, "part-*.parquet")))
       .getOrElse(Array.empty).toSeq
     val renamed = parts.zipWithIndex.map { case (st, i) =>
-      val name = s"data-${UUID.randomUUID()}-$i.parquet"
-      if (!fs.rename(st.getPath, new Path(dir, name)))
+      val n = name(i)
+      if (!fs.rename(st.getPath, new Path(dir, n)))
         throw new java.io.IOException(s"could not stage ${st.getPath}")
-      name
+      n
     }
     fs.delete(stageDir, true)
+    renamed
+  }
+
+  private def stage(df: DataFrame, dir: Path, fs: FileSystem,
+                    statsCol: Option[String]): Seq[Entry] = {
+    val renamed = stageParts(df, dir, fs,
+      i => s"data-${UUID.randomUUID()}-$i.parquet")
     statsCol match {
       case None => renamed.map(Entry(_, NoStats))
       case Some(_) if renamed.isEmpty => Seq.empty
@@ -418,6 +440,16 @@ object MergeTable {
     }
     publish(fs, dir, 0, Manifest(df.schema.toDDL, statsCol,
       stage(df, dir, fs, statsCol)))
+  }
+
+  /** The latest version's schema at metadata cost (manifest DDL only
+    * — no snapshot read, no file index). */
+  def tableSchema(spark: SparkSession, path: String): StructType = {
+    val dir = new Path(path)
+    val fs = fsFor(spark, dir)
+    val vs = versions(fs, dir)
+    require(vs.nonEmpty, s"no MergeTable at $path")
+    StructType.fromDDL(readManifest(fs, dir, vs.last).ddl)
   }
 
   /** Latest version number, or -1 if the table does not exist. */
@@ -619,8 +651,14 @@ object MergeTable {
           "deleteKeysMor enforces it at write time)"))
       val dv = spark.read.parquet(
         dirty.flatMap(_.dvs).distinct.map(n => new Path(dir, n).toString): _*)
+      // dv sidecars are broadcast-small by contract, but the manifest
+      // KNOWS how small (dvRows accrues per entry at delete time) —
+      // past a driver-safe bound, drop the hint and let the planner
+      // shuffle rather than OOM the driver on a pathological backlog
+      val dvSide =
+        if (dirty.map(_.dvRows).sum <= 5000000L) broadcast(dv) else dv
       val applied0 = raw(dirty, needFile = true)
-        .join(broadcast(dv),
+        .join(dvSide,
           element_at(split(col("__mt_file"), "/"), -1) === col("__dv_file") &&
             col(key) === col("__dv_k"),
           "left_anti")
@@ -989,18 +1027,10 @@ object MergeTable {
     * return its name. One file per delete epoch — dv batches are
     * small by contract (scattered deletes; bulk deletes take the COW
     * path), so the single-part coalesce is the right shape. */
-  private def writeDv(df: DataFrame, dir: Path, fs: FileSystem): String = {
-    val stageDir = new Path(dir, s"_stage-${UUID.randomUUID()}")
-    df.coalesce(1).write.parquet(stageDir.toString)
-    val part = Option(fs.globStatus(new Path(stageDir, "part-*.parquet")))
-      .getOrElse(Array.empty).headOption.getOrElse(
+  private def writeDv(df: DataFrame, dir: Path, fs: FileSystem): String =
+    stageParts(df.coalesce(1), dir, fs,
+      _ => s"dv-${UUID.randomUUID()}.parquet").headOption.getOrElse(
         throw new java.io.IOException("deletion-vector write produced no file"))
-    val name = s"dv-${UUID.randomUUID()}.parquet"
-    if (!fs.rename(part.getPath, new Path(dir, name)))
-      throw new java.io.IOException(s"could not stage $name")
-    fs.delete(stageDir, true)
-    name
-  }
 
   /** MERGE-ON-READ DELETE by key set: the answer to COW's write
     * amplification for SCATTERED deletes — [[deleteKeys]] rewrites

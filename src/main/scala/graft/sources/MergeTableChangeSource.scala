@@ -49,9 +49,9 @@ class MergeTableChangeSourceProvider extends StreamSourceProvider
 
   private def changeSchema(spark: org.apache.spark.sql.SparkSession,
                            path: String): StructType = {
-    val v = MergeTable.latestVersion(spark, path)
-    require(v >= 0, s"no MergeTable at $path")
-    StructType(MergeTable.read(spark, path, v).schema.fields ++ Seq(
+    // metadata-priced: the manifest DDL, never a snapshot read (which
+    // would build a file index over every entry just to learn columns)
+    StructType(MergeTable.tableSchema(spark, path).fields ++ Seq(
       StructField("_change_type", StringType, nullable = true),
       StructField("_commit_version", IntegerType, nullable = true)))
   }
@@ -76,8 +76,33 @@ class MergeTableChangeSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException("mergetable-changes needs a 'path' option"))
     val key = parameters.getOrElse("key",
       throw new IllegalArgumentException("mergetable-changes needs a 'key' option"))
-    val startFrom = parameters.get("startingVersion").map(_.toInt)
-      .getOrElse(MergeTable.latestVersion(spark, path))
+    // LATCH the starting version into the checkpoint's metadata dir on
+    // FIRST start and read it back on every restart. Re-resolving
+    // "latest" per (re)start would move the floor under the offset
+    // log: a crash between the WAL and the commit log replays the
+    // batch against a HIGHER startFrom (the emit-nothing branch —
+    // silent loss), and epochs landing while a default-start stream is
+    // down would be withheld until some future commit bumps latest
+    // past the re-latched floor.
+    val startFrom = {
+      val mp = new org.apache.hadoop.fs.Path(metadataPath, "starting-version")
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(mp)) {
+        val in = fs.open(mp)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      } else {
+        val v = parameters.get("startingVersion").map(_.toInt)
+          .getOrElse(MergeTable.latestVersion(spark, path))
+        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+          s"_tmp-start-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, mp) && !fs.exists(mp))
+          throw new java.io.IOException(s"could not latch starting version at $mp")
+        v
+      }
+    }
     val exact = parameters.get("exactPerVersion").exists(_.toBoolean)
     new MergeTableChangeSource(spark, path, key, startFrom, exact,
       schema.getOrElse(changeSchema(spark, path)))
@@ -108,10 +133,11 @@ private[graft] class MergeTableChangeSource(
     val batch =
       if (fromV >= toV)
         // the engine replays the last batch's range on restart with
-        // start == end when it was already committed — emit nothing
-        MergeTable.read(spark, path, toV).limit(0)
-          .withColumn("_change_type", lit(null).cast(StringType))
-          .withColumn("_commit_version", lit(null).cast(IntegerType))
+        // start == end when it was already committed — emit nothing,
+        // built from the declared schema alone (no manifest access:
+        // the replayed version may legitimately be vacuumed by now)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       else {
         val retained = MergeTable.retainedVersions(spark, path)
         require(retained.contains(fromV),

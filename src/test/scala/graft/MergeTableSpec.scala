@@ -930,6 +930,33 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.changes(spark, path, 0, v1, "id").count() == 2)
   }
 
+  test("marker-letter string keys cannot brick the manifest parse") {
+    import spark.implicits._
+    // keys whose percent-encoding is a bare marker letter ("O", "V",
+    // "E", "S") land in range stats; combined with a dv tail the old
+    // parse misread "O" as a lineage marker and the table became
+    // unreadable — the write side now force-escapes them
+    val path = tmpDir()
+    val df = Seq(("A", 1L), ("O", 2L), ("V", 3L), ("E", 4L), ("S", 5L),
+      ("Z", 6L)).toDF("k", "x").repartitionByRange(3, col("k"))
+    MergeTable.create(df, path, statsCol = Some("k"))
+    // attach a dv to every file (the collision needs stats + V tail)
+    val v1 = MergeTable.deleteKeysMor(spark, path,
+      Seq("A", "Z").toDF("k"), "k")
+    assert(v1 == 1)
+    val now = MergeTable.read(spark, path).collect()
+      .map(r => r.getString(0)).toSet
+    assert(now == Set("O", "V", "E", "S"))
+    // feed + merge + optimize all parse the escaped stats fine
+    assert(MergeTable.changes(spark, path, 0, 1, "k").count() == 2)
+    MergeTable.merge(spark, path, Seq(("O", 20L)).toDF("k", "x"), "k")
+    assert(MergeTable.optimize(spark, path,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue) > 0)
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("O" -> 20L, "V" -> 3L, "E" -> 4L, "S" -> 5L))
+  }
+
   test("pure-MOR feed takes the no-shuffle fast path; mixed spans fall back") {
     import spark.implicits._
     val path = tmpDir()

@@ -1988,6 +1988,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("default-start change stream latches its floor in the checkpoint") {
+    import spark.implicits._
+    import graft.sources.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_latch").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    MergeTable.create(
+      (0L until 10L).map(k => (k, s"v$k")).toDF("id", "payload"), path,
+      statsCol = Some("id"))
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = df.collect().map(r =>
+        (r.getAs[String]("_change_type"), r.getAs[Long]("id")))
+      buf.synchronized { buf ++= rows }
+    }
+    def start() = MergeTable.changeStream(spark, path, "id")
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    // first start latches the floor at the CURRENT latest (0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(buf.synchronized(buf.isEmpty))
+    // epochs land while the stream is DOWN; a restart that re-latched
+    // "latest" would withhold them forever on a then-quiescent table
+    MergeTable.merge(spark, path, Seq((1L, "U1")).toDF("id", "payload"), "id")
+    MergeTable.merge(spark, path, Seq((2L, "U2")).toDF("id", "payload"), "id")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == Set(
+        ("update_preimage", 1L), ("update_postimage", 1L),
+        ("update_preimage", 2L), ("update_postimage", 2L)),
+        s"offline epochs must replay from the latched floor, got ${buf.synchronized(buf.toSet)}")
+    } finally q2.stop()
+  }
+
   test("change-stream replication: follow table A, apply into table B, converge") {
     import spark.implicits._
     import graft.sources.MergeTable
