@@ -92,6 +92,30 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // CURATION VIA MERGE-ON-READ (d83): the drop leg of a curation
+    // pass (here a language gate — keep the target languages) lands as
+    // DELETION VECTORS on a corpus MergeTable instead of rewriting it.
+    // Quality/language kills are SCATTERED — uncorrelated with storage
+    // order — so COW would rewrite nearly every file to drop 15% of
+    // rows; the MOR epoch writes one sidecar from a doc_id-pruned
+    // candidate scan and the corpus files keep their place. Emits the
+    // curated snapshot plus the feed's dropped rows, both stated
+    // directly from the gate by the oracle.
+    "d83_mor_curate" -> q { (s, d) =>
+      import graft.sources.MergeTable
+      val path = ensureMorCorpus(s, d)
+      def agg(df: DataFrame, part: String) = df
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("part", lit(part))
+      val feed = MergeTable.changes(s, path, 0, 1, "doc_id")
+        .filter(col("_change_type") === "delete")
+      agg(feed, "dropped")
+        .unionByName(agg(MergeTable.read(s, path, 1), "live"))
+        .select("part", "lang", "source", "n", "chars")
+        .orderBy("part", "lang", "source")
+    },
+
     // apply exact dedup: keep only each duplicate-group's keeper row —
     // the anti-join shape that materializes a deduplicated corpus
     "d11_dedup_apply" -> q { (s, d) =>
@@ -3702,6 +3726,22 @@ object DocQueries {
        |FROM sn ORDER BY doc_id""".stripMargin
   }
 
+  /** d83's build: the documents corpus as a doc_id-tracked MergeTable
+    * driven through one MOR curation epoch (drop the non-target
+    * language). Memoized per generation. */
+  private def ensureMorCorpus(s: SparkSession, d: String): String = {
+    import graft.sources.MergeTable
+    val path = graft.ScratchDirs.stable("d83_mor", d) + "/corpus"
+    if (MergeTable.latestVersion(s, path) < 1) {
+      val docs = table(s, d, "documents")
+      if (MergeTable.latestVersion(s, path) < 0)
+        MergeTable.create(docs, path, statsCol = Some("doc_id"))
+      MergeTable.deleteKeysMor(s, path,
+        docs.filter(col("lang") === "zh").select("doc_id"), "doc_id")
+    }
+    path
+  }
+
   val oracles: Map[String, String] = Map(
     "m18_mime_sniff" -> mimeSniffOracle,
 
@@ -4116,6 +4156,15 @@ object DocQueries {
     "d67_prefix_join" -> prefixJoinOracle,
 
     "d7_simhash" -> simhashOracle,
+
+    "d83_mor_curate" ->
+      """SELECT 'dropped' AS part, lang, source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'zh' GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'live', lang, source, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE lang <> 'zh' GROUP BY 2, 3
+        |ORDER BY part, lang, source""".stripMargin,
 
     "d11_dedup_apply" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
