@@ -230,16 +230,44 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // LAZY snapshot: the round's single action (labelSum below) both
+    // materializes the truncated-lineage round state AND returns the
+    // convergence sum — one Spark job per round where the former
+    // eager-checkpoint-then-aggregate shape paid two (guide §1.2: the
+    // loop's cost is per-round fixed overhead, so halving actions
+    // halves it; the checkpointed blocks are identical either way).
     def snapshot(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    // materialize the PAIR LIST once before the direction-doubling
+    // union: the union's two branches are two full copies of the
+    // caller's pair derivation (for d20/d37/e14 that is the entire
+    // LSH band self-join + exact verify chain — measured as the two
+    // heaviest stages of the old d20 profile, ~twice the verify cost),
+    // and only the narrow (a_id, b_id) rows are needed twice.
+    val p0 = snapshot(pairs.select(col(aCol), col(bCol)))
+    // edges persist ALREADY HASH-PARTITIONED on dst — the per-round
+    // neighbour-min join probes edges BY dst every round, so pinning
+    // the partitioning into the cached blocks removes one exchange of
+    // the edge table per round (guide §2.4: two operations keyed the
+    // same way share one exchange); only the narrow (id, label) side
+    // still shuffles per round.
+    // SELF-LOOPS ride in the edge table: min-over-neighbours then
+    // includes the node's own label, so each propagation is ONE
+    // join + aggregate instead of join + aggregate + a second
+    // left-outer join against the previous state (the old `prop`
+    // shape) — one fewer exchange per propagation, same fixpoint.
+    val edges = p0.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p0.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(p0.select(col(aCol).as("src"), col(aCol).as("dst")))
+      .union(p0.select(col(bCol).as("src"), col(bCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     // seed one propagation ahead: label = min(id, min neighbour id)
-    var labels = snapshot(edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("md"))
-      .select(col("src").as("id"), least(col("src"), col("md")).as("label")))
+    // (the self-loop makes the groupBy min exactly that)
+    var labels = snapshot(edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("label")))
     // labels only ever DECREASE, so the (exact, overflow-free) decimal
     // label sum is strictly monotone until the fixpoint — one aggregate
     // action per round instead of a join-and-count against the
@@ -252,19 +280,34 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty // no pairs → nothing to propagate
+    // one pointer jump: label := min(label, label(label)) — composes
+    // the label map with itself, so reach doubles per jump
+    def jump(l: DataFrame): DataFrame = {
+      val hop = l.select(col("id").as("lid"), col("label").as("llabel"))
+      l.join(hop, l("label") === hop("lid"), "left_outer")
+        .select(l("id"),
+          least(l("label"), coalesce(col("llabel"), l("label"))).as("label"))
+    }
+    // one propagation: label := min over neighbours' labels (the
+    // self-loop edge folds the own label in — one join + one agg)
+    def prop(l: DataFrame): DataFrame =
+      edges.join(l, edges("dst") === l("id"))
+        .groupBy(edges("src").as("id")).agg(min(col("label")).as("label"))
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-      // pointer jumping: label := min(label, label(label))
-      val hop = prop.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = snapshot(
-        prop.join(hop, prop("label") === hop("lid"), "left_outer")
-          .select(prop("id"),
-            least(prop("label"), coalesce(col("llabel"), prop("label"))).as("label")))
+      // TWO propagations + one jump per MATERIALIZED round: the
+      // measured d20/e14 convergence tail moves one edge-hop per
+      // propagation (label chains stay short, so extra jumps buy
+      // nothing — measured flat at 8 rounds with 1 or 2 jumps), and
+      // the loop's dominant term is the per-round fixed cost
+      // (planning + scheduling + checkpoint + convergence action).
+      // Fusing 2 hops into one round halves that fixed cost for the
+      // same hop count; the jump keeps the O(log diameter) guarantee
+      // for long-chain components. Same fixpoint; labels still only
+      // ever decrease, so the sum-based convergence test is unchanged.
+      val next = snapshot(prop(jump(prop(labels))))
       val s = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter sum=$s (prev=$prevSum)")
       converged = s == prevSum
       prevSum = s
       // the superseded round's checkpointed blocks are dead state —
@@ -273,6 +316,8 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $iter rounds")
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
   }

@@ -45,8 +45,20 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // pre-aggregated form (guide §2.3 "aggregate before you shuffle"):
+    // lineitem collapses to one exact decimal revenue row PER ORDERKEY
+    // before any join — the join then carries |orders| rows instead of
+    // |lineitem|, and because o_orderkey is the orders PK (and custkey
+    // → exactly one customer), each orderkey reaches the nation
+    // aggregate exactly once, so count(1) ≡ countDistinct(o_orderkey)
+    // — which also removes the Expand + second aggregation pass the
+    // mixed distinct/plain aggregate used to plan. Decimal sums are
+    // exact, so regrouping them is bit-identical; oracle unchanged.
     "q3_join_revenue" -> q { (s, d) =>
       val li = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
+          .as("ord_rev"))
       val o = table(s, d, "orders")
       val c = table(s, d, "customer")
       val n = table(s, d, "nation")
@@ -55,9 +67,8 @@ object RelationalQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum(d4(col("l_extendedprice")) * (one4 - d4(col("l_discount"))))
-            .cast(DoubleType).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("ord_rev")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
