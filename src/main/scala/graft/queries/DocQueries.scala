@@ -17,8 +17,21 @@ import graft.sources.Tables.table
 object DocQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RANGE-PARTITION FIRST, compute after (guide §2.4): a global
+    // sort's range exchange SAMPLES its child with a separate pass,
+    // so `select(heavy).orderBy(key)` runs the heavy projection TWICE
+    // — and over a single-row-group file, single-task both times. An
+    // explicit repartitionByRange on the sort key moves the exchange
+    // BELOW the heavy projection: the sampling pass is now a bare
+    // scan, the stats expression runs once (parallel — the explicit
+    // partition count is not AQE-coalesced), and the final orderBy is
+    // satisfied by the range partitioning (prefix rule), planning as
+    // an in-partition sort with NO second exchange. Same rows, same
+    // order; the oracle is order-identical.
     "d1_token_count" -> q { (s, d) =>
       table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).as("n_chars_actual"))
         .orderBy("doc_id")
@@ -26,6 +39,8 @@ object DocQueries {
 
     "d2_quality_score" -> q { (s, d) =>
       table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           Text.tokenCount(col("text")).as("n_tokens"),
           Text.stopwordCount(col("text")).as("n_stop"),
@@ -44,8 +59,12 @@ object DocQueries {
         .orderBy("doc_id")
     },
 
+    // d1's range-partition-first shape (sampling reads the bare scan;
+    // langId runs once, parallel; orderBy needs no second exchange)
     "d3_langid" -> q { (s, d) =>
       table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
@@ -86,8 +105,11 @@ object DocQueries {
       Dedup.simhashNearDups(table(s, d, "documents")).orderBy("a_id", "b_id")
     },
 
+    // d1's range-partition-first shape
     "d8_fingerprint" -> q { (s, d) =>
       table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
@@ -299,7 +321,7 @@ object DocQueries {
     },
 
     "d9_bpe_tokens" -> q { (s, d) =>
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"),
           Text.bpeTokenCount(col("text")).as("n_bpe"),
           Text.tokenCount(col("text")).as("n_ws"))
@@ -308,7 +330,7 @@ object DocQueries {
 
     "m1_binary_meta" -> q { (s, d) =>
       // multimodal plumbing: opaque binary payload + typed metadata.
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(col("doc_id"), octet_length(col("payload")).as("byte_len"),
           sha2(col("payload"), 256).as("sha"))
@@ -371,6 +393,11 @@ object DocQueries {
         lit("@example.com today"))
       table(s, d, "customer")
         .select(col("c_custkey"), txt.as("text"))
+        // d1's range-partition-first shape: the regex pass runs once,
+        // parallel, above the one exchange (sampling reads only the
+        // cheap synthesized text); orderBy collapses to an in-partition
+        // sort under the prefix rule
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("c_custkey"))
         .select(col("c_custkey"),
           regexp_replace(regexp_replace(col("text"), phoneRe, "[PHONE]"),
             emailRe, "[EMAIL]").as("redacted"),
@@ -415,6 +442,8 @@ object DocQueries {
       table(s, d, "documents")
         .select(col("doc_id"), raw.as("raw"))
         .filter(!col("raw").contains("lorem ipsum") && !col("raw").contains("{"))
+        // d1's range-partition-first shape (split/filter once, parallel)
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           size(split(col("raw"), "\n")).as("n_lines"),
           size(filter(split(col("raw"), "\n"), keepLine)).as("n_kept"),
@@ -560,7 +589,7 @@ object DocQueries {
     "m2_image_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (16, 8)
           val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -570,6 +599,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -583,7 +613,7 @@ object DocQueries {
     "m5_image_phash" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .flatMap { sid =>
           val (w, h) = (16, 8)
           // xor-mixed per-(sid, pixel) pattern: hash ENTROPY must grow
@@ -615,7 +645,7 @@ object DocQueries {
     "m4_video_frames" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (8, 8)
           val n = (4 + id % 3).toInt
@@ -627,6 +657,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("frame_idx"), col("width"), col("height"),
           col("n_frames"), col("mean_y"), col("peak_y"))
+        .repartition(col("id"))
         .orderBy("id", "frame_idx")
     },
 
@@ -640,7 +671,7 @@ object DocQueries {
     "m3_audio_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val rate = 8000
           val n = (800 + (id % 5) * 100).toInt
@@ -652,6 +683,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -664,7 +696,7 @@ object DocQueries {
     "m16_audio_resample" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val rate = 8000
           val n = (800 + (id % 5) * 100).toInt
@@ -676,6 +708,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("src_rate"), col("dst_rate"), col("n_out"),
           col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -690,7 +723,7 @@ object DocQueries {
     "m17_vad" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val n = (600 + (id % 4) * 100).toInt
           val pcm = Array.tabulate[Short](n) { i =>
@@ -703,6 +736,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("n_frames"), col("n_voiced"),
           col("n_segments"), col("voiced_ratio"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -717,7 +751,7 @@ object DocQueries {
     "m10_jpeg_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (24, 16)
           val img = new java.awt.image.BufferedImage(w, h,
@@ -756,6 +790,7 @@ object DocQueries {
       graft.operators.Multimodal.decodeJpegImages(media)
         .toDF()
         .select(col("id"), col("width"), col("height"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -767,7 +802,7 @@ object DocQueries {
     "m9_png_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (16, 8)
           val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 29 + i * 3) % 256).toByte)
@@ -777,6 +812,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -788,7 +824,7 @@ object DocQueries {
     "m8_ulaw_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val rate = 8000
           val n = (600 + (id % 4) * 100).toInt
@@ -799,6 +835,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -811,7 +848,7 @@ object DocQueries {
     "m19_alaw_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val rate = 8000
           val n = (500 + (id % 5) * 100).toInt
@@ -822,6 +859,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -834,7 +872,7 @@ object DocQueries {
     "m23_image_letterbox" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (16, 8)
           val rgb = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i) % 256).toByte)
@@ -845,6 +883,7 @@ object DocQueries {
         .select(col("id"), col("out_w"), col("out_h"),
           col("pad_left"), col("pad_top"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -859,7 +898,7 @@ object DocQueries {
     "m22_yuv_rgb" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (8, 4)
           val (cw, ch) = (4, 2)
@@ -875,6 +914,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id", "frame_idx")
     },
 
@@ -888,7 +928,7 @@ object DocQueries {
     "m21_warc_records" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val recs = (0 until (2 + id % 3).toInt).map { r =>
             val k = (5 + (id + r) % 4).toInt
@@ -904,6 +944,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("rec_idx"), col("uri"), col("content_length"),
           size(split(trim(col("body")), "\\s+")).as("n_tokens"))
+        .repartition(col("id"))
         .orderBy("id", "rec_idx")
     },
 
@@ -916,7 +957,7 @@ object DocQueries {
     "m20_stereo_downmix" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val rate = 16000
           val n = (400 + (id % 4) * 150).toInt
@@ -930,6 +971,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -945,7 +987,7 @@ object DocQueries {
     "m15_gif_frames" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val pal = Array.tabulate(256)(c =>
             (c << 16) | (((c * 5 + 1) % 256) << 8) | ((c * 11 + 3) % 256))
@@ -964,6 +1006,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id", "frame_idx")
     },
 
@@ -979,7 +1022,7 @@ object DocQueries {
     "m14_scene_change" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h, nf) = (8, 4, 6)
           val scene = (2 + id % 3).toInt
@@ -992,6 +1035,7 @@ object DocQueries {
       graft.operators.Multimodal.sceneChanges(media, threshold = 1.0)
         .toDF()
         .select(col("id"), col("frame_idx"), col("mad"), col("is_cut"))
+        .repartition(col("id"))
         .orderBy("id", "frame_idx")
     },
 
@@ -1008,7 +1052,7 @@ object DocQueries {
     "m13_audio_stats" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val n = (400 + (id % 3) * 100).toInt
           val half = (4 + (id % 5)).toInt
@@ -1021,6 +1065,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("n_samples"), col("zero_crossings"),
           col("rms"), col("silence_ratio"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -1036,7 +1081,7 @@ object DocQueries {
         (((c * 3 + 5) % 256) << 16) | (((c * 7 + 1) % 256) << 8) |
           ((c * 11 + 9) % 256))
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (16, 8)
           val idx = Array.tabulate[Byte](w * h)(i => ((id * 13 + i * 11) % 256).toByte)
@@ -1046,6 +1091,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -1059,7 +1105,7 @@ object DocQueries {
     "m11_bmp_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val (w, h) = (13, 9)
           val rgb = new Array[Byte](w * h * 3)
@@ -1084,6 +1130,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -1104,7 +1151,7 @@ object DocQueries {
     "m12_adpcm_decode" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { id =>
           val slope = Array(0, 1, 3, 4, -1, -3, -4)((id % 7).toInt)
           val a = (id * 37 % 1000).toInt - 500
@@ -1116,6 +1163,7 @@ object DocQueries {
         .toDF()
         .select(col("id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("mean_abs"), col("peak_abs"))
+        .repartition(col("id"))
         .orderBy("id")
     },
 
@@ -1158,7 +1206,7 @@ object DocQueries {
     "m6_video_frame_dedup" -> q { (s, d) =>
       import s.implicits._
       val media = table(s, d, "supplier")
-        .select(col("s_suppkey").cast("long")).as[Long]
+        .select(col("s_suppkey").cast("long")).transform(spreadByKey).as[Long]
         .map { sid =>
           val (w, h) = (16, 8)
           // xor-mixed per-(sid, pixel) luma (same rationale as m5: the
@@ -1643,7 +1691,7 @@ object DocQueries {
     // newline per turn.
     "d40_chat_render" -> q { (s, d) =>
       import org.apache.spark.sql.types.LongType
-      val t = table(s, d, "documents")
+      val t = docsByRange(s, d)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
           least(lit(6L), greatest(lit(1L),
@@ -1683,7 +1731,7 @@ object DocQueries {
     // real positives to catch. Roles/bodies build and fold IN-ROW —
     // zero shuffles before the final sort.
     "d41_turn_validate" -> q { (s, d) =>
-      val t = table(s, d, "documents")
+      val t = docsByRange(s, d)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
           least(lit(6L), greatest(lit(1L),
@@ -2034,7 +2082,7 @@ object DocQueries {
     // speed and feeds the e-series embed/index chain downstream.
     "d54_rag_chunks" -> q { (s, d) =>
       val toks = Text.tokens(lower(col("text")))
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"),
           explode(Text.ragChunks(toks, chunkSize = 64, stride = 48)).as("c"))
         .select(col("doc_id"),
@@ -2071,7 +2119,7 @@ object DocQueries {
           % (blk - span + 1)).cast("int")
       def sentinel(b: Column): Column =
         concat(lit("<extra_id_"), b.cast("string"), lit(">"))
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
           floor(size(col("toks")) / blk).cast("int").as("n_spans"))
@@ -2342,7 +2390,7 @@ object DocQueries {
         .when(fmt === 5, lit(Multimodal.MagicY4m))
         .when(fmt === 6, lit(Multimodal.MagicId3))
         .otherwise(lit(Array.empty[Byte]))
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"),
           concat(magic, col("text").cast("binary")).as("payload"))
         .select(col("doc_id"),
@@ -2975,7 +3023,7 @@ object DocQueries {
     // ZERO shuffles: pure in-row token slicing at scan speed (the
     // d40/d55 shape) — the one ORDER BY is the output sort.
     "d70_fim_transform" -> q { (s, d) =>
-      table(s, d, "documents")
+      docsByRange(s, d)
         .select(col("doc_id"),
           Text.fimTransform(col("doc_id"), col("text")).as("f"))
         .select(col("doc_id"), col("f")("fim_applied").as("fim_applied"),
@@ -3453,6 +3501,34 @@ object DocQueries {
       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       |          FROM documents) a) b) c""".stripMargin
   }
+
+  /** Spread a synthesized-media key scan across the session's
+    * parallelism BEFORE the per-row encode/decode map (the t24
+    * `topicShaped` rule, guide §2.5 "input skew"): the sf parquet
+    * tables are single-row-group files, so without this the whole
+    * encode+decode pipeline of every m-query serializes into the one
+    * scan task — the opposite of the many-file corpus layout the
+    * binaryFile ingest has in production. Hash on the key column keeps
+    * the layout deterministic (no round-robin sort-before-repartition
+    * pass, stable under retries). */
+  private def spreadByKey(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col(df.columns.head))
+
+  /** `documents` range-partitioned on doc_id for queries shaped
+    * scan -> heavy per-row projection -> orderBy(doc_id...): the one
+    * exchange moves BELOW the projection, so (1) the global sort's
+    * range-sampling pass reads the bare scan instead of re-running
+    * the projection, (2) the projection runs once and parallel (an
+    * explicit partition count is never AQE-coalesced; the sf files
+    * are single-row-group, so the plain scan is one task), and
+    * (3) the final orderBy is satisfied by the range partitioning
+    * (prefix rule) and plans as an in-partition sort with no second
+    * exchange. Same rows, same order — column pruning still reaches
+    * the scan through the repartition. */
+  private def docsByRange(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** The positional K-shingle hash grid shared by d66 (self-contained
     * build) and d66_spans_indexed (persisted dup set): one doc_id-keyed

@@ -33,12 +33,27 @@ object T24Queries {
   private def topicShaped(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** topicShaped for decode pipelines that END in orderBy(RECID...):
+    * range-partition the synthesized raw records on RECID instead of
+    * round-robin, so (1) the decode runs once, parallel, ABOVE the one
+    * exchange — a global sort's range exchange otherwise SAMPLES its
+    * child with a separate pass, re-running the whole decode, and
+    * (2) the final orderBy is satisfied by the range partitioning
+    * (prefix rule) and plans as an in-partition sort with no second
+    * exchange. Same spread-before-decode execution shape as
+    * topicShaped (the RAW stage arrives partitioned), same rows, same
+    * order. */
+  private def recShaped(df: DataFrame): DataFrame =
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+      col(SchemaConverter.RecId))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_mv_index" -> q { (s, d) =>
       table(s, d, "part")
         .select(col("p_partkey"),
           concat(lit("1:"), col("p_type"), lit("#2:"), col("p_name"),
             lit("#3:"), col("p_size").cast("string")).as("mv"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("p_partkey"))
         .select(col("p_partkey"), T24.mvIndex(col("mv"), 2).as("item2"))
         .orderBy("p_partkey")
     },
@@ -48,12 +63,14 @@ object T24Queries {
         .select(col("p_partkey"),
           concat(lit("1:"), col("p_type"), lit("#2:"), col("p_name"),
             lit("#s3:"), col("p_size").cast("string")).as("mv"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("p_partkey"))
         .select(col("p_partkey"), T24.mvJoin(col("mv"), "|").as("joined"))
         .orderBy("p_partkey")
     },
 
     "t24_seab_field" -> q { (s, d) =>
       table(s, d, "customer")
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("c_custkey"))
         .select(col("c_custkey"),
           T24.seabField(col("c_name"), "#", 2).as("cust_num"))
         .orderBy("c_custkey")
@@ -61,6 +78,7 @@ object T24Queries {
 
     "t24_hextotext" -> q { (s, d) =>
       table(s, d, "customer")
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("c_custkey"))
         .select(col("c_custkey"), T24.hexToText(hex(col("c_name"))).as("decoded"))
         .orderBy("c_custkey")
     },
@@ -82,13 +100,13 @@ object T24Queries {
 
     // MULTIVALUE stage through the SchemaConverter (explode via Generate)
     "t24_mv_explode" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("FLAGS"), concat(lit("1:"), col("o_orderstatus"),
             lit("#2:"), col("o_orderpriority"),
             lit("#3:"), col("o_orderkey").cast("string"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(FieldSpec("FLAGS", parseSv = false, parseVm = true))
       SchemaConverter.pipeline(raw, schema)
         .select(col(SchemaConverter.RecId),
@@ -97,12 +115,12 @@ object T24Queries {
     },
 
     "t24_localref_strip" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "customer")).select(
+      val raw = recShaped(table(s, d, "customer").select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("LOCALREF_BAL"),
           col("c_acctbal").cast(DecimalType(18, 2)).cast("string")
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(FieldSpec("LOCALREF_BAL", dataType = "double"))
       SchemaConverter.pipeline(raw, schema).orderBy("RECID")
     },
@@ -110,7 +128,7 @@ object T24Queries {
     // End-to-end schema→pipeline compile: passthrough + parse_date +
     // LOCALREF cast + multivalue string-join, like a real proc schema.
     "t24_schema_pipeline" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
@@ -119,7 +137,7 @@ object T24Queries {
           col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
           lit("PRIORITY_MV"), concat(lit("1:"), col("o_orderpriority"),
             lit("#2:"), col("o_orderstatus"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(
         FieldSpec("STATUS"),
         FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
@@ -131,12 +149,12 @@ object T24Queries {
     // FUNC($) template transformations with output aliasing (the
     // reference's $-substitution parser)
     "t24_template_fn" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "customer")).select(
+      val raw = recShaped(table(s, d, "customer").select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("NAME"), col("c_name"),
           lit("SEG"), col("c_mktsegment")
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(
         FieldSpec("NAME", transformation = "UPPER($) UNAME"),
         FieldSpec("SEG", transformation = "SUBSTRING($, 1, 4) SEG4"))
@@ -146,14 +164,14 @@ object T24Queries {
     // BLOB procType (reference BLOB_SPLIT): field values arrive
     // hex-encoded; converter decodes then applies transformations
     "t24_blob_pipeline" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), hex(col("o_orderstatus")),
           lit("ORDER_DATE"), hex(date_format(col("o_orderdate"), "yyyyMMdd")),
           lit("LOCALREF_PRICE"),
           hex(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(
         FieldSpec("STATUS"),
         FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
@@ -166,6 +184,7 @@ object T24Queries {
         .select(col("c_custkey"),
           concat(lit("1:SYS_AGENT"), col("c_custkey").cast("string"),
             lit("#2:SYS_TELLER"), col("c_custkey").cast("string")).as("inputter"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("c_custkey"))
         .select(col("c_custkey"), T24.inputterHis(col("inputter")).as("inputter_his"))
         .orderBy("c_custkey")
     },
@@ -173,13 +192,13 @@ object T24Queries {
     // per-element transformations on exploded VM fields (the reference's
     // multiParser): a multivalued yyyyMMdd field parses per element
     "t24_mv_transform" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
           lit("DATES"), concat(lit("1:"), date_format(col("o_orderdate"), "yyyyMMdd"),
             lit("#2:"), date_format(date_add(col("o_orderdate"), 30), "yyyyMMdd"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(
         FieldSpec("STATUS"),
         FieldSpec("DATES", dataType = "date", transformation = "parse_date",
@@ -194,7 +213,7 @@ object T24Queries {
     // RECID input, $$ name-splice, FUNC([n]) with inferred and explicit
     // params, nested second-level template, raw-expression passthrough
     "t24_template_grammar" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "customer")).select(
+      val raw = recShaped(table(s, d, "customer").select(
         col("c_custkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("NAME"), col("c_mktsegment"),
@@ -203,7 +222,7 @@ object T24Queries {
             lit("#2:B_"), col("c_custkey").cast("string")),
           lit("DT_MV"), concat(lit("1:2024"),
             lpad((col("c_nationkey") % 12 + 1).cast("string"), 2, "0"), lit("15"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       val schema = Seq(
         FieldSpec("RECID", transformation = "CONCAT($, '_R') RTAG"),
         FieldSpec("SEG", transformation = "CONCAT('$$', '_X') SEGTAG"),
@@ -372,7 +391,7 @@ object T24Queries {
     // through the registry (put → run), then the compiled pipeline
     // executes — same oracle as the directly-compiled t24_schema_pipeline
     "t24_registry_pipeline" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         map(
           lit("STATUS"), col("o_orderstatus"),
@@ -381,7 +400,7 @@ object T24Queries {
           col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
           lit("PRIORITY_MV"), concat(lit("1:"), col("o_orderpriority"),
             lit("#2:"), col("o_orderstatus"))
-        ).as(SchemaConverter.Record))
+        ).as(SchemaConverter.Record)))
       SchemaRegistry.put("REGISTRY_Q", Seq(
         FieldSpec("STATUS"),
         FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
@@ -393,13 +412,13 @@ object T24Queries {
     // BLOB FE mode: ONE packed hex blob per record, 0xFE field markers,
     // positional schema mapping (reference controllers/index.js:585-590)
     "t24_blob_fe" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         concat(
           hex(col("o_orderstatus")), lit("FE"),
           hex(date_format(col("o_orderdate"), "yyyyMMdd")), lit("FE"),
           hex(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"))
-        ).as(SchemaConverter.Blob))
+        ).as(SchemaConverter.Blob)))
       val schema = Seq(
         FieldSpec("STATUS"),
         FieldSpec("ORDER_DATE", dataType = "date", transformation = "parse_date"),
@@ -410,13 +429,13 @@ object T24Queries {
     // BLOB FEFD mode: 0xFD value markers inside a field explode to rows
     // with per-element transforms (reference controllers/index.js:591-600)
     "t24_blob_fefd" -> q { (s, d) =>
-      val raw = topicShaped(table(s, d, "orders")).select(
+      val raw = recShaped(table(s, d, "orders").select(
         col("o_orderkey").cast("string").as(SchemaConverter.RecId),
         concat(
           hex(col("o_orderstatus")), lit("FE"),
           hex(date_format(col("o_orderdate"), "yyyyMMdd")), lit("FD"),
           hex(date_format(date_add(col("o_orderdate"), 30), "yyyyMMdd"))
-        ).as(SchemaConverter.Blob))
+        ).as(SchemaConverter.Blob)))
       val schema = Seq(
         FieldSpec("STATUS"),
         FieldSpec("DATES", dataType = "date", transformation = "parse_date",

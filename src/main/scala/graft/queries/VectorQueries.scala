@@ -482,7 +482,12 @@ object VectorQueries {
         .orderBy("cid").collect()
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toArray))
-      emb.select(col("vec_id"),
+      // d1's range-partition-first shape: the multi-branch router
+      // expression runs once, parallel, above the one exchange (the
+      // sort's sampling pass otherwise re-runs it over the whole scan)
+      emb.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
           Similarity.cellRouteExpr(withCids.map(_._1), withCids.map(_._2),
             flatCap = 16)(col("embedding")).as("cell"))
         .orderBy("vec_id")

@@ -13,6 +13,23 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(FormattedMode)
 
+  /** The detail blocks of every Exchange operator in a formatted plan
+    * (heading "(n) Exchange" through the next blank line) — the Input
+    * line inside lists exactly the columns that cross that shuffle. */
+  private def exchangeBlocks(p: String): Seq[String] = {
+    val lines = p.linesIterator.toVector
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }
+    starts.map { i =>
+      val end = lines.indexWhere(_.trim.isEmpty, i) match {
+        case -1 => lines.length
+        case e  => e
+      }
+      lines.slice(i, end).mkString("\n")
+    }
+  }
+
   test("q6: filters and projection reach the parquet scan") {
     val p = plan("q6_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -721,8 +738,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("m16: resample is per-partition decode — payloads never cross a shuffle") {
     val p = plan("m16_audio_resample")
-    assert(!p.contains("hashpartitioning"),
-      "the resample pipeline must be shuffle-free before the final sort")
+    // exchanges exist (the key-scan spread before the decode and the
+    // narrow stats re-key that pins the decode to ONE run under the
+    // final sort's range-sampling pass), but they may only ever carry
+    // the 8-byte key or the decoded STATS row — never the WAV payload
+    val blocks = exchangeBlocks(p)
+    assert(blocks.nonEmpty, "expected the spread + stats exchanges")
+    blocks.foreach { b =>
+      assert(!b.contains("payload") && !b.contains("_2#") && !b.contains("wav"),
+        s"decoded audio payloads must never cross a shuffle: $b")
+    }
   }
 
   test("d58: tertile thresholds broadcast over the in-row score chain") {
@@ -774,8 +799,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("m17: VAD is per-partition decode — payloads never cross a shuffle") {
     val p = plan("m17_vad")
-    assert(!p.contains("hashpartitioning"),
-      "the VAD pipeline must be shuffle-free before the final sort")
+    val blocks = exchangeBlocks(p)
+    assert(blocks.nonEmpty, "expected the spread + stats exchanges")
+    blocks.foreach { b =>
+      assert(!b.contains("payload") && !b.contains("_2#") && !b.contains("wav"),
+        s"decoded audio payloads must never cross a shuffle: $b")
+    }
   }
 
   test("q62: the runtime bloom filter prunes the fact scan before the shuffle") {
